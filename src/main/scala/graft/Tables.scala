@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Typed loaders for the driver's star schema + corpus tables.
+  *
+  * All loaders are plain parquet scans so Catalyst can push filters and
+  * prune columns into the file source (verify via `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`).
+  */
+object Tables {
+  private def ld(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = ld(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = ld(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = ld(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = ld(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = ld(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = ld(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = ld(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame = ld(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = ld(s, dir, "embeddings")
+
+  /** events.parquet stores `ts` as INT64(TIMESTAMP(NANOS)); with
+    * `spark.sql.legacy.parquet.nanosAsLong` Spark surfaces it as a raw
+    * nano count. Normalize to a proper timestamp (µs precision, like
+    * DuckDB's comparison view of the same file) so downstream operators
+    * are schema-stable either way.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = ld(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case _ => raw
+    }
+  }
+}
