@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.functions.Num._
+import graft.Op.SUM_D
+
+/** Event-stream analytics in batch shape (SURVEY §2 rows 27–32).
+  *
+  * q31/q32 are the batch-equivalent plans of the Structured Streaming
+  * pipelines in [[graft.streaming.StreamOps]]; the streaming variants are
+  * asserted equal to these in `StreamingSpec` via MemoryStream. On a real
+  * cluster the streaming form runs incrementally with watermark-bounded
+  * state — same results on complete input, which is what the oracle checks.
+  *
+  * DuckDB sees the raw ns timestamps; Spark µs. All time arithmetic is
+  * done at µs precision on both sides (oracle casts ts to TIMESTAMP).
+  */
+object Events {
+
+  // --- 27. tumbling time-window aggregation ----------------------------
+  def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val q27Sql: String =
+    s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+       |  event_type, COUNT(*) AS n_events, ${SUM_D("value")} AS total_value
+       |FROM events
+       |GROUP BY hour, event_type
+       |ORDER BY hour, event_type""".stripMargin
+
+  // --- 28. gap-based sessionization ------------------------------------
+  /** Sessions = runs of per-user events with < 30 min between
+    * consecutive events. Pure window functions — one shuffle on user_id,
+    * no driver-side state, scales with the number of users.
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q28Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+       |      OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |       - CAST(floor(epoch(LAG(CAST(ts AS TIMESTAMP)) OVER w)) AS BIGINT) > 1800
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+       |sessions AS (
+       |  SELECT user_id, event_id, value, ts,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  ${SUM_D("value")} AS session_value
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // --- 29. JSON field extraction ---------------------------------------
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k_val") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k_val")).as("k_sum"))
+      .orderBy(col("k_bucket"))
+
+  val q29Sql: String =
+    """SELECT CAST(props::JSON->>'k' AS INT) % 10 AS k_bucket,
+      |  COUNT(*) AS n, SUM(CAST(props::JSON->>'k' AS INT)) AS k_sum
+      |FROM events
+      |GROUP BY k_bucket
+      |ORDER BY k_bucket""".stripMargin
+
+  // --- 30. ordered funnel (signup → purchase) --------------------------
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("su_user"))
+      .agg(min(col("ts")).as("first_signup_ts"))
+    ev.filter(col("event_type") === "purchase")
+      .join(broadcast(firstSignup), col("user_id") === col("su_user"))
+      .filter(col("ts") > col("first_signup_ts"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases_after"),
+        date_format(min(col("first_signup_ts")), "yyyy-MM-dd HH:mm:ss").as("first_signup"),
+        dsum(col("value")).as("purchase_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q30Sql: String =
+    s"""WITH su AS (
+       |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_signup_ts
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+       |SELECT e.user_id, COUNT(*) AS n_purchases_after,
+       |  strftime(MIN(su.first_signup_ts), '%Y-%m-%d %H:%M:%S') AS first_signup,
+       |  ${SUM_D("e.value")} AS purchase_value
+       |FROM events e JOIN su ON e.user_id = su.user_id
+       |WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > su.first_signup_ts
+       |GROUP BY e.user_id
+       |ORDER BY e.user_id""".stripMargin
+
+  // --- 31. windowed distinct users (batch shape of streaming window) ---
+  def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(window(col("ts"), "6 hours").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("win_start"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("win_start"))
+
+  val q31Sql: String =
+    """SELECT strftime(make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) * 21600 * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin
+
+  // --- 32. dedup-keep-first (batch shape of streaming dropDuplicates) --
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q32Sql: String =
+    """SELECT user_id, event_type, event_id,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_ts
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q27_tumbling_window", q27, Some(q27Sql)),
+    Op("q28_sessionize", q28, Some(q28Sql)),
+    Op("q29_json_extract", q29, Some(q29Sql)),
+    Op("q30_event_funnel", q30, Some(q30Sql)),
+    Op("q31_stream_window", q31, Some(q31Sql)),
+    Op("q32_stream_dedup", q32, Some(q32Sql)),
+  )
+}

@@ -1,0 +1,346 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.text.Text
+
+/** Text preprocessing, feature extraction, scoring and screening metrics
+  * (SURVEY §2 rows 33–40 + 43–47) — the reference pipeline's core,
+  * re-expressed as declarative Spark plans over the `documents` table.
+  *
+  * Reference semantics (van den Bulk et al., systematic-review screening):
+  * tokenize → stop-words → TF-IDF (sklearn smoothed idf) → linear scoring
+  * → precision/recall/F1 + WSS@95. All per-row ops are codegen'd built-in
+  * expressions; corpus-level stats (N, df) are tiny aggregates joined back
+  * via broadcast — no shuffle on the document side.
+  */
+object TextOps {
+  import Text._
+
+  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+
+  // --- 33. tokenize → explode → corpus word count ----------------------
+  def q33(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("token"))
+
+  val q33Sql: String =
+    s"""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df FROM (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+       |GROUP BY token
+       |ORDER BY token""".stripMargin
+
+  // --- 34. stop-word removal + per-doc term frequency -------------------
+  def q34(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(!col("token").isin(Stopwords: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("token"))
+
+  val q34Sql: String =
+    s"""SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+       |WHERE token NOT IN $StopwordsSqlList
+       |GROUP BY doc_id, token
+       |ORDER BY doc_id, token""".stripMargin
+
+  // --- 35. word bigrams --------------------------------------------------
+  def q35(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .select(explode(shingles(col("toks"), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(100)
+
+  val q35Sql: String =
+    s"""SELECT gram, COUNT(*) AS n FROM (
+       |  SELECT unnest(${shinglesSql("toks", 2)}) AS gram FROM (
+       |    SELECT $toksSql AS toks FROM documents) d) g
+       |GROUP BY gram
+       |ORDER BY n DESC, gram
+       |LIMIT 100""".stripMargin
+
+  // --- 36. corpus TF-IDF (sklearn smoothed idf) -------------------------
+  /** Plan shape for scale: `tf` is one shuffle on (doc_id, token); `df`
+    * aggregates to |vocab| rows (tiny vs corpus) and joins back broadcast;
+    * N is a 1-row aggregate cross-joined in. No O(corpus) shuffle beyond
+    * the tf groupBy.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsWithToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token").as("t2"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), col("token") === col("t2"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * idf(col("n_docs"), col("df")), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  val q36Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, tf.token AS token, tf,
+       |  round(tf * (${idfSql("n_docs", "df")}), 6) AS tfidf
+       |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+       |ORDER BY doc_id, token""".stripMargin
+
+  // --- 37. hashing-trick TF (murmur3 buckets) — rows-check --------------
+  def q37(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .withColumn("bucket", pmod(hash(col("token")), lit(1024)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  // --- 38. linear-model scoring over TF-IDF -----------------------------
+  /** Fixed, data-independent weights w(token) = (len(token) − 4)/10 —
+    * a stand-in for trained coefficients that any ANSI engine can
+    * replicate; the MLlib-trained counterpart is q41. */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val scored = q36(s, dir)
+      .withColumn("w", (length(col("token")) - 4).cast("double") / 10.0)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(round(col("tfidf") * col("w"), 6)), 6).as("score"))
+    scored
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 1.0, 1).otherwise(0).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q36 without its trailing ORDER BY, for embedding as a CTE body
+    * (DuckDB allows a nested WITH inside a CTE). */
+  private lazy val q36SqlNoOrder: String = q36Sql.split("\nORDER BY")(0)
+
+  lazy val q38Sql: String =
+    s"""WITH tfidf AS ($q36SqlNoOrder)
+       |SELECT doc_id, round(SUM(round(tfidf * (LENGTH(token) - 4) / 10.0, 6)), 6) AS score,
+       |  CASE WHEN round(SUM(round(tfidf * (LENGTH(token) - 4) / 10.0, 6)), 6) > 1.0
+       |    THEN 1 ELSE 0 END AS pred
+       |FROM tfidf
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private lazy val q38SqlNoOrder: String = q38Sql.split("\nORDER BY")(0)
+
+  // --- 39. classifier evaluation: precision / recall / F1 ---------------
+  /** Ground truth: lang = 'en'; predictions from q38. One confusion-matrix
+    * row — the reference's core evaluation step. */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .agg(
+        sum(when(col("pred") === 1 && col("y") === 1, 1).otherwise(0)).as("tp"),
+        sum(when(col("pred") === 1 && col("y") === 0, 1).otherwise(0)).as("fp"),
+        sum(when(col("pred") === 0 && col("y") === 1, 1).otherwise(0)).as("fn"),
+        sum(when(col("pred") === 0 && col("y") === 0, 1).otherwise(0)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")), 6).as("recall"),
+        round(lit(2) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+  }
+
+  lazy val q39Sql: String =
+    s"""WITH preds AS ($q38SqlNoOrder),
+       |cm AS (
+       |  SELECT
+       |    SUM(CASE WHEN pred = 1 AND lang = 'en' THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN pred = 1 AND lang <> 'en' THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN pred = 0 AND lang = 'en' THEN 1 ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN pred = 0 AND lang <> 'en' THEN 1 ELSE 0 END) AS tn
+       |  FROM preds JOIN documents USING (doc_id))
+       |SELECT tp, fp, fn, tn,
+       |  round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       |  round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       |  round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+       |FROM cm""".stripMargin
+
+  // --- 40. WSS@95 screening metric ---------------------------------------
+  /** Work Saved over Sampling at 95 % recall: rank docs by score desc,
+    * find the smallest prefix reaching 95 % of positives, WSS = (1 − k/N)
+    * − 0.05. THE systematic-review screening metric (reference paper §2.4).
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    val ranked = q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("cum_pos", sum(col("y")).over(
+        Window.orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = ranked.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+    ranked.crossJoin(broadcast(totals))
+      .filter(col("cum_pos") >= ceil(lit(0.95) * col("n_pos")))
+      .agg(min(col("rank")).as("k_at_95"),
+        first(col("n_docs")).as("n_docs"), first(col("n_pos")).as("n_pos"))
+      .select(col("n_docs"), col("n_pos"), col("k_at_95"),
+        round(lit(1.0) - col("k_at_95") / col("n_docs").cast("double") - 0.05, 6)
+          .as("wss95"))
+  }
+
+  lazy val q40Sql: String =
+    s"""WITH preds AS ($q38SqlNoOrder),
+       |ranked AS (
+       |  SELECT p.doc_id, p.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    ROW_NUMBER() OVER (ORDER BY p.score DESC, p.doc_id) AS rank,
+       |    SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY p.score DESC, p.doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+       |  FROM preds p JOIN documents d USING (doc_id)),
+       |tot AS (SELECT COUNT(*) AS n_docs, SUM(y) AS n_pos FROM ranked)
+       |SELECT n_docs, n_pos, MIN(rank) AS k_at_95,
+       |  round(1.0 - MIN(rank) / CAST(n_docs AS DOUBLE) - 0.05, 6) AS wss95
+       |FROM ranked CROSS JOIN tot
+       |WHERE cum_pos >= ceil(0.95 * n_pos)
+       |GROUP BY n_docs, n_pos""".stripMargin
+
+  // --- 43. deterministic k-fold cross-validation -------------------------
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .withColumn("fold", pmod(col("doc_id"), lit(5)))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(col("pred") === col("y"), 1).otherwise(0))
+          / count(lit(1)).cast("double"), 6).as("accuracy"))
+      .orderBy(col("fold"))
+  }
+
+  lazy val q43Sql: String =
+    s"""WITH preds AS ($q38SqlNoOrder)
+       |SELECT doc_id % 5 AS fold, COUNT(*) AS n,
+       |  round(SUM(CASE WHEN pred = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+       |    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+       |FROM preds JOIN documents USING (doc_id)
+       |GROUP BY fold
+       |ORDER BY fold""".stripMargin
+
+  // --- 44. marker-word language ID ---------------------------------------
+  def q44(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .withColumn("pred_lang",
+        when(array_contains(col("toks"), "the"), "en")
+          .when(array_contains(col("toks"), "der") ||
+            array_contains(col("toks"), "und"), "de")
+          .when(array_contains(col("toks"), "el") ||
+            array_contains(col("toks"), "los"), "es")
+          .when(array_contains(col("toks"), "le") ||
+            array_contains(col("toks"), "les"), "fr")
+          .otherwise("unknown"))
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).cast("int").as("matches_tag"))
+      .orderBy(col("doc_id"))
+
+  val q44Sql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN list_contains(toks, 'the') THEN 'en'
+       |    WHEN list_contains(toks, 'der') OR list_contains(toks, 'und') THEN 'de'
+       |    WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') THEN 'es'
+       |    WHEN list_contains(toks, 'le') OR list_contains(toks, 'les') THEN 'fr'
+       |    ELSE 'unknown' END AS pred_lang,
+       |  CASE WHEN (CASE WHEN list_contains(toks, 'the') THEN 'en'
+       |    WHEN list_contains(toks, 'der') OR list_contains(toks, 'und') THEN 'de'
+       |    WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') THEN 'es'
+       |    WHEN list_contains(toks, 'le') OR list_contains(toks, 'les') THEN 'fr'
+       |    ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS matches_tag
+       |FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  // --- 45. document quality scoring --------------------------------------
+  def q45(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop", size(filter(col("toks"), t => t.isin(Stopwords: _*))))
+      .withColumn("alnum_len",
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("n_stop") / col("n_toks").cast("double"), 6).as("stop_ratio"),
+        round((length(col("text")) - col("alnum_len")) /
+          length(col("text")).cast("double"), 6).as("non_alnum_ratio"),
+        round(col("alnum_len") / col("n_toks").cast("double"), 6).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  val q45Sql: String =
+    s"""SELECT doc_id, n_toks,
+       |  round(n_stop / CAST(n_toks AS DOUBLE), 6) AS stop_ratio,
+       |  round((LENGTH(text) - alnum_len) / CAST(LENGTH(text) AS DOUBLE), 6) AS non_alnum_ratio,
+       |  round(alnum_len / CAST(n_toks AS DOUBLE), 6) AS avg_tok_len
+       |FROM (
+       |  SELECT doc_id, text, len($toksSql) AS n_toks,
+       |    len(list_filter($toksSql, t -> t IN $StopwordsSqlList)) AS n_stop,
+       |    LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_len
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  // --- 46. token counting (whitespace + BPE-ish) -------------------------
+  def q46(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_llm_tokens"))
+      .orderBy(col("doc_id"))
+
+  val q46Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+      |  LENGTH(text) AS n_chars_actual,
+      |  CAST(ceil(LENGTH(text) / 4.0) AS BIGINT) AS est_llm_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // --- 47. document fingerprint ------------------------------------------
+  /** Content fingerprint = md5 of the canonical token stream (whitespace-
+    * normalized). Identical across engines; the dedup key for q48. */
+  def q47(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .select(col("doc_id"),
+        md5(array_join(col("toks"), " ")).as("fingerprint"),
+        md5(array_join(array_sort(array_distinct(col("toks"))), " "))
+          .as("bag_fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val q47Sql: String =
+    s"""SELECT doc_id,
+       |  md5(array_to_string($toksSql, ' ')) AS fingerprint,
+       |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bag_fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q33_tokenize", q33, Some(q33Sql)),
+    Op("q34_stopword_tf", q34, Some(q34Sql)),
+    Op("q35_ngrams", q35, Some(q35Sql)),
+    Op("q36_tfidf", q36, Some(q36Sql)),
+    Op("q37_hashing_tf", q37, None),
+    Op("q38_linear_score", q38, Some(q38Sql)),
+    Op("q39_eval_metrics", q39, Some(q39Sql)),
+    Op("q40_wss95", q40, Some(q40Sql)),
+    Op("q43_cross_validate", q43, Some(q43Sql)),
+    Op("q44_lang_id", q44, Some(q44Sql)),
+    Op("q45_quality_score", q45, Some(q45Sql)),
+    Op("q46_token_count", q46, Some(q46Sql)),
+    Op("q47_fingerprint", q47, Some(q47Sql)),
+  )
+}
