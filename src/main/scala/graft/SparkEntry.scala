@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All operator registries, in SURVEY §2 order. */
   def allOps: Seq[Op] =
-    operators.Relational.ops ++ operators.Events.ops ++ operators.TextOps.ops
+    operators.Relational.ops ++ operators.Events.ops ++ operators.TextOps.ops ++
+      operators.DedupOps.ops ++ operators.SimOps.ops ++ operators.MLOps.ops ++
+      Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque-binary ("multimodal") column plumbing (SURVEY §2 row 56).
+  *
+  * Pattern for image/audio/video at 100 TB: payloads ride as `binary`
+  * columns next to typed metadata; decode/feature-extraction runs as a
+  * partition-local batch transform (the Scala analogue of `mapInPandas`)
+  * so the decoder amortizes per-partition setup and never touches the
+  * driver. The decode step itself is STUBBED (no media libs in this
+  * environment) with a deterministic byte-level fake — the Spark-side
+  * contract (schema, encoders, partition batching) is real and tested.
+  */
+object MultiModal {
+
+  /** Typed record after "decoding". */
+  final case class MediaFeature(
+      doc_id: Long, byte_len: Int, first_byte: Int, checksum: Long, f0: Double)
+
+  /** STUB decoder: a real implementation would decode image/audio bytes
+    * (JPEG→pixels, PCM→spectrogram). Deterministic byte arithmetic stands
+    * in; signature and batching are what a real decoder would use. */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeature = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) & 0xffffffffL; i += 1 }
+    MediaFeature(
+      doc_id = id,
+      byte_len = bytes.length,
+      first_byte = if (bytes.nonEmpty) bytes(0) & 0xff else -1,
+      checksum = sum,
+      f0 = if (bytes.nonEmpty) (bytes(0) & 0xff) / 255.0 else 0.0)
+  }
+
+  /** documents → (payload binary, metadata struct) → partition-batched
+    * feature extraction. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bin: Dataset[(Long, Array[Byte])] = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(col("n_chars"), col("lang"), col("source")).as("meta"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      // per-partition decoder setup would go here (e.g. codec init)
+      it.map { case (id, bytes) => decodeStub(id, bytes) }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.{Op, Tables}
+import graft.text.Text
+
+/** Document deduplication (SURVEY §2 rows 48–52).
+  *
+  * The scale story: all-pairs comparison is O(n²) and dead at 100 TB. Every
+  * operator here generates candidates near-linearly first —
+  *   - exact:      one hash-groupBy (shuffle on the fingerprint)
+  *   - jaccard:    inverted shingle index w/ a frequent-shingle cap (the
+  *                 skew guard: a shingle appearing in k docs contributes
+  *                 k² join rows, so hot shingles are dropped à la stop-words)
+  *   - minhash:    fixed-size signatures + banded LSH bucketing; only
+  *                 bucket-mates are verified (candidates ∝ true dups)
+  *   - simhash:    64→32-bit sketch, chunk-banding for hamming candidates
+  *   - embedding:  see [[SimOps]] for the LSH path; threshold verify here
+  * and verification joins are tiny-side broadcasts.
+  *
+  * MinHash arithmetic is pure int64 — `(a·(md5₆₀ mod 2³⁰) + b) mod (2⁶¹−1)`
+  * — overflow-free and reproducible in any engine, which is what lets the
+  * DuckDB oracle replay it bit-for-bit.
+  */
+object DedupOps {
+  import Text._
+
+  // ---- shared: per-doc distinct 3-shingle sets -------------------------
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
+
+  private val docShSql: String =
+    s"SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS shs " +
+      s"FROM (SELECT doc_id, $toksSql AS toks FROM documents) _t"
+
+  // --- 48. exact dedup: hash-groupBy, keep min id -----------------------
+  /** Key = md5 of the sorted distinct token bag (whitespace/order-
+    * insensitive content identity). One shuffle, group sizes bounded by
+    * dup cardinality. */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+          .as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+      .orderBy(col("fingerprint"))
+
+  val q48Sql: String =
+    s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint,
+       |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_members
+       |FROM documents
+       |GROUP BY fingerprint
+       |ORDER BY fingerprint""".stripMargin
+
+  // --- 49. shingle-inverted-index + exact Jaccard ≥ 0.5 -----------------
+  /** Frequent-shingle cap: shingles present in > 100 docs are excluded
+    * from index AND measure (both sides of the oracle mirror this). */
+  val ShingleDfCap = 100
+
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("sh"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= ShingleDfCap).select(col("sh"))
+    val kept = sh.join(rare, "sh")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("doc_id").as("id_a"), col("sh"))
+    val b = kept.select(col("doc_id").as("id_b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard_raw",
+        col("shared") / (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+      .filter(col("jaccard_raw") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q49Sql: String =
+    s"""WITH d AS ($docShSql),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $ShingleDfCap),
+       |kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b,
+       |  round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE shared / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --- 50. MinHash signatures + banded LSH ------------------------------
+  val MinhashP = 2305843009213693951L // 2^61 − 1
+  val NumPerms = 16
+  val BandSize = 4 // 4 bands × 4 rows: P(band match) = j⁴ per band
+  val PermA: IndexedSeq[Long] =
+    (1 to NumPerms).map(i => ((2654435761L * i) % 1073741823L) | 1L)
+  val PermB: IndexedSeq[Long] =
+    (1 to NumPerms).map(i => (40503L * 65537L * i + 997L) % MinhashP)
+
+  /** 60-bit md5 prefix folded to 30 bits — keeps a·h+b inside int64. */
+  private def h30(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % 1073741824L)
+
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0).cache()
+    val sh = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .withColumn("h", h30(col("sh")))
+    // one pass: 16 MIN aggregates over (a_i·h + b_i) mod p
+    val sigCols = (0 until NumPerms).map(i =>
+      min((lit(PermA(i)) * col("h") + lit(PermB(i))) % MinhashP).as(s"sig$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // band buckets: md5 over the band's signature slice
+    val bandCols = (0 until NumPerms / BandSize).map { bnd =>
+      val parts = (0 until BandSize).map(r => col(s"sig${bnd * BandSize + r}"))
+      struct(lit(bnd).as("band"),
+        md5(concat_ws(",", parts: _*)).as("bucket")).as(s"b$bnd")
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verify candidates with exact Jaccard over the full shingle sets
+    cand
+      .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(docSh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard_raw", col("inter") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard_raw") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def permsValuesSql: String =
+    (0 until NumPerms)
+      .map(i => s"($i, ${PermA(i)}, ${PermB(i)})").mkString(", ")
+
+  val q50Sql: String =
+    s"""WITH d AS ($docShSql),
+       |dnz AS (SELECT * FROM d WHERE len(shs) > 0),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM dnz),
+       |hashed AS (SELECT doc_id, sh,
+       |  CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 1073741824 AS h FROM sh),
+       |perms(i, a, b) AS (VALUES $permsValuesSql),
+       |sigs AS (
+       |  SELECT doc_id, i, MIN((a * h + b) % ${MinhashP}) AS sig
+       |  FROM hashed CROSS JOIN perms GROUP BY doc_id, i),
+       |buckets AS (
+       |  SELECT doc_id, i // $BandSize AS band,
+       |    md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |  FROM sigs GROUP BY doc_id, i // $BandSize),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(da.shs, db.shs)) /
+       |      CAST(len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS jraw
+       |  FROM cand JOIN dnz da ON id_a = da.doc_id JOIN dnz db ON id_b = db.doc_id)
+       |SELECT id_a, id_b, round(jraw, 6) AS jaccard
+       |FROM verified WHERE jraw >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --- 51. SimHash + hamming near-dup (rows-check) ----------------------
+  /** 32-bit SimHash over tf-weighted token hashes; candidates share one of
+    * four 8-bit chunks (any pair within hamming ≤ 3 of a chunk-aligned
+    * difference collides on ≥ 1 chunk); verified with bit_count(xor). */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", h30(col("tok")))
+    val bitCols = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j"))
+    val sums = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val simhash = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val hashed = sums.select(col("doc_id"), simhash.as("simhash"))
+      .withColumn("chunks", array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          (shiftright(col("simhash"), c * 8) % 256).as("v"))): _*))
+    val chunks = hashed.select(col("doc_id"), col("simhash"), explode(col("chunks")).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    chunks.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("v"))
+      .join(chunks.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+        col("chunk"), col("v")), Seq("chunk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --- 52. embedding-cosine near-dup ------------------------------------
+  /** Exact threshold pass (cos ≥ 0.4 — calibrated to the corpus, whose
+    * planted near-dups sit ~0.45–0.55). Brute pairs here establish ground
+    * truth; the scale path is LSH bucketing ([[SimOps.q54]]) feeding the
+    * same verify. Dot/norm folded left-to-right in double — bit-equal in
+    * any engine that folds sequentially. */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(zip_with(col("e_a"), col("e_b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x))
+      .withColumn("cos", round(col("dot") / (col("n_a") * col("n_b")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q52Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+      |      FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm), 6) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+      |      FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q48_dedup_exact", q48, Some(q48Sql)),
+    Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
+    Op("q50_dedup_minhash", q50, Some(q50Sql)),
+    Op("q51_dedup_simhash", q51, None),
+    Op("q52_dedup_embedding", q52, Some(q52Sql)),
+  )
+}
