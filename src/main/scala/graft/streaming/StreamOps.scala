@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators (SURVEY §2 rows
+  * 31–32 + sessionization). The batch shapes live in
+  * [[graft.operators.Events]]; `StreamingSpec` asserts stream ≡ batch on
+  * complete input via MemoryStream.
+  *
+  * Scale notes: all three are keyed state ops — state is partitioned by
+  * (window) / (user_id, event_type) / (user_id) across executors, and the
+  * watermark bounds state size so a 100 TB/day stream doesn't accumulate
+  * unbounded windows.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Distinct users per 6 h tumbling window: dropDuplicates within the
+    * watermark then windowed count — the streaming-legal form of
+    * COUNT(DISTINCT) over a window. */
+  def windowedUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), window(col("ts"), "6 hours").as("win"))
+      .dropDuplicates("user_id", "win")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_users"))
+
+  /** Keep-first dedup on (user_id, event_type) within the watermark. */
+  def dedupKeepFirst(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Per-user session counting with explicit keyed state
+    * (flatMapGroupsWithState): gap > 30 min starts a new session. Emits
+    * (user_id, n_sessions) per trigger. */
+  def sessionCounts(events: Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          val (prevLastSec, prevCount) = state.getOption.getOrElse((Long.MinValue, 0L))
+          var lastSec = prevLastSec
+          var n = prevCount
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (lastSec == Long.MinValue || sec - lastSec > 1800) n += 1
+            lastSec = sec
+          }
+          state.update((lastSec, n))
+          Iterator((userId, n))
+      }
+      .toDF("user_id", "n_sessions")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DedupOps
+
+class DedupSpec extends AnyFunSuite with SharedSpark {
+
+  test("q48 groups partition the corpus exactly") {
+    val rows = DedupOps.q48(spark, SF).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum ===
+      Tables.documents(spark, SF).count())
+    assert(rows.forall(_.getAs[Long]("keeper_id") >= 0))
+  }
+
+  test("q49 jaccard pairs are thresholded, ordered, deduplicated") {
+    val rows = DedupOps.q49(spark, SF).collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups; q49 must find them")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
+  }
+
+  test("q50 minhash-LSH finds the same verified pairs as the inverted index") {
+    val lsh = DedupOps.q50(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupOps.q49(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH-verified pairs must be true near-dups")
+    // with j ≥ 0.5 and 4×4 banding, P(miss) = (1-j⁴)⁴ ≤ 0.77 per pair —
+    // but the planted dups sit at j ≈ 0.95+ where P(miss) < 1e-2
+    assert(lsh.size >= (exact.size * 0.8).toInt)
+  }
+
+  test("q51 simhash pairs respect the hamming bound") {
+    DedupOps.q51(spark, SF).collect().foreach { r =>
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 3)
+    }
+  }
+
+  test("q52 embedding near-dups are cosine-thresholded") {
+    val rows = DedupOps.q52(spark, SF).collect()
+    assert(rows.nonEmpty, "corpus has planted embedding near-dups")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.4 && c <= 1.0)
+    }
+  }
+}

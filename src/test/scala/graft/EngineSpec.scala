@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.MultiModal
+
+class EngineSpec extends AnyFunSuite with SharedSpark {
+
+  test("driver contract: every op is registered, oracles reference registered ops") {
+    assert(SparkEntry.queries.size === 56)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.oracleSql.size === 49)
+  }
+
+  test("entry flagship runs on sf0.001 with rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("op names are unique") {
+    val names = SparkEntry.allOps.map(_.name)
+    assert(names.distinct.length === names.length)
+  }
+
+  test("multimodal decode stub is deterministic and schema-stable") {
+    val df = MultiModal.mediaFeatures(spark, SF)
+    assert(df.columns.toSeq ===
+      Seq("doc_id", "byte_len", "first_byte", "checksum", "f0"))
+    val a = df.collect()
+    val b = MultiModal.mediaFeatures(spark, SF).collect()
+    assert(a === b)
+    assert(a.length === Tables.documents(spark, SF).count())
+    // payload is the utf-8 text, so byte_len tracks the text length
+    a.take(5).foreach(r => assert(r.getAs[Int]("byte_len") > 0))
+  }
+
+  test("mllib pipelines produce a prediction per input row") {
+    val lr = graft.operators.MLOps.q41(spark, SF)
+    assert(lr.count() === Tables.embeddings(spark, SF).count())
+    val nb = graft.operators.MLOps.q42(spark, SF)
+    assert(nb.count() === Tables.documents(spark, SF).count())
+    // sanity: a trained model should beat coin-flip on its own training set
+    val acc = lr.agg(org.apache.spark.sql.functions.avg("correct")).collect()(0).getDouble(0)
+    assert(acc > 0.5)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimOps
+
+class SimilaritySpec extends AnyFunSuite with SharedSpark {
+
+  test("q53 returns exactly k ranked neighbors per query") {
+    val rows = SimOps.q53(spark, SF).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (_, rs) =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted === Seq(1, 2, 3, 4, 5))
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q54 LSH candidates agree with brute force inside the bucket") {
+    val ann = SimOps.q54(spark, SF).collect()
+    assert(ann.nonEmpty)
+    val brute = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("cos"))).toSet
+    // every ANN hit that brute ranked top-5 must carry the same cosine
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Double]("cos"))
+      val inBrute = brute.exists(b => b._1 == key._1 && b._2 == key._2)
+      if (inBrute) assert(brute.contains(key), s"cosine mismatch for $key")
+    }
+  }
+
+  test("q55 vector stats cover all labels with sane norms") {
+    val rows = SimOps.q55(spark, SF).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum ===
+      Tables.embeddings(spark, SF).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_norm") > 0)
+      assert(r.getAs[Double]("centroid_norm") >= 0)
+      // centroid norm can't exceed the mean norm (Jensen)
+      assert(r.getAs[Double]("centroid_norm") <= r.getAs[Double]("avg_norm") + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+import graft.text.Text
+
+class TextSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("tokens lowercases and splits on non-alnum runs") {
+    val got = Seq("Hello,  WORLD-42! ").toDF("text")
+      .select(Text.tokens(col("text"))).as[Seq[String]].collect()(0)
+    assert(got === Seq("hello", "world", "42"))
+  }
+
+  test("shingles are empty for short docs and ordered for long ones") {
+    val df = Seq("a b", "a b c d").toDF("text")
+      .select(Text.shingles(Text.tokens(col("text")), 3).as("s")).as[Seq[String]]
+    assert(df.collect()(0) === Seq())
+    assert(df.collect()(1) === Seq("a b c", "b c d"))
+  }
+
+  test("q36 tf-idf matches the smoothed-idf formula for a sampled token") {
+    val row = TextOps.q36(spark, SF).limit(1).collect()(0)
+    val n = Tables.documents(spark, SF).count()
+    val dfq = TextOps.q33(spark, SF)
+      .filter(col("token") === row.getAs[String]("token")).collect()(0).getAs[Long]("df")
+    val expect = BigDecimal(row.getAs[Long]("tf") *
+      (math.log((1.0 + n) / (1 + dfq)) + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("tfidf") === expect)
+  }
+
+  test("q39 confusion matrix covers the corpus; metrics in [0,1]") {
+    val r = TextOps.q39(spark, SF).collect()(0)
+    val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn")
+    assert(total === Tables.documents(spark, SF).count())
+    Seq("precision", "recall", "f1").foreach { m =>
+      val v = r.getAs[Double](m)
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  test("q40 wss95 is a valid screening score") {
+    val r = TextOps.q40(spark, SF).collect()(0)
+    assert(r.getAs[Int]("k_at_95") <= r.getAs[Long]("n_docs"))
+    val w = r.getAs[Double]("wss95")
+    assert(w >= -0.05 && w <= 0.95)
+  }
+
+  test("q44 language id is total over the corpus") {
+    val n = TextOps.q44(spark, SF).count()
+    assert(n === Tables.documents(spark, SF).count())
+  }
+
+  test("q47 fingerprints are md5-shaped and whitespace-insensitive") {
+    val rows = TextOps.q47(spark, SF).limit(5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("fingerprint").matches("[0-9a-f]{32}"))
+      assert(r.getAs[String]("bag_fingerprint").matches("[0-9a-f]{32}"))
+    }
+  }
+}
