@@ -28,9 +28,14 @@ object DedupOps {
   import Text._
 
   // ---- shared: per-doc distinct 3-shingle sets -------------------------
+  /** repartition before the CPU-heavy tokenize/shingle projection: the
+    * corpus arrives as few parquet splits (1 at test SF), which would pin
+    * the regex pipeline to as many cores; a cheap row shuffle fans it out
+    * across the cluster. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
 
   private val docShSql: String =
     s"SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS shs " +
@@ -62,10 +67,17 @@ object DedupOps {
   val ShingleDfCap = 100
 
   def q49(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // window-count beats aggregate+self-join for the df cap: one shuffle
+    // on sh instead of two plus a join; cache() because the index feeds
+    // three consumers (sizes + both join sides) and the upstream
+    // tokenize/shingle pipeline is the expensive part
     val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("sh"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") <= ShingleDfCap).select(col("sh"))
-    val kept = sh.join(rare, "sh")
+    val kept = sh
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("dfc") <= ShingleDfCap)
+      .select(col("doc_id"), col("sh"))
+      .cache()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = kept.select(col("doc_id").as("id_a"), col("sh"))
     val b = kept.select(col("doc_id").as("id_b"), col("sh"))
@@ -177,25 +189,31 @@ object DedupOps {
        |ORDER BY id_a, id_b""".stripMargin
 
   // --- 51. SimHash + hamming near-dup (rows-check) ----------------------
-  /** 32-bit SimHash over tf-weighted token hashes; candidates share one of
-    * four 8-bit chunks (any pair within hamming ≤ 3 of a chunk-aligned
-    * difference collides on ≥ 1 chunk); verified with bit_count(xor). */
+  /** 64-bit SimHash over tf-weighted token hashes (two md5 word-halves);
+    * candidates share one of four 16-bit chunks (any pair at hamming ≤ 3
+    * differs in ≤ 3 chunks, so collides on ≥ 1); verified with
+    * bit_count(xor). 64 bits keeps random same-vocab docs (hamming ≈ 32)
+    * far from the planted dups (hamming ≈ 0). */
   def q51(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .withColumn("h", h30(col("tok")))
-    val bitCols = (0 until 32).map(j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"s$j"))
+      .withColumn("hA", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("hB", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType))
+    val bitCols = (0 until 64).map { j =>
+      val h = if (j < 32) col("hA") else col("hB")
+      sum(when(shiftright(h, j % 32) % 2 === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$j")
+    }
     val sums = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val simhash = (0 until 32).map(j =>
+    val simhash = (0 until 64).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     val hashed = sums.select(col("doc_id"), simhash.as("simhash"))
       .withColumn("chunks", array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          (shiftright(col("simhash"), c * 8) % 256).as("v"))): _*))
+          (shiftrightunsigned(col("simhash"), c * 16) % 65536).as("v"))): _*))
     val chunks = hashed.select(col("doc_id"), col("simhash"), explode(col("chunks")).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
     chunks.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("v"))
@@ -216,14 +234,13 @@ object DedupOps {
     * same verify. Dot/norm folded left-to-right in double — bit-equal in
     * any engine that folds sequentially. */
   def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.VectorExprs.{vecDot, vecNorm}
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      vecNorm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(zip_with(col("e_a"), col("e_b"),
-        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", vecDot(col("e_a"), col("e_b")))
       .withColumn("cos", round(col("dot") / (col("n_a") * col("n_b")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
+import graft.expressions.VectorExprs.{vecDot, vecNorm}
 
 /** Similarity search over the embedding column (SURVEY §2 rows 53–55).
   *
@@ -17,13 +18,13 @@ import graft.{Op, Tables}
   */
 object SimOps {
 
+  // native codegen expressions (graft.expressions.FloatVecDot) — the
+  // declarative zip_with/aggregate form is interpreted per pair and ~20×
+  // slower on the O(n·k) candidate-scoring path
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    df.withColumn("nrm", vecNorm(col("embedding")))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   // --- 53. brute-force cosine top-k -------------------------------------
   def q53(s: SparkSession, dir: String): DataFrame = {

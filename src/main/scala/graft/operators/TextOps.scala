@@ -19,8 +19,12 @@ import graft.text.Text
 object TextOps {
   import Text._
 
+  /** repartition fans the tokenizer out past the (single, at test SF)
+    * parquet split — see [[DedupOps.docShingles]]. */
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", tokens(col("text")))
 
   // --- 33. tokenize → explode → corpus word count ----------------------
   def q33(s: SparkSession, dir: String): DataFrame =

@@ -22,14 +22,24 @@ object Text {
   val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** Word k-shingles of a token array (k ≥ 2), joined with single spaces.
-    * Guarded: Spark's `sequence(1, 0)` would count DOWN, so short docs get
-    * an explicit empty array. */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => (0 until k).map(j => element_at(toks, i + j))
-          .reduce((a, b) => concat(a, lit(" "), b))))
+    *
+    * Implemented as `arrays_zip` over k shifted slices + filter + join,
+    * NOT as `transform(sequence(...), i => element_at(toks, i+j)...)`:
+    * higher-order functions are interpreted (no codegen, no common-
+    * subexpression elimination), so a `toks` reference INSIDE the lambda
+    * re-evaluates the whole upstream expression (the tokenizer regex!) per
+    * element — O(k·len) tokenizations per row, measured 40× slower. Here
+    * `toks` is referenced k times per ROW, once per slice. */
+  def shingles(toks: Column, k: Int): Column = {
+    // NB: slice length must not overflow (start+len is computed in int —
+    // Int.MaxValue yields NULL arrays), so bound it by the array size
+    val shifted = (0 until k).map(j =>
+      (if (j == 0) toks else slice(toks, lit(j + 1), size(toks))).as(s"t$j"))
+    val z = arrays_zip(shifted: _*)
+    transform(
+      filter(z, s => s.getField(s"t${k - 1}").isNotNull),
+      s => concat_ws(" ", (0 until k).map(j => s.getField(s"t$j")): _*))
+  }
 
   /** DuckDB fragment equivalent to [[shingles]] over list column `toks`. */
   def shinglesSql(toksExpr: String, k: Int): String = {
