@@ -36,6 +36,7 @@ object DedupOps {
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
+      .cache() // shared subplan across q49/q50 (index build + verify joins)
 
   private val docShSql: String =
     s"SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS shs " +
@@ -125,7 +126,7 @@ object DedupOps {
     (conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % 1073741824L)
 
   def q50(s: SparkSession, dir: String): DataFrame = {
-    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0).cache()
+    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
     val sh = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
       .withColumn("h", h30(col("sh")))
     // one pass: 16 MIN aggregates over (a_i·h + b_i) mod p

@@ -91,6 +91,10 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf") * idf(col("n_docs"), col("df")), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("token"))
+      // cache: the scoring/eval/CV ops (q38–q43) embed this exact subplan;
+      // Spark's CacheManager matches it structurally and reuses the
+      // materialized features instead of re-running the tf/df shuffles
+      .cache()
   }
 
   val q36Sql: String =
