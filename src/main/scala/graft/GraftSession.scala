@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   /** Configs applied to any builder — shared by tests, Verify and Bench. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
