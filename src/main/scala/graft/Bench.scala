@@ -19,11 +19,13 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // allOps preserves SURVEY §2 order — deterministic run order makes
+    // per-query timings comparable across rounds (Map order isn't)
+    val results = SparkEntry.allOps.map { op =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      try { op.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      op.name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

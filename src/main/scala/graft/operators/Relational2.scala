@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.Op.SUM_D
+
+/** Relational surface, continued (SURVEY §2 rows 57–60): outer joins,
+  * statistical aggregates, ordered collect, time-range join. */
+object Relational2 {
+
+  // --- 57. FULL OUTER join of two aggregates ----------------------------
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q57Sql: String =
+    """SELECT COALESCE(ck, sk) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      |  ON ck = sk
+      |ORDER BY nationkey""".stripMargin
+
+  // --- 58. statistical aggregate pack -----------------------------------
+  /** stddev/variance/corr — scale-free or scale-bounded statistics whose
+    * parallel-merge noise sits ~1e-12 relative, rounded well inside it. */
+  def q58(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q58Sql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_quantity), 6) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- 59. ordered collect (listagg) ------------------------------------
+  /** collect_list is unordered by contract; array_sort canonicalizes —
+    * the only way a distributed collect is reproducible. */
+  def q59(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_list(col("o_orderstatus"))), ",")
+        .as("statuses"))
+      .orderBy(col("o_custkey"))
+
+  val q59Sql: String =
+    """SELECT o_custkey,
+      |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // --- 60. time-range join ----------------------------------------------
+  /** Clicks within 10 min before each purchase, per user. The equi-key
+    * (user_id) carries the shuffle; the range predicate filters inside
+    * the join — at scale this is the bucketable form of an interval
+    * join. */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"), "left")
+      .groupBy(col("p_id"))
+      .agg(sum(when(col("c_user").isNotNull, 1).otherwise(0)).as("n_clicks_before"))
+      .orderBy(col("p_id"))
+  }
+
+  val q60Sql: String =
+    """SELECT p.event_id AS p_id,
+      |  SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clicks_before
+      |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |      WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      |GROUP BY p_id
+      |ORDER BY p_id""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q57_full_outer", q57, Some(q57Sql)),
+    Op("q58_stats_pack", q58, Some(q58Sql)),
+    Op("q59_collect_sorted", q59, Some(q59Sql)),
+    Op("q60_range_join", q60, Some(q60Sql)),
+  )
+}
