@@ -196,18 +196,18 @@ object DedupOps {
     * bit_count(xor). 64 bits keeps random same-vocab docs (hamming ≈ 32)
     * far from the planted dups (hamming ≈ 0). */
   def q51(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
+    // summing ±1 per token OCCURRENCE is the tf-weighted sum — no
+    // (doc_id, tok) pre-aggregation needed, one shuffle instead of two
+    val tok = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("hA", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
       .withColumn("hB", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType))
     val bitCols = (0 until 64).map { j =>
       val h = if (j < 32) col("hA") else col("hB")
-      sum(when(shiftright(h, j % 32) % 2 === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"s$j")
+      sum(when(shiftright(h, j % 32) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
     }
-    val sums = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sums = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
     val simhash = (0 until 64).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)

@@ -95,6 +95,50 @@ object SimOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // --- 56b. IVF-style ANN (coarse quantizer = per-label centroids) ------
+  /** The 100 TB ANN path: a small centroid table (the coarse quantizer —
+    * here the per-label centroids, i.e. a k-means that already converged)
+    * is broadcast; every vector/query is assigned to its nearest
+    * centroid (nprobe=1); search runs inside the cell only. Corpus scan
+    * is one pass, candidates shrink by ~|cells|×. Recall vs q53 measured
+    * in SimilaritySpec. */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    // centroid per label: decimal-exact per-dim means, assembled to array
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label").as("cell_id"),
+        transform(col("dc"), x => x.getField("c").cast("float")).as("centroid"))
+    val cells = cent.select(col("cell_id"), col("centroid"))
+    // assign = argmax cosine against the broadcast centroid table
+    def assign(df: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id"))
+      df.crossJoin(broadcast(cells))
+        .withColumn("ccos", vecDot(col("embedding"), col("centroid")) /
+          (col("nrm") * vecNorm(col("centroid"))))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .drop("ccos", "crn", "centroid")
+    }
+    val corpus = assign(e, "vec_id")
+      .select(col("vec_id").as("n_id"), col("embedding").as("e_n"),
+        col("nrm").as("n_n"), col("cell_id"))
+    val queries = assign(e.filter(col("vec_id") % 50 === 0), "vec_id")
+      .select(col("vec_id").as("q_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"), col("cell_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    corpus.join(broadcast(queries), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"), col("cell_id"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // --- 55. per-label vector statistics ----------------------------------
   /** Centroid via decimal-exact per-dimension sums (order-independent →
     * cross-engine deterministic); norms folded sequentially. */
@@ -136,5 +180,6 @@ object SimOps {
     Op("q53_knn_brute", q53, Some(q53Sql)),
     Op("q54_ann_lsh", q54, None),
     Op("q55_vector_stats", q55, Some(q55Sql)),
+    Op("q61_ann_ivf", q61, None),
   )
 }

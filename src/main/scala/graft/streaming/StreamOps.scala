@@ -40,6 +40,16 @@ object StreamOps {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream–static join: enrich the event stream with a dimension table.
+    * The static side is planned per micro-batch (broadcast at dim size) —
+    * the standard pattern for joining a 100 TB/day stream to reference
+    * data without any stream-side state. */
+  def enrichedEvents(events: DataFrame, dims: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dims),
+      events("user_id") % 25 === dims("n_nationkey"))
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        dims("n_name").as("nation"))
+
   /** Per-user session counting with explicit keyed state
     * (flatMapGroupsWithState): gap > 30 min starts a new session. Emits
     * (user_id, n_sessions) per trigger. */

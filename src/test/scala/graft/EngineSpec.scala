@@ -6,7 +6,7 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 60)
+    assert(SparkEntry.queries.size === 61)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.oracleSql.size === 53)
   }

@@ -31,6 +31,25 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q61 IVF search returns valid ranked neighbors with decent recall") {
+    val ivf = SimOps.q61(spark, SF).collect()
+    assert(ivf.nonEmpty)
+    val perQ = ivf.groupBy(_.getAs[Long]("q_id"))
+    perQ.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // recall@5 vs brute force: labels are real clusters in this corpus,
+    // so nprobe=1 IVF should recover a reasonable share of true top-5
+    val brute = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val hits = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+      .count(brute.contains)
+    assert(hits.toDouble / brute.size > 0.2,
+      s"IVF recall@5 = ${hits.toDouble / brute.size} too low")
+  }
+
   test("q55 vector stats cover all labels with sane norms") {
     val rows = SimOps.q55(spark, SF).collect()
     assert(rows.length === 10)

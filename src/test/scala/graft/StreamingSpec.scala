@@ -48,6 +48,19 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got === want)
   }
 
+  test("stream-static dimension join enriches every event") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(eventData)
+    val dims = Tables.nation(spark, SF)
+    val q = StreamOps.enrichedEvents(ms.toDF(), dims)
+      .writeStream.format("memory").queryName("t_enr").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("t_enr")
+    assert(got.count() === eventData.length)
+    assert(got.filter(col("nation").isNull).count() === 0)
+  }
+
   test("stateful session counting ≡ batch q28 session totals") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
