@@ -53,8 +53,46 @@ object MLOps {
       .orderBy(col("doc_id"))
   }
 
+  // --- 62. classifier comparison (the reference paper's headline table) -
+  /** Trains the reference's classifier roster on the same deterministic
+    * split and reports accuracy/F1 side by side (paper §3: NB vs LR vs
+    * SVM vs RF on TF-IDF features). Seeded; rows-checked. */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.{LinearSVC, RandomForestClassifier}
+    val data = Tables.embeddings(s, dir)
+      .select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        array_to_vector(col("embedding")).as("features"))
+      .withColumn("is_train", pmod(col("vec_id"), lit(5)) =!= 0)
+    val train = data.filter(col("is_train")).cache()
+    val test = data.filter(!col("is_train"))
+    val models = Seq(
+      "logreg" -> new LogisticRegression().setLabelCol("y").setMaxIter(25)
+        .setRegParam(0.01),
+      "svm_linear" -> new LinearSVC().setLabelCol("y").setMaxIter(25)
+        .setRegParam(0.01),
+      "random_forest" -> new RandomForestClassifier().setLabelCol("y")
+        .setNumTrees(20).setSeed(42L))
+    val rows = models.map { case (name, est) =>
+      val pred = est.fit(train).transform(test)
+        .select(col("y"), col("prediction"))
+      val agg = pred.agg(
+        sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
+        sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
+        sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
+        sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
+        count(lit(1)).as("n")).collect()(0)
+      val (tp, fp, fn) = (agg.getLong(0).toDouble, agg.getLong(1).toDouble, agg.getLong(2).toDouble)
+      val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+      (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
+        math.rint(f1 * 1e6) / 1e6)
+    }
+    import s.implicits._
+    rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q41_mllib_logreg", q41, None),
     Op("q42_mllib_nb", q42, None),
+    Op("q62_model_compare", q62, None),
   )
 }

@@ -336,6 +336,50 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // --- 63. recall-targeted threshold tuning ------------------------------
+  /** The reference tunes the decision threshold so screening keeps ≥ 95 %
+    * of relevant studies (paper §2.4): sweep the ranked scores, pick the
+    * highest threshold whose recall ≥ 0.95, report it with the precision
+    * and screening workload it implies. */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    val ranked = q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("cum_pos", sum(col("y")).over(
+        Window.orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ranked.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("cum_pos") >= ceil(lit(0.95) * col("n_pos")))
+      .orderBy(col("rank"))
+      .limit(1)
+      .select(col("score").as("threshold"),
+        round(col("cum_pos") / col("rank").cast("double"), 6).as("precision_at_t"),
+        round(col("cum_pos") / col("n_pos").cast("double"), 6).as("recall_at_t"),
+        round(col("rank") / col("n_docs").cast("double"), 6).as("screen_fraction"))
+  }
+
+  lazy val q63Sql: String =
+    s"""WITH preds AS ($q38SqlNoOrder),
+       |ranked AS (
+       |  SELECT p.doc_id, p.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    ROW_NUMBER() OVER (ORDER BY p.score DESC, p.doc_id) AS rank,
+       |    SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY p.score DESC, p.doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+       |  FROM preds p JOIN documents d USING (doc_id)),
+       |tot AS (SELECT COUNT(*) AS n_docs, SUM(y) AS n_pos FROM ranked)
+       |SELECT score AS threshold,
+       |  round(cum_pos / CAST(rank AS DOUBLE), 6) AS precision_at_t,
+       |  round(cum_pos / CAST(n_pos AS DOUBLE), 6) AS recall_at_t,
+       |  round(rank / CAST(n_docs AS DOUBLE), 6) AS screen_fraction
+       |FROM ranked CROSS JOIN tot
+       |WHERE cum_pos >= ceil(0.95 * n_pos)
+       |ORDER BY rank
+       |LIMIT 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -350,5 +394,6 @@ object TextOps {
     Op("q45_quality_score", q45, Some(q45Sql)),
     Op("q46_token_count", q46, Some(q46Sql)),
     Op("q47_fingerprint", q47, Some(q47Sql)),
+    Op("q63_threshold_tune", q63, Some(q63Sql)),
   )
 }

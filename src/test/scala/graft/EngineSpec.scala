@@ -6,9 +6,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 61)
+    assert(SparkEntry.queries.size === 63)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 53)
+    assert(SparkEntry.oracleSql.size === 54)
   }
 
   test("entry flagship runs on sf0.001 with rows") {
