@@ -161,6 +161,44 @@ object Events {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --- 64. as-of join ----------------------------------------------------
+  /** For each purchase, the most recent prior click by the same user —
+    * the classic as-of join, which Spark has no native operator for.
+    * Composed per the preference order (compose > custom plan): union the
+    * two sides and take a running `max(click ts)` over preceding rows —
+    * one shuffle on user_id, no range-join explosion, state bounded by
+    * the window frame. */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"),
+        (col("ts").cast("long") - col("last_click_ts").cast("long")).as("gap_sec"))
+      .orderBy(col("p_id"))
+  }
+
+  val q64Sql: String =
+    """SELECT event_id AS p_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+      |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS gap_sec
+      |FROM (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    MAX(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+      |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY p_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q27_tumbling_window", q27, Some(q27Sql)),
     Op("q28_sessionize", q28, Some(q28Sql)),
@@ -168,5 +206,6 @@ object Events {
     Op("q30_event_funnel", q30, Some(q30Sql)),
     Op("q31_stream_window", q31, Some(q31Sql)),
     Op("q32_stream_dedup", q32, Some(q32Sql)),
+    Op("q64_asof_join", q64, Some(q64Sql)),
   )
 }
