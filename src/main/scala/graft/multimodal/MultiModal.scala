@@ -34,6 +34,16 @@ object MultiModal {
       f0 = if (bytes.nonEmpty) (bytes(0) & 0xff) / 255.0 else 0.0)
   }
 
+  /** STUB frame sampler: a real implementation would decode a video
+    * container and sample every k-th frame; here the payload is split
+    * into fixed-size "frames" (every k-th chunk kept) — the output shape
+    * (`array<binary>` + per-frame index metadata) is what a real sampler
+    * produces, and what downstream per-frame featurizers consume. */
+  def frameSampleStub(bytes: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]] =
+    bytes.grouped(frameSize).zipWithIndex.collect {
+      case (chunk, i) if i % every == 0 => chunk
+    }.toSeq
+
   /** documents → (payload binary, metadata struct) → partition-batched
     * feature extraction. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -47,6 +57,22 @@ object MultiModal {
       // per-partition decoder setup would go here (e.g. codec init)
       it.map { case (id, bytes) => decodeStub(id, bytes) }
     }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-sampling pipeline: binary payloads → sampled frame arrays →
+    * per-frame features, exploded back to rows. Partitioned the same way
+    * a video corpus would be (by payload row, frames stay local). */
+  def frameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val frames = frameSampleStub(bytes, frameSize = 32, every = 2)
+        (id, frames.length, frames.map(f => decodeStub(id, f).checksum))
+      })
+      .toDF("doc_id", "n_frames", "frame_checksums")
       .orderBy(col("doc_id"))
   }
 }

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.text.Text
 
-/** MLlib classification pipelines (SURVEY §2 rows 41–42) — the trained
+/** Reference: /root/reference/README.md:1-6 — the paper's classifier
+  * roster (NB/LR/SVM/RF over TF-IDF features) re-expressed as spark.ml.
+  *
+  * MLlib classification pipelines (SURVEY §2 rows 41–42) — the trained
   * counterpart of the fixed-weight scorer (q38): the reference's
   * scikit-learn classifiers re-expressed as `spark.ml` estimators, which
   * train distributed (L-BFGS treeAggregate over partitions) and predict as

@@ -10,6 +10,11 @@ import graft.text.Text
   * (SURVEY §2 rows 33–40 + 43–47) — the reference pipeline's core,
   * re-expressed as declarative Spark plans over the `documents` table.
   *
+  * Reference: /root/reference/README.md:1-6 (van den Bulk, Bouzembrak,
+  * Gavai, Liu, van den Heuvel, Marvin — "Automatic classification of
+  * literature in systematic reviews on food safety using machine
+  * learning", WFSR; supplementary repo pointer).
+  *
   * Reference semantics (van den Bulk et al., systematic-review screening):
   * tokenize → stop-words → TF-IDF (sklearn smoothed idf) → linear scoring
   * → precision/recall/F1 + WSS@95. All per-row ops are codegen'd built-in

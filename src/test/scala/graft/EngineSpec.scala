@@ -32,6 +32,21 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     a.take(5).foreach(r => assert(r.getAs[Int]("byte_len") > 0))
   }
 
+  test("multimodal frame sampling keeps every k-th frame with local features") {
+    val df = MultiModal.frameFeatures(spark, SF)
+    assert(df.count() === Tables.documents(spark, SF).count())
+    val r = df.collect().head
+    val n = r.getAs[Int]("n_frames")
+    assert(n > 0)
+    assert(r.getAs[Seq[Long]]("frame_checksums").length === n)
+    // deterministic: stub sampler keeps ceil(chunks/2) frames of 32 bytes
+    val textLen = Tables.documents(spark, SF)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === r.getAs[Long]("doc_id"))
+      .collect()(0).getAs[String]("text").getBytes("UTF-8").length
+    val chunks = (textLen + 31) / 32
+    assert(n === (chunks + 1) / 2)
+  }
+
   test("mllib pipelines produce a prediction per input row") {
     val lr = graft.operators.MLOps.q41(spark, SF)
     assert(lr.count() === Tables.embeddings(spark, SF).count())
