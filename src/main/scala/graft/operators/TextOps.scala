@@ -122,12 +122,19 @@ object TextOps {
       .orderBy(col("doc_id"), col("bucket"))
 
   // --- 38. linear-model scoring over TF-IDF -----------------------------
-  /** Fixed, data-independent weights w(token) = (len(token) − 4)/10 —
+  /** Fixed, data-independent weights w(token) = (len(token) − 4)/7 —
     * a stand-in for trained coefficients that any ANSI engine can
-    * replicate; the MLlib-trained counterpart is q41. */
+    * replicate; the MLlib-trained counterpart is q41.
+    *
+    * The divisor is deliberately NOT a power of 10: a 6-decimal tfidf ×
+    * k/10 is an exact 7-decimal number that can end in "…5" — precisely
+    * on the round(…,6) halfway point, where Spark (shortest-repr
+    * BigDecimal HALF_UP) and other engines (binary-value rounding)
+    * systematically disagree. k/7 products never terminate, so no
+    * rounded value sits on a boundary. */
   def q38(s: SparkSession, dir: String): DataFrame = {
     val scored = q36(s, dir)
-      .withColumn("w", (length(col("token")) - 4).cast("double") / 10.0)
+      .withColumn("w", (length(col("token")) - 4).cast("double") / 7.0)
       .groupBy(col("doc_id"))
       .agg(round(sum(round(col("tfidf") * col("w"), 6)), 6).as("score"))
     scored
@@ -142,8 +149,8 @@ object TextOps {
 
   lazy val q38Sql: String =
     s"""WITH tfidf AS ($q36SqlNoOrder)
-       |SELECT doc_id, round(SUM(round(tfidf * (LENGTH(token) - 4) / 10.0, 6)), 6) AS score,
-       |  CASE WHEN round(SUM(round(tfidf * (LENGTH(token) - 4) / 10.0, 6)), 6) > 1.0
+       |SELECT doc_id, round(SUM(round(tfidf * (CAST(LENGTH(token) - 4 AS DOUBLE) / 7.0), 6)), 6) AS score,
+       |  CASE WHEN round(SUM(round(tfidf * (CAST(LENGTH(token) - 4 AS DOUBLE) / 7.0), 6)), 6) > 1.0
        |    THEN 1 ELSE 0 END AS pred
        |FROM tfidf
        |GROUP BY doc_id
