@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.Op.SUM_D
+import graft.functions.Num.dsum
 
 /** Relational surface, continued (SURVEY §2 rows 57–60): outer joins,
   * statistical aggregates, ordered collect, time-range join. */
@@ -102,10 +103,100 @@ object Relational2 {
       |GROUP BY p_id
       |ORDER BY p_id""".stripMargin
 
+  // --- 65. ntile bucketing -----------------------------------------------
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("quartile"))
+  }
+
+  val q65Sql: String =
+    s"""SELECT quartile, COUNT(*) AS n, ${SUM_D("o_totalprice")} AS total
+       |FROM (SELECT o_totalprice,
+       |  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+       |  FROM orders) t
+       |GROUP BY quartile
+       |ORDER BY quartile""".stripMargin
+
+  // --- 66. percent_rank / cume_dist --------------------------------------
+  /** Ratio-valued windows: both are exact int-ratio doubles ((r−1)/(n−1),
+    * k/n) — identical in any engine, no rounding needed. */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("pr") >= 0.95)
+      .select(col("c_mktsegment"), col("c_custkey"), col("pr"), col("cd"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  val q66Sql: String =
+    """SELECT c_mktsegment, c_custkey, pr, cd FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)) t
+      |WHERE pr >= 0.95
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  // --- 67. fixed-width histogram ------------------------------------------
+  def q67(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy(col("bucket"))
+
+  val q67Sql: String =
+    s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, ${SUM_D("l_extendedprice")} AS total
+       |FROM lineitem
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
+  // --- 68. INTERSECT / EXCEPT set operators -------------------------------
+  /** Customers that bought in 1996 but not 1997 (EXCEPT) and in both
+    * (INTERSECT) — Spark's intersect/except distinct set semantics. */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("date") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("date"))
+      .select(col("o_custkey"))
+    val both = buyers(1996).intersect(buyers(1997))
+      .select(lit("both_years").as("cohort"), col("o_custkey"))
+    val churned = buyers(1996).except(buyers(1997))
+      .select(lit("churned").as("cohort"), col("o_custkey"))
+    both.unionAll(churned)
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("cohort"))
+  }
+
+  val q68Sql: String =
+    """WITH b96 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'),
+      |b97 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01')
+      |SELECT cohort, COUNT(*) AS n_customers FROM (
+      |  SELECT 'both_years' AS cohort, o_custkey FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97) x
+      |  UNION ALL
+      |  SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97) y) z
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q57_full_outer", q57, Some(q57Sql)),
     Op("q58_stats_pack", q58, Some(q58Sql)),
     Op("q59_collect_sorted", q59, Some(q59Sql)),
     Op("q60_range_join", q60, Some(q60Sql)),
+    Op("q65_ntile", q65, Some(q65Sql)),
+    Op("q66_percent_rank", q66, Some(q66Sql)),
+    Op("q67_histogram", q67, Some(q67Sql)),
+    Op("q68_set_ops", q68, Some(q68Sql)),
   )
 }
