@@ -69,8 +69,8 @@ object Events {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
        |sessions AS (
        |  SELECT user_id, event_id, value, ts,
-       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM flagged)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -89,7 +89,7 @@ object Events {
 
   val q29Sql: String =
     """SELECT CAST(props::JSON->>'k' AS INT) % 10 AS k_bucket,
-      |  COUNT(*) AS n, SUM(CAST(props::JSON->>'k' AS INT)) AS k_sum
+      |  COUNT(*) AS n, CAST(SUM(CAST(props::JSON->>'k' AS INT)) AS BIGINT) AS k_sum
       |FROM events
       |GROUP BY k_bucket
       |ORDER BY k_bucket""".stripMargin
@@ -143,7 +143,7 @@ object Events {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))

@@ -217,7 +217,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 2)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
       .orderBy(col("o_custkey"), col("rn"))
@@ -373,9 +373,9 @@ object Relational {
 
   val q18Sql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
@@ -429,7 +429,7 @@ object Relational {
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
         when(col("p_type").like("%PROMO%"), 1).otherwise(0).as("is_promo"),
         regexp_replace(col("p_name"), "[0-9]+", "#").as("name_masked"),
-        length(col("p_name")).as("name_len"))
+        length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
   val q21Sql: String =

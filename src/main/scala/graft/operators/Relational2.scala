@@ -93,7 +93,7 @@ object Relational2 {
 
   val q60Sql: String =
     """SELECT p.event_id AS p_id,
-      |  SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clicks_before
+      |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_before
       |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
       |      WHERE event_type = 'purchase') p
       |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -108,7 +108,7 @@ object Relational2 {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("quartile"))

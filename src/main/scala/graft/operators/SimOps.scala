@@ -36,7 +36,7 @@ object SimOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
       .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
@@ -89,7 +89,7 @@ object SimOps {
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"), col("bucket"))
       .orderBy(col("q_id"), col("rank"))
@@ -133,7 +133,7 @@ object SimOps {
     corpus.join(broadcast(queries), Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"), col("cell_id"))
       .orderBy(col("q_id"), col("rank"))

@@ -180,10 +180,10 @@ object TextOps {
     s"""WITH preds AS ($q38SqlNoOrder),
        |cm AS (
        |  SELECT
-       |    SUM(CASE WHEN pred = 1 AND lang = 'en' THEN 1 ELSE 0 END) AS tp,
-       |    SUM(CASE WHEN pred = 1 AND lang <> 'en' THEN 1 ELSE 0 END) AS fp,
-       |    SUM(CASE WHEN pred = 0 AND lang = 'en' THEN 1 ELSE 0 END) AS fn,
-       |    SUM(CASE WHEN pred = 0 AND lang <> 'en' THEN 1 ELSE 0 END) AS tn
+       |    CAST(SUM(CASE WHEN pred = 1 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN pred = 1 AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN pred = 0 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN pred = 0 AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |  FROM preds JOIN documents USING (doc_id))
        |SELECT tp, fp, fn, tn,
        |  round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
@@ -208,7 +208,7 @@ object TextOps {
     val totals = ranked.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
     ranked.crossJoin(broadcast(totals))
       .filter(col("cum_pos") >= ceil(lit(0.95) * col("n_pos")))
-      .agg(min(col("rank")).as("k_at_95"),
+      .agg(min(col("rank")).cast("long").as("k_at_95"),
         first(col("n_docs")).as("n_docs"), first(col("n_pos")).as("n_pos"))
       .select(col("n_docs"), col("n_pos"), col("k_at_95"),
         round(lit(1.0) - col("k_at_95") / col("n_docs").cast("double") - 0.05, 6)
@@ -224,7 +224,7 @@ object TextOps {
        |      OVER (ORDER BY p.score DESC, p.doc_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
        |  FROM preds p JOIN documents d USING (doc_id)),
-       |tot AS (SELECT COUNT(*) AS n_docs, SUM(y) AS n_pos FROM ranked)
+       |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos FROM ranked)
        |SELECT n_docs, n_pos, MIN(rank) AS k_at_95,
        |  round(1.0 - MIN(rank) / CAST(n_docs AS DOUBLE) - 0.05, 6) AS wss95
        |FROM ranked CROSS JOIN tot
@@ -291,7 +291,7 @@ object TextOps {
       .withColumn("n_stop", size(filter(col("toks"), t => t.isin(Stopwords: _*))))
       .withColumn("alnum_len",
         length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
-      .select(col("doc_id"), col("n_toks"),
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
         round(col("n_stop") / col("n_toks").cast("double"), 6).as("stop_ratio"),
         round((length(col("text")) - col("alnum_len")) /
           length(col("text")).cast("double"), 6).as("non_alnum_ratio"),
@@ -314,10 +314,10 @@ object TextOps {
   def q46(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("ws_tokens"),
         size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"),
-        length(col("text")).as("n_chars_actual"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("est_llm_tokens"))
       .orderBy(col("doc_id"))
 
@@ -382,7 +382,7 @@ object TextOps {
        |      OVER (ORDER BY p.score DESC, p.doc_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
        |  FROM preds p JOIN documents d USING (doc_id)),
-       |tot AS (SELECT COUNT(*) AS n_docs, SUM(y) AS n_pos FROM ranked)
+       |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos FROM ranked)
        |SELECT score AS threshold,
        |  round(cum_pos / CAST(rank AS DOUBLE), 6) AS precision_at_t,
        |  round(cum_pos / CAST(n_pos AS DOUBLE), 6) AS recall_at_t,

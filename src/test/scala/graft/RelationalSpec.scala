@@ -30,7 +30,7 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
 
   test("q10 window rank keeps at most 2 orders per customer") {
     val rows = Relational.q10(spark, SF).collect()
-    assert(rows.forall(_.getAs[Int]("rn") <= 2))
+    assert(rows.forall(_.getAs[Long]("rn") <= 2))
     val perCust = rows.groupBy(_.getAs[Long]("o_custkey")).values.map(_.length)
     assert(perCust.forall(_ <= 2))
   }

@@ -11,8 +11,8 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(perQ.nonEmpty)
     perQ.foreach { case (_, rs) =>
       assert(rs.length === 5)
-      assert(rs.map(_.getAs[Int]("rank")).sorted === Seq(1, 2, 3, 4, 5))
-      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(rs.map(_.getAs[Long]("rank")).sorted === Seq(1L, 2L, 3L, 4L, 5L))
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
   }
@@ -37,7 +37,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val perQ = ivf.groupBy(_.getAs[Long]("q_id"))
     perQ.foreach { case (_, rs) =>
       assert(rs.length <= 5)
-      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
     // recall@5 vs brute force: labels are real clusters in this corpus,

@@ -45,7 +45,7 @@ class TextSpec extends AnyFunSuite with SharedSpark {
 
   test("q40 wss95 is a valid screening score") {
     val r = TextOps.q40(spark, SF).collect()(0)
-    assert(r.getAs[Int]("k_at_95") <= r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("k_at_95") <= r.getAs[Long]("n_docs"))
     val w = r.getAs[Double]("wss95")
     assert(w >= -0.05 && w <= 0.95)
   }
