@@ -199,6 +199,32 @@ object Events {
       |WHERE event_type = 'purchase'
       |ORDER BY p_id""".stripMargin
 
+  // --- 69. sliding time windows ------------------------------------------
+  /** 6 h windows sliding every 3 h — each event lands in 2 windows
+    * (Spark's `window(ts, dur, slide)` generator). The oracle replays the
+    * slide-aligned grid: starts at floor(t/slide)·slide and one slide
+    * earlier. */
+  def q69(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(window(col("ts"), "6 hours", "3 hours").as("win"), col("value"))
+      .groupBy(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("win_start"))
+
+  val q69Sql: String =
+    s"""WITH g AS (
+       |  SELECT value, make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800) AS BIGINT) * 10800 * 1000000) AS w0
+       |  FROM events),
+       |expanded AS (
+       |  SELECT value, w0 AS w FROM g
+       |  UNION ALL
+       |  SELECT value, w0 - INTERVAL 3 HOUR AS w FROM g)
+       |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  COUNT(*) AS n_events, ${SUM_D("value")} AS total_value
+       |FROM expanded
+       |GROUP BY win_start
+       |ORDER BY win_start""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q27_tumbling_window", q27, Some(q27Sql)),
     Op("q28_sessionize", q28, Some(q28Sql)),
@@ -207,5 +233,6 @@ object Events {
     Op("q31_stream_window", q31, Some(q31Sql)),
     Op("q32_stream_dedup", q32, Some(q32Sql)),
     Op("q64_asof_join", q64, Some(q64Sql)),
+    Op("q69_sliding_window", q69, Some(q69Sql)),
   )
 }
