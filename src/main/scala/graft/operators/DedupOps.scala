@@ -203,15 +203,10 @@ object DedupOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("hA", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
       .withColumn("hB", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType))
-    val bitCols = (0 until 64).map { j =>
-      val h = if (j < 32) col("hA") else col("hB")
-      sum(when(shiftright(h, j % 32) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val sums = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val simhash = (0 until 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    val hashed = sums.select(col("doc_id"), simhash.as("simhash"))
+    // native TypedImperativeAggregate: one int[64] buffer per group
+    // instead of 64 SUM(CASE...) aggregates + a 64-term assembly
+    val hashed = tok.groupBy(col("doc_id"))
+      .agg(graft.expressions.SimHashAgg.simhash(col("hA"), col("hB")).as("simhash"))
       .withColumn("chunks", array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           (shiftrightunsigned(col("simhash"), c * 16) % 65536).as("v"))): _*))

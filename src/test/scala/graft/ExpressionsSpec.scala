@@ -1,0 +1,92 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{SimHashAgg, VectorExprs}
+
+/** Native expressions vs independent reference computations. */
+class ExpressionsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Pure-Scala simhash replicating q51's definition. */
+  private def simhashRef(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = md5hex(t)
+      val a = java.lang.Long.parseLong(h.substring(0, 8), 16)
+      val b = java.lang.Long.parseLong(h.substring(8, 16), 16)
+      (0 until 32).foreach { j =>
+        acc(j) += (if (((a >> j) & 1L) == 1L) 1 else -1)
+        acc(j + 32) += (if (((b >> j) & 1L) == 1L) 1 else -1)
+      }
+    }
+    (0 until 64).foldLeft(0L)((h, j) => if (acc(j) > 0) h | (1L << j) else h)
+  }
+
+  test("SimHashAgg matches an independent scalar implementation") {
+    val docs = Tables.documents(spark, SF).limit(20)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val got = Tables.documents(spark, SF).limit(20)
+      .select(col("doc_id"), explode(graft.text.Text.tokens(col("text"))).as("tok"))
+      .withColumn("hA", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hB", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(SimHashAgg.simhash(col("hA"), col("hB")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, text) =>
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      assert(got(id) === simhashRef(toks), s"doc $id")
+    }
+  }
+
+  test("SimHashAgg is stable under repartitioning (partial-merge path)") {
+    val base = Tables.documents(spark, SF)
+      .select(col("doc_id"), explode(graft.text.Text.tokens(col("text"))).as("tok"))
+      .withColumn("hA", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hB", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val a = base.groupBy(col("doc_id"))
+      .agg(SimHashAgg.simhash(col("hA"), col("hB")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val b = base.repartition(17).groupBy(col("doc_id"))
+      .agg(SimHashAgg.simhash(col("hA"), col("hB")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("vecDot: null-safe, length-tolerant, matches declarative fold") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(4.0f, 5.0f, 6.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))) // mismatched lengths
+    ).toDF("a", "b")
+    val out = df.select(VectorExprs.vecDot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out(0) === Some(32.0))
+    assert(out(1) === None)
+    assert(out(2) === Some(3.0)) // min-length prefix
+    val decl = df.limit(1).select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x))
+      .collect()(0).getDouble(0)
+    assert(decl === 32.0)
+  }
+
+  test("text primitives are null-safe") {
+    val df = Seq[Option[String]](None, Some(""), Some("one two three")).toDF("text")
+    val toks = df.select(graft.text.Text.tokens(col("text")).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(toks(0) === null)
+    assert(toks(1) === Seq())
+    assert(toks(2) === Seq("one", "two", "three"))
+    val sh = df.select(graft.text.Text.shingles(
+      graft.text.Text.tokens(col("text")), 2).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(sh(1) === Seq())
+    assert(sh(2) === Seq("one two", "two three"))
+  }
+}
