@@ -256,11 +256,73 @@ object DedupOps {
       |      FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --- 70. corpus dedup: connected components over the near-dup graph ---
+  /** The end-to-end dedup decision: near-dup pairs (q49's verified
+    * Jaccard edges) → connected components → keep min doc_id per
+    * component. Components are found by min-label propagation iterated to
+    * a driver-checked fixpoint (Pregel-style; O(diameter) rounds, each a
+    * pair of joins — near-dup clusters are near-cliques so this is 1–2
+    * rounds in practice). The oracle replays it exactly with a recursive
+    * CTE, so the fixpoint itself is hash-checked. */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q49(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    var labels = docs.withColumn("root", col("doc_id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("id_b"), col("root").as("nroot")), "id_b")
+        .groupBy(col("id_a")).agg(min(col("nroot")).as("min_nroot"))
+      val next = labels
+        .join(neigh.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("root"), coalesce(col("min_nroot"), col("root"))).as("root"))
+        .cache()
+      next.count() // materialize before comparing
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.root") =!= col("o.root")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter rounds")
+    labels
+      .select(col("doc_id"), col("root"),
+        when(col("doc_id") === col("root"), 1).otherwise(0).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q49PairsSql: String = q49Sql.split("\nORDER BY")(0)
+
+  lazy val q70Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($q49PairsSql) _p),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |roots AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS root
+       |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, root,
+       |  CASE WHEN doc_id = root THEN 1 ELSE 0 END AS is_keeper
+       |FROM roots
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
     Op("q50_dedup_minhash", q50, Some(q50Sql)),
     Op("q51_dedup_simhash", q51, None),
     Op("q52_dedup_embedding", q52, Some(q52Sql)),
+    Op("q70_dedup_corpus", q70, Some(q70Sql)),
   )
 }
