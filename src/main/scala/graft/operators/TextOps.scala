@@ -392,6 +392,36 @@ object TextOps {
        |ORDER BY rank
        |LIMIT 1""".stripMargin
 
+  // --- 71. suffix-stripping stemmer --------------------------------------
+  /** Porter-lite stemming (the reference pipeline's normalization step):
+    * one anchored alternation, first-alternative-wins — identical
+    * left-to-right semantics in Java regex and RE2, so the oracle
+    * replays it exactly. Tokens of length ≤ 4 pass through. */
+  val StemSuffixes = "(ational|iveness|fulness|ousness|ization|ing|edly|ied|ies|es|ed|ly|s)$"
+
+  def q71(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .select(explode(col("toks")).as("token"))
+      .withColumn("stem",
+        when(length(col("token")) > 4,
+          regexp_replace(col("token"), StemSuffixes, ""))
+          .otherwise(col("token")))
+      .groupBy(col("stem"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("token")).as("n_surface_forms"))
+      .orderBy(col("stem"))
+
+  val q71Sql: String =
+    s"""SELECT stem, COUNT(*) AS n, COUNT(DISTINCT token) AS n_surface_forms
+       |FROM (
+       |  SELECT token,
+       |    CASE WHEN LENGTH(token) > 4
+       |      THEN regexp_replace(token, '$StemSuffixes', '')
+       |      ELSE token END AS stem
+       |  FROM (SELECT unnest($toksSql) AS token FROM documents) t) u
+       |GROUP BY stem
+       |ORDER BY stem""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -407,5 +437,6 @@ object TextOps {
     Op("q46_token_count", q46, Some(q46Sql)),
     Op("q47_fingerprint", q47, Some(q47Sql)),
     Op("q63_threshold_tune", q63, Some(q63Sql)),
+    Op("q71_stemming", q71, Some(q71Sql)),
   )
 }
