@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Num
+
+/** Property-based checks for the determinism-critical primitives,
+  * driven by seeded ScalaCheck generators (the scalatest-scalacheck
+  * bridge artifact isn't available offline, so sampling is explicit —
+  * and reproducible by construction). */
+class PropertySpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("decimal-exact sum equals BigDecimal arithmetic for any partitioning") {
+    val moneyGen = Gen.listOfN(200, Gen.chooseNum(-99999L, 999999L).map(_ / 100.0))
+    samples(Gen.zip(moneyGen, Gen.chooseNum(1, 13)), 8).foreach {
+      case (xs, parts) if xs.nonEmpty =>
+        val expect = xs.map(BigDecimal.valueOf).sum.toDouble
+        val got = xs.toDF("x").repartition(parts)
+          .agg(Num.dsum(col("x"))).collect()(0).getDouble(0)
+        assert(got === expect, s"parts=$parts n=${xs.length}")
+      case _ => ()
+    }
+  }
+
+  test("tokens() agrees with a reference scalar tokenizer on arbitrary input") {
+    val textGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", "\t", ",", ".", "!", "-", "_", "É", "ß")))
+      .map(_.mkString)
+    val texts = samples(textGen, 60)
+    val got = texts.toDF("text")
+      .select(graft.text.Text.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g === "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq, s"input=<$t>")
+    }
+  }
+
+  test("shingles(k) emits exactly max(n-k+1, 0) ordered joins") {
+    val tokGen = Gen.zip(
+      Gen.listOfN(12, Gen.identifier.map(_.take(5).toLowerCase).suchThat(_.nonEmpty)),
+      Gen.chooseNum(2, 4))
+    samples(tokGen, 20).foreach { case (toks, k) =>
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(graft.text.Text.shingles(
+          graft.text.Text.tokens(col("text")), k).as("s"))
+        .as[Seq[String]].collect()(0)
+      // identifiers may contain '_' which the tokenizer splits — derive
+      // the expected token stream from the tokenizer contract itself
+      val flat = "[a-z0-9]+".r.findAllIn(toks.mkString(" ").toLowerCase).toSeq
+      val expect =
+        if (flat.length < k) Seq()
+        else flat.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      assert(got === expect, s"k=$k toks=$toks")
+    }
+  }
+}
