@@ -28,6 +28,7 @@ object GraftSession {
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

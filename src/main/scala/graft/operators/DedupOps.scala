@@ -286,10 +286,12 @@ object DedupOps {
       val changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.root") =!= col("o.root")).count()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     require(converged, s"label propagation did not converge in $iter rounds")
     labels
       .select(col("doc_id"), col("root"),
