@@ -235,11 +235,11 @@ object DedupOps {
       vecNorm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", vecDot(col("e_a"), col("e_b")))
-      .withColumn("cos", round(col("dot") / (col("n_a") * col("n_b")), 6))
-      .filter(col("cos") >= 0.4)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    val cosExpr = round(vecDot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6)
+    // conjunction order matters: the join condition short-circuits left to
+    // right, so the cheap id inequality halves the dot-product evaluations
+    a.join(b, col("id_a") < col("id_b") && cosExpr >= 0.4)
+      .select(col("id_a"), col("id_b"), cosExpr.as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
