@@ -8,7 +8,8 @@ object SparkEntry {
   def allOps: Seq[Op] =
     operators.Relational.ops ++ operators.Events.ops ++ operators.TextOps.ops ++
       operators.DedupOps.ops ++ operators.SimOps.ops ++ operators.MLOps.ops ++
-      Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None)) ++
+      Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None),
+        Op("q72_compression_quality", multimodal.MultiModal.compressionRatio, None)) ++
       operators.Relational2.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

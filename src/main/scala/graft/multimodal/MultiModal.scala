@@ -60,6 +60,35 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
+  /** Compression-ratio quality signal (deflate level 6): highly
+    * repetitive/templated text compresses far below natural text — a
+    * standard corpus-quality heuristic. Runs partition-local with one
+    * Deflater per partition (the mapPartitions batch pattern again);
+    * not ANSI-SQL-expressible, so rows-checked + spec'd. */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, bytes.length, compressed,
+            if (bytes.length == 0) 1.0
+            else math.rint(compressed.toDouble / bytes.length * 1e6) / 1e6)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame-sampling pipeline: binary payloads → sampled frame arrays →
     * per-frame features, exploded back to rows. Partitioned the same way
     * a video corpus would be (by payload row, frames stay local). */

@@ -6,7 +6,7 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 71)
+    assert(SparkEntry.queries.size === 72)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.oracleSql.size === 62)
   }
@@ -45,6 +45,28 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
       .collect()(0).getAs[String]("text").getBytes("UTF-8").length
     val chunks = (textLen + 31) / 32
     assert(n === (chunks + 1) / 2)
+  }
+
+  test("compression-ratio quality signal separates repetitive from varied text") {
+    import spark.implicits._
+    val df = MultiModal.compressionRatio(spark, SF)
+    assert(df.count() === Tables.documents(spark, SF).count())
+    val ratios = df.select("ratio").as[Double].collect()
+    assert(ratios.forall(r => r > 0.0 && r < 1.5))
+    // determinism
+    val again = MultiModal.compressionRatio(spark, SF).select("ratio").as[Double].collect()
+    assert(ratios === again)
+    // a pathological repeat compresses much better than the corpus median
+    val rep = Seq((0L, "spam " * 200)).toDF("doc_id", "text")
+    rep.createOrReplaceTempView("ignored")
+    val repRatio = {
+      val bytes = ("spam " * 200).getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6); d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var c = 0; while (!d.finished()) c += d.deflate(buf)
+      c.toDouble / bytes.length
+    }
+    assert(repRatio < ratios.sorted.apply(ratios.length / 2))
   }
 
   test("mllib pipelines produce a prediction per input row") {
