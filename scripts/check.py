@@ -7,6 +7,7 @@ columns sorted by name, rows sorted, values normalized, then compared.
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob
+from itertools import zip_longest
 import duckdb
 
 def norm(v):
@@ -53,7 +54,9 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: cols {g_cols} != {w_cols}")
             n_fail += 1
         elif g_rows != w_rows:
-            diffs = [(a, b) for a, b in zip(g_rows, w_rows) if a != b]
+            # zip_longest: plain zip truncates to the shorter side, hiding
+            # extra/missing rows when the counts differ
+            diffs = [(a, b) for a, b in zip_longest(g_rows, w_rows) if a != b]
             print(f"FAIL  {name}: {len(g_rows)}/{len(w_rows)} rows, "
                   f"{len(diffs)} mismatched; first: {diffs[:2] if diffs else (g_rows[:1], w_rows[:1])}")
             n_fail += 1

@@ -34,7 +34,10 @@ object Tables {
     val raw = ld(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // exact integral division: `/` on longs is double division, and ns
+        // epochs (~1.7e18) exceed 2^53, so the rounded quotient can be off
+        // by 1 µs vs DuckDB's truncation — `div` stays in int64
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -207,9 +207,14 @@ object DedupOps {
     // instead of 64 SUM(CASE...) aggregates + a 64-term assembly
     val hashed = tok.groupBy(col("doc_id"))
       .agg(graft.expressions.SimHashAgg.simhash(col("hA"), col("hB")).as("simhash"))
+      // mask, not remainder: `% 65536` on a signed long gives negative
+      // values when the sign bit survives the shift (c = 0), so two hashes
+      // equal in the low 16 bits but differing in sign would never collide
+      // on chunk 0 — a silent hole in the hamming≤3 completeness guarantee
       .withColumn("chunks", array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          (shiftrightunsigned(col("simhash"), c * 16) % 65536).as("v"))): _*))
+          shiftrightunsigned(col("simhash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
     val chunks = hashed.select(col("doc_id"), col("simhash"), explode(col("chunks")).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
     chunks.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("v"))

@@ -104,11 +104,34 @@ object Relational2 {
       |ORDER BY p_id""".stripMargin
 
   // --- 65. ntile bucketing -----------------------------------------------
+  /** NTILE(4) without the global sort: `ntile().over(Window.orderBy(…))`
+    * ranks the whole table in ONE task. Instead, the three quartile
+    * boundary ranks (NTILE fills the first n mod k buckets one heavier:
+    * c_i = i·⌊n/4⌋ + min(i, n mod 4)) are resolved to exact boundary KEYS
+    * by [[graft.functions.OrderStats.keysAtRanks]], and each row's bucket
+    * is a codegen'd struct-comparison CASE against the three broadcast
+    * keys — identical tie handling (o_orderkey is the unique tiebreak),
+    * zero corpus sorts. */
   def q65(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val targets = o.agg(count(lit(1)).as("n"))
+      .select(explode(array((1 to 3).map(i => struct(lit(i).as("idx"),
+        expr(s"$i * (n div 4) + least($i, n % 4)").cast("long").as("t"))): _*))
+        .as("x"))
+      .select(col("x.idx").as("idx"), col("x.t").as("t"))
+    val ranked = o.select(col("o_totalprice").cast("double").as("v"),
+      col("o_orderkey").as("id"))
+    val bCols = (1 to 3).map(i =>
+      min(when(col("idx") === i, struct(col("v"), col("id")))).as(s"b$i"))
+    val brow = graft.functions.OrderStats.keysAtRanks(ranked, targets)
+      .agg(bCols.head, bCols.tail: _*)
+    o.crossJoin(broadcast(brow))
+      .withColumn("key",
+        struct(col("o_totalprice").cast("double").as("v"), col("o_orderkey").as("id")))
+      .withColumn("quartile", (lit(1) +
+        when(col("key") > col("b1"), 1).otherwise(0) +
+        when(col("key") > col("b2"), 1).otherwise(0) +
+        when(col("key") > col("b3"), 1).otherwise(0)).cast("long"))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("quartile"))

@@ -192,28 +192,56 @@ object TextOps {
        |FROM cm""".stripMargin
 
   // --- 40. WSS@95 screening metric ---------------------------------------
+  /** Shared scaffolding for the two screening metrics (q40/q63): one row
+    * (n_docs, n_pos, t, k_at_95, threshold), computed WITHOUT ranking the
+    * corpus in a single task. The ranked-prefix semantics reduce to an
+    * order statistic: the first rank where cum_pos ≥ T (T = ⌈0.95·n_pos⌉)
+    * is exactly where the T-th positive sits (cum_pos climbs by ≤ 1), so
+    *   1. [[graft.functions.OrderStats.keysAtRanks]] finds that positive's
+    *      key (s*, d*) under (score desc, doc_id) order via histogram
+    *      bins + one narrow per-bin pass — no unpartitioned window over
+    *      per-document rows;
+    *   2. k_at_95 = |{score > s*}| + |{score = s* ∧ doc_id ≤ d*}| — one
+    *      plain aggregate over the scored corpus.
+    * The previous formulation (`row_number().over(Window.orderBy(…))`)
+    * was the bench's slowest plan and a guaranteed 100× scale-killer.
+    */
+  private def screeningStats(s: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    val scored = q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .select(col("doc_id"), col("score"), col("y"))
+      // one row per doc, consumed by three aggregate passes below; evicted
+      // by the group-level cache cleanup between op families
+      .cache()
+    val tot = scored.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+    val targets = tot.select(lit(1).as("idx"),
+      ceil(lit(0.95) * col("n_pos")).cast("long").as("t"))
+    val pos = scored.filter(col("y") === 1)
+      .select(negate(col("score")).as("v"), col("doc_id").as("id"))
+    val boundary = graft.functions.OrderStats.keysAtRanks(pos, targets)
+      .select(negate(col("v")).as("s_star"), col("id").as("d_star"), col("t"))
+    scored.crossJoin(broadcast(boundary))
+      .agg(
+        sum(when(col("score") > col("s_star") ||
+          (col("score") === col("s_star") && col("doc_id") <= col("d_star")),
+          1L).otherwise(0L)).as("k_at_95"),
+        first(col("s_star")).as("threshold"),
+        first(col("t")).as("t"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_docs"), col("n_pos"), col("t"), col("k_at_95"),
+        col("threshold"))
+  }
+
   /** Work Saved over Sampling at 95 % recall: rank docs by score desc,
     * find the smallest prefix reaching 95 % of positives, WSS = (1 − k/N)
     * − 0.05. THE systematic-review screening metric (reference paper §2.4).
     */
-  def q40(s: SparkSession, dir: String): DataFrame = {
-    val truth = Tables.documents(s, dir)
-      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
-    val ranked = q38(s, dir).join(truth, col("doc_id") === col("d2"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .withColumn("cum_pos", sum(col("y")).over(
-        Window.orderBy(col("score").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = ranked.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
-    ranked.crossJoin(broadcast(totals))
-      .filter(col("cum_pos") >= ceil(lit(0.95) * col("n_pos")))
-      .agg(min(col("rank")).cast("long").as("k_at_95"),
-        first(col("n_docs")).as("n_docs"), first(col("n_pos")).as("n_pos"))
+  def q40(s: SparkSession, dir: String): DataFrame =
+    screeningStats(s, dir)
       .select(col("n_docs"), col("n_pos"), col("k_at_95"),
         round(lit(1.0) - col("k_at_95") / col("n_docs").cast("double") - 0.05, 6)
           .as("wss95"))
-  }
 
   lazy val q40Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder),
@@ -353,25 +381,14 @@ object TextOps {
     * of relevant studies (paper §2.4): sweep the ranked scores, pick the
     * highest threshold whose recall ≥ 0.95, report it with the precision
     * and screening workload it implies. */
-  def q63(s: SparkSession, dir: String): DataFrame = {
-    val truth = Tables.documents(s, dir)
-      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
-    val ranked = q38(s, dir).join(truth, col("doc_id") === col("d2"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .withColumn("cum_pos", sum(col("y")).over(
-        Window.orderBy(col("score").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = ranked.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
-    ranked.crossJoin(broadcast(tot))
-      .filter(col("cum_pos") >= ceil(lit(0.95) * col("n_pos")))
-      .orderBy(col("rank"))
-      .limit(1)
-      .select(col("score").as("threshold"),
-        round(col("cum_pos") / col("rank").cast("double"), 6).as("precision_at_t"),
-        round(col("cum_pos") / col("n_pos").cast("double"), 6).as("recall_at_t"),
-        round(col("rank") / col("n_docs").cast("double"), 6).as("screen_fraction"))
-  }
+  def q63(s: SparkSession, dir: String): DataFrame =
+    // the tuned row is the T-th positive (see screeningStats): its score is
+    // the threshold, its rank k_at_95 the screening workload, cum_pos = T
+    screeningStats(s, dir)
+      .select(col("threshold"),
+        round(col("t") / col("k_at_95").cast("double"), 6).as("precision_at_t"),
+        round(col("t") / col("n_pos").cast("double"), 6).as("recall_at_t"),
+        round(col("k_at_95") / col("n_docs").cast("double"), 6).as("screen_fraction"))
 
   lazy val q63Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder),

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational2, TextOps}
+
+/** Plan-shape guards for the operators that used to carry an
+  * unpartitioned `Window.orderBy` over per-row (corpus-sized) input —
+  * the one plan Spark executes as a single-task global sort. After the
+  * r2 rewrite, any window with an empty partition spec must consume
+  * ALREADY-AGGREGATED data (the ≤ 4096-row bin cumulative in
+  * [[graft.functions.OrderStats]]), never a raw scan.
+  */
+class ScalePlanSpec extends AnyFunSuite with SharedSpark {
+
+  /** Every unpartitioned logical Window must have an Aggregate strictly
+    * below it — i.e. its input has already collapsed from corpus size. */
+  private def assertWindowsAggregated(df: DataFrame, name: String): Unit = {
+    val plan: LogicalPlan = df.queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"$name: unpartitioned Window over non-aggregated input:\n$w")
+    }
+  }
+
+  test("q40/q63/q65 run no unpartitioned window over raw rows") {
+    assertWindowsAggregated(TextOps.q40(spark, SF), "q40")
+    assertWindowsAggregated(TextOps.q63(spark, SF), "q63")
+    assertWindowsAggregated(Relational2.q65(spark, SF), "q65")
+  }
+
+  test("q40/q63 equal the single-task global-window formulation") {
+    val truth = Tables.documents(spark, SF)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    val ranked = TextOps.q38(spark, SF).join(truth, col("doc_id") === col("d2"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("cum_pos", sum(col("y")).over(
+        Window.orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .cache()
+    val tot = ranked.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      .collect()(0)
+    val (nDocs, nPos) = (tot.getLong(0), tot.getLong(1))
+    val t = math.ceil(0.95 * nPos).toLong
+    val hit = ranked.filter(col("cum_pos") >= t).orderBy(col("rank"))
+      .limit(1).collect()(0)
+    val (k, thr) = (hit.getAs[Int]("rank").toLong, hit.getAs[Double]("score"))
+    ranked.unpersist()
+
+    val w40 = TextOps.q40(spark, SF).collect()(0)
+    assert(w40.getAs[Long]("n_docs") === nDocs)
+    assert(w40.getAs[Long]("n_pos") === nPos)
+    assert(w40.getAs[Long]("k_at_95") === k)
+
+    val w63 = TextOps.q63(spark, SF).collect()(0)
+    assert(w63.getAs[Double]("threshold") === thr)
+    assert(w63.getAs[Double]("recall_at_t") ===
+      math.rint(t.toDouble / nPos * 1e6) / 1e6)
+    assert(w63.getAs[Double]("screen_fraction") ===
+      math.rint(k.toDouble / nDocs * 1e6) / 1e6)
+  }
+
+  test("q65 equals the ntile window formulation") {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val expect = Tables.orders(spark, SF)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("quartile")).collect()
+    val got = Relational2.q65(spark, SF).collect()
+    assert(got.map(_.toSeq.toList).toList === expect.map(_.toSeq.toList).toList)
+  }
+
+  test("OrderStats.keysAtRanks selects exact order-statistic keys") {
+    import spark.implicits._
+    // adversarial distribution: heavy ties + a skewed cluster in one bin
+    val vs = (1 to 500).map(i => (math.floor(i / 50.0), i.toLong)) ++
+      (501 to 600).map(i => (7.00000001, i.toLong))
+    val df = vs.toDF("v", "id")
+    val sorted = vs.sorted
+    val targets = Seq((1, 1L), (2, 137L), (3, 599L), (4, 600L)).toDF("idx", "t")
+    val got = graft.functions.OrderStats.keysAtRanks(df, targets)
+      .collect().map(r => r.getAs[Int]("idx") ->
+        (r.getAs[Double]("v"), r.getAs[Long]("id"))).toMap
+    assert(got(1) === sorted(0))
+    assert(got(2) === sorted(136))
+    assert(got(3) === sorted(598))
+    assert(got(4) === sorted(599))
+  }
+}
