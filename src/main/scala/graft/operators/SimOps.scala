@@ -6,15 +6,21 @@ import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.expressions.VectorExprs.{vecDot, vecNorm}
 
-/** Similarity search over the embedding column (SURVEY §2 rows 53–55).
+/** Similarity search over the embedding column (SURVEY §2 rows 53–55, 61).
   *
-  * q53 is the exact baseline: query-set × corpus brute cosine, top-k by
-  * window rank. The query side is a small filtered subset that Spark
-  * broadcasts, so the corpus is scanned once with no shuffle of the big
-  * side — at 100 TB this is the "score everything against k probes"
-  * pattern. q54 is the scale path: random-hyperplane LSH buckets the
-  * corpus so each query only scores its bucket (recall measured against
-  * q53 in `SimilaritySpec`).
+  * Operator contract (r2): every search op takes a BOUNDED query set as
+  * an explicit DataFrame — the broadcast side is |queries|, never a
+  * fraction of the corpus (a corpus/50 "query set" broadcasts 2 TB at
+  * 100 TB). The registered q53/q54/q61 entries instantiate the contract
+  * with the `vec_id % 50` test probe set; production callers pass their
+  * own small table.
+  *
+  * q53 is the exact baseline: corpus × query brute cosine, per-query
+  * top-k. The rank ≤ k filter compiles to a map-side WindowGroupLimit,
+  * so the ranking shuffle carries ≤ k·|queries| rows per input
+  * partition, not the scored cross product. q54 (hyperplane LSH) and
+  * q61 (IVF, nprobe ≥ 1) cut the scanned fraction; recall is measured
+  * against q53 in `SimilaritySpec`.
   */
 object SimOps {
 
@@ -26,20 +32,31 @@ object SimOps {
 
   private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
+  /** The test probe set: every 50th vector. Kept ONLY as the registered
+    * entries' instantiation of the bounded-query contract. */
+  private def testQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 50 === 0)
+
   // --- 53. brute-force cosine top-k -------------------------------------
-  def q53(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
-    val queries = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("e_q"), col("nrm").as("n_q"))
-    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("e_n"),
-      col("nrm").as("n_n"))
+  /** Exact kNN: scans the corpus once against the broadcast query set —
+    * no corpus shuffle before the map-side-limited ranking. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus).select(col("vec_id").as("n_id"),
+      col("embedding").as("e_n"), col("nrm").as("n_n"))
+    val q = withNorm(queries).select(col("vec_id").as("q_id"),
+      col("embedding").as("e_q"), col("nrm").as("n_q"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    knnBrute(e, testQueries(e), 5)
   }
 
   val q53Sql: String =
@@ -69,74 +86,110 @@ object SimOps {
   private def planeComponent(p: Int, j: Column): Column =
     ((lit(p) * 31 + j * 17) % 13 - 6).cast("double")
 
-  private def bucketOf(emb: Column): Column =
+  /** Sign-bucket for one plane table; `table` offsets the plane formula so
+    * multiple independent tables can be OR-combined (see [[DedupOps]]'s
+    * embedding scale path). */
+  def bucketOf(emb: Column, table: Int = 0): Column =
     (0 until NumPlanes).map { p =>
       val d = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
-        (x, j) => x.cast("double") * planeComponent(p, j)),
+        (x, j) => x.cast("double") * planeComponent(table * NumPlanes + p, j)),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def q54(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
-      .withColumn("bucket", bucketOf(col("embedding")))
-    val queries = e.filter(col("vec_id") % 50 === 0)
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus).withColumn("bucket", bucketOf(col("embedding")))
+      .select(col("vec_id").as("n_id"), col("embedding").as("e_n"),
+        col("nrm").as("n_n"), col("bucket"))
+    val q = withNorm(queries).withColumn("bucket", bucketOf(col("embedding")))
       .select(col("vec_id").as("q_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"), col("bucket"))
-    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("e_n"),
-      col("nrm").as("n_n"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    corpus.join(broadcast(queries), Seq("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"), col("bucket"))
       .orderBy(col("q_id"), col("rank"))
   }
 
-  // --- 56b. IVF-style ANN (coarse quantizer = per-label centroids) ------
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annLsh(e, testQueries(e), 5)
+  }
+
+  // --- 61. IVF-style ANN (coarse quantizer = per-label centroids) -------
   /** The 100 TB ANN path: a small centroid table (the coarse quantizer —
     * here the per-label centroids, i.e. a k-means that already converged)
-    * is broadcast; every vector/query is assigned to its nearest
-    * centroid (nprobe=1); search runs inside the cell only. Corpus scan
-    * is one pass, candidates shrink by ~|cells|×. Recall vs q53 measured
-    * in SimilaritySpec. */
-  def q61(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
-    // centroid per label: decimal-exact per-dim means, assembled to array
-    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    * collapses to ONE broadcast row of `(cell_id, centroid, norm)`
+    * structs; cell assignment is then a per-row argmax folded into the
+    * scan — `array_min(transform(cells, …))` over the broadcast array —
+    * with NO shuffle of the corpus (the r1 formulation exploded corpus ×
+    * cells and shuffled it through a window argmax). Queries probe their
+    * `nprobe` nearest cells; corpus vectors live in exactly one cell, so
+    * candidate pairs are unique by construction. */
+  def centroidCells(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1))).as("c"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("label").as("cell_id"),
         transform(col("dc"), x => x.getField("c").cast("float")).as("centroid"))
-    val cells = cent.select(col("cell_id"), col("centroid"))
-    // assign = argmax cosine against the broadcast centroid table
-    def assign(df: DataFrame, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id"))
-      df.crossJoin(broadcast(cells))
-        .withColumn("ccos", vecDot(col("embedding"), col("centroid")) /
-          (col("nrm") * vecNorm(col("centroid"))))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .drop("ccos", "crn", "centroid")
-    }
-    val corpus = assign(e, "vec_id")
+
+  /** All cells as one broadcastable row: (cell_id, centroid, norm)[]. */
+  def cellsAsRow(cells: DataFrame): DataFrame =
+    cells.select(col("cell_id"), col("centroid"),
+        vecNorm(col("centroid")).as("cn"))
+      .agg(collect_list(struct(col("cell_id"), col("centroid"), col("cn")))
+        .as("cells"))
+
+  /** Per-row scored cell list: struct(−cos, cell_id), so array_min picks
+    * max cosine with min-cell_id tiebreak (the r1 window's exact order),
+    * and array_sort ranks cells best-first for nprobe > 1. Input must
+    * carry `embedding`, `nrm` and the broadcast `cells` array. */
+  private def scoredCells: Column =
+    transform(col("cells"), c =>
+      struct(negate(vecDot(col("embedding"), c.getField("centroid")) /
+        (col("nrm") * c.getField("cn"))).as("negcos"),
+        c.getField("cell_id").as("cell_id")))
+
+  /** Nearest-cell assignment with zero corpus shuffle (spec-checked in
+    * SimilaritySpec): crossJoin of a 1-row broadcast + a map-side argmax. */
+  def assignToCells(vecs: DataFrame, cellsRow: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cellsRow))
+      .withColumn("cell_id", array_min(scoredCells).getField("cell_id"))
+      .drop("cells")
+
+  /** Top-nprobe cell assignment (queries): one row per probed cell. */
+  def probeCells(vecs: DataFrame, cellsRow: DataFrame, nprobe: Int): DataFrame =
+    vecs.crossJoin(broadcast(cellsRow))
+      .withColumn("probe", explode(slice(array_sort(scoredCells), 1, nprobe)))
+      .withColumn("cell_id", col("probe").getField("cell_id"))
+      .drop("cells", "probe")
+
+  def ivf(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cellsRow = cellsAsRow(centroidCells(corpus))
+    val c = assignToCells(withNorm(corpus), cellsRow)
       .select(col("vec_id").as("n_id"), col("embedding").as("e_n"),
         col("nrm").as("n_n"), col("cell_id"))
-    val queries = assign(e.filter(col("vec_id") % 50 === 0), "vec_id")
+    val q = probeCells(withNorm(queries), cellsRow, nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"), col("cell_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    corpus.join(broadcast(queries), Seq("cell_id"))
+    c.join(broadcast(q), Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"), col("cell_id"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ivf(e, testQueries(e), 5, nprobe = 1)
   }
 
   // --- 55. per-label vector statistics ----------------------------------

@@ -50,6 +50,57 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"IVF recall@5 = ${hits.toDouble / brute.size} too low")
   }
 
+  test("knnBrute honors a bounded external query set and broadcasts only it") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, SF)
+    val probes = e.filter(col("vec_id").isin(1L, 2L, 3L))
+    val res = SimOps.knnBrute(e, probes, 3)
+    val rows = res.collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSet === Set(1L, 2L, 3L))
+    assert(rows.length === 9)
+    // the only broadcast build side is the 3-row query set — the corpus
+    // side reaches the join as a bare scan, never through an Exchange
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected query-set broadcast join:\n$plan")
+  }
+
+  test("IVF cell assignment runs shuffle-free over the corpus") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, SF)
+      .withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding")))
+    // cells precomputed (in production the quantizer is a tiny artifact);
+    // the assignment subplan itself must not move the corpus
+    val cellsRow = SimOps.cellsAsRow(SimOps.centroidCells(Tables.embeddings(spark, SF)))
+      .cache()
+    cellsRow.count()
+    val assigned = SimOps.assignToCells(e, cellsRow)
+    val shuffles = assigned.queryExecution.executedPlan.collect {
+      case x: ShuffleExchangeLike => x }
+    assert(shuffles.isEmpty,
+      s"corpus assignment must be map-side only:\n${assigned.queryExecution.executedPlan}")
+    // every vector lands in exactly one existing cell
+    val n = assigned.count()
+    assert(n === e.count())
+    cellsRow.unpersist()
+  }
+
+  test("q61 nprobe=2 recall is at least nprobe=1 recall") {
+    val e = Tables.embeddings(spark, SF)
+    val probes = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recall(nprobe: Int): Double = {
+      val hits = SimOps.ivf(e, e.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0), 5, nprobe)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .count(probes.contains)
+      hits.toDouble / probes.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+  }
+
   test("q55 vector stats cover all labels with sane norms") {
     val rows = SimOps.q55(spark, SF).collect()
     assert(rows.length === 10)
