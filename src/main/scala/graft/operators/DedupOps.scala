@@ -269,30 +269,39 @@ object DedupOps {
     * pair of joins — near-dup clusters are near-cliques so this is 1–2
     * rounds in practice). The oracle replays it exactly with a recursive
     * CTE, so the fixpoint itself is hash-checked. */
-  def q70(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q49(s, dir).select(col("id_a"), col("id_b"))
+  def q70(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(q49(s, dir).select(col("id_a"), col("id_b")),
+      Tables.documents(s, dir).select(col("doc_id")))
+
+  /** Min-label propagation to a fixpoint over an undirected near-dup pair
+    * set; shared by q70 (Jaccard edges) and q74 (MinHash-LSH edges).
+    * `docs` supplies the universe so isolated docs label themselves. */
+  def connectedComponents(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    var labels = docs.withColumn("root", col("doc_id")).cache()
+    // localCheckpoint per round: iterative plans otherwise grow one
+    // join-select layer of lineage per iteration, so round k replans all
+    // k−1 predecessors on any cache eviction (and the optimizer re-walks
+    // an ever-deeper tree). The eager checkpoint materializes the round
+    // in ONE job and truncates lineage to the stored blocks.
+    var labels = docs.withColumn("root", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < 20) {
       val neigh = edges
         .join(labels.select(col("doc_id").as("id_b"), col("root").as("nroot")), "id_b")
         .groupBy(col("id_a")).agg(min(col("nroot")).as("min_nroot"))
+      // old_root rides along so the convergence check is a filter-count
+      // over the checkpointed blocks — not a second join job per round
       val next = labels
         .join(neigh.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("root"), coalesce(col("min_nroot"), col("root"))).as("root"))
-        .cache()
-      next.count() // materialize before comparing
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.root") =!= col("o.root")).count()
-      labels.unpersist()
-      labels = next
+          least(col("root"), coalesce(col("min_nroot"), col("root"))).as("new_root"),
+          col("root").as("old_root"))
+        .localCheckpoint()
+      val changed = next.filter(col("new_root") =!= col("old_root")).count()
+      labels = next.select(col("doc_id"), col("new_root").as("root"))
       converged = changed == 0
       iter += 1
     }
@@ -305,9 +314,11 @@ object DedupOps {
   }
 
   private lazy val q49PairsSql: String = q49Sql.split("\nORDER BY")(0)
+  private lazy val q50PairsSql: String = q50Sql.split("\nORDER BY")(0)
 
-  lazy val q70Sql: String =
-    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($q49PairsSql) _p),
+  /** Recursive-CTE replay of [[connectedComponents]] over any pair SQL. */
+  private def ccSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($pairsSql) _p),
        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
        |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
        |reach(a, b) AS (
@@ -324,6 +335,94 @@ object DedupOps {
        |FROM roots
        |ORDER BY doc_id""".stripMargin
 
+  lazy val q70Sql: String = ccSql(q49PairsSql)
+
+  // --- 74. production-path corpus dedup: MinHash LSH end-to-end ----------
+  /** The composed scale pipeline a 100 TB corpus actually runs: MinHash
+    * signatures → banded LSH candidates → exact-Jaccard verify (all q50,
+    * corpus-linear + candidates ∝ true dups) → connected components →
+    * keeper per component. Same decision output as q70 but the edge
+    * generator never builds the inverted shingle index, so no df-cap
+    * skew guard is needed — the signature pass is one shuffle on doc_id
+    * and the bucket join's fan-out is bounded by band collisions. */
+  def q74(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(q50(s, dir).select(col("id_a"), col("id_b")),
+      Tables.documents(s, dir).select(col("doc_id")))
+
+  lazy val q74Sql: String = ccSql(q50PairsSql)
+
+  // --- 75. production-path embedding dedup: cell-blocked cosine ----------
+  /** The scale form of q52 (which is the deliberate all-pairs ground
+    * truth): block the corpus by its `nprobe` nearest centroid cells —
+    * assignment is the shuffle-free broadcast argmax of
+    * [[SimOps.probeCells]] — then verify exact cosine ≥ 0.4 INSIDE
+    * shared cells only. Candidate count drops from n²/2 to
+    * ~nprobe²·Σ|cell|²/2; every emitted pair is exact (⊆ q52 by
+    * construction). Recall is the tunable: θ = 0.4 is a WEAK-similarity
+    * threshold, so single-cell blocking splits borderline pairs —
+    * measured on the sf0.01 corpus (10 cells): 0.24 @ nprobe=1,
+    * 0.59 @ nprobe=2, monotone in nprobe until nprobe = |cells|
+    * degenerates to q52 exactly (asserted in DedupSpec). Assignment +
+    * verify cosines are rounded to 6 decimals, so the DuckDB oracle
+    * replays cell membership and pairs bit-exactly. */
+  def cellDedup(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import graft.expressions.VectorExprs.{vecDot, vecNorm}
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"))
+    val cellsRow = SimOps.cellsAsRow(SimOps.centroidCells(Tables.embeddings(s, dir)))
+    val assigned = SimOps.probeCells(e, cellsRow, nprobe)
+    val a = assigned.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"), col("cell_id"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"), col("cell_id"))
+    val cosExpr = round(vecDot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6)
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosExpr >= 0.4)
+      .select(col("id_a"), col("id_b"), cosExpr.as("cos"))
+      .distinct() // a pair can share up to nprobe cells
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def q75(s: SparkSession, dir: String): DataFrame = cellDedup(s, dir, nprobe = 2)
+
+  val q75Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm
+      |  FROM embeddings),
+      |cd AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+      |  FROM embeddings),
+      |cm AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM cd GROUP BY label, dim),
+      |cent AS (
+      |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+      |  FROM cm GROUP BY label),
+      |centn AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
+      |  FROM cent),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
+      |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
+      |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
+      |  FROM e CROSS JOIN centn c),
+      |assigned AS (
+      |  SELECT vec_id, embedding, nrm, cell_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
+      |    FROM scored) s WHERE rn <= 2)
+      |SELECT DISTINCT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+      |        FOR i IN range(1, len(a.embedding) + 1)]) / (a.nrm * b.nrm), 6) AS cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id) p
+      |WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
@@ -331,5 +430,7 @@ object DedupOps {
     Op("q51_dedup_simhash", q51, None),
     Op("q52_dedup_embedding", q52, Some(q52Sql)),
     Op("q70_dedup_corpus", q70, Some(q70Sql)),
+    Op("q74_dedup_pipeline", q74, Some(q74Sql)),
+    Op("q75_dedup_embedding_scale", q75, Some(q75Sql)),
   )
 }

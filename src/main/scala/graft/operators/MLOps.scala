@@ -93,9 +93,51 @@ object MLOps {
     rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
   }
 
+  // --- 73. hyperparameter grid search via k-fold CV ---------------------
+  /** The reference's model-selection step (grid search + k-fold CV —
+    * scikit-learn GridSearchCV semantics) as `spark.ml` CrossValidator:
+    * a 2×2 LogisticRegression grid (regParam × elasticNetParam), 3-fold
+    * CV scored by area-under-ROC, seeded so fold assignment — and hence
+    * the winner — is deterministic across runs (asserted in MLSpec).
+    * Each fold's training is a distributed treeAggregate; the grid×fold
+    * fits run through CrossValidator's parallelism knob. Output: one row
+    * per grid point with its cross-validated metric, best row flagged. */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val data = Tables.embeddings(s, dir)
+      .select(col("vec_id"), (col("label") % 2).cast("double").as("y"),
+        array_to_vector(col("embedding")).as("features"))
+    val lr = new LogisticRegression()
+      .setLabelCol("y").setFeaturesCol("features").setMaxIter(15)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.001, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("y").setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3)
+      .setSeed(42L)
+      .setParallelism(4)
+    val model = cv.fit(data)
+    val metrics = grid.zip(model.avgMetrics).toSeq.map { case (pm, m) =>
+      (pm(lr.regParam), pm(lr.elasticNetParam), math.rint(m * 1e6) / 1e6) }
+    val best = metrics.maxBy(r => (r._3, -r._1, -r._2))
+    import s.implicits._
+    metrics.toDF("reg_param", "elastic_net", "avg_auc")
+      .withColumn("is_best",
+        (col("reg_param") === best._1 && col("elastic_net") === best._2)
+          .cast("int"))
+      .orderBy(col("reg_param"), col("elastic_net"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q41_mllib_logreg", q41, None),
     Op("q42_mllib_nb", q42, None),
     Op("q62_model_compare", q62, None),
+    Op("q73_grid_search", q73, None),
   )
 }

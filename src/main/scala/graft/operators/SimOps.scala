@@ -147,12 +147,16 @@ object SimOps {
 
   /** Per-row scored cell list: struct(−cos, cell_id), so array_min picks
     * max cosine with min-cell_id tiebreak (the r1 window's exact order),
-    * and array_sort ranks cells best-first for nprobe > 1. Input must
-    * carry `embedding`, `nrm` and the broadcast `cells` array. */
+    * and array_sort ranks cells best-first for nprobe > 1. The comparator
+    * cosine is rounded to 6 decimals so cell assignment is bit-replayable
+    * by other engines (round(−x) = −round(x) under half-away-from-zero —
+    * the DuckDB oracle of the dedup scale path orders by the same rounded
+    * value). Input must carry `embedding`, `nrm` and the broadcast
+    * `cells` array. */
   private def scoredCells: Column =
     transform(col("cells"), c =>
-      struct(negate(vecDot(col("embedding"), c.getField("centroid")) /
-        (col("nrm") * c.getField("cn"))).as("negcos"),
+      struct(round(negate(vecDot(col("embedding"), c.getField("centroid")) /
+        (col("nrm") * c.getField("cn"))), 6).as("negcos"),
         c.getField("cell_id").as("cell_id")))
 
   /** Nearest-cell assignment with zero corpus shuffle (spec-checked in

@@ -112,14 +112,29 @@ object TextOps {
        |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
        |ORDER BY doc_id, token""".stripMargin
 
-  // --- 37. hashing-trick TF (murmur3 buckets) — rows-check --------------
+  // --- 37. hashing-trick TF (md5-derived buckets) — oracle-checked -------
+  /** Hashing trick with an ENGINE-PORTABLE hash: bucket = md5 60-bit
+    * prefix mod 1024 (r1 used Spark's murmur3 `hash()`, which no other
+    * engine replays — downgrading this op to a rows-only check). md5 is
+    * identical everywhere, so the DuckDB oracle now verifies the exact
+    * bucket contents; the prefix stays ≤ 60 bits → never negative. */
   def q37(s: SparkSession, dir: String): DataFrame =
     docsWithToks(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("token"))
-      .withColumn("bucket", pmod(hash(col("token")), lit(1024)))
+      .withColumn("bucket",
+        (conv(substring(md5(col("token")), 1, 15), 16, 10)
+          .cast("long") % 1024).cast("long"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
       .orderBy(col("doc_id"), col("bucket"))
+
+  val q37Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 1024 AS bucket,
+       |  COUNT(*) AS tf
+       |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+       |GROUP BY doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin
 
   // --- 38. linear-model scoring over TF-IDF -----------------------------
   /** Fixed, data-independent weights w(token) = (len(token) − 4)/7 —
@@ -439,12 +454,105 @@ object TextOps {
        |GROUP BY stem
        |ORDER BY stem""".stripMargin
 
+  // --- 76. multi-class evaluation metrics --------------------------------
+  /** Per-class precision/recall/F1 + macro/micro averages (the reference's
+    * "per-class" evaluation generalized past binary): truth = `lang`,
+    * prediction = q44's marker-word language ID. Classes are the full
+    * outer union of truth and predicted labels (so a never-true predicted
+    * class like 'unknown' still reports its precision); macro averages
+    * run over truth classes only with absent precision/F1 counted as 0
+    * (scikit-learn's convention); micro = global accuracy. Two tiny
+    * aggregates + a full-outer join on the class key — nothing bigger
+    * than |classes| ever shuffles twice. */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val j = q44(s, dir).join(
+      Tables.documents(s, dir).select(col("doc_id").as("d2"), col("lang").as("y")),
+      col("doc_id") === col("d2"))
+      .select(col("y"), col("pred_lang").as("p"))
+    val byTruth = j.groupBy(col("y").as("cls"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("p") === col("y"), 1L).otherwise(0L)).as("tp_t"))
+    val byPred = j.groupBy(col("p").as("cls"))
+      .agg(count(lit(1)).as("n_pred"),
+        sum(when(col("p") === col("y"), 1L).otherwise(0L)).as("tp_p"))
+    val per = byTruth.join(byPred, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp_t"), col("tp_p"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, round(col("tp") / col("n_pred").cast("double"), 6)))
+      .withColumn("recall",
+        when(col("support") > 0, round(col("tp") / col("support").cast("double"), 6)))
+      .withColumn("f1", when(col("n_pred") + col("support") > 0,
+        round(lit(2) * col("tp") / (col("n_pred") + col("support")).cast("double"), 6)))
+    val totals = per.filter(col("support") > 0)
+      .agg(sum(col("support")).as("n"), sum(col("tp")).as("correct"),
+        round(avg(coalesce(col("precision"), lit(0.0))), 6).as("mp"),
+        round(avg(col("recall")), 6).as("mr"),
+        round(avg(coalesce(col("f1"), lit(0.0))), 6).as("mf"))
+    val macroRow = totals.select(lit("macro_avg").as("cls"),
+      col("n").as("support"), col("n").as("n_pred"), col("correct").as("tp"),
+      col("mp").as("precision"), col("mr").as("recall"), col("mf").as("f1"))
+    val acc = round(col("correct") / col("n").cast("double"), 6)
+    val microRow = totals.select(lit("micro_avg").as("cls"),
+      col("n").as("support"), col("n").as("n_pred"), col("correct").as("tp"),
+      acc.as("precision"), acc.as("recall"), acc.as("f1"))
+    per.unionAll(macroRow).unionAll(microRow).orderBy(col("cls"))
+  }
+
+  private val predLangSql: String =
+    """CASE WHEN list_contains(toks, 'the') THEN 'en'
+      |    WHEN list_contains(toks, 'der') OR list_contains(toks, 'und') THEN 'de'
+      |    WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') THEN 'es'
+      |    WHEN list_contains(toks, 'le') OR list_contains(toks, 'les') THEN 'fr'
+      |    ELSE 'unknown' END""".stripMargin
+
+  val q76Sql: String =
+    s"""WITH j AS (
+       |  SELECT lang AS y, $predLangSql AS p
+       |  FROM (SELECT lang, $toksSql AS toks FROM documents) t),
+       |bt AS (SELECT y AS cls, COUNT(*) AS support,
+       |  CAST(SUM(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT) AS tp_t
+       |  FROM j GROUP BY y),
+       |bp AS (SELECT p AS cls, COUNT(*) AS n_pred,
+       |  CAST(SUM(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT) AS tp_p
+       |  FROM j GROUP BY p),
+       |per AS (
+       |  SELECT COALESCE(bt.cls, bp.cls) AS cls,
+       |    CAST(COALESCE(support, 0) AS BIGINT) AS support,
+       |    CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+       |    CAST(COALESCE(tp_t, tp_p, 0) AS BIGINT) AS tp
+       |  FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls),
+       |perm AS (
+       |  SELECT cls, support, n_pred, tp,
+       |    CASE WHEN n_pred > 0 THEN round(tp / CAST(n_pred AS DOUBLE), 6) END AS precision,
+       |    CASE WHEN support > 0 THEN round(tp / CAST(support AS DOUBLE), 6) END AS recall,
+       |    CASE WHEN n_pred + support > 0
+       |      THEN round(2 * tp / CAST(n_pred + support AS DOUBLE), 6) END AS f1
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(SUM(support) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS correct,
+       |    round(AVG(COALESCE(precision, 0)), 6) AS mp,
+       |    round(AVG(recall), 6) AS mr,
+       |    round(AVG(COALESCE(f1, 0)), 6) AS mf
+       |  FROM perm WHERE support > 0)
+       |SELECT cls, support, n_pred, tp, precision, recall, f1 FROM perm
+       |UNION ALL
+       |SELECT 'macro_avg', n, n, correct, mp, mr, mf FROM tot
+       |UNION ALL
+       |SELECT 'micro_avg', n, n, correct,
+       |  round(correct / CAST(n AS DOUBLE), 6),
+       |  round(correct / CAST(n AS DOUBLE), 6),
+       |  round(correct / CAST(n AS DOUBLE), 6) FROM tot
+       |ORDER BY cls""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
     Op("q35_ngrams", q35, Some(q35Sql)),
     Op("q36_tfidf", q36, Some(q36Sql)),
-    Op("q37_hashing_tf", q37, None),
+    Op("q37_hashing_tf", q37, Some(q37Sql)),
     Op("q38_linear_score", q38, Some(q38Sql)),
     Op("q39_eval_metrics", q39, Some(q39Sql)),
     Op("q40_wss95", q40, Some(q40Sql)),
@@ -455,5 +563,6 @@ object TextOps {
     Op("q47_fingerprint", q47, Some(q47Sql)),
     Op("q63_threshold_tune", q63, Some(q63Sql)),
     Op("q71_stemming", q71, Some(q71Sql)),
+    Op("q76_multiclass_metrics", q76, Some(q76Sql)),
   )
 }

@@ -24,4 +24,17 @@ class DedupCorpusSpec extends AnyFunSuite with SharedSpark {
     val keepers = rows.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
     assert(keepers === root.values.toSet)
   }
+
+  test("q70 lineage is truncated by per-round checkpoints") {
+    // without localCheckpoint each round stacks a join-select layer on the
+    // previous one, so the final plan embeds the whole q49 pipeline times
+    // the round count; with eager checkpoints the returned plan is just
+    // scan-of-blocks -> project -> sort, regardless of iterations
+    val plan = DedupOps.q70(spark, SF).queryExecution.optimizedPlan
+    val depth = plan.numberedTreeString.linesIterator.size
+    assert(depth <= 12, s"q70 lineage unexpectedly deep ($depth nodes):\n$plan")
+    assert(plan.collectFirst {
+      case l if l.getClass.getSimpleName == "LogicalRDD" => l }.isDefined,
+      s"expected checkpointed scan at the leaves:\n$plan")
+  }
 }

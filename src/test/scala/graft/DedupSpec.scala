@@ -50,4 +50,41 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       assert(c >= 0.4 && c <= 1.0)
     }
   }
+
+  test("q74 pipeline components agree with the q50 edge set") {
+    val rows = DedupOps.q74(spark, SF).collect()
+    val root = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === Tables.documents(spark, SF).count())
+    root.foreach { case (d, r) =>
+      assert(r <= d)
+      assert(root(r) === r)
+    }
+    DedupOps.q50(spark, SF).collect().foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      assert(root(a) === root(b), s"edge ($a,$b) spans components")
+    }
+  }
+
+  test("q75 cell-blocked pairs are exact, subset of q52, recall monotone in nprobe") {
+    val brute = DedupOps.q52(spark, SF).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos"))).toMap
+    def pairs(nprobe: Int) = DedupOps.cellDedup(spark, SF, nprobe).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos"))).toMap
+    val p2 = pairs(2)
+    // precision 1.0: every blocked pair exists in the brute set with the
+    // identical rounded cosine
+    p2.foreach { case (k, c) =>
+      assert(brute.contains(k), s"$k not in brute pairs")
+      assert(brute(k) === c)
+    }
+    val p3 = pairs(3)
+    assert(p2.keySet.subsetOf(p3.keySet), "recall must be monotone in nprobe")
+    // nprobe = |cells| probes every cell -> degenerates to exactly q52
+    val nCells = operators.SimOps.centroidCells(
+      Tables.embeddings(spark, SF)).count().toInt
+    assert(pairs(nCells).keySet === brute.keySet)
+    // measured floor on this corpus (0.59 at sf0.01, see Scaladoc)
+    assert(p2.size.toDouble / brute.size >= 0.4,
+      s"nprobe=2 recall ${p2.size.toDouble / brute.size} below floor")
+  }
 }
