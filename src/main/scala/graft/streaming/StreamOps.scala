@@ -33,11 +33,20 @@ object StreamOps {
       .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("n_users"))
 
-  /** Keep-first dedup on (user_id, event_type) within the watermark. */
+  /** Keep-first dedup on (user_id, event_type) within the watermark
+    * horizon. `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates`: when the event-time column is not part of the
+    * dedup keys, a watermark does nothing for plain dropDuplicates — no
+    * late-row filtering and no state eviction, i.e. state = O(all keys
+    * ever) on an unbounded stream. The WithinWatermark variant expires
+    * each key once the watermark passes its event time + delay, keeping
+    * state O(keys in horizon); the documented trade is that a key
+    * reappearing after eviction is emitted again (asserted in
+    * StreamingSpec). */
   def dedupKeepFirst(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
   /** Stream–static join: enrich the event stream with a dimension table.

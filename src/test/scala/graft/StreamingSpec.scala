@@ -61,6 +61,74 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got.filter(col("nation").isNull).count() === 0)
   }
 
+  // --- late / out-of-order arrivals: watermark-drop semantics ------------
+  /** Epoch-anchored timestamps (UTC midnight 2024-01-01) so 6 h windows
+    * land on exact boundaries regardless of JVM default timezone. */
+  private val base = 1704067200000L
+  private def at(h: Int, m: Int = 0) =
+    new java.sql.Timestamp(base + h * 3600000L + m * 60000L)
+
+  test("windowed agg drops events older than the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.windowedUserCounts(ms.toDF())
+      .writeStream.format("memory").queryName("t_late_win")
+      .outputMode("append").start()
+    try {
+      // batch 1: two users in [06:00,12:00), one at 13:30 pushes the
+      // watermark to 12:30 — past the first window's end
+      ms.addData(Seq(
+        Event(1, at(10), 1, "click", 1.0),
+        Event(2, at(10, 30), 2, "click", 1.0),
+        Event(3, at(13, 30), 9, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: user 3 arrives at 09:00 — BEHIND the 12:30 watermark →
+      // must be discarded, not added to the closed [06:00,12:00) window;
+      // the 20:00 event advances the watermark past 18:00
+      ms.addData(Seq(
+        Event(4, at(9), 3, "click", 1.0),
+        Event(5, at(20), 9, "click", 1.0)))
+      q.processAllAvailable()
+      // one more batch so the no-data watermark flush finalizes [12,18)
+      ms.addData(Seq(Event(6, at(22), 9, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_late_win")
+      .select("win_start", "n_users").as[(String, Long)].collect().toMap
+    assert(got("2024-01-01 06:00:00") === 2L,
+      "late user 3 must not be counted into the closed window")
+    assert(got("2024-01-01 12:00:00") === 1L)
+  }
+
+  test("dedup state is watermark-bounded: in-horizon dups suppress, evicted keys re-emit") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.dedupKeepFirst(ms.toDF())
+      .writeStream.format("memory").queryName("t_late_dedup")
+      .outputMode("append").start()
+    try {
+      // duplicate inside the watermark horizon → suppressed
+      ms.addData(Seq(
+        Event(1, at(10), 1, "click", 1.0),
+        Event(2, at(10, 5), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // far-future event pushes the watermark to 39:00 → (1, click) state
+      // (saved at 10:00) is evicted; this is exactly what keeps dedup
+      // state O(keys in horizon) instead of O(all keys ever) at 100 TB/day
+      ms.addData(Seq(Event(3, at(40), 5, "click", 1.0)))
+      q.processAllAvailable()
+      // the same key arriving after eviction is emitted again — the
+      // documented watermark contract for streaming dedup
+      ms.addData(Seq(Event(4, at(41), 1, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_late_dedup")
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "click", 1L), (5L, "click", 3L), (1L, "click", 4L)),
+      "dup event 2 must be suppressed; event 4 re-emits after state eviction")
+  }
+
   test("stateful session counting ≡ batch q28 session totals") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
