@@ -18,23 +18,30 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+      spark.catalog.clearCache() // warm-up caches hold sf0.001 data
     }
-    // allOps preserves SURVEY §2 order — deterministic run order makes
+    // opGroups preserves SURVEY §2 order — deterministic run order makes
     // per-query timings comparable across rounds (Map order isn't).
     // Best-of-2 per query: this host shows 5-25s noise spikes (CPU
     // steal) that land on random queries; the min of two executions
     // measures the engine, not the neighbor's workload.
-    // ordered Seq (not Map) so the emitted JSON keeps SURVEY order; a
-    // query that throws is reported as -1, never as a fast "success"
-    val results: Seq[(String, Double)] = SparkEntry.allOps.map { op =>
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { op.fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+    // Ordered Seq (not Map) so the emitted JSON keeps SURVEY order; a
+    // query that throws is reported as -1, never as a fast "success".
+    // Cache cleared between families: shared subplans (tf-idf, shingle
+    // index) persist exactly as long as their consumer group runs.
+    val results: Seq[(String, Double)] = SparkEntry.opGroups.flatMap { group =>
+      val rs = group.map { op =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { op.fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          (ok, (System.nanoTime() - t0) / 1e9)
+        }
+        val good = runs.collect { case (true, t) => t }
+        op.name -> (if (good.isEmpty) -1.0 else good.min)
       }
-      val good = runs.collect { case (true, t) => t }
-      op.name -> (if (good.isEmpty) -1.0 else good.min)
+      spark.catalog.clearCache()
+      rs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

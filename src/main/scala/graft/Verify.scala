@@ -17,14 +17,17 @@ object Verify {
     // just those dumps (the driver never sets it → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name)) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // group-wise with a cache clear between families — shared-subplan
+    // caches live exactly as long as the group that reuses them
+    SparkEntry.opGroups.foreach { group =>
+      group.filter(op => only.forall(_.contains(op.name))).foreach { op =>
+        try op.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${op.name}")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] ${op.name} failed: ${e.getMessage}")
+        }
       }
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
