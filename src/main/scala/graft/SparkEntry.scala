@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Events.ops,
     operators.TextOps.ops,
     operators.DedupOps.ops,
+    operators.PipelineOps.ops,
     operators.SimOps.ops,
     operators.MLOps.ops,
     Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None),

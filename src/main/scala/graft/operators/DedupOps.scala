@@ -316,9 +316,11 @@ object DedupOps {
   private lazy val q49PairsSql: String = q49Sql.split("\nORDER BY")(0)
   private lazy val q50PairsSql: String = q50Sql.split("\nORDER BY")(0)
 
-  /** Recursive-CTE replay of [[connectedComponents]] over any pair SQL. */
-  private def ccSql(pairsSql: String): String =
-    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($pairsSql) _p),
+  /** CTE prefix of the recursive-CTE replay of [[connectedComponents]]
+    * (ends with `roots(doc_id, root)`); shared with the composed
+    * corpus-selection oracle ([[PipelineOps]]). */
+  def ccCtesSql(pairsSql: String): String =
+    s"""pairs AS (SELECT id_a, id_b FROM ($pairsSql) _p),
        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
        |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
        |reach(a, b) AS (
@@ -329,13 +331,18 @@ object DedupOps {
        |  SELECT d.doc_id,
        |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS root
        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
-       |  GROUP BY d.doc_id)
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Recursive-CTE replay of [[connectedComponents]] over any pair SQL. */
+  private def ccSql(pairsSql: String): String =
+    s"""WITH RECURSIVE ${ccCtesSql(pairsSql)}
        |SELECT doc_id, root,
        |  CASE WHEN doc_id = root THEN 1 ELSE 0 END AS is_keeper
        |FROM roots
        |ORDER BY doc_id""".stripMargin
 
   lazy val q70Sql: String = ccSql(q49PairsSql)
+  lazy val q49CcCtesSql: String = ccCtesSql(q49PairsSql)
 
   // --- 74. production-path corpus dedup: MinHash LSH end-to-end ----------
   /** The composed scale pipeline a 100 TB corpus actually runs: MinHash

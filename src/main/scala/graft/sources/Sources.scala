@@ -10,6 +10,16 @@ import org.apache.spark.sql.types.StructType
   * over the data and non-deterministic under sampling, both wrong at
   * 100 TB. Writers default to snappy parquet, optionally partitioned
   * (partition columns become directory pruning keys for downstream scans).
+  *
+  * KNOWN GAP — native spreadsheet (.xlsx) ingest: the reference also
+  * accepts Excel exports. Spark has no built-in Excel source and this
+  * build intentionally adds no third-party dependencies (the usual
+  * answer is the `com.crealytics:spark-excel` DataSource V2 package, or
+  * a one-time export to CSV — which every reference-manager that emits
+  * .xlsx also offers). `readCsv` with an explicit schema + delimiter
+  * covers the exported form; a production deployment that must read
+  * .xlsx directly should register spark-excel and the call becomes
+  * `spark.read.format("excel")` with the same explicit-schema policy.
   */
 object Sources {
 

@@ -6,9 +6,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 76)
+    assert(SparkEntry.queries.size === 77)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 66)
+    assert(SparkEntry.oracleSql.size === 67)
   }
 
   test("entry flagship runs on sf0.001 with rows") {
