@@ -60,4 +60,31 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       assert(got === expect, s"k=$k toks=$toks")
     }
   }
+
+  test("OrderStats.keysAtRanks equals sort-based selection on arbitrary distributions") {
+    // distribution shapes that stress the histogram: uniform, massive
+    // ties, one dominating cluster (single hot bin), negatives, and a
+    // power-law-ish spread; values quantized so duplicates are common
+    val distGen = Gen.oneOf[Seq[Double]](
+      Gen.listOfN(300, Gen.chooseNum(-1e6, 1e6)),
+      Gen.listOfN(300, Gen.chooseNum(0, 5).map(_.toDouble)),
+      Gen.listOfN(300, Gen.frequency(
+        9 -> Gen.const(123.456), 1 -> Gen.chooseNum(-1e3, 1e3))),
+      Gen.listOfN(300, Gen.chooseNum(1, 1000).map(x => math.pow(1.01, x % 700))))
+    samples(Gen.zip(distGen, Gen.chooseNum(1, 7)), 6).foreach { case (vsRaw, parts) =>
+      val vs = vsRaw.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      val sorted = vs.sorted
+      val ranks = Seq(1L, 7L, vs.length / 2L, vs.length - 1L, vs.length.toLong)
+        .distinct.filter(r => r >= 1 && r <= vs.length)
+      val targets = ranks.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("idx", "t")
+      val got = graft.functions.OrderStats
+        .keysAtRanks(vs.toDF("v", "id").repartition(parts), targets)
+        .collect().map(r => r.getAs[Long]("t") ->
+          (r.getAs[Double]("v"), r.getAs[Long]("id"))).toMap
+      ranks.foreach { r =>
+        assert(got(r) === sorted((r - 1).toInt), s"rank $r of ${vs.length}")
+      }
+    }
+  }
 }
