@@ -134,10 +134,61 @@ object MLOps {
       .orderBy(col("reg_param"), col("elastic_net"))
   }
 
+  // --- 79. classifier roster on TF-IDF text features --------------------
+  /** q62 on the paper's actual feature space: CountVectorizer + IDF over
+    * the tokenized documents (scikit-learn TfidfVectorizer semantics,
+    * vocabulary bounded so the driver-held vocab stays dimension-sized),
+    * relevance label = lang=='en', deterministic doc_id-mod split, then
+    * the NB/LR/SVM roster trained on the TRAIN fold's fitted featurizer
+    * and scored on the held-out fold. Rows-checked (training is
+    * float-order sensitive); the evaluation aggregate mirrors q62. */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LinearSVC
+    import org.apache.spark.ml.feature.IDF
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+        (col("lang") === "en").cast("double").as("y"),
+        (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"))
+    val train = docs.filter(col("is_train")).cache()
+    val test = docs.filter(!col("is_train"))
+    val featurizer = new Pipeline().setStages(Array(
+      new CountVectorizer().setInputCol("toks").setOutputCol("tf")
+        .setVocabSize(1 << 15),
+      new IDF().setInputCol("tf").setOutputCol("features")))
+      .fit(train)
+    val ftrain = featurizer.transform(train).cache()
+    val ftest = featurizer.transform(test)
+    val models = Seq(
+      "naive_bayes" -> new NaiveBayes().setLabelCol("y")
+        .setFeaturesCol("features").setSmoothing(1.0),
+      "logreg" -> new LogisticRegression().setLabelCol("y")
+        .setFeaturesCol("features").setMaxIter(25).setRegParam(0.01),
+      "svm_linear" -> new LinearSVC().setLabelCol("y")
+        .setFeaturesCol("features").setMaxIter(25).setRegParam(0.01))
+    val rows = models.map { case (name, est) =>
+      val agg = est.fit(ftrain).transform(ftest)
+        .agg(
+          sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
+          sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
+          sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
+          sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
+          count(lit(1)).as("n")).collect()(0)
+      val (tp, fp, fn) = (agg.getLong(0).toDouble, agg.getLong(1).toDouble,
+        agg.getLong(2).toDouble)
+      val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+      (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
+        math.rint(f1 * 1e6) / 1e6)
+    }
+    train.unpersist(); ftrain.unpersist()
+    import s.implicits._
+    rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q41_mllib_logreg", q41, None),
     Op("q42_mllib_nb", q42, None),
     Op("q62_model_compare", q62, None),
     Op("q73_grid_search", q73, None),
+    Op("q79_model_compare_tfidf", q79, None),
   )
 }

@@ -119,6 +119,46 @@ object SimOps {
     annLsh(e, testQueries(e), 5)
   }
 
+  // --- 78. multi-table LSH ANN (OR-amplification) -----------------------
+  /** OR-construction over `tables` independent hyperplane tables: a
+    * candidate needs a bucket match in ANY table, so per-pair miss
+    * probability drops from p to pᵗ. Table 0 is exactly q54's table,
+    * hence candidates(multi) ⊇ candidates(single) and — because a true
+    * top-k neighbor can only be outranked by globally-better vectors —
+    * recall is provably monotone in the table count (SimilaritySpec).
+    * Candidates dedup by (q_id, n_id) before scoring so each pair's dot
+    * product runs once regardless of how many tables it collides in. */
+  def annLshMulti(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, eAs: String, nAs: String) =
+      withNorm(df).select(col("vec_id").as(idAs), col("embedding").as(eAs),
+          col("nrm").as(nAs),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"), bucketOf(col("embedding"), t).as("bucket"))): _*))
+            .as("tb"))
+        .select(col(idAs), col(eAs), col(nAs),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val c = bucketed(corpus, "n_id", "e_n", "n_n")
+    val q = bucketed(queries, "q_id", "e_q", "n_q")
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(first(col("e_q")).as("e_q"), first(col("n_q")).as("n_q"),
+        first(col("e_n")).as("e_n"), first(col("n_n")).as("n_n"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annLshMulti(e, testQueries(e), 5, tables = 4)
+  }
+
   // --- 61. IVF-style ANN (coarse quantizer = per-label centroids) -------
   /** The 100 TB ANN path: a small centroid table (the coarse quantizer —
     * here the per-label centroids, i.e. a k-means that already converged)
@@ -238,5 +278,6 @@ object SimOps {
     Op("q54_ann_lsh", q54, None),
     Op("q55_vector_stats", q55, Some(q55Sql)),
     Op("q61_ann_ivf", q61, None),
+    Op("q78_ann_lsh_multi", q78, None),
   )
 }

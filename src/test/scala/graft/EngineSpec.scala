@@ -6,7 +6,7 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 77)
+    assert(SparkEntry.queries.size === 79)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.oracleSql.size === 67)
   }

@@ -16,4 +16,19 @@ class GridSearchSpec extends AnyFunSuite with SharedSpark {
     val best = a.filter(_.getAs[Int]("is_best") == 1).head.getAs[Double]("avg_auc")
     assert(a.forall(_.getAs[Double]("avg_auc") <= best))
   }
+
+  test("q79 TF-IDF roster evaluates all three models on the held-out fold") {
+    val rows = MLOps.q79(spark, SF).collect()
+    assert(rows.map(_.getAs[String]("model")).sorted.toSeq ===
+      Seq("logreg", "naive_bayes", "svm_linear"))
+    val nTest = Tables.documents(spark, SF)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_test") === nTest)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      val f1 = r.getAs[Double]("f1")
+      assert(f1 >= 0.0 && f1 <= 1.0)
+    }
+  }
 }

@@ -101,6 +101,19 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }
 
+  test("q78 multi-table LSH recall dominates single-table q54") {
+    val truth = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .count(truth.contains).toDouble / truth.size
+    val single = recall(SimOps.q54(spark, SF).collect())
+    val multi = recall(SimOps.q78(spark, SF).collect())
+    assert(multi >= single,
+      s"4-table recall $multi must dominate 1-table recall $single")
+    assert(multi > 0.0)
+  }
+
   test("q55 vector stats cover all labels with sane norms") {
     val rows = SimOps.q55(spark, SF).collect()
     assert(rows.length === 10)
