@@ -59,6 +59,27 @@ object StreamOps {
       .select(events("event_id"), events("user_id"), events("event_type"),
         dims("n_name").as("nation"))
 
+  /** Stream–stream interval join (the streaming form of the q60 range
+    * join): clicks within 10 minutes BEFORE each purchase, per user.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both sides, so each side's buffered state is
+    * O(events in watermark horizon + range) — the planner derives the
+    * state-eviction predicate from the interval bounds. Output is the
+    * matched pairs in append mode; the per-purchase count is a
+    * downstream windowed aggregate if needed. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"))
+      .select(col("p_id"), col("p_user"), col("c_ts"))
+  }
+
   /** Per-user session counting with explicit keyed state
     * (flatMapGroupsWithState): gap > 30 min starts a new session. Emits
     * (user_id, n_sessions) per trigger. */

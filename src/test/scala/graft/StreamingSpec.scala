@@ -129,6 +129,35 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "dup event 2 must be suppressed; event 4 re-emits after state eviction")
   }
 
+  test("stream-stream interval join ≡ batch range-join pairs") {
+    implicit val ctx = spark.sqlContext
+    val msP = MemoryStream[Event]
+    val msC = MemoryStream[Event]
+    val purchases = eventData.filter(_.event_type == "purchase")
+    val clicks = eventData.filter(_.event_type == "click")
+    msP.addData(purchases)
+    msC.addData(clicks)
+    val q = StreamOps.purchaseClickJoin(msP.toDF(), msC.toDF())
+      .writeStream.format("memory").queryName("t_ssj").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("t_ssj")
+      .select("p_id", "c_ts").as[(Long, java.sql.Timestamp)]
+      .collect().map { case (id, ts) => (id, ts.getTime) }.sorted.toSeq
+    // batch reference: the inner form of q60's range join
+    val ev = Tables.events(spark, SF)
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"))
+      .select("p_id", "c_ts").as[(Long, java.sql.Timestamp)]
+      .collect().map { case (id, ts) => (id, ts.getTime) }.sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("stateful session counting ≡ batch q28 session totals") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
