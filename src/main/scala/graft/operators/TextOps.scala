@@ -547,6 +547,34 @@ object TextOps {
        |  round(correct / CAST(n AS DOUBLE), 6) FROM tot
        |ORDER BY cls""".stripMargin
 
+  // --- 80. intra-document repetition ratio -------------------------------
+  /** The classic LLM-corpus quality signal: fraction of duplicated word
+    * 3-grams inside each document (boilerplate / template spam scores
+    * high). Pure per-row expression pipeline — the n-gram array never
+    * explodes into rows, so the op adds zero shuffles beyond the scan. */
+  def q80(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .select(col("doc_id"), shingles(col("toks"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("g3")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_ngrams").cast("double"), 6))
+          .otherwise(0.0))
+      .orderBy(col("doc_id"))
+
+  val q80Sql: String =
+    s"""SELECT doc_id, n_ngrams, n_distinct,
+       |  CASE WHEN n_ngrams > 0
+       |    THEN round(1.0 - n_distinct / CAST(n_ngrams AS DOUBLE), 6)
+       |    ELSE 0.0 END AS rep_ratio
+       |FROM (
+       |  SELECT doc_id, len(g3) AS n_ngrams, len(list_distinct(g3)) AS n_distinct
+       |  FROM (SELECT doc_id, ${shinglesSql("toks", 3)} AS g3
+       |        FROM (SELECT doc_id, $toksSql AS toks FROM documents) _t) g) r
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -564,5 +592,6 @@ object TextOps {
     Op("q63_threshold_tune", q63, Some(q63Sql)),
     Op("q71_stemming", q71, Some(q71Sql)),
     Op("q76_multiclass_metrics", q76, Some(q76Sql)),
+    Op("q80_repetition_ratio", q80, Some(q80Sql)),
   )
 }

@@ -6,9 +6,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 79)
+    assert(SparkEntry.queries.size === 80)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 67)
+    assert(SparkEntry.oracleSql.size === 68)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

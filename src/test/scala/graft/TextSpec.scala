@@ -62,4 +62,19 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       assert(r.getAs[String]("bag_fingerprint").matches("[0-9a-f]{32}"))
     }
   }
+
+  test("q80 repetition ratio is bounded and consistent with its counts") {
+    val rows = TextOps.q80(spark, SF).collect()
+    assert(rows.length === Tables.documents(spark, SF).count())
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_distinct"))
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(d <= n)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      if (n > 0)
+        assert(math.abs(ratio - (1.0 - d.toDouble / n)) < 1e-6)
+    }
+    // the signal must fire on at least one repetitive document
+    assert(rows.exists(_.getAs[Double]("rep_ratio") > 0.0))
+  }
 }
