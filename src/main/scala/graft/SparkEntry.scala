@@ -8,7 +8,7 @@ object SparkEntry {
     * [[Bench]] and [[Verify]] clear the SQL cache between groups:
     * shared-subplan caches (tf-idf features, the shingle index, scored
     * docs) are structural-match reused WITHIN their family, but a
-    * 76-op session that never unpersists them accumulates every
+    * full-registry session that never unpersists them accumulates every
     * family's working set for the whole run. */
   def opGroups: Seq[Seq[Op]] = Seq(
     operators.Relational.ops,

@@ -277,6 +277,14 @@ object DedupOps {
     * set; shared by q70 (Jaccard edges) and q74 (MinHash-LSH edges).
     * `docs` supplies the universe so isolated docs label themselves. */
   def connectedComponents(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    // localCheckpoint blocks are NOT CacheManager entries — the group
+    // cache clear in Bench/Verify can't free them, and waiting on the
+    // ContextCleaner means several corpus-sized label snapshots can
+    // coexist. Unpersist each round's blocks explicitly once the next
+    // round is materialized (the final round's blocks stay: they back
+    // the returned plan).
+    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
@@ -286,6 +294,7 @@ object DedupOps {
     // an ever-deeper tree). The eager checkpoint materializes the round
     // in ONE job and truncates lineage to the stored blocks.
     var labels = docs.withColumn("root", col("doc_id")).localCheckpoint()
+    var prevBlocks = blocks(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < 20) {
@@ -301,6 +310,8 @@ object DedupOps {
           col("root").as("old_root"))
         .localCheckpoint()
       val changed = next.filter(col("new_root") =!= col("old_root")).count()
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = blocks(next)
       labels = next.select(col("doc_id"), col("new_root").as("root"))
       converged = changed == 0
       iter += 1
@@ -394,20 +405,14 @@ object DedupOps {
   def q75(s: SparkSession, dir: String): DataFrame = cellDedup(s, dir, nprobe = 2)
 
   val q75Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm
       |  FROM embeddings),
-      |cd AS (
-      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
-      |  FROM embeddings),
-      |cm AS (
-      |  SELECT label, dim,
-      |    CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
-      |  FROM cd GROUP BY label, dim),
+      |${SimOps.centroidMeanCtesSql},
       |cent AS (
       |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
-      |  FROM cm GROUP BY label),
+      |  FROM cmeans GROUP BY label),
       |centn AS (
       |  SELECT cell_id, centroid,
       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn

@@ -87,8 +87,8 @@ object SimOps {
     ((lit(p) * 31 + j * 17) % 13 - 6).cast("double")
 
   /** Sign-bucket for one plane table; `table` offsets the plane formula so
-    * multiple independent tables can be OR-combined (see [[DedupOps]]'s
-    * embedding scale path). */
+    * multiple independent tables can be OR-combined ([[annLshMulti]] /
+    * q78). */
   def bucketOf(emb: Column, table: Int = 0): Column =
     (0 until NumPlanes).map { p =>
       val d = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
@@ -255,15 +255,23 @@ object SimOps {
       .orderBy(col("label"))
   }
 
-  val q55Sql: String =
-    """WITH x AS (
+  /** Shared DuckDB CTEs: per-label per-dimension decimal-exact means —
+    * the SQL replay of [[centroidCells]]'s first stage (ends with
+    * `cmeans(label, dim, c)`). Used by q55's oracle here and by the
+    * embedding scale-dedup oracle (q75) so both stay bit-identical to
+    * the Spark centroid computation by construction. */
+  val centroidMeanCtesSql: String =
+    """cdims AS (
       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
       |  FROM embeddings),
-      |cd AS (
+      |cmeans AS (
       |  SELECT label, dim,
       |    CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
-      |  FROM x GROUP BY label, dim),
-      |cn AS (SELECT label, round(sqrt(SUM(c * c)), 6) AS centroid_norm FROM cd GROUP BY label),
+      |  FROM cdims GROUP BY label, dim)""".stripMargin
+
+  val q55Sql: String =
+    s"""WITH $centroidMeanCtesSql,
+      |cn AS (SELECT label, round(sqrt(SUM(c * c)), 6) AS centroid_norm FROM cmeans GROUP BY label),
       |vn AS (
       |  SELECT label, COUNT(*) AS n_vectors,
       |    round(CAST(SUM(CAST(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))

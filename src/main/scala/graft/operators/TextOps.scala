@@ -230,22 +230,27 @@ object TextOps {
       // by the group-level cache cleanup between op families
       .cache()
     val tot = scored.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+    // degenerate corpus (zero positives): T = 0 and the old window form
+    // satisfies cum_pos ≥ 0 at rank 1, i.e. the boundary is the globally
+    // top-scored doc. Mirror it: rank max(T,1) over positives — or over
+    // ALL docs when there are no positives — keeps the oracle parity.
     val targets = tot.select(lit(1).as("idx"),
-      ceil(lit(0.95) * col("n_pos")).cast("long").as("t"))
-    val pos = scored.filter(col("y") === 1)
+      greatest(ceil(lit(0.95) * col("n_pos")).cast("long"), lit(1L)).as("t"))
+    val basis = scored.crossJoin(broadcast(tot.select(col("n_pos").as("np"))))
+      .filter(col("y") === 1 || col("np") === 0)
       .select(negate(col("score")).as("v"), col("doc_id").as("id"))
-    val boundary = graft.functions.OrderStats.keysAtRanks(pos, targets)
-      .select(negate(col("v")).as("s_star"), col("id").as("d_star"), col("t"))
+    val boundary = graft.functions.OrderStats.keysAtRanks(basis, targets)
+      .select(negate(col("v")).as("s_star"), col("id").as("d_star"))
     scored.crossJoin(broadcast(boundary))
       .agg(
         sum(when(col("score") > col("s_star") ||
           (col("score") === col("s_star") && col("doc_id") <= col("d_star")),
           1L).otherwise(0L)).as("k_at_95"),
-        first(col("s_star")).as("threshold"),
-        first(col("t")).as("t"))
+        first(col("s_star")).as("threshold"))
       .crossJoin(broadcast(tot))
-      .select(col("n_docs"), col("n_pos"), col("t"), col("k_at_95"),
-        col("threshold"))
+      .select(col("n_docs"), col("n_pos"),
+        ceil(lit(0.95) * col("n_pos")).cast("long").as("t"),
+        col("k_at_95"), col("threshold"))
   }
 
   /** Work Saved over Sampling at 95 % recall: rank docs by score desc,
@@ -402,7 +407,11 @@ object TextOps {
     screeningStats(s, dir)
       .select(col("threshold"),
         round(col("t") / col("k_at_95").cast("double"), 6).as("precision_at_t"),
-        round(col("t") / col("n_pos").cast("double"), 6).as("recall_at_t"),
+        // ANSI mode throws on 0/0 — a zero-positive corpus has recall 0/0,
+        // which IEEE engines report as NaN; mirror that instead of failing
+        when(col("n_pos") > 0,
+          round(col("t") / col("n_pos").cast("double"), 6))
+          .otherwise(lit(Double.NaN)).as("recall_at_t"),
         round(col("k_at_95") / col("n_docs").cast("double"), 6).as("screen_fraction"))
 
   lazy val q63Sql: String =

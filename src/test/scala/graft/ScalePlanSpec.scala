@@ -77,6 +77,27 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     assert(got.map(_.toSeq.toList).toList === expect.map(_.toSeq.toList).toList)
   }
 
+  test("screening metrics match the window form on a zero-positive corpus") {
+    // no doc is lang='en' → T = 0; the window formulation answers rank 1
+    // (cum_pos ≥ 0 everywhere), i.e. k_at_95 = 1 and threshold = the top
+    // score. The order-statistic rewrite must agree, not return nulls.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nopos").toString
+    Tables.documents(spark, SF).withColumn("lang", lit("xx"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q40(spark, tmp).collect()(0)
+    assert(r.getAs[Long]("n_pos") === 0L)
+    assert(r.getAs[Long]("k_at_95") === 1L)
+    val n = r.getAs[Long]("n_docs").toDouble
+    assert(r.getAs[Double]("wss95") === math.rint((1.0 - 1 / n - 0.05) * 1e6) / 1e6)
+    val t = TextOps.q63(spark, tmp).collect()(0)
+    val topScore = TextOps.q38(spark, tmp)
+      .orderBy(col("score").desc, col("doc_id")).limit(1)
+      .collect()(0).getAs[Double]("score")
+    assert(t.getAs[Double]("threshold") === topScore)
+    assert(t.getAs[Double]("precision_at_t") === 0.0)
+    assert(t.getAs[Double]("recall_at_t").isNaN) // 0/0, IEEE semantics
+  }
+
   test("OrderStats.keysAtRanks selects exact order-statistic keys") {
     import spark.implicits._
     // adversarial distribution: heavy ties + a skewed cluster in one bin
