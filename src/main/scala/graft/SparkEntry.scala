@@ -14,8 +14,9 @@ object SparkEntry {
     operators.Relational.ops,
     operators.Events.ops,
     operators.TextOps.ops,
-    operators.DedupOps.ops,
-    operators.PipelineOps.ops,
+    // PipelineOps shares the dedup family's cached subplans (shingle
+    // index, verified pairs) — same cache group so q77 reuses them
+    operators.DedupOps.ops ++ operators.PipelineOps.ops,
     operators.SimOps.ops,
     operators.MLOps.ops,
     Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None),
