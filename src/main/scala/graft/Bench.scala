@@ -19,6 +19,7 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       spark.catalog.clearCache() // warm-up caches hold sf0.001 data
+      CheckpointRegistry.releaseAll()
     }
     // opGroups preserves SURVEY §2 order — deterministic run order makes
     // per-query timings comparable across rounds (Map order isn't).
@@ -38,6 +39,10 @@ object Bench {
           (ok, (System.nanoTime() - t0) / 1e9)
         }
         val good = runs.collect { case (true, t) => t }
+        // CC localCheckpoint blocks aren't CacheManager entries; release
+        // per-op or the best-of-2 dedup family pins one label snapshot
+        // per run (they back only this op's finished plan — never shared)
+        CheckpointRegistry.releaseAll()
         op.name -> (if (good.isEmpty) -1.0 else good.min)
       }
       spark.catalog.clearCache()

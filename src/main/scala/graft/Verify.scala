@@ -26,6 +26,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] ${op.name} failed: ${e.getMessage}")
         }
+        // CC localCheckpoint blocks (invisible to clearCache) back only
+        // the just-written plan — release them before the next op
+        CheckpointRegistry.releaseAll()
       }
       spark.catalog.clearCache()
     }

@@ -68,16 +68,24 @@ object DedupOps {
   val ShingleDfCap = 100
 
   def q49(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // window-count beats aggregate+self-join for the df cap: one shuffle
-    // on sh instead of two plus a join; cache() because the index feeds
-    // three consumers (sizes + both join sides) and the upstream
-    // tokenize/shingle pipeline is the expensive part
+    // df-cap via groupBy + broadcast anti-join, NOT a window over sh: a
+    // Window.partitionBy(sh) count shuffles the full exploded relation on
+    // the skewed shingle key and materializes every hot shingle's rows in
+    // ONE task — the stop-word-like shingle in 1% of a 100 TB corpus is
+    // exactly the straggler/OOM task the cap exists to prevent. groupBy
+    // pre-aggregates the hot key map-side (the shuffle carries one
+    // (sh, cnt) partial per partition, never a hot shingle's rows), and
+    // the HOT set — the small side: ≤ |occurrences|/cap distinct
+    // shingles, a Zipf head in practice — broadcasts back as an
+    // anti-join applied map-side, so the exploded corpus is never
+    // shuffled on sh before the cap filter. cache() because the index
+    // feeds three consumers (sizes + both join sides) and the upstream
+    // tokenize/shingle pipeline is the expensive part.
     val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("sh"))
-    val kept = sh
-      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("dfc") <= ShingleDfCap)
-      .select(col("doc_id"), col("sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > ShingleDfCap)
+      .select(col("sh"))
+    val kept = sh.join(broadcast(hot), Seq("sh"), "left_anti")
       .cache()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = kept.select(col("doc_id").as("id_a"), col("sh"))
@@ -281,8 +289,9 @@ object DedupOps {
     // cache clear in Bench/Verify can't free them, and waiting on the
     // ContextCleaner means several corpus-sized label snapshots can
     // coexist. Unpersist each round's blocks explicitly once the next
-    // round is materialized (the final round's blocks stay: they back
-    // the returned plan).
+    // round is materialized; the final round's blocks back the returned
+    // plan, so they are handed to [[graft.CheckpointRegistry]] for the
+    // harness to release after the consuming count/write completes.
     def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
     val edges = pairs
@@ -317,6 +326,7 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    prevBlocks.foreach(graft.CheckpointRegistry.register)
     require(converged, s"label propagation did not converge in $iter rounds")
     labels
       .select(col("doc_id"), col("root"),

@@ -98,6 +98,42 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     assert(t.getAs[Double]("recall_at_t").isNaN) // 0/0, IEEE semantics
   }
 
+  test("q49's df cap is a broadcast anti-join — no window, no keyed shuffle of the exploded relation") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // descend through cached subplans (q49 caches the kept index) and
+    // AQE wrappers so the assertions see the real operators
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case x => Seq(x)
+      }
+    val df = operators.DedupOps.q49(spark, SF)
+    val all = flatten(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "q49 must not compute the shingle df with a window")
+    val anti = all.collectFirst {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j }
+    assert(anti.isDefined,
+      "the df cap must apply as a broadcast anti-join of the hot-shingle set")
+    // below the cap join, the exploded (doc_id, sh) relation must never
+    // shuffle on a key — a hot shingle would land in one task. (The
+    // round-robin fan-out repartition is allowed: it's unkeyed.)
+    val keyed = flatten(anti.get.left).collect {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+    assert(keyed.isEmpty,
+      s"keyed shuffle below the df-cap filter:\n${anti.get.left}")
+  }
+
   test("OrderStats.keysAtRanks selects exact order-statistic keys") {
     import spark.implicits._
     // adversarial distribution: heavy ties + a skewed cluster in one bin
