@@ -198,11 +198,50 @@ object DedupOps {
        |ORDER BY id_a, id_b""".stripMargin
 
   // --- 51. SimHash + hamming near-dup (rows-check) ----------------------
+  /** Candidate pairs at hamming ≤ 3, from 2×32-bit half-banding with
+    * single-bit multi-probe.
+    *
+    * Completeness (pigeonhole): ≤ 3 differing bits split across two
+    * 32-bit halves leave one half with ≤ 1 diff, so flipping each single
+    * bit of the PROBE side's halves (plus the unflipped value) always
+    * reproduces the index side's half value.
+    *
+    * Scale: the r2 form banded four 16-bit chunks — only 2¹⁶ buckets per
+    * chunk, so bucket occupancy grew as n/65 536 and candidate volume as
+    * ~4·n²/2¹⁶: quadratic with a fixed constant, dead at 10⁹ docs. Half
+    * buckets live in a 2³² key space; with the 33× probe fan-out the
+    * random-collision volume is ~66·n²/2³² — four thousand times smaller
+    * per pair, and ~0 until n ≈ 10⁸ (the residual quadratic term is
+    * inherent to SimHash banding at fixed sketch width; DedupSpec pins
+    * the near-linear bound on a no-dup corpus). The probe explosion is
+    * corpus-LINEAR (66 rows/doc) and map-side.
+    *
+    * `hashed`: (doc_id, simhash). Emits (id_a < id_b, sh_a, sh_b). */
+  def simhashCandidates(hashed: DataFrame): DataFrame = {
+    // mask, not remainder, for the low half: `%` on a signed long goes
+    // negative when the sign bit survives — a silent completeness hole
+    val halfCols = array(
+      struct(lit(0).as("half"), col("simhash").bitwiseAND(lit(0xFFFFFFFFL)).as("v")),
+      struct(lit(1).as("half"), shiftrightunsigned(col("simhash"), 32).as("v")))
+    val halves = hashed
+      .select(col("doc_id"), col("simhash"), explode(halfCols).as("hv"))
+      .select(col("doc_id"), col("simhash"),
+        col("hv.half").as("half"), col("hv.v").as("v"))
+    val probes = halves.select(col("doc_id"), col("simhash"), col("half"),
+      explode(array(col("v") +:
+        (0 until 32).map(b => col("v").bitwiseXOR(lit(1L << b))): _*)).as("v"))
+    halves.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+        col("half"), col("v"))
+      .join(probes.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+        col("half"), col("v")), Seq("half", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+  }
+
   /** 64-bit SimHash over tf-weighted token hashes (two md5 word-halves);
-    * candidates share one of four 16-bit chunks (any pair at hamming ≤ 3
-    * differs in ≤ 3 chunks, so collides on ≥ 1); verified with
-    * bit_count(xor). 64 bits keeps random same-vocab docs (hamming ≈ 32)
-    * far from the planted dups (hamming ≈ 0). */
+    * candidates from [[simhashCandidates]]; verified with bit_count(xor).
+    * 64 bits keeps random same-vocab docs (hamming ≈ 32) far from the
+    * planted dups (hamming ≈ 0). */
   def q51(s: SparkSession, dir: String): DataFrame = {
     // summing ±1 per token OCCURRENCE is the tf-weighted sum — no
     // (doc_id, tok) pre-aggregation needed, one shuffle instead of two
@@ -215,21 +254,7 @@ object DedupOps {
     // instead of 64 SUM(CASE...) aggregates + a 64-term assembly
     val hashed = tok.groupBy(col("doc_id"))
       .agg(graft.expressions.SimHashAgg.simhash(col("hA"), col("hB")).as("simhash"))
-      // mask, not remainder: `% 65536` on a signed long gives negative
-      // values when the sign bit survives the shift (c = 0), so two hashes
-      // equal in the low 16 bits but differing in sign would never collide
-      // on chunk 0 — a silent hole in the hamming≤3 completeness guarantee
-      .withColumn("chunks", array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("simhash"), c * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
-    val chunks = hashed.select(col("doc_id"), col("simhash"), explode(col("chunks")).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-    chunks.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("v"))
-      .join(chunks.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
-        col("chunk"), col("v")), Seq("chunk", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+    simhashCandidates(hashed)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 3)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -224,33 +224,51 @@ object TextOps {
   private def screeningStats(s: SparkSession, dir: String): DataFrame = {
     val truth = Tables.documents(s, dir)
       .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
-    val scored = q38(s, dir).join(truth, col("doc_id") === col("d2"))
-      .select(col("doc_id"), col("score"), col("y"))
-      // one row per doc, consumed by three aggregate passes below; evicted
-      // by the group-level cache cleanup between op families
-      .cache()
-    val tot = scored.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
-    // degenerate corpus (zero positives): T = 0 and the old window form
-    // satisfies cum_pos ≥ 0 at rank 1, i.e. the boundary is the globally
-    // top-scored doc. Mirror it: rank max(T,1) over positives — or over
-    // ALL docs when there are no positives — keeps the oracle parity.
-    val targets = tot.select(lit(1).as("idx"),
-      greatest(ceil(lit(0.95) * col("n_pos")).cast("long"), lit(1L)).as("t"))
-    val basis = scored.crossJoin(broadcast(tot.select(col("n_pos").as("np"))))
-      .filter(col("y") === 1 || col("np") === 0)
-      .select(negate(col("score")).as("v"), col("doc_id").as("id"))
-    val boundary = graft.functions.OrderStats.keysAtRanks(basis, targets)
-      .select(negate(col("v")).as("s_star"), col("id").as("d_star"))
-    scored.crossJoin(broadcast(boundary))
-      .agg(
-        sum(when(col("score") > col("s_star") ||
-          (col("score") === col("s_star") && col("doc_id") <= col("d_star")),
-          1L).otherwise(0L)).as("k_at_95"),
-        first(col("s_star")).as("threshold"))
-      .crossJoin(broadcast(tot))
-      .select(col("n_docs"), col("n_pos"),
-        ceil(lit(0.95) * col("n_pos")).cast("long").as("t"),
-        col("k_at_95"), col("threshold"))
+    screeningStatsOf(q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .select(col("doc_id"), col("score"), col("y")))
+  }
+
+  /** The order-statistic screening scaffold over ANY scored relation
+    * (doc_id, score: double, y: 0/1) — q40/q63 feed it the fixed-weight
+    * q38 score, a trained classifier's probability works the same way.
+    *
+    * Eager by design: every output is driver-sized (one row), and
+    * [[graft.functions.OrderStats.keysAtRanks]] already runs its
+    * refinement as small jobs at call time. Being eager lets the cache
+    * on `scored` — which the several aggregate passes here need, since
+    * `scored` is usually an expensive derived relation — be OWNED and
+    * released inside this call, instead of pinning a session-lifetime
+    * entry for callers outside the harness's group-scoped cache
+    * lifecycle (ADVICE r2). */
+  private[operators] def screeningStatsOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val sc = scored.select(col("doc_id"), col("score"), col("y")).cache()
+    try {
+      val tot = sc.agg(count(lit(1)), sum(col("y"))).head()
+      val nDocs = tot.getLong(0)
+      val nPos = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+      if (nDocs == 0)
+        return Seq((0L, 0L, 0L, 0L, Option.empty[Double]))
+          .toDF("n_docs", "n_pos", "t", "k_at_95", "threshold")
+      // degenerate corpus (zero positives): T = 0 and the old window form
+      // satisfies cum_pos ≥ 0 at rank 1, i.e. the boundary is the globally
+      // top-scored doc. Mirror it: rank max(T,1) over positives — or over
+      // ALL docs when there are none — keeps the oracle parity.
+      val t = math.ceil(0.95 * nPos).toLong
+      val basis = (if (nPos == 0) sc else sc.filter(col("y") === 1))
+        .select(negate(col("score")).as("v"), col("doc_id").as("id"))
+      val targets = Seq((1, math.max(t, 1L))).toDF("idx", "t")
+      val b = graft.functions.OrderStats.keysAtRanks(basis, targets).head()
+      val sStar = -b.getDouble(2)
+      val dStar = b.getLong(3)
+      // k_at_95 = |{score > s*}| + |{score = s* ∧ doc_id ≤ d*}|
+      val k = sc.agg(sum(when(col("score") > lit(sStar) ||
+          (col("score") === lit(sStar) && col("doc_id") <= lit(dStar)), 1L)
+        .otherwise(0L))).head().getLong(0)
+      Seq((nDocs, nPos, t, k, Option(sStar)))
+        .toDF("n_docs", "n_pos", "t", "k_at_95", "threshold")
+    } finally sc.unpersist()
   }
 
   /** Work Saved over Sampling at 95 % recall: rank docs by score desc,

@@ -42,6 +42,56 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q51 half-banding: complete at hamming ≤ 3, near-linear candidates on a no-dup corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{bit_count, col}
+    // splitmix64: well-spread deterministic sketches — pairwise hamming
+    // ≈ 32, i.e. a corpus with NO near-dups
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val n = 4096
+    val base = (0 until n).map(i => (i.toLong, splitmix(i.toLong)))
+    // planted near-dups: 64 docs at hamming 1–3 of distinct base docs
+    val planted = (0 until 64).map { i =>
+      val (src, h) = base(i * 37 % n)
+      val flips = Seq(1L << (i % 64)) ++
+        (if (i % 3 != 0) Seq(1L << ((i + 17) % 64)) else Nil) ++
+        (if (i % 3 == 2) Seq(1L << ((i + 41) % 64)) else Nil)
+      ((n + i).toLong, flips.foldLeft(h)(_ ^ _), src)
+    }
+    val hashed = (base ++ planted.map(p => (p._1, p._2)))
+      .toDF("doc_id", "simhash")
+    val cand = DedupOps.simhashCandidates(hashed).cache()
+    val candPairs = cand.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { case (id, _, src) =>
+      assert(candPairs.contains((src, id)), s"planted pair ($src,$id) missed")
+    }
+    // completeness vs brute force: verified candidates == all-pairs truth
+    val got = cand
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = hashed.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = hashed.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+    // the scale bound: 2³²-key half buckets make random collisions ~0 at
+    // this n (the r2 16-bit chunks produced ~4·n²/2¹⁶ ≈ 1000 here) —
+    // candidates must stay ∝ true dups, not ∝ n²
+    assert(candPairs.size <= planted.size + n / 40,
+      s"${candPairs.size} candidates for ${planted.size} true pairs — quadratic leak")
+    cand.unpersist()
+  }
+
   test("q52 embedding near-dups are cosine-thresholded") {
     val rows = DedupOps.q52(spark, SF).collect()
     assert(rows.nonEmpty, "corpus has planted embedding near-dups")

@@ -100,6 +100,10 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
 
   test("q49's df cap is a broadcast anti-join — no window, no keyed shuffle of the exploded relation") {
     import org.apache.spark.sql.catalyst.plans.LeftAnti
+    // the assertion targets the COLD plan: a warm cache left by another
+    // suite (q49 caches its kept index) substitutes InMemoryRelation
+    // nodes planned at cache time and hides the join being asserted
+    spark.catalog.clearCache()
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -149,5 +153,16 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     assert(got(2) === sorted(136))
     assert(got(3) === sorted(598))
     assert(got(4) === sorted(599))
+    // leafCap far below the 50-row point masses: forces the adaptive
+    // refinement loop through value-mode AND the id-mode tie splitter
+    val refined = graft.functions.OrderStats.keysAtRanks(df, targets, leafCap = 8)
+      .collect().map(r => r.getAs[Int]("idx") ->
+        (r.getAs[Double]("v"), r.getAs[Long]("id"))).toMap
+    assert(refined === got)
+    // out-of-range ranks drop (inner-join semantics), in-range survive
+    val partial = graft.functions.OrderStats.keysAtRanks(
+      df, Seq((1, 0L), (2, 601L), (3, 600L)).toDF("idx", "t"))
+      .collect().map(r => r.getAs[Int]("idx")).toSet
+    assert(partial === Set(3))
   }
 }
