@@ -134,16 +134,15 @@ object MLOps {
       .orderBy(col("reg_param"), col("elastic_net"))
   }
 
-  // --- 79. classifier roster on TF-IDF text features --------------------
-  /** q62 on the paper's actual feature space: CountVectorizer + IDF over
-    * the tokenized documents (scikit-learn TfidfVectorizer semantics,
-    * vocabulary bounded so the driver-held vocab stays dimension-sized),
-    * relevance label = lang=='en', deterministic doc_id-mod split, then
-    * the NB/LR/SVM roster trained on the TRAIN fold's fitted featurizer
-    * and scored on the held-out fold. Rows-checked (training is
-    * float-order sensitive); the evaluation aggregate mirrors q62. */
-  def q79(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.classification.LinearSVC
+  // --- shared TF-IDF featurization + deterministic split -----------------
+  /** CountVectorizer + IDF over the tokenized documents (scikit-learn
+    * TfidfVectorizer semantics; vocabulary bounded so the driver-held
+    * vocab stays dimension-sized), relevance label = lang=='en',
+    * deterministic doc_id-mod 80/20 split, featurizer fitted on the TRAIN
+    * fold only (no test leakage). Returns (train, ftrain, ftest) — train
+    * and ftrain are cached; callers own unpersisting them. */
+  private def tfidfSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.ml.feature.IDF
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
@@ -156,16 +155,33 @@ object MLOps {
         .setVocabSize(1 << 15),
       new IDF().setInputCol("tf").setOutputCol("features")))
       .fit(train)
-    val ftrain = featurizer.transform(train).cache()
-    val ftest = featurizer.transform(test)
-    val models = Seq(
+    (train, featurizer.transform(train).cache(), featurizer.transform(test))
+  }
+
+  /** The paper's full classifier roster (NB/LR/SVM/RF) as one-stage
+    * pipelines over a fitted `features` column. Seeded where stochastic. */
+  private def roster: Seq[(String, Pipeline)] = {
+    import org.apache.spark.ml.classification.{LinearSVC, RandomForestClassifier}
+    Seq(
       "naive_bayes" -> new NaiveBayes().setLabelCol("y")
         .setFeaturesCol("features").setSmoothing(1.0),
       "logreg" -> new LogisticRegression().setLabelCol("y")
         .setFeaturesCol("features").setMaxIter(25).setRegParam(0.01),
       "svm_linear" -> new LinearSVC().setLabelCol("y")
-        .setFeaturesCol("features").setMaxIter(25).setRegParam(0.01))
-    val rows = models.map { case (name, est) =>
+        .setFeaturesCol("features").setMaxIter(25).setRegParam(0.01),
+      "random_forest" -> new RandomForestClassifier().setLabelCol("y")
+        .setFeaturesCol("features").setNumTrees(20).setSeed(42L)
+    ).map { case (n, est) => n -> new Pipeline().setStages(Array(est)) }
+  }
+
+  // --- 79. classifier roster on TF-IDF text features --------------------
+  /** q62 on the paper's actual feature space: the NB/LR/SVM/RF roster
+    * trained on [[tfidfSplit]]'s train fold and scored on the held-out
+    * fold — the paper's headline table end-to-end. Rows-checked (training
+    * is float-order sensitive); the evaluation aggregate mirrors q62. */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val (train, ftrain, ftest) = tfidfSplit(s, dir)
+    val rows = roster.map { case (name, est) =>
       val agg = est.fit(ftrain).transform(ftest)
         .agg(
           sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
@@ -184,11 +200,45 @@ object MLOps {
     rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
   }
 
+  // --- 81. WSS@95 over trained classifier scores -------------------------
+  /** The paper's actual evaluation flow (§2.4): WSS@95 computed over each
+    * TRAINED classifier's relevance score on the held-out fold. q40/q63
+    * rank the fixed-weight q38 score; this ranks the q79 roster's
+    * P(relevant) — the probability vector's class-1 entry where the model
+    * emits one, the raw margin for the SVM (same ranking, different
+    * scale) — through the same order-statistic screening scaffold
+    * ([[TextOps.screeningStatsOf]]): no corpus sort, boundary found via
+    * adaptive histogram refinement. Seeded; rows-checked (training is
+    * float-order sensitive). One row per model. */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val (train, ftrain, ftest) = tfidfSplit(s, dir)
+    val rows = roster.map { case (name, est) =>
+      val pred = est.fit(ftrain).transform(ftest)
+      val score =
+        if (pred.columns.contains("probability"))
+          element_at(vector_to_array(col("probability")), 2)
+        else element_at(vector_to_array(col("rawPrediction")), 2)
+      val st = TextOps.screeningStatsOf(
+        pred.select(col("doc_id"), score.as("score"),
+          col("y").cast("int").as("y"))).head()
+      val (nDocs, nPos, t, k) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      (name, nDocs, nPos, t, k,
+        math.rint((1.0 - k.toDouble / nDocs - 0.05) * 1e6) / 1e6)
+    }
+    train.unpersist(); ftrain.unpersist()
+    import s.implicits._
+    rows.toDF("model", "n_docs", "n_pos", "t", "k_at_95", "wss95")
+      .orderBy(col("model"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q41_mllib_logreg", q41, None),
     Op("q42_mllib_nb", q42, None),
     Op("q62_model_compare", q62, None),
     Op("q73_grid_search", q73, None),
     Op("q79_model_compare_tfidf", q79, None),
+    Op("q81_wss95_trained", q81, None),
   )
 }

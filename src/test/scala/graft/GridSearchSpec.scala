@@ -17,10 +17,10 @@ class GridSearchSpec extends AnyFunSuite with SharedSpark {
     assert(a.forall(_.getAs[Double]("avg_auc") <= best))
   }
 
-  test("q79 TF-IDF roster evaluates all three models on the held-out fold") {
+  test("q79 TF-IDF roster evaluates the paper's four models on the held-out fold") {
     val rows = MLOps.q79(spark, SF).collect()
     assert(rows.map(_.getAs[String]("model")).sorted.toSeq ===
-      Seq("logreg", "naive_bayes", "svm_linear"))
+      Seq("logreg", "naive_bayes", "random_forest", "svm_linear"))
     val nTest = Tables.documents(spark, SF)
       .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0).count()
     rows.foreach { r =>
@@ -30,5 +30,29 @@ class GridSearchSpec extends AnyFunSuite with SharedSpark {
       val f1 = r.getAs[Double]("f1")
       assert(f1 >= 0.0 && f1 <= 1.0)
     }
+  }
+
+  test("q81 WSS@95 over trained scores: four models, valid screening bounds, deterministic") {
+    val a = MLOps.q81(spark, SF).collect()
+    assert(a.map(_.getAs[String]("model")).sorted.toSeq ===
+      Seq("logreg", "naive_bayes", "random_forest", "svm_linear"))
+    a.foreach { r =>
+      val (n, p) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"))
+      val (t, k) = (r.getAs[Long]("t"), r.getAs[Long]("k_at_95"))
+      assert(n > 0 && p > 0 && p <= n)
+      assert(t === math.ceil(0.95 * p).toLong)
+      // the screened prefix must at least hold the T positives it reaches
+      assert(k >= t && k <= n)
+      val wss = r.getAs[Double]("wss95")
+      assert(wss === math.rint((1.0 - k.toDouble / n - 0.05) * 1e6) / 1e6)
+      assert(wss >= -0.05 && wss <= 0.95)
+    }
+    // seeded training + deterministic split: identical output across runs
+    val b = MLOps.q81(spark, SF).collect()
+    assert(a.map(_.toSeq.toList).toList === b.map(_.toSeq.toList).toList)
+    // a trained classifier should screen at least as well as random order:
+    // its best model's prefix is no worse than scanning ~everything
+    assert(a.map(_.getAs[Double]("wss95")).max > 0.0,
+      "no model beats random screening on a separable-language corpus")
   }
 }
