@@ -114,20 +114,34 @@ object Relational2 {
     * zero corpus sorts. */
   def q65(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    // rank DECIMAL prices on the exact unscaled integer, not a double
+    // cast: distinct decimals beyond ~15.95 significant digits collapse
+    // under double, which would silently diverge from NTILE's exact
+    // decimal order near a boundary (ADVICE r2). The unscaled value of a
+    // precision ≤ 15 decimal is < 2^53, so its double image is exact AND
+    // order-faithful; wider decimals fail fast. Non-decimal price columns
+    // (this testdata stores doubles) are already their own exact key.
+    val unscaled = o.schema("o_totalprice").dataType match {
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        require(dt.precision <= 15,
+          s"q65 ranks decimals exactly only up to precision 15, got $dt")
+        (col("o_totalprice") * lit(java.math.BigDecimal.TEN.pow(dt.scale)))
+          .cast("long").cast("double")
+      case _ => col("o_totalprice").cast("double")
+    }
     val targets = o.agg(count(lit(1)).as("n"))
       .select(explode(array((1 to 3).map(i => struct(lit(i).as("idx"),
         expr(s"$i * (n div 4) + least($i, n % 4)").cast("long").as("t"))): _*))
         .as("x"))
       .select(col("x.idx").as("idx"), col("x.t").as("t"))
-    val ranked = o.select(col("o_totalprice").cast("double").as("v"),
-      col("o_orderkey").as("id"))
+    val ranked = o.select(unscaled.as("v"), col("o_orderkey").as("id"))
     val bCols = (1 to 3).map(i =>
       min(when(col("idx") === i, struct(col("v"), col("id")))).as(s"b$i"))
     val brow = graft.functions.OrderStats.keysAtRanks(ranked, targets)
       .agg(bCols.head, bCols.tail: _*)
     o.crossJoin(broadcast(brow))
       .withColumn("key",
-        struct(col("o_totalprice").cast("double").as("v"), col("o_orderkey").as("id")))
+        struct(unscaled.as("v"), col("o_orderkey").as("id")))
       .withColumn("quartile", (lit(1) +
         when(col("key") > col("b1"), 1).otherwise(0) +
         when(col("key") > col("b2"), 1).otherwise(0) +
