@@ -119,6 +119,48 @@ object SimOps {
     annLsh(e, testQueries(e), 5)
   }
 
+  /** DuckDB replay of [[bucketOf]]: the planes are an integer formula and
+    * the plane/vector dot product is the same index-ordered double fold
+    * as the q53 oracle's list_sum, so the 8-bit sign bucket is
+    * bit-replayable (the r2 q37 md5-bucket pattern, applied to LSH). */
+  private def bucketSql(e: String, table: Int): String =
+    (0 until NumPlanes).map { p =>
+      val pp = table * NumPlanes + p
+      s"""(CASE WHEN list_sum([CAST($e[i] AS DOUBLE) *
+         |      CAST(($pp * 31 + (i - 1) * 17) % 13 - 6 AS DOUBLE)
+         |      FOR i IN range(1, len($e) + 1)]) >= 0
+         |    THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private val embNrmCteSql: String =
+    """e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def pairCosSql(q: String, c: String): String =
+    s"""round(list_sum([CAST($q.embedding[i] AS DOUBLE) * CAST($c.embedding[i] AS DOUBLE)
+       |        FOR i IN range(1, len($q.embedding) + 1)]) / ($q.nrm * $c.nrm), 6)""".stripMargin
+
+  lazy val q54Sql: String =
+    s"""WITH $embNrmCteSql,
+       |b AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    CAST(${bucketSql("embedding", 0)} AS INTEGER) AS bucket
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket,
+       |    ${pairCosSql("q", "c")} AS cos
+       |  FROM b q JOIN b c
+       |    ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cos, rank, bucket FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   // --- 78. multi-table LSH ANN (OR-amplification) -----------------------
   /** OR-construction over `tables` independent hyperplane tables: a
     * candidate needs a bucket match in ANY table, so per-pair miss
@@ -157,6 +199,35 @@ object SimOps {
   def q78(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     annLshMulti(e, testQueries(e), 5, tables = 4)
+  }
+
+  /** q54's bucket replay expanded per table (OR-construction: distinct
+    * candidate pairs over any table's bucket match, scored once). */
+  lazy val q78Sql: String = {
+    val perTable = (0 until 4).map(t =>
+      s"""  SELECT vec_id, bucket_$t AS bucket, $t AS tbl FROM (
+         |    SELECT vec_id, CAST(${bucketSql("embedding", t)} AS INTEGER) AS bucket_$t
+         |    FROM e) _b$t""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH $embNrmCteSql,
+       |b AS (
+       |$perTable),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM b q JOIN b c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id, ${pairCosSql("q", "c")} AS cos
+       |  FROM cand
+       |  JOIN e q ON cand.q_id = q.vec_id
+       |  JOIN e c ON cand.n_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cos, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   // --- 61. IVF-style ANN (coarse quantizer = per-label centroids) -------
@@ -236,6 +307,40 @@ object SimOps {
     ivf(e, testQueries(e), 5, nprobe = 1)
   }
 
+  /** The q75-oracle assignment replay (rounded-cosine argmax over the
+    * decimal-exact centroids) at nprobe = 1, then the in-cell top-k. */
+  lazy val q61Sql: String =
+    s"""WITH $embNrmCteSql,
+       |$centroidMeanCtesSql,
+       |cent AS (
+       |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+       |  FROM cmeans GROUP BY label),
+       |centn AS (
+       |  SELECT cell_id, centroid,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
+       |  FROM cent),
+       |cscored AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
+       |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
+       |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
+       |  FROM e CROSS JOIN centn c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cell_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
+       |    FROM cscored) s WHERE rn = 1),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.cell_id,
+       |    ${pairCosSql("q", "c")} AS cos
+       |  FROM assigned q JOIN assigned c
+       |    ON q.cell_id = c.cell_id AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos, cell_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM pairs)
+       |SELECT q_id, n_id, cos, rank, cell_id FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   // --- 55. per-label vector statistics ----------------------------------
   /** Centroid via decimal-exact per-dimension sums (order-independent →
     * cross-engine deterministic); norms folded sequentially. */
@@ -283,9 +388,9 @@ object SimOps {
 
   val ops: Seq[Op] = Seq(
     Op("q53_knn_brute", q53, Some(q53Sql)),
-    Op("q54_ann_lsh", q54, None),
+    Op("q54_ann_lsh", q54, Some(q54Sql)),
     Op("q55_vector_stats", q55, Some(q55Sql)),
-    Op("q61_ann_ivf", q61, None),
-    Op("q78_ann_lsh_multi", q78, None),
+    Op("q61_ann_ivf", q61, Some(q61Sql)),
+    Op("q78_ann_lsh_multi", q78, Some(q78Sql)),
   )
 }
