@@ -80,6 +80,27 @@ object StreamOps {
       .select(col("p_id"), col("p_user"), col("c_ts"))
   }
 
+  /** Declarative gap-based sessions via the native `session_window`
+    * built-in — the state-store-native alternative to
+    * [[sessionCounts]]'s explicit flatMapGroupsWithState: the planner
+    * owns session merge + eviction (watermark closes a session once no
+    * event can extend it), the plan stays whole-stage-codegen around
+    * the state op, and numShufflePartitions/state rebalancing apply.
+    * Boundary semantics differ from batch q28 by one edge: an event at
+    * EXACTLY gap distance extends a q28 session (`diff > gap` splits)
+    * but starts a new `session_window` one (merge needs overlap, i.e.
+    * strict `< gap`) — StreamingSpec pins stream ≡ batch against the
+    * batch-mode `session_window` form, which shares the semantics. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Per-user session counting with explicit keyed state
     * (flatMapGroupsWithState): gap > 30 min starts a new session. Emits
     * (user_id, n_sessions) per trigger. */

@@ -158,6 +158,38 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty)
   }
 
+  test("native session_window: stream ≡ batch on complete input") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(eventData)
+    val q = StreamOps.sessionWindowAgg(ms.toDF())
+      .writeStream.format("memory").queryName("t_sw").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // total_value rounded: per-session float sums may associate
+    // differently between the stream and batch executions
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("tv"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    val got = canon(spark.table("t_sw"))
+    // session_window works identically as a batch aggregation — the
+    // stream must reproduce it exactly (the watermark is a no-op there)
+    val want = canon(StreamOps.sessionWindowAgg(Tables.events(spark, SF)
+      .select("event_id", "ts", "user_id", "event_type", "value")))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // sessions per user are disjoint and gap-separated: ends before next starts
+    val perUser = got.toSeq.groupBy(_._1).values
+    perUser.foreach { ss =>
+      val ordered = ss.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 <= b._2,
+          s"overlapping sessions for user ${a._1}: $a vs $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("stateful session counting ≡ batch q28 session totals") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
