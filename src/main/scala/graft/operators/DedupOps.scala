@@ -154,10 +154,22 @@ object DedupOps {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // verify candidates with exact Jaccard over the full shingle sets
+    // verify candidates with exact Jaccard over the full shingle sets.
+    // docSh is corpus-sized while candidates are ∝ true dups — too big a
+    // key set to broadcast-join at 100 TB, far too small to justify
+    // shuffling the whole corpus twice. A ~1 MiB bloom over the candidate
+    // ids prunes docSh MAP-SIDE before the verify joins, so their shuffle
+    // carries only probable candidate docs; bloom false positives add
+    // shuffled rows, never wrong output (the id equi-joins stay exact).
+    // Cost: one extra corpus-linear evaluation of the candidate pipeline
+    // to build the sketch — a scan traded against two corpus shuffles.
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id")))
+    val docShPruned = graft.functions.BloomPrune.semiPrune(
+      docSh, "doc_id", candIds, "id")
     cand
-      .join(docSh.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(docSh.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .join(docShPruned.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(docShPruned.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard_raw", col("inter") /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))

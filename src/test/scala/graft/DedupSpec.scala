@@ -92,6 +92,26 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     cand.unpersist()
   }
 
+  test("bloom semi-prune shrinks the verify scan and never drops a real key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val corpus = (0L until 10000L).toDF("doc_id")
+    val keys = (0L until 10000L by 100).toDF("id") // 100 candidate ids
+    val pruned = graft.functions.BloomPrune
+      .semiPrune(corpus, "doc_id", keys, "id")
+    val prunedIds = pruned.as[Long].collect().toSet
+    // no false negatives: every real key survives (the exact equi-join
+    // downstream is therefore unaffected — q50/q74 oracle hashes pin it)
+    (0L until 10000L by 100).foreach(k =>
+      assert(prunedIds.contains(k), s"bloom dropped real key $k"))
+    // the point of the prune: the corpus side SHRINKS to ~|keys| + fp
+    assert(prunedIds.size < 1000,
+      s"${prunedIds.size} of 10000 rows survive a 100-key bloom — no pruning")
+    // empty candidate set prunes to nothing rather than passing the corpus
+    assert(graft.functions.BloomPrune
+      .semiPrune(corpus, "doc_id", keys.filter(lit(false)), "id").count() === 0)
+  }
+
   test("q52 embedding near-dups are cosine-thresholded") {
     val rows = DedupOps.q52(spark, SF).collect()
     assert(rows.nonEmpty, "corpus has planted embedding near-dups")
