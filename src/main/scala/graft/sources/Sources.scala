@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Tabular sources/sinks (the reference ingests literature records from
   * CSV/spreadsheet exports; at scale everything lands in parquet).
@@ -11,17 +11,43 @@ import org.apache.spark.sql.types.StructType
   * 100 TB. Writers default to snappy parquet, optionally partitioned
   * (partition columns become directory pruning keys for downstream scans).
   *
-  * KNOWN GAP — native spreadsheet (.xlsx) ingest: the reference also
-  * accepts Excel exports. Spark has no built-in Excel source and this
-  * build intentionally adds no third-party dependencies (the usual
-  * answer is the `com.crealytics:spark-excel` DataSource V2 package, or
-  * a one-time export to CSV — which every reference-manager that emits
-  * .xlsx also offers). `readCsv` with an explicit schema + delimiter
-  * covers the exported form; a production deployment that must read
-  * .xlsx directly should register spark-excel and the call becomes
-  * `spark.read.format("excel")` with the same explicit-schema policy.
+  * Spreadsheet (.xlsx) ingest is native via [[Xlsx]] (pure JDK — Spark
+  * has no built-in Excel source and this build adds no third-party
+  * dependencies): one executor task per workbook file, all cells as
+  * strings, headers from the first row. A production deployment
+  * preferring a DataSource V2 package (`spark-excel`) keeps the same
+  * explicit-schema policy.
   */
 object Sources {
+
+  /** Directory (or glob) of .xlsx workbooks → DataFrame of strings.
+    *
+    * Execution shape: each workbook parses whole on an EXECUTOR — the
+    * driver touches only the first file's header row. `binaryFiles`
+    * packs small files together (up to `spark.files.openCostInBytes`)
+    * and gives large ones their own task, which is the right
+    * parallelism for the format: a workbook is ≤ 2^20 rows by spec, so
+    * the scale axis is file count (thousands of per-source literature
+    * exports), not file size. Workbooks whose header differs from the
+    * first file's fail fast rather than silently misalign columns. */
+  def readXlsx(s: SparkSession, path: String): DataFrame = {
+    val files = s.sparkContext.binaryFiles(path)
+    val firstFile = files.keys.collect().sorted.headOption.getOrElse(
+      throw new IllegalArgumentException(s"readXlsx: no files at $path"))
+    val header = Xlsx.parse(
+      files.filter(_._1 == firstFile).first()._2.open())._1
+    require(header.nonEmpty, s"readXlsx: $firstFile has no header row")
+    val ncols = header.size
+    val rows = files.flatMap { case (file, pds) =>
+      val (h, data) = Xlsx.parse(pds.open())
+      require(h == header,
+        s"readXlsx: $file header $h differs from $firstFile header $header")
+      data.map(cells => Row.fromSeq(
+        cells.map(c => if (c.isEmpty) null else c).padTo(ncols, null).take(ncols)))
+    }
+    s.createDataFrame(rows,
+      StructType(header.map(StructField(_, StringType, nullable = true))))
+  }
 
   def readCsv(s: SparkSession, path: String, schema: StructType,
       header: Boolean = true, delimiter: String = ","): DataFrame =

@@ -43,6 +43,73 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("PartitionFilters") || !plan.contains("lang#"))
   }
 
+  /** A real minimal workbook written with the JDK zip API: shared + inline
+    * strings, numbers, a boolean, a sparse row (skipped B cell), rich-text
+    * runs in sharedStrings — the forms literature exports emit. */
+  private def writeWorkbook(path: java.io.File, docRows: Seq[(Long, String, String)],
+      sharedTitleRuns: Boolean = false): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val titles = docRows.map(_._2).distinct
+    val sst = titles.map { t =>
+      if (sharedTitleRuns) {
+        val (a, b) = t.splitAt(math.max(1, t.length / 2))
+        s"<si><r><t>$a</t></r><r><t>$b</t></r></si>"
+      } else s"<si><t>$t</t></si>"
+    }.mkString
+    val header =
+      """<row r="1">
+        |<c r="A1" t="inlineStr"><is><t>doc_id</t></is></c>
+        |<c r="B1" t="inlineStr"><is><t>title</t></is></c>
+        |<c r="C1" t="inlineStr"><is><t>abstract</t></is></c>
+        |<c r="D1" t="inlineStr"><is><t>relevant</t></is></c>
+        |</row>""".stripMargin.replaceAll("\n", "")
+    val body = docRows.zipWithIndex.map { case ((id, title, abs), i) =>
+      val r = i + 2
+      val sparse = abs.isEmpty // drop the C cell entirely for one row
+      s"""<row r="$r"><c r="A$r"><v>$id</v></c>""" +
+        s"""<c r="B$r" t="s"><v>${titles.indexOf(title)}</v></c>""" +
+        (if (sparse) "" else s"""<c r="C$r" t="inlineStr"><is><t>$abs</t></is></c>""") +
+        s"""<c r="D$r" t="b"><v>${i % 2}</v></c></row>"""
+    }.mkString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="export" sheetId="1"/></sheets></workbook>""")
+    entry("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst count="${titles.size}" uniqueCount="${titles.size}">$sst</sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$header$body</sheetData></worksheet>""")
+    zos.close()
+  }
+
+  test("xlsx ingest: executor-side parse into the documents schema") {
+    val dir = new java.io.File(tmp("xlsx"))
+    writeWorkbook(new java.io.File(dir, "export_a.xlsx"), Seq(
+      (1L, "Salmonella in poultry", "a survey of detection methods"),
+      (2L, "Listeria outbreaks", ""), // sparse: no abstract cell
+      (3L, "Aflatoxin screening", "maize import controls")))
+    writeWorkbook(new java.io.File(dir, "export_b.xlsx"), Seq(
+      (4L, "Campylobacter prevalence", "broiler flocks meta-analysis")),
+      sharedTitleRuns = true) // rich-text shared strings concatenate
+    val df = Sources.readXlsx(spark, dir.getAbsolutePath)
+    assert(df.columns.toSeq === Seq("doc_id", "title", "abstract", "relevant"))
+    // all-string cells cast cleanly into a typed documents-like frame
+    val typed = df.select(col("doc_id").cast("long").as("doc_id"),
+      col("title"), col("abstract"), col("relevant").cast("boolean"))
+    val rows = typed.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)), r.getBoolean(3))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, "Salmonella in poultry", Some("a survey of detection methods"), false),
+      (2L, "Listeria outbreaks", None, true),
+      (3L, "Aflatoxin screening", Some("maize import controls"), false),
+      (4L, "Campylobacter prevalence", Some("broiler flocks meta-analysis"), false)))
+  }
+
   test("sql extension exposes the native vec_dot") {
     Tables.embeddings(spark, SF).createOrReplaceTempView("emb_ext_test")
     val r = spark.sql(
