@@ -1,14 +1,15 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.MultiModal
 
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 80)
+    assert(SparkEntry.queries.size === 81) // r3: +q81_wss95_trained
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 68)
+    assert(SparkEntry.oracleSql.size === 71) // r3: +q54/q61/q78 oracles
   }
 
   test("entry flagship runs on sf0.001 with rows") {
@@ -59,14 +60,25 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // a pathological repeat compresses much better than the corpus median
     val rep = Seq((0L, "spam " * 200)).toDF("doc_id", "text")
     rep.createOrReplaceTempView("ignored")
-    val repRatio = {
-      val bytes = ("spam " * 200).getBytes("UTF-8")
+    def localRatio(text: String): Double = {
+      val bytes = text.getBytes("UTF-8")
       val d = new java.util.zip.Deflater(6); d.setInput(bytes); d.finish()
       val buf = new Array[Byte](1 << 16)
       var c = 0; while (!d.finished()) c += d.deflate(buf)
-      c.toDouble / bytes.length
+      d.end()
+      if (bytes.isEmpty) 1.0 else math.rint(c.toDouble / bytes.length * 1e6) / 1e6
     }
-    assert(repRatio < ratios.sorted.apply(ratios.length / 2))
+    assert(localRatio("spam " * 200) < ratios.sorted.apply(ratios.length / 2))
+    // value parity vs an independent local recompute (the DuckDB-shaped
+    // check a codec op can't have): bit-equal ratios on sampled docs
+    val sample = Tables.documents(spark, SF)
+      .filter(col("doc_id") % 29 === 0).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    assert(sample.nonEmpty)
+    val got = df.select("doc_id", "ratio").as[(Long, Double)].collect().toMap
+    sample.foreach { case (id, text) =>
+      assert(got(id) === localRatio(text), s"ratio mismatch for doc $id")
+    }
   }
 
   test("mllib pipelines produce a prediction per input row") {
