@@ -27,13 +27,20 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomPrune {
 
-  /** 1 MiB default sketch: ~2.5% fpp at 1M keys, negligible below. */
-  val DefaultNumBits: Long = 1L << 23
+  /** Sketch size is ~10 bits per expected key (≈1% fpp), floored at
+    * 8 KiB and capped at 8 MiB: the serialized sketch ships as a plan
+    * LITERAL in the task binary — once per referencing operator — so an
+    * oversized default taxes every stage that mentions it (measured:
+    * a fixed 1 MiB sketch on a 500-key candidate set doubled q50), and
+    * an uncapped one would break task shipping outright. Past the cap
+    * the fpp (pruning efficiency, not correctness) degrades gracefully. */
+  def bitsFor(expectedItems: Long): Long =
+    math.min(1L << 26, math.max(1L << 16, 10L * expectedItems))
 
   /** Serialized bloom filter over `keys.col(c)` (hashed via xxhash64).
     * Returns None for an empty key set (callers then prune to nothing). */
-  def build(keys: DataFrame, c: String, expectedItems: Long = 1L << 20,
-      numBits: Long = DefaultNumBits): Option[Array[Byte]] = {
+  def build(keys: DataFrame, c: String, expectedItems: Long): Option[Array[Byte]] = {
+    val numBits = bitsFor(expectedItems)
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(col(c))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -47,9 +54,11 @@ object BloomPrune {
 
   /** `df` reduced to rows whose `c` might be in `keys.col(keyCol)` —
     * a bloom semi-join: a superset of the exact semi-join (no false
-    * negatives), so an exact equi-join downstream is unaffected. */
+    * negatives), so an exact equi-join downstream is unaffected.
+    * `expectedItems` should come from a real count of the (materialized)
+    * key set — it sizes the sketch the task binary carries. */
   def semiPrune(df: DataFrame, c: String, keys: DataFrame, keyCol: String,
-      expectedItems: Long = 1L << 20): DataFrame =
+      expectedItems: Long): DataFrame =
     build(keys, keyCol, expectedItems) match {
       case Some(b) => df.filter(mightContain(b, col(c)))
       case None    => df.filter(lit(false))

@@ -98,7 +98,7 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     val corpus = (0L until 10000L).toDF("doc_id")
     val keys = (0L until 10000L by 100).toDF("id") // 100 candidate ids
     val pruned = graft.functions.BloomPrune
-      .semiPrune(corpus, "doc_id", keys, "id")
+      .semiPrune(corpus, "doc_id", keys, "id", expectedItems = 100)
     val prunedIds = pruned.as[Long].collect().toSet
     // no false negatives: every real key survives (the exact equi-join
     // downstream is therefore unaffected — q50/q74 oracle hashes pin it)
@@ -109,7 +109,7 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       s"${prunedIds.size} of 10000 rows survive a 100-key bloom — no pruning")
     // empty candidate set prunes to nothing rather than passing the corpus
     assert(graft.functions.BloomPrune
-      .semiPrune(corpus, "doc_id", keys.filter(lit(false)), "id").count() === 0)
+      .semiPrune(corpus, "doc_id", keys.filter(lit(false)), "id", 1).count() === 0)
   }
 
   test("q52 embedding near-dups are cosine-thresholded") {
