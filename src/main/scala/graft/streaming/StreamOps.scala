@@ -80,6 +80,36 @@ object StreamOps {
       .select(col("p_id"), col("p_user"), col("c_ts"))
   }
 
+  /** Streaming as-of join, bounded lookback: the most recent click in
+    * the 10 minutes before each purchase. Two chained stateful
+    * operators — the watermarked interval join emits every qualifying
+    * click, then a windowed max collapses to one row per purchase
+    * (Spark 4 propagates watermarks through the join, so the aggregate
+    * finalizes in append mode once no late click can extend it). The
+    * grouping window is keyed by the purchase's OWN event time; p_id is
+    * unique, so the window only provides the completion trigger.
+    *
+    * The batch as-of (q64) looks back unboundedly; that form is not
+    * streaming-expressible (state = every click ever seen). The bounded
+    * contract is the streaming as-of: state on both sides is
+    * O(watermark horizon + interval). */
+  def asofPurchaseClick(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"))
+      .groupBy(col("p_id"), col("p_user"), window(col("p_ts"), "10 minutes"))
+      .agg(max(col("c_ts")).as("last_click_ts"), count(lit(1)).as("n_clicks"))
+      .select(col("p_id"), col("p_user"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"),
+        col("n_clicks"))
+  }
+
   /** Declarative gap-based sessions via the native `session_window`
     * built-in — the state-store-native alternative to
     * [[sessionCounts]]'s explicit flatMapGroupsWithState: the planner

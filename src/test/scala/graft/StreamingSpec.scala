@@ -158,6 +158,50 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty)
   }
 
+  test("streaming bounded as-of join ≡ batch within the emitted horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(eventData)
+    val ev = ms.toDF()
+    val q = StreamOps.asofPurchaseClick(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .writeStream.format("memory").queryName("t_asof").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("t_asof")
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // batch reference: same bounded as-of computed relationally
+    val bev = Tables.events(spark, SF)
+    val bp = bev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val bc = bev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = bp.join(bc, expr(
+        "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"))
+      .groupBy(col("p_id"), col("p_user"), col("p_ts"))
+      .agg(max(col("c_ts")).as("last_click_ts"), count(lit(1)).as("n_clicks"))
+      .select(col("p_id"), col("p_user"), col("p_ts"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("lc"),
+        col("n_clicks"))
+      .as[(Long, Long, java.sql.Timestamp, String, Long)].collect()
+    val batchMap = batch.map(r => r._1 -> (r._2, r._4, r._5)).toMap
+    // append mode withholds groups the final watermark hasn't closed:
+    // emitted rows must agree with batch exactly, and everything safely
+    // inside the horizon (window end ≤ watermark − slack) must be emitted
+    got.foreach { case (pid, v) =>
+      assert(batchMap(pid) === v, s"purchase $pid diverges from batch") }
+    val maxTs = eventData.map(_.ts.getTime).max
+    val safeEnd = maxTs - 3600 * 1000L - 60 * 1000L
+    batch.foreach { case (pid, _, pts, _, _) =>
+      val winEnd = (pts.getTime / 600000L) * 600000L + 600000L
+      if (winEnd <= safeEnd)
+        assert(got.contains(pid), s"purchase $pid inside horizon not emitted")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("native session_window: stream ≡ batch on complete input") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
