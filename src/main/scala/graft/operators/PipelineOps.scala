@@ -57,7 +57,56 @@ object PipelineOps {
        |JOIN roots r ON l.doc_id = r.doc_id
        |ORDER BY l.doc_id""".stripMargin
 
+  // --- 82. deterministic corpus mixing / sampling ------------------------
+  /** Training-data mixture step: per-language sampling rates reshape the
+    * corpus composition (up/down-weighting sources is the standard
+    * LLM data-mixing knob), sampled DETERMINISTICALLY from md5(doc_id) —
+    * reproducible run-over-run, engine-portable (the DuckDB oracle
+    * replays the exact row set), no stored state, no RNG whose stream
+    * depends on partitioning. Kept docs carry weight = 1/rate (inverse
+    * propensity, so downstream corpus statistics stay unbiased) and
+    * `shuffle_key`, a hash-derived deterministic training order that
+    * decorrelates batches from corpus order — consumers range-partition
+    * on it instead of running a global sort.
+    *
+    * Scale: one corpus-linear map + filter, pushable to the scan; the
+    * only shuffle is the consumer's own ordering. */
+  val MixRates: Seq[(String, Double)] = Seq("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+  val MixDefaultRate = 0.125
+
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L // uniform in [0, 1e6): 60 md5 bits mod 10^6
+    val rate = MixRates.foldLeft(lit(MixDefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc) }
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), u.as("u"), rate.as("rate"))
+      .filter(col("u") < col("rate") * 1000000L)
+      .select(col("doc_id"), col("lang"),
+        round(lit(1.0) / col("rate"), 6).as("weight"),
+        substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 8).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+  }
+
+  private def mixRateCaseSql: String =
+    "CAST(CASE lang " +
+      MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") +
+      s" ELSE $MixDefaultRate END AS DOUBLE)"
+
+  lazy val q82Sql: String =
+    s"""WITH sampled AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1000000 AS u,
+       |    $mixRateCaseSql AS rate
+       |  FROM documents)
+       |SELECT doc_id, lang, round(1.0 / rate, 6) AS weight,
+       |  substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+       |FROM sampled WHERE u < rate * 1000000
+       |ORDER BY shuffle_key, doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
+    Op("q82_corpus_mix", q82, Some(q82Sql)),
   )
 }

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 81) // r3: +q81_wss95_trained
+    assert(SparkEntry.queries.size === 82) // r3: +q81_wss95_trained, +q82_corpus_mix
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 71) // r3: +q54/q61/q78 oracles
+    assert(SparkEntry.oracleSql.size === 72) // r3: +q54/q61/q78/q82 oracles
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -26,4 +26,35 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val nSel = rows.count(_.getAs[Int]("selected") == 1)
     assert(nSel > 0 && nSel < rows.length)
   }
+
+  test("q82 corpus mix: deterministic, rate-faithful, inverse-propensity weighted") {
+    val docs = Tables.documents(spark, SF)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = PipelineOps.q82(spark, SF).collect()
+    // determinism: the sample is a pure function of doc_id
+    val again = PipelineOps.q82(spark, SF).collect()
+    assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+    val rates = PipelineOps.MixRates.toMap
+    // rate-1.0 language keeps EVERY doc; weights are exactly 1/rate
+    val kept = rows.map(r => r.getAs[Long]("doc_id")).toSet
+    val enDocs = docs.collect { case (id, "en") => id }.toSet
+    assert(enDocs.subsetOf(kept), "rate-1.0 language must keep all docs")
+    rows.foreach { r =>
+      val rate = rates.getOrElse(r.getAs[String]("lang"), PipelineOps.MixDefaultRate)
+      assert(r.getAs[Double]("weight") === math.rint(1.0 / rate * 1e6) / 1e6)
+    }
+    // sampled fraction per down-weighted language tracks its rate
+    Seq("de", "fr", "zh").foreach { l =>
+      val total = docs.count(_._2 == l)
+      val got = rows.count(_.getAs[String]("lang") == l)
+      val rate = rates.getOrElse(l, PipelineOps.MixDefaultRate)
+      assert(math.abs(got.toDouble / total - rate) < 0.25,
+        s"$l sampled $got/$total, rate $rate")
+    }
+    // the shuffle key decorrelates order from doc_id: the sampled ids in
+    // output order must not be sorted by doc_id
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids !== ids.sorted, "shuffle_key left corpus order intact")
+  }
 }
