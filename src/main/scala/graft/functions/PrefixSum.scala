@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed prefix sums without a global single-task window.
+  *
+  * `sum(v).over(Window.orderBy(...))` with no partition spec sorts the
+  * ENTIRE relation in one task — the same scale-killer
+  * [[OrderStats]] removes for order statistics, here for running
+  * totals. The classic two-level scan instead:
+  *
+  *   1. bin the (long) ordering key into [[NumBins]] fixed-width
+  *      buckets — one aggregate pass gives each bin's sum;
+  *   2. a cumulative window over the ≤ [[NumBins]] AGGREGATED bin rows
+  *      (tiny — the only unpartitioned window, satisfying the
+  *      ScalePlanSpec rule) yields each bin's starting offset;
+  *   3. a PARTITIONED window (one partition per bin, all parallel)
+  *      computes local running sums, shifted by the broadcast offset.
+  *
+  * Bin population ~n/NumBins when the key is hash-distributed — the
+  * intended contract (callers order by an md5-derived key, e.g. the
+  * q82 shuffle_key). A point-mass key degrades that bin's local window
+  * to one task, exactly like any skewed partitioned window.
+  */
+object PrefixSum {
+  val NumBins = 4096
+
+  /** Adds `outCol` = Σ `v` over rows ordered ≤ (bkey, tiebreak...) —
+    * an INCLUSIVE running total under exact long arithmetic.
+    *
+    * @param df       input; every listed column must exist
+    * @param bkey     long ordering key, leading sort component; should be
+    *                 well-spread (hash-derived) — bins are fixed-width
+    * @param tiebreak remaining sort components making the order total
+    * @param v        long value column to accumulate
+    */
+  def withRunningSum(df: DataFrame, bkey: String, tiebreak: Seq[String],
+      v: String, outCol: String): DataFrame = {
+    val rng = df.agg(min(col(bkey)).as("lo"), max(col(bkey)).as("hi"))
+    // exact integer bin: (bkey - lo) div width, width ≥ span/NumBins
+    val binExpr = expr(
+      s"($bkey - lo) div (((hi - lo) div ${NumBins}L) + 1L)")
+    val binned = df.crossJoin(broadcast(rng))
+      .withColumn("__bin", binExpr).drop("lo", "hi")
+    val offsets = binned.groupBy(col("__bin"))
+      .agg(sum(col(v)).as("__bsum"))
+      .withColumn("__off",
+        sum(col("__bsum")).over(Window.orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__bsum"))
+      .select(col("__bin"), col("__off"))
+    val local = Window.partitionBy(col("__bin"))
+      .orderBy((col(bkey) +: tiebreak.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.join(broadcast(offsets), "__bin")
+      .withColumn(outCol, sum(col(v)).over(local) + col("__off"))
+      .drop("__bin", "__off")
+  }
+}

@@ -105,8 +105,51 @@ object PipelineOps {
        |FROM sampled WHERE u < rate * 1000000
        |ORDER BY shuffle_key, doc_id""".stripMargin
 
+  // --- 83. token-budget shard packing ------------------------------------
+  /** Pack the corpus into fixed token-budget training shards: docs in the
+    * deterministic hash-shuffle order, each doc assigned to the shard
+    * where its running token total STARTS (start-offset assignment — one
+    * pass, no bin-packing heuristics, reproducible). The running total is
+    * [[graft.functions.PrefixSum]]: exact long arithmetic, binned
+    * two-level scan, no global single-task window — the cumsum sibling of
+    * the OrderStats rewrite. Both engines accumulate in the same
+    * (numeric md5-prefix, doc_id) order, so the oracle hash pins the
+    * exact shard assignment. */
+  val ShardTokenBudget = 8192L
+
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_tokens"),
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("bkey"))
+    graft.functions.PrefixSum
+      .withRunningSum(toks, "bkey", Seq("doc_id"), "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div ${ShardTokenBudget}L").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q83Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY bkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
+    Op("q83_token_pack", q83, Some(q83Sql)),
   )
 }

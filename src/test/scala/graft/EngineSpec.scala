@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 82) // r3: +q81_wss95_trained, +q82_corpus_mix
+    assert(SparkEntry.queries.size === 83) // r3: +q81, +q82, +q83
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 72) // r3: +q54/q61/q78/q82 oracles
+    assert(SparkEntry.oracleSql.size === 73) // r3: +q54/q61/q78/q82/q83 oracles
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -57,4 +57,30 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
     assert(ids !== ids.sorted, "shuffle_key left corpus order intact")
   }
+
+  test("q83 shard packing: exact distributed cumsum, start-offset shards") {
+    val rows = PipelineOps.q83(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("shard")))
+    assert(rows.length === Tables.documents(spark, SF).count())
+    // reference cumsum computed driver-side in the same shuffle order
+    def bkey(id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ord:$id".getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ordered = rows.sortBy { case (id, _, _, _) => (bkey(id), id) }
+    var cum = 0L
+    ordered.foreach { case (id, n, gotCum, gotShard) =>
+      assert(gotShard === cum / PipelineOps.ShardTokenBudget,
+        s"doc $id shard mismatch")
+      cum += n
+      assert(gotCum === cum, s"doc $id cumsum mismatch")
+    }
+    // the packing actually spreads the corpus across multiple shards
+    assert(rows.map(_._4).distinct.length > 1)
+    // shards are contiguous in shuffle order and non-decreasing
+    val shardSeq = ordered.map(_._4)
+    assert(shardSeq === shardSeq.sorted)
+  }
 }

@@ -27,10 +27,12 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("q40/q63/q65 run no unpartitioned window over raw rows") {
+  test("q40/q63/q65/q83 run no unpartitioned window over raw rows") {
     assertWindowsAggregated(TextOps.q40(spark, SF), "q40")
     assertWindowsAggregated(TextOps.q63(spark, SF), "q63")
     assertWindowsAggregated(Relational2.q65(spark, SF), "q65")
+    // PrefixSum's only unpartitioned window runs over the ≤4096 bin rows
+    assertWindowsAggregated(graft.operators.PipelineOps.q83(spark, SF), "q83")
   }
 
   test("q40/q63 equal the single-task global-window formulation") {
