@@ -176,12 +176,14 @@ object DedupOps {
       .foreach(graft.CheckpointRegistry.register)
     val candIds = candCk.select(col("id_a").as("id"))
       .unionAll(candCk.select(col("id_b").as("id")))
-    // the count reads the checkpoint blocks (cheap) and picks the prune
-    // strategy — the same split Spark's own runtime filters make: an
-    // EXACT broadcast semi-join while the id set broadcasts comfortably
-    // (zero false positives), the bloom sketch past that (fixed-size,
-    // fp only costs shuffled rows)
-    val nIds = 2L * candCk.count()
+    // the DISTINCT id count (cheap — reads checkpoint blocks) picks the
+    // prune strategy, the same split Spark's own runtime filters make:
+    // an EXACT broadcast semi-join while the id set broadcasts
+    // comfortably (zero false positives), the bloom sketch past that
+    // (fixed-size, fp only costs shuffled rows). Pair-endpoint counting
+    // would quadratically overstate it — near-dup clusters are
+    // near-cliques: k ids make ~k²/2 pairs.
+    val nIds = candIds.distinct().count()
     val docShPruned =
       if (nIds <= MaxBroadcastPruneIds)
         docSh.join(broadcast(candIds.distinct()),

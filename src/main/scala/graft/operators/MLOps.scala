@@ -181,23 +181,26 @@ object MLOps {
     * is float-order sensitive); the evaluation aggregate mirrors q62. */
   def q79(s: SparkSession, dir: String): DataFrame = {
     val (train, ftrain, ftest) = tfidfSplit(s, dir)
-    val rows = roster.map { case (name, est) =>
-      val agg = est.fit(ftrain).transform(ftest)
-        .agg(
-          sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
-          sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
-          sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
-          sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
-          count(lit(1)).as("n")).collect()(0)
-      val (tp, fp, fn) = (agg.getLong(0).toDouble, agg.getLong(1).toDouble,
-        agg.getLong(2).toDouble)
-      val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
-      (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
-        math.rint(f1 * 1e6) / 1e6)
-    }
-    train.unpersist(); ftrain.unpersist()
-    import s.implicits._
-    rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
+    // finally, not success-path: a throwing fit would otherwise pin both
+    // fold caches for the session (the screeningStatsOf ADVICE pattern)
+    try {
+      val rows = roster.map { case (name, est) =>
+        val agg = est.fit(ftrain).transform(ftest)
+          .agg(
+            sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
+            sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
+            sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
+            sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
+            count(lit(1)).as("n")).collect()(0)
+        val (tp, fp, fn) = (agg.getLong(0).toDouble, agg.getLong(1).toDouble,
+          agg.getLong(2).toDouble)
+        val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+        (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
+          math.rint(f1 * 1e6) / 1e6)
+      }
+      import s.implicits._
+      rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
+    } finally { train.unpersist(); ftrain.unpersist() }
   }
 
   // --- 81. WSS@95 over trained classifier scores -------------------------
@@ -213,24 +216,25 @@ object MLOps {
   def q81(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     val (train, ftrain, ftest) = tfidfSplit(s, dir)
-    val rows = roster.map { case (name, est) =>
-      val pred = est.fit(ftrain).transform(ftest)
-      val score =
-        if (pred.columns.contains("probability"))
-          element_at(vector_to_array(col("probability")), 2)
-        else element_at(vector_to_array(col("rawPrediction")), 2)
-      val st = TextOps.screeningStatsOf(
-        pred.select(col("doc_id"), score.as("score"),
-          col("y").cast("int").as("y"))).head()
-      val (nDocs, nPos, t, k) =
-        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
-      (name, nDocs, nPos, t, k,
-        math.rint((1.0 - k.toDouble / nDocs - 0.05) * 1e6) / 1e6)
-    }
-    train.unpersist(); ftrain.unpersist()
-    import s.implicits._
-    rows.toDF("model", "n_docs", "n_pos", "t", "k_at_95", "wss95")
-      .orderBy(col("model"))
+    try {
+      val rows = roster.map { case (name, est) =>
+        val pred = est.fit(ftrain).transform(ftest)
+        val score =
+          if (pred.columns.contains("probability"))
+            element_at(vector_to_array(col("probability")), 2)
+          else element_at(vector_to_array(col("rawPrediction")), 2)
+        val st = TextOps.screeningStatsOf(
+          pred.select(col("doc_id"), score.as("score"),
+            col("y").cast("int").as("y"))).head()
+        val (nDocs, nPos, t, k) =
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+        (name, nDocs, nPos, t, k,
+          math.rint((1.0 - k.toDouble / nDocs - 0.05) * 1e6) / 1e6)
+      }
+      import s.implicits._
+      rows.toDF("model", "n_docs", "n_pos", "t", "k_at_95", "wss95")
+        .orderBy(col("model"))
+    } finally { train.unpersist(); ftrain.unpersist() }
   }
 
   val ops: Seq[Op] = Seq(

@@ -120,8 +120,7 @@ object PipelineOps {
   def q83(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_tokens"),
+        graft.text.Text.bpeTokenCount(col("text")).as("n_tokens"),
         conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
           .cast("long").as("bkey"))
     graft.functions.PrefixSum
@@ -134,7 +133,7 @@ object PipelineOps {
   lazy val q83Sql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens,
+       |    ${graft.text.Text.bpeCountSql} AS n_tokens,
        |    CAST(('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
        |  FROM documents),
        |c AS (

@@ -381,16 +381,15 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("est_llm_tokens"))
       .orderBy(col("doc_id"))
 
   val q46Sql: String =
-    """SELECT doc_id,
-      |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+    s"""SELECT doc_id,
+      |  len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+      |  ${Text.bpeCountSql} AS bpe_tokens,
       |  LENGTH(text) AS n_chars_actual,
       |  CAST(ceil(LENGTH(text) / 4.0) AS BIGINT) AS est_llm_tokens
       |FROM documents

@@ -33,16 +33,19 @@ object Xlsx {
     // then parse — a workbook is one task's file, its size bounds memory
     var sharedXml: Array[Byte] = null
     var sheetXml: Array[Byte] = null
-    var sheetName: String = null
+    var sheetNum = Long.MaxValue
+    val SheetName = "xl/worksheets/sheet([0-9]+)\\.xml".r
     val zip = new ZipInputStream(in)
     try {
       var e = zip.getNextEntry
       while (e != null) {
-        val name = e.getName
-        if (name == "xl/sharedStrings.xml") sharedXml = zip.readAllBytes()
-        else if (name.matches("xl/worksheets/sheet[0-9]+\\.xml") &&
-            (sheetName == null || name < sheetName)) {
-          sheetName = name; sheetXml = zip.readAllBytes()
+        e.getName match {
+          case "xl/sharedStrings.xml" => sharedXml = zip.readAllBytes()
+          case SheetName(n) =>
+            // NUMERIC order: "sheet10.xml" < "sheet2.xml" as strings, and
+            // a renumbered workbook's first sheet need not be sheet1
+            if (n.toLong < sheetNum) { sheetNum = n.toLong; sheetXml = zip.readAllBytes() }
+          case _ => ()
         }
         e = zip.getNextEntry
       }

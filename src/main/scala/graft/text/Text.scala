@@ -21,6 +21,17 @@ object Text {
 
   val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** BPE-ish token classes (letter runs / digit runs / single symbols) —
+    * the ONE definition q46 and q83 share on both engines; editing it in
+    * one consumer must not diverge the other's Spark↔oracle parity. */
+  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeTokenRegex), lit(0))).cast("long")
+
+  /** Same class set, single-quoted for DuckDB (`\s` stays literal). */
+  val bpeCountSql = """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
+
   /** Word k-shingles of a token array (k ≥ 2), joined with single spaces.
     *
     * Implemented as `arrays_zip` over k shifted slices + filter + join,
