@@ -32,7 +32,7 @@ object DedupOps {
     * corpus arrives as few parquet splits (1 at test SF), which would pin
     * the regex pipeline to as many cores; a cheap row shuffle fans it out
     * across the cluster. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
@@ -135,8 +135,37 @@ object DedupOps {
     (1 to NumPerms).map(i => (40503L * 65537L * i + 997L) % MinhashP)
 
   /** 60-bit md5 prefix folded to 30 bits — keeps a·h+b inside int64. */
-  private def h30(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def h30(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % 1073741824L)
+
+  /** Per-ROW MinHash band buckets of a (doc_id, shs) relation: the
+    * signature folds INSIDE the row (array HOFs over the shingle array)
+    * instead of explode + groupBy, so the same bucket values compute
+    * STATELESSLY on a stream — no watermark, no stateful aggregation
+    * (the incremental-dedup path, StreamOps.dedupVsIndex). Bit-identical
+    * to q50's aggregated form: both minimize (a·h30(sh)+b) mod p over
+    * the distinct shingle set and md5 the same comma-joined band slice.
+    * Batch q50 keeps the explode+groupBy form — codegen'd aggregates
+    * beat interpreted HOFs at corpus volume; per-batch stream volume is
+    * the opposite trade. Preserves every input column (a stream's
+    * event-time column must ride along — rejoining it later would be a
+    * stateful self-join) and appends (band, bucket). */
+  private[graft] def rowBandBuckets(docSh: DataFrame): DataFrame = {
+    val keep = docSh.columns.map(col).toSeq
+    val withSigs = docSh.filter(size(col("shs")) > 0)
+      .withColumn("__hs", transform(col("shs"), s => h30(s)))
+      .withColumn("__sigs", array((0 until NumPerms).map(i =>
+        array_min(transform(col("__hs"),
+          h => (lit(PermA(i)) * h + lit(PermB(i))) % MinhashP))): _*))
+    val bandCols = (0 until NumPerms / BandSize).map { bnd =>
+      val parts = (0 until BandSize).map(r =>
+        element_at(col("__sigs"), bnd * BandSize + r + 1))
+      struct(lit(bnd).as("band"), md5(concat_ws(",", parts: _*)).as("bucket"))
+    }
+    withSigs
+      .select(keep :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+  }
 
   def q50(s: SparkSession, dir: String): DataFrame = {
     val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)

@@ -80,6 +80,47 @@ object StreamOps {
       .select(col("p_id"), col("p_user"), col("c_ts"))
   }
 
+  /** Incremental corpus dedup: newly-arriving documents check against
+    * the EXISTING corpus without recomputing it. The corpus side is two
+    * static relations (in production: parquet written when the corpus
+    * version was built) — its MinHash band-bucket index and its shingle
+    * sets. Each micro-batch then runs entirely STATELESS stages: per-row
+    * signatures (DedupOps.rowBandBuckets — array HOFs, no aggregation),
+    * a stream-static bucket equi-join, and the exact-Jaccard verify
+    * against the static shingle sets. The one stateful op is the final
+    * pair dedup (a doc colliding with the same corpus doc in several
+    * bands), watermark-bounded — pairs only repeat within their own
+    * micro-batch, so the horizon never drops a legitimate dedup.
+    *
+    * 100 TB shape: stream volume is the arrival rate, not the corpus;
+    * the corpus index is only ever probed by equi-join (shuffled or
+    * broadcast per Catalyst), and state is O(pairs in horizon).
+    *
+    * `newDocs`: (doc_id, text, ts). Emits (doc_id, dup_of, jaccard). */
+  def dedupVsIndex(newDocs: DataFrame, indexBuckets: DataFrame,
+      indexShingles: DataFrame): DataFrame = {
+    import graft.text.Text
+    val newSh = newDocs
+      .select(col("doc_id"), col("ts"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    graft.operators.DedupOps.rowBandBuckets(newSh)
+      .withWatermark("ts", "1 hour")
+      .join(indexBuckets.select(col("doc_id").as("dup_of"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .join(indexShingles.select(col("doc_id").as("dup_of"),
+        col("shs").as("shs_b")), Seq("dup_of"))
+      .withColumn("inter", size(array_intersect(col("shs"), col("shs_b"))))
+      .withColumn("jraw", col("inter") /
+        (size(col("shs")) + size(col("shs_b")) - col("inter")).cast("double"))
+      .filter(col("jraw") >= 0.5)
+      .select(col("doc_id"), col("dup_of"), round(col("jraw"), 6).as("jaccard"),
+        col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
+      .drop("ts")
+  }
+
   /** Streaming as-of join, bounded lookback: the most recent click in
     * the 10 minutes before each purchase. Two chained stateful
     * operators — the watermarked interval join emits every qualifying

@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Events
+import graft.operators.{DedupOps, Events}
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Event
+
+/** Arrival-shaped document for the incremental-dedup stream. */
+case class NewDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
 /** Stream ≡ batch on complete input: each streaming pipeline, fed the
   * events table through MemoryStream, must agree with its batch shape in
@@ -156,6 +159,42 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .collect().map { case (id, ts) => (id, ts.getTime) }.sorted.toSeq
     assert(got === want)
     assert(got.nonEmpty)
+  }
+
+  test("incremental dedup vs static index ≡ full-corpus q50 restricted to the split") {
+    implicit val ctx = spark.sqlContext
+    import graft.text.Text
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+    def shOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val corpusSh = shOf(docs.filter(col("doc_id") % 4 =!= 0)).cache()
+    val indexBuckets = DedupOps.rowBandBuckets(corpusSh)
+      .select(col("doc_id"), col("band"), col("bucket")).cache()
+    val base = 1704067200000L
+    val newDocs = docs.filter(col("doc_id") % 4 === 0)
+      .as[(Long, String)].collect()
+      .map { case (id, text) => NewDoc(id, text, new java.sql.Timestamp(base + id)) }
+    val ms = MemoryStream[NewDoc]
+    ms.addData(newDocs.toSeq)
+    val q = StreamOps.dedupVsIndex(ms.toDF(), indexBuckets, corpusSh)
+      .writeStream.format("memory").queryName("t_incdedup").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("t_incdedup")
+      .select("doc_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    // ground truth: the FULL-corpus batch q50, restricted to pairs with
+    // exactly one member on the stream side. Set equality proves the
+    // row-local streaming signatures are bit-identical to the batch
+    // explode+groupBy signatures (same buckets → same candidates → same
+    // verified pairs, none extra, none lost).
+    val want = DedupOps.q50(spark, SF)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 4 == 0) != (b % 4 == 0) }.toSet
+    assert(got === want)
+    assert(got.nonEmpty, "no planted near-dup straddles the corpus/stream split")
+    corpusSh.unpersist(); indexBuckets.unpersist()
   }
 
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
