@@ -341,6 +341,57 @@ object SimOps {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- 84. scalar int8 embedding quantization ---------------------------
+  /** Max-abs scalar quantization: q_i = round(x_i / scale · 127) as a
+    * BYTE, scale = max|x_i| per vector — 4× less embedding storage and
+    * shuffle width for the ANN corpus side (the first lever a 100 TB
+    * vector index pulls; IVF/LSH structures above it are unchanged).
+    * Everything is per-row array arithmetic: map-side, codegen'd input,
+    * no shuffle. Recall cost is measured in SimilaritySpec (quantized
+    * brute top-k vs exact q53). */
+  def quantize(e: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val s = array_max(transform(xd, x => abs(x)))
+    e.withColumn("scale", s)
+      .withColumn("qemb", when(col("scale") === 0d,
+          transform(col("embedding"), _ => lit(0).cast("byte")))
+        .otherwise(transform(xd,
+          x => round(x / col("scale") * 127).cast("byte"))))
+  }
+
+  /** Reconstructed float vectors (q_i · scale / 127) — feeds the same
+    * codegen'd [[graft.expressions.VectorExprs.vecDot]] hot path as the
+    * exact ops, so the quantized search differs ONLY in the data. */
+  def dequantized(q: DataFrame): DataFrame =
+    q.withColumn("embedding",
+      transform(col("qemb"), b => (b.cast("double") * col("scale") / 127).cast("float")))
+
+  /** Registered signature query: per-vector quantization invariants
+    * (scale, sum and L1 of the int8 codes) — integer-exact, so the
+    * DuckDB oracle pins the quantizer bit-for-bit. */
+  def q84(s: SparkSession, dir: String): DataFrame =
+    quantize(Tables.embeddings(s, dir))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        aggregate(col("qemb"), lit(0L), (acc, b) => acc + b.cast("long")).as("q_sum"),
+        aggregate(col("qemb"), lit(0L), (acc, b) => acc + abs(b.cast("long"))).as("q_l1"))
+      .orderBy(col("vec_id"))
+
+  val q84Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS s,
+      |    embedding
+      |  FROM embeddings)
+      |SELECT vec_id, round(s, 6) AS scale,
+      |  CAST(list_sum([CASE WHEN s = 0 THEN 0
+      |    ELSE CAST(round(CAST(x AS DOUBLE) / s * 127) AS BIGINT) END
+      |    FOR x IN embedding]) AS BIGINT) AS q_sum,
+      |  CAST(list_sum([abs(CASE WHEN s = 0 THEN 0
+      |    ELSE CAST(round(CAST(x AS DOUBLE) / s * 127) AS BIGINT) END)
+      |    FOR x IN embedding]) AS BIGINT) AS q_l1
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   // --- 55. per-label vector statistics ----------------------------------
   /** Centroid via decimal-exact per-dimension sums (order-independent →
     * cross-engine deterministic); norms folded sequentially. */
@@ -392,5 +443,6 @@ object SimOps {
     Op("q55_vector_stats", q55, Some(q55Sql)),
     Op("q61_ann_ivf", q61, Some(q61Sql)),
     Op("q78_ann_lsh_multi", q78, Some(q78Sql)),
+    Op("q84_embed_quantize", q84, Some(q84Sql)),
   )
 }

@@ -114,6 +114,33 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(multi > 0.0)
   }
 
+  test("q84 int8 quantization: byte range, 4x narrower, high brute-force recall") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, SF)
+    val q = SimOps.quantize(e).cache()
+    // codes stay in the int8 range and the max-abs element hits ±127
+    val rng = q.select(
+      min(array_min(col("qemb"))), max(array_max(col("qemb"))),
+      min(array_max(transform(col("qemb"), b => abs(b.cast("int")))))).head()
+    assert(rng.getByte(0) >= -127 && rng.getByte(1) <= 127)
+    assert(rng.getInt(2) === 127, "max-abs element must quantize to ±127")
+    // schema is genuinely byte-typed (the 4x storage claim)
+    assert(q.schema("qemb").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    // recall: quantized brute-force top-5 vs exact q53 top-5
+    val dq = SimOps.dequantized(q).select("vec_id", "embedding")
+    val queries = dq.filter(col("vec_id") % 50 === 0)
+    val qTop = SimOps.knnBrute(dq, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    val exact = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    val byQ = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = qTop.count { case (qid, nid) => byQ(qid).contains(nid) }
+    val recall = hits.toDouble / exact.length
+    assert(recall >= 0.8, s"int8 recall@5 = $recall")
+    q.unpersist()
+  }
+
   test("q55 vector stats cover all labels with sane norms") {
     val rows = SimOps.q55(spark, SF).collect()
     assert(rows.length === 10)
