@@ -146,9 +146,63 @@ object PipelineOps {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  // --- 85. benchmark decontamination -------------------------------------
+  /** Training-data decontamination: flag corpus documents that share long
+    * word n-grams with an evaluation/benchmark set (the GPT-3/Pile-style
+    * n-gram overlap check — leaked eval examples inflate benchmark
+    * scores). The benchmark side is eval-sized — its distinct
+    * 5-shingle set BROADCASTS — so the corpus is never shuffled
+    * pre-match: shingle + semi-match map-side, then one map-side-combined
+    * per-doc count. Docs with ≥ [[ContamMinShared]] distinct shared
+    * 5-grams are contaminated; every matching doc is emitted with its
+    * overlap count so the threshold is tunable downstream.
+    *
+    * The registered entry stands in doc_id % 97 == 0 as the "benchmark"
+    * set; production callers pass their own eval table through
+    * [[contamination]]. */
+  val ContamShingleK = 5
+  val ContamMinShared = 3
+
+  def contamination(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    import graft.text.Text
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(Text.shingles(Text.tokens(col("text")), ContamShingleK)))
+          .as("sh"))
+    val benchSh = sh(benchmark).select(col("sh")).distinct()
+    sh(corpus).join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") >= ContamMinShared).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    contamination(docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+  }
+
+  lazy val q85Sql: String = {
+    val shingle5 = graft.text.Text.shinglesSql("toks", ContamShingleK)
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${graft.text.Text.toksSql} AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct($shingle5)) AS sh FROM toks),
+       |bench AS (
+       |  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id, COUNT(*) AS n_shared,
+       |  CASE WHEN COUNT(*) >= $ContamMinShared THEN 1 ELSE 0 END AS contaminated
+       |FROM sh s JOIN bench USING (sh)
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
     Op("q83_token_pack", q83, Some(q83Sql)),
+    Op("q85_decontaminate", q85, Some(q85Sql)),
   )
 }

@@ -58,6 +58,35 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(ids !== ids.sorted, "shuffle_key left corpus order intact")
   }
 
+  test("q85 decontamination: self-overlap totality, flag consistency") {
+    import org.apache.spark.sql.functions._
+    import graft.text.Text
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+    // benchmark == corpus: every doc with any 5-shingles overlaps itself
+    // completely, so n_shared = its distinct-shingle count and every doc
+    // at ≥ ContamMinShared shingles must flag
+    val self = PipelineOps.contamination(docs, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Int]("contaminated"))).toMap
+    val shCounts = docs.select(col("doc_id"),
+        size(array_distinct(Text.shingles(Text.tokens(col("text")),
+          PipelineOps.ContamShingleK))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    shCounts.foreach { case (id, n) =>
+      if (n > 0) {
+        assert(self(id)._1 === n.toLong, s"doc $id self-overlap != shingle count")
+        assert((self(id)._2 == 1) === (n >= PipelineOps.ContamMinShared))
+      } else assert(!self.contains(id))
+    }
+    // the registered split: output only corpus-side docs, flag matches count
+    val rows = PipelineOps.q85(spark, SF).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 !== 0L)
+      assert((r.getAs[Int]("contaminated") == 1) ===
+        (r.getAs[Long]("n_shared") >= PipelineOps.ContamMinShared))
+    }
+  }
+
   test("q83 shard packing: exact distributed cumsum, start-offset shards") {
     val rows = PipelineOps.q83(spark, SF).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
