@@ -472,14 +472,55 @@ object Relational {
       |FROM orders""".stripMargin
 
   // --- 24. exact interpolated percentiles ------------------------------
-  def q24(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.25)").as("p25"),
-        expr("percentile(l_quantity, 0.5)").as("p50"),
-        expr("percentile(l_quantity, 0.75)").as("p75"))
+  /** Exact interpolated percentiles WITHOUT Spark's `percentile`
+    * aggregate, whose buffer holds every value of the group in one
+    * executor (corpus-sized state at 100 TB — the aggregate-shaped
+    * cousin of the global-window sort). l_quantity is low-cardinality,
+    * so the group collapses first to (flag, value, cnt) — one
+    * map-side-combined pass — and the quantile_cont interpolation
+    * (pos = p·(n−1); v_lo + (v_hi − v_lo)·frac, the same formula Spark
+    * and DuckDB use) runs over the tiny aggregated relation with
+    * broadcast joins locating the bracketing values. High-cardinality
+    * measures go to q25's sketches or OrderStats ranks instead. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = vc.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prior", col("cum") - col("cnt"))
+    val n = vc.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
+    val ps = Seq(0.25, 0.5, 0.75)
+    val pos = n.select(col("l_returnflag"), explode(array(ps.map(lit): _*)).as("p"),
+        (col("n") - 1).cast("double").as("nm1"))
+      .select(col("l_returnflag"), col("p"), (col("p") * col("nm1")).as("pos"))
+      .withColumn("ilo", floor(col("pos")).cast("long"))
+      .withColumn("ihi", ceil(col("pos")).cast("long"))
+    // the value at 0-based index i is the row whose [prior, cum) covers i;
+    // each bracket side gets its own column names (same-lineage joins are
+    // ambiguous otherwise)
+    def at(as: String) =
+      cum.select(col("l_returnflag").as(s"${as}_f"), col("l_quantity").as(as),
+        col("prior").as(s"${as}_prior"), col("cum").as(s"${as}_cum"))
+    val lo = at("vlo")
+    val hi = at("vhi")
+    val interp = pos
+      .join(broadcast(lo), col("l_returnflag") === col("vlo_f") &&
+        col("ilo") >= col("vlo_prior") && col("ilo") < col("vlo_cum"))
+      .join(broadcast(hi), col("l_returnflag") === col("vhi_f") &&
+        col("ihi") >= col("vhi_prior") && col("ihi") < col("vhi_cum"))
+      .select(col("l_returnflag"), col("p"),
+        (col("vlo") + (col("vhi") - col("vlo")) * (col("pos") - col("ilo")))
+          .as("v"))
+    interp.groupBy(col("l_returnflag"))
+      .pivot("p", ps)
+      .agg(first(col("v")))
+      .select(col("l_returnflag"), col("`0.25`").as("p25"),
+        col("`0.5`").as("p50"), col("`0.75`").as("p75"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q24Sql: String =
     """SELECT l_returnflag,
