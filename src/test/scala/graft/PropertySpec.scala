@@ -87,4 +87,29 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("PrefixSum.withRunningSum equals a sequential scan on arbitrary keys") {
+    // key shapes that stress the binning: spread, heavy ties (many rows
+    // per bin AND per key — the tiebreak path), negatives, tight range
+    // (sub-NumBins span → width clamps to 1); values include negatives
+    val keyGen = Gen.oneOf[Seq[Long]](
+      Gen.listOfN(400, Gen.chooseNum(-1000000L, 1000000L)),
+      Gen.listOfN(400, Gen.chooseNum(0L, 3L)),
+      Gen.listOfN(400, Gen.chooseNum(-5L, 5L)))
+    samples(Gen.zip(keyGen, Gen.chooseNum(1, 7)), 6).foreach { case (ks, parts) =>
+      val rows = ks.zipWithIndex.map { case (k, i) =>
+        (k, i.toLong, (k % 13) - 6) } // v correlated with key, negative-heavy
+      val expect = rows.sortBy { case (k, id, _) => (k, id) }
+        .scanLeft(0L) { case (acc, (_, _, v)) => acc + v }.tail
+      val ordered = rows.sortBy { case (k, id, _) => (k, id) }.map(t => (t._1, t._2))
+      val got = graft.functions.PrefixSum
+        .withRunningSum(rows.toDF("k", "id", "v").repartition(parts),
+          "k", Seq("id"), "v", "cum")
+        .select(col("k"), col("id"), col("cum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      ordered.zip(expect).foreach { case (key, want) =>
+        assert(got(key) === want, s"cum at $key")
+      }
+    }
+  }
 }
