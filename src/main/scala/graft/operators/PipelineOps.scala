@@ -74,19 +74,26 @@ object PipelineOps {
   val MixRates: Seq[(String, Double)] = Seq("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
   val MixDefaultRate = 0.125
 
-  def q82(s: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
-      .cast("long") % 1000000L // uniform in [0, 1e6): 60 md5 bits mod 10^6
-    val rate = MixRates.foldLeft(lit(MixDefaultRate)) { case (acc, (l, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(acc) }
-    graft.Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), u.as("u"), rate.as("rate"))
+  /** Uniform-in-[0,1e6) sampling key: 60 md5 bits of the doc id mod 10^6. */
+  private def mixU = conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15),
+    16, 10).cast("long") % 1000000L
+
+  private def mixRate = MixRates.foldLeft(lit(MixDefaultRate)) {
+    case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc) }
+
+  /** `docs` (needs doc_id, lang) reduced to its deterministic mixture
+    * sample, with the inverse-propensity weight attached. */
+  private def mixSampled(docs: DataFrame): DataFrame =
+    docs.withColumn("u", mixU).withColumn("rate", mixRate)
       .filter(col("u") < col("rate") * 1000000L)
-      .select(col("doc_id"), col("lang"),
-        round(lit(1.0) / col("rate"), 6).as("weight"),
+      .withColumn("weight", round(lit(1.0) / col("rate"), 6))
+      .drop("u", "rate")
+
+  def q82(s: SparkSession, dir: String): DataFrame =
+    mixSampled(graft.Tables.documents(s, dir).select(col("doc_id"), col("lang")))
+      .select(col("doc_id"), col("lang"), col("weight"),
         substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 8).as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
-  }
 
   private def mixRateCaseSql: String =
     "CAST(CASE lang " +
@@ -199,10 +206,70 @@ object PipelineOps {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // --- 86. end-to-end training-data build --------------------------------
+  /** The full production path in ONE registered op: gate the corpus
+    * (q77's language + quality + dedup-keeper selection) → mix the
+    * survivors (q82's deterministic per-language sampler + weights) →
+    * pack the mixture into token-budget shards (q83's PrefixSum cumsum).
+    * Everything inherits the pieces' scale shapes — corpus-linear gates,
+    * map-side sampling, the binned two-level cumsum — and the whole
+    * chain is hash-replayed by the composed DuckDB oracle, so the exact
+    * shard-level training set is pinned end-to-end. */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .join(sel, "doc_id")
+    val mixed = mixSampled(docs)
+      .select(col("doc_id"), col("lang"), col("weight"),
+        graft.text.Text.bpeTokenCount(col("text")).as("n_tokens"),
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("bkey"))
+    graft.functions.PrefixSum
+      .withRunningSum(mixed, "bkey", Seq("doc_id"), "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("lang"), col("weight"), col("n_tokens"),
+        col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div ${ShardTokenBudget}L").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q86Sql: String =
+    s"""WITH RECURSIVE ${DedupOps.q49CcCtesSql},
+       |langp AS (SELECT doc_id, pred_lang FROM ($q44Body) _l),
+       |qual AS (SELECT doc_id, n_toks, non_alnum_ratio FROM ($q45Body) _q),
+       |sel AS (
+       |  SELECT l.doc_id FROM langp l
+       |  JOIN qual q ON l.doc_id = q.doc_id
+       |  JOIN roots r ON l.doc_id = r.doc_id
+       |  WHERE pred_lang = 'en' AND n_toks >= 10 AND non_alnum_ratio <= 0.5
+       |    AND r.doc_id = r.root),
+       |d AS (
+       |  SELECT doc_id, lang, text FROM documents JOIN sel USING (doc_id)),
+       |sampled AS (
+       |  SELECT doc_id, lang, text, $mixRateCaseSql AS rate
+       |  FROM d
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < $mixRateCaseSql * 1000000),
+       |t AS (
+       |  SELECT doc_id, lang, round(1.0 / rate, 6) AS weight,
+       |    ${graft.text.Text.bpeCountSql} AS n_tokens,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM sampled),
+       |c AS (
+       |  SELECT doc_id, lang, weight, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY bkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, weight, n_tokens, cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
     Op("q83_token_pack", q83, Some(q83Sql)),
     Op("q85_decontaminate", q85, Some(q85Sql)),
+    Op("q86_training_build", q86, Some(q86Sql)),
   )
 }

@@ -58,6 +58,29 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(ids !== ids.sorted, "shuffle_key left corpus order intact")
   }
 
+  test("q86 training build composes its stages exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineOps.q86(spark, SF).collect()
+    assert(rows.nonEmpty)
+    // membership: exactly the q82-sampled subset of the q77-selected docs
+    val selected = PipelineOps.q77(spark, SF)
+      .filter(col("selected") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val mixed = PipelineOps.q82(spark, SF)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(got === (selected intersect mixed))
+    // shard budget: every shard's START offsets stay within budget spacing
+    rows.foreach { r =>
+      val (n, cum, sh) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("shard"))
+      assert(sh === (cum - n) / PipelineOps.ShardTokenBudget)
+    }
+    // deterministic end to end
+    val again = PipelineOps.q86(spark, SF).collect()
+    assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+  }
+
   test("q85 decontamination: self-overlap totality, flag consistency") {
     import org.apache.spark.sql.functions._
     import graft.text.Text
