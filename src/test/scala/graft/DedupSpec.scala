@@ -110,6 +110,10 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     // empty candidate set prunes to nothing rather than passing the corpus
     assert(graft.functions.BloomPrune
       .semiPrune(corpus, "doc_id", keys.filter(lit(false)), "id", 1).count() === 0)
+    // sketch sizing: 8 KiB floor, ~10 bits/key in between, 8 MiB cap
+    assert(graft.functions.BloomPrune.bitsFor(1) === (1L << 16))
+    assert(graft.functions.BloomPrune.bitsFor(1L << 20) === 10L * (1L << 20))
+    assert(graft.functions.BloomPrune.bitsFor(1L << 40) === (1L << 26))
   }
 
   test("q52 embedding near-dups are cosine-thresholded") {

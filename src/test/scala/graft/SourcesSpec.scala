@@ -110,6 +110,32 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       (4L, "Campylobacter prevalence", Some("broiler flocks meta-analysis"), false)))
   }
 
+  test("xlsx parser decodes XML entities and picks the lowest-numbered sheet") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val f = java.io.File.createTempFile("graft_ent", ".xlsx")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // sheet10 before sheet2 in the archive AND lexicographically smaller —
+    // numeric ordering must still pick sheet2
+    entry("xl/worksheets/sheet10.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>wrong_sheet</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    entry("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>title</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>Salt &amp; pepper &lt;2&gt; &quot;fine&quot;</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val (header, rows) = graft.sources.Xlsx.parse(new java.io.FileInputStream(f))
+    assert(header === Vector("title"))
+    assert(rows === Vector(Vector("""Salt & pepper <2> "fine"""")))
+  }
+
   test("sql extension exposes the native vec_dot") {
     Tables.embeddings(spark, SF).createOrReplaceTempView("emb_ext_test")
     val r = spark.sql(
