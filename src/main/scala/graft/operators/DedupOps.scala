@@ -230,7 +230,7 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private def permsValuesSql: String =
+  private[operators] def permsValuesSql: String =
     (0 until NumPerms)
       .map(i => s"($i, ${PermA(i)}, ${PermB(i)})").mkString(", ")
 

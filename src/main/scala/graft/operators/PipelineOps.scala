@@ -265,11 +265,75 @@ object PipelineOps {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  // --- 87. decontamination at eval-suite scale ---------------------------
+  /** q85's broadcast set-overlap needs the benchmark shingle table to fit
+    * a broadcast; when the eval suite is itself corpus-sized (every
+    * benchmark ever published), contamination becomes a cross-relation
+    * near-dup problem: MinHash band buckets on BOTH sides, a shuffled
+    * equi-join on (band, bucket) — candidates ∝ near-matching pairs, not
+    * |corpus|·|bench| — then the exact shared-5-gram verify on candidates
+    * only. Catches the dominant contamination mode (a training doc
+    * nearly duplicating an eval doc; Jaccard ≳ 0.5 by the banding);
+    * diffuse low-overlap leakage stays q85's job. Same hash/perm
+    * formulas as q50, so the DuckDB oracle replays end-to-end. */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Text
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), ContamShingleK))
+          .as("shs"))
+      .filter(size(col("shs")) > 0)
+    val docs = graft.Tables.documents(s, dir)
+    val corpus = DedupOps.rowBandBuckets(sh(docs.filter(col("doc_id") % 11 =!= 0)))
+    val bench = DedupOps.rowBandBuckets(sh(docs.filter(col("doc_id") % 11 === 0)))
+      .select(col("doc_id").as("bench_id"), col("shs").as("shs_b"),
+        col("band"), col("bucket"))
+    corpus.join(bench, Seq("band", "bucket"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(first(col("shs")).as("shs"), first(col("shs_b")).as("shs_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("shs"), col("shs_b"))).cast("long"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  lazy val q87Sql: String = {
+    val shingle5 = graft.text.Text.shinglesSql("toks", ContamShingleK)
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct($shingle5) AS shs
+       |  FROM (SELECT doc_id, ${graft.text.Text.toksSql} AS toks FROM documents) _t),
+       |dnz AS (SELECT * FROM d WHERE len(shs) > 0),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM dnz),
+       |hashed AS (SELECT doc_id, sh,
+       |  CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 1073741824 AS h FROM sh),
+       |perms(i, a, b) AS (VALUES ${DedupOps.permsValuesSql}),
+       |sigs AS (
+       |  SELECT doc_id, i, MIN((a * h + b) % ${DedupOps.MinhashP}) AS sig
+       |  FROM hashed CROSS JOIN perms GROUP BY doc_id, i),
+       |buckets AS (
+       |  SELECT doc_id, i // ${DedupOps.BandSize} AS band,
+       |    md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |  FROM sigs GROUP BY doc_id, i // ${DedupOps.BandSize}),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+       |  FROM buckets c JOIN buckets b
+       |    ON c.band = b.band AND c.bucket = b.bucket
+       |    AND c.doc_id % 11 <> 0 AND b.doc_id % 11 = 0)
+       |SELECT cand.doc_id AS doc_id, bench_id,
+       |  len(list_intersect(dc.shs, db.shs)) AS n_shared
+       |FROM cand
+       |JOIN dnz dc ON cand.doc_id = dc.doc_id
+       |JOIN dnz db ON bench_id = db.doc_id
+       |WHERE len(list_intersect(dc.shs, db.shs)) >= $ContamMinShared
+       |ORDER BY cand.doc_id, bench_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
     Op("q83_token_pack", q83, Some(q83Sql)),
     Op("q85_decontaminate", q85, Some(q85Sql)),
     Op("q86_training_build", q86, Some(q86Sql)),
+    Op("q87_decontaminate_scale", q87, Some(q87Sql)),
   )
 }

@@ -110,6 +110,38 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q87 scale decontamination: sound pairs, near-dup benchmark leaks found") {
+    import org.apache.spark.sql.functions._
+    import graft.text.Text
+    val shs = Tables.documents(spark, SF)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")),
+          PipelineOps.ContamShingleK)).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val rows = PipelineOps.q87(spark, SF).collect()
+    // soundness: every reported pair straddles the split and its overlap
+    // count is the exact driver-side intersection
+    rows.foreach { r =>
+      val (d, b, n) = (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_shared"))
+      assert(d % 11 != 0 && b % 11 == 0)
+      assert(n === (shs(d) intersect shs(b)).size.toLong)
+      assert(n >= PipelineOps.ContamMinShared)
+    }
+    // completeness on the contamination that matters: a corpus doc whose
+    // shingle set nearly duplicates a benchmark doc (Jaccard ≥ 0.9 —
+    // planted dups) must be caught by the banding
+    val found = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"))).toSet
+    val hot = for {
+      (d, s1) <- shs.toSeq if d % 11 != 0 && s1.nonEmpty
+      (b, s2) <- shs.toSeq if b % 11 == 0 && s2.nonEmpty
+      inter = (s1 intersect s2).size
+      if inter.toDouble / (s1.size + s2.size - inter) >= 0.9
+    } yield (d, b)
+    hot.foreach { p => assert(found.contains(p), s"near-dup leak $p missed") }
+  }
+
   test("q83 shard packing: exact distributed cumsum, start-offset shards") {
     val rows = PipelineOps.q83(spark, SF).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
