@@ -3,27 +3,58 @@ package graft
 import org.apache.spark.rdd.RDD
 
 /** Ownership registry for localCheckpoint blocks that outlive their
-  * operator ([[operators.DedupOps.connectedComponents]]'s final round).
+  * operator ([[operators.DedupOps.connectedComponents]]'s final round,
+  * q50's verify-prune candidate set).
   *
   * A localCheckpoint's blocks are NOT CacheManager entries, so the
   * group-level `spark.catalog.clearCache()` in Bench/Verify cannot free
   * them; without an explicit owner each invocation leaks one
   * corpus-sized label snapshot per run (best-of-2 benching of q70, q74
-  * and q77 would pin up to six). Operators register the blocks that back
-  * their RETURNED plan here; the harness (and specs) call [[releaseAll]]
-  * after the consuming count/write completes, in the same breath as the
-  * family cache clear.
+  * and q77 would pin up to six).
+  *
+  * Registrations are KEYED PER INVOCATION: `register` returns a
+  * [[CheckpointRegistry.Handle]] that releases exactly the blocks it
+  * covers, so a caller outside the harness (a spec, a notebook) can free
+  * its own snapshot without unpersisting another in-flight operator's
+  * blocks — whose truncated lineage could not recompute. The blanket
+  * [[releaseAll]] remains for the single-threaded harness loops
+  * (Bench/Verify between ops) and the suite-level teardown in
+  * [[SharedSpark]]; it must only run once no consumer will re-execute
+  * any registered plan.
   */
 object CheckpointRegistry {
-  private val live = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
 
-  def register(rdd: RDD[_]): Unit = synchronized { live += rdd }
+  /** Release scope for one operator invocation's checkpoint blocks. */
+  final class Handle private[CheckpointRegistry] (
+      private[CheckpointRegistry] val id: Long) {
+    /** Unpersist only this invocation's blocks. Idempotent. */
+    def release(): Unit = CheckpointRegistry.release(this)
+  }
 
-  /** Unpersist every registered block set. Safe to call repeatedly; only
-    * call once no consumer will re-execute the registered plans (their
-    * lineage is truncated to these blocks — they cannot recompute). */
+  private val live =
+    scala.collection.mutable.LinkedHashMap.empty[Long, Seq[RDD[_]]]
+  private var nextId = 0L
+
+  /** Track `rdds` as one invocation's block set; the returned handle
+    * releases them independently of every other registration. */
+  def register(rdds: RDD[_]*): Handle = synchronized {
+    val h = new Handle(nextId)
+    nextId += 1
+    live(h.id) = rdds.toSeq
+    h
+  }
+
+  private def release(h: Handle): Unit = synchronized {
+    live.remove(h.id).foreach(_.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Unpersist EVERY registered block set. Safe to call repeatedly, but
+    * only once no consumer will re-execute any registered plan (their
+    * lineage is truncated to these blocks — they cannot recompute).
+    * Harness/suite teardown use; concurrent operator code should release
+    * its own [[Handle]] instead. */
   def releaseAll(): Unit = synchronized {
-    live.foreach(_.unpersist(blocking = false))
+    live.valuesIterator.foreach(_.foreach(_.unpersist(blocking = false)))
     live.clear()
   }
 }

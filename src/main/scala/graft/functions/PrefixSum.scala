@@ -39,9 +39,19 @@ object PrefixSum {
   def withRunningSum(df: DataFrame, bkey: String, tiebreak: Seq[String],
       v: String, outCol: String): DataFrame = {
     val rng = df.agg(min(col(bkey)).as("lo"), max(col(bkey)).as("hi"))
-    // exact integer bin: (bkey - lo) div width, width ≥ span/NumBins
+    // exact integer bin: (bkey - lo) div width, width ≥ span/NumBins.
+    // `hi - lo` overflows when the span exceeds Long.MaxValue (hi > 0,
+    // lo < 0): ANSI mode raises an opaque ARITHMETIC_OVERFLOW from
+    // whichever task hits it first, non-ANSI SILENTLY wraps and breaks
+    // the bin↔order monotonicity the two-level scan depends on. Callers
+    // use ≤ 60-bit hash keys, but the contract is enforced, not
+    // assumed: try_subtract is NULL on overflow in BOTH modes, so the
+    // assert_true guard raises the named error before the raw
+    // subtraction can (coalesce(NULL-on-success, bin) keeps the type).
     val binExpr = expr(
-      s"($bkey - lo) div (((hi - lo) div ${NumBins}L) + 1L)")
+      s"coalesce(assert_true(try_subtract(hi, lo) IS NOT NULL, " +
+        s"'PrefixSum: $bkey span exceeds Long.MaxValue'), " +
+        s"($bkey - lo) div (((hi - lo) div ${NumBins}L) + 1L))")
     val binned = df.crossJoin(broadcast(rng))
       .withColumn("__bin", binExpr).drop("lo", "hi")
     val offsets = binned.groupBy(col("__bin"))

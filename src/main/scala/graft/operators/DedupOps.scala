@@ -90,8 +90,29 @@ object DedupOps {
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") > ShingleDfCap)
       .select(col("sh"))
-    val kept = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      .cache()
+      .cache() // consumed 2-3×: size count, then broadcast or bloom+anti
+    // The hot set is aggregated (one row per distinct hot shingle) but its
+    // SIZE is bounded only by |occurrences|/cap — an adversarial corpus
+    // (every shingle just over the cap) makes it too big to broadcast.
+    // Count first, then pick transport, mirroring q50's verify-prune:
+    //   - small: exact broadcast anti-join, applied map-side;
+    //   - large: a bloom canNOT anti-join directly (a false positive
+    //     would DROP a kept shingle), so split — bloom-NEGATIVE rows are
+    //     definitely not hot (no false negatives) and pass map-side;
+    //     only the maybe-hot remainder (true hot occurrences + ~1% fp)
+    //     finishes with an exact shuffled anti-join on the hot set.
+    val nHot = hot.count()
+    val kept0 =
+      if (nHot <= MaxBroadcastPruneIds)
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      else graft.functions.BloomPrune.build(hot, "sh", nHot) match {
+        case Some(b) =>
+          val probe = graft.functions.BloomPrune.mightContain(b, col("sh"))
+          sh.filter(!probe)
+            .unionAll(sh.filter(probe).join(hot, Seq("sh"), "left_anti"))
+        case None => sh // empty hot set: nothing to exclude
+      }
+    val kept = kept0.cache()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = kept.select(col("doc_id").as("id_a"), col("sh"))
     val b = kept.select(col("doc_id").as("id_b"), col("sh"))
@@ -202,7 +223,7 @@ object DedupOps {
     val candCk = cand.localCheckpoint()
     candCk.queryExecution.analyzed
       .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-      .foreach(graft.CheckpointRegistry.register)
+      .foreach(r => graft.CheckpointRegistry.register(r))
     val candIds = candCk.select(col("id_a").as("id"))
       .unionAll(candCk.select(col("id_b").as("id")))
     // the DISTINCT id count (cheap — reads checkpoint blocks) picks the
@@ -415,7 +436,7 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    prevBlocks.foreach(graft.CheckpointRegistry.register)
+    prevBlocks.foreach(r => graft.CheckpointRegistry.register(r))
     require(converged, s"label propagation did not converge in $iter rounds")
     labels
       .select(col("doc_id"), col("root"),

@@ -42,8 +42,15 @@ object Sources {
       val (h, data) = Xlsx.parse(pds.open())
       require(h == header,
         s"readXlsx: $file header $h differs from $firstFile header $header")
-      data.map(cells => Row.fromSeq(
-        cells.map(c => if (c.isEmpty) null else c).padTo(ncols, null).take(ncols)))
+      data.map { cells =>
+        // fail fast, never truncate: the header-equality check catches
+        // differing headers but not ragged DATA rows, and dropping
+        // trailing cells would lose data without any signal
+        require(cells.length <= ncols,
+          s"readXlsx: $file has a ${cells.length}-cell row, wider than " +
+            s"the $ncols-column header")
+        Row.fromSeq(cells.map(c => if (c.isEmpty) null else c).padTo(ncols, null))
+      }
     }
     s.createDataFrame(rows,
       StructType(header.map(StructField(_, StringType, nullable = true))))

@@ -88,6 +88,19 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("PrefixSum raises on a key span exceeding Long.MaxValue") {
+    // hi - lo wraps negative here; without the in-plan assert the bin
+    // mapping silently loses monotonicity and the sums come out wrong
+    val rows = Seq((Long.MinValue + 10L, 0L, 1L), (Long.MaxValue - 10L, 1L, 1L))
+    val ex = intercept[Exception] {
+      graft.functions.PrefixSum
+        .withRunningSum(rows.toDF("k", "id", "v"), "k", Seq("id"), "v", "cum")
+        .collect()
+    }
+    assert(ex.getMessage.contains("span exceeds Long.MaxValue") ||
+      Option(ex.getCause).exists(_.getMessage.contains("span exceeds Long.MaxValue")))
+  }
+
   test("PrefixSum.withRunningSum equals a sequential scan on arbitrary keys") {
     // key shapes that stress the binning: spread, heavy ties (many rows
     // per bin AND per key — the tiebreak path), negatives, tight range

@@ -136,6 +136,31 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(rows === Vector(Vector("""Salt & pepper <2> "fine"""")))
   }
 
+  test("xlsx ingest fails fast on a data row wider than the header") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = new java.io.File(tmp("xlsx_ragged"))
+    val f = new java.io.File(dir, "ragged.xlsx")
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // 2-column header, but row 2 carries a third (C) cell: silently
+    // truncating it would lose data with no signal — must raise instead
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>doc_id</t></is></c><c r="B1" t="inlineStr"><is><t>title</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="inlineStr"><is><t>ok</t></is></c><c r="C2" t="inlineStr"><is><t>orphan</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val ex = intercept[Exception] {
+      Sources.readXlsx(spark, dir.getAbsolutePath).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("wider than")))
+  }
+
   test("sql extension exposes the native vec_dot") {
     Tables.embeddings(spark, SF).createOrReplaceTempView("emb_ext_test")
     val r = spark.sql(
