@@ -346,6 +346,43 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB replay of q51 (r4: rows → oracle). The banding stage needs no
+    * replay: half-banding with single-bit multi-probe is COMPLETE at
+    * hamming ≤ 3 (the pigeonhole argument above, spec-pinned), and the
+    * final filter drops every candidate beyond 3 — so the output is
+    * exactly {pairs : hamming(simhash_a, simhash_b) ≤ 3}, which the
+    * oracle computes directly from the sketches. The sketch replays
+    * [[graft.expressions.SimHashAgg]] bit-for-bit: per-occurrence ±1
+    * votes on the two md5 word-halves, bit j set iff vote(j) > 0; the
+    * sign bit (hB bit 31 → position 63) is added as Long.MinValue so the
+    * HUGEINT bit sum lands back in signed-int64 range. */
+  val q51Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hA,
+       |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hB
+       |  FROM toks),
+       |bits AS (SELECT unnest(range(0, 32)) AS j),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (hA >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vA,
+       |    SUM(CASE WHEN (hB >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vB
+       |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
+       |sim AS (
+       |  SELECT doc_id, CAST(SUM(
+       |      (CASE WHEN vA > 0 THEN CAST(1 AS HUGEINT) << j ELSE 0 END) +
+       |      (CASE WHEN vB > 0 AND j < 31 THEN CAST(1 AS HUGEINT) << (j + 32) ELSE 0 END) +
+       |      (CASE WHEN vB > 0 AND j = 31 THEN CAST(-9223372036854775808 AS HUGEINT) ELSE 0 END)
+       |    ) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   // --- 52. embedding-cosine near-dup ------------------------------------
   /** Exact threshold pass (cos ≥ 0.4 — calibrated to the corpus, whose
     * planted near-dups sit ~0.45–0.55). Brute pairs here establish ground
@@ -559,7 +596,7 @@ object DedupOps {
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
     Op("q50_dedup_minhash", q50, Some(q50Sql)),
-    Op("q51_dedup_simhash", q51, None),
+    Op("q51_dedup_simhash", q51, Some(q51Sql)),
     Op("q52_dedup_embedding", q52, Some(q52Sql)),
     Op("q70_dedup_corpus", q70, Some(q70Sql)),
     Op("q74_dedup_pipeline", q74, Some(q74Sql)),

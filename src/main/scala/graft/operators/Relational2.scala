@@ -226,6 +226,65 @@ object Relational2 {
       |GROUP BY cohort
       |ORDER BY cohort""".stripMargin
 
+  // --- 89. exact GLOBAL quantiles without a global sort (r4) --------------
+  /** The high-cardinality complement of q24: q24 interpolates exact
+    * per-group percentiles after collapsing a LOW-cardinality measure to
+    * (group, value, cnt); for a measure that is distinct-per-row (here
+    * `events.value`, ~95 % distinct) that collapse saves nothing, and
+    * the naive plans — `percentile()` (buffers every value in one
+    * aggregate buffer) or an unpartitioned `ORDER BY` rank (sorts the
+    * corpus in ONE task) — are the two canonical 100×-breakers.
+    *
+    * Instead the two bracketing ranks of each requested quantile
+    * (percentile_cont positions: pos = (n−1)·p + 1) resolve to exact
+    * boundary keys via [[graft.functions.OrderStats.keysAtRanks]] —
+    * aggregate-shaped passes only — and the interpolation is a 5-row
+    * post-join. Total: two corpus aggregate passes (count + histogram)
+    * plus the narrow leaf pass, independent of n. The driver-computed
+    * rank positions replay exactly in the oracle because (n−1)·p + 1 is
+    * the same IEEE product in both engines. */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("value").cast("double").as("v"), col("event_id").cast("long").as("id"))
+    val n = ev.count()
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val metaRows = ps.zipWithIndex.map { case (p, i) =>
+      val pos = (n - 1) * p + 1.0
+      (i.toLong, p, pos - math.floor(pos),
+        math.floor(pos).toLong, math.ceil(pos).toLong)
+    }
+    import s.implicits._
+    // lo == hi when pos is integral — Set dedups so OrderStats sees each
+    // (idx, rank) once; min/max over (t, v) rebuilds the bracket below
+    val targets = metaRows
+      .flatMap { case (i, _, _, lo, hi) => Set(lo, hi).map(t => (i, t)) }
+      .toDF("idx", "t")
+    val meta = metaRows.map { case (i, p, frac, _, _) => (i, p, frac) }
+      .toDF("idx", "p", "frac")
+    val keys = graft.functions.OrderStats.keysAtRanks(ev, targets)
+      .groupBy(col("idx"))
+      .agg(min(struct(col("t"), col("v"))).getField("v").as("vlo"),
+        max(struct(col("t"), col("v"))).getField("v").as("vhi"))
+    keys.join(broadcast(meta), "idx")
+      .select(col("p"),
+        round(col("vlo") + col("frac") * (col("vhi") - col("vlo")), 6).as("q"))
+      .orderBy(col("p"))
+  }
+
+  val q89Sql: String =
+    """WITH v AS (SELECT CAST(value AS DOUBLE) AS v, event_id AS id
+      |  FROM events WHERE value IS NOT NULL),
+      |ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM v),
+      |n AS (SELECT COUNT(*) AS c FROM v),
+      |ps(p) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+      |  (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+      |k AS (SELECT p, (c - 1) * p + 1 AS ppos FROM ps CROSS JOIN n)
+      |SELECT k.p, round(lo.v + (k.ppos - floor(k.ppos)) * (hi.v - lo.v), 6) AS q
+      |FROM k
+      |JOIN ranked lo ON lo.rn = CAST(floor(k.ppos) AS BIGINT)
+      |JOIN ranked hi ON hi.rn = CAST(ceil(k.ppos) AS BIGINT)
+      |ORDER BY p""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q57_full_outer", q57, Some(q57Sql)),
     Op("q58_stats_pack", q58, Some(q58Sql)),
@@ -235,5 +294,6 @@ object Relational2 {
     Op("q66_percent_rank", q66, Some(q66Sql)),
     Op("q67_histogram", q67, Some(q67Sql)),
     Op("q68_set_ops", q68, Some(q68Sql)),
+    Op("q89_global_quantiles", q89, Some(q89Sql)),
   )
 }

@@ -392,6 +392,206 @@ object SimOps {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  // --- 88. product-quantization ANN (r4) --------------------------------
+  /** PQ: split each vector into [[PqM]] subspaces, quantize every
+    * subvector to its nearest per-subspace codeword, and search with
+    * asymmetric distance computation (ADC) — the query stays exact and
+    * scores a corpus row by summing per-subspace lookup-table entries
+    * addressed by the row's codes.
+    *
+    * Why this is the 100 TB memory-bandwidth lever: the scan side of the
+    * search carries [[PqM]] small codes per vector (8 bytes here)
+    * instead of 64 floats (256 bytes) — a 32× narrower corpus relation
+    * than brute force and 4× narrower than int8 (q84), while the
+    * codebook (M × ksub subvectors) and each query's LUT stay
+    * driver/broadcast-sized. Both codebook application passes are
+    * map-side: encode is the same zero-shuffle broadcast-argmin shape as
+    * the IVF assignment (spec-asserted), ADC is a broadcast-LUT lookup
+    * folded into the scan.
+    *
+    * The codebook derives from the per-label centroids ([[centroidCells]]
+    * — a converged coarse quantizer) sliced per subspace, densely
+    * re-indexed by cell order; a production system would train per-
+    * subspace k-means offline, but the structure — and every plan shape —
+    * is identical. Distances/LUT entries are rounded to 6 decimals, and
+    * the ADC sum adds the M rounded terms left-to-right, so codes AND
+    * scores replay bit-exactly in the DuckDB oracle (the q61/q84
+    * pattern). Recall@5 vs exact q53 is measured in SimilaritySpec. */
+  val PqM = 8
+
+  /** Per-subspace slice m of a 1-based float array column (dims split
+    * evenly: subDim = size/M). */
+  private def pqSlice(emb: String, m: Int): Column =
+    expr(s"slice($emb, $m * (size($emb) div $PqM) + 1, size($emb) div $PqM)")
+
+  /** ONE broadcastable row: `cb` = array of (sub, cidx, cvec, csq)
+    * structs sorted by (sub, cidx) — the whole PQ codebook. */
+  def pqCodebook(corpus: DataFrame): DataFrame = {
+    val cents = centroidCells(corpus)
+    // dense code ids in cell_id order; the window orders the aggregated
+    // per-cell relation (≤ |cells| rows), not per-row data
+    val idxd = cents.withColumn("cidx",
+      (row_number().over(Window.orderBy(col("cell_id"))) - 1))
+    idxd.select(explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("sub"), col("cidx"),
+          pqSlice("centroid", m).as("cvec"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("x.cidx").as("cidx"), col("x.cvec").as("cvec"))
+      .withColumn("csq", vecDot(col("cvec"), col("cvec")))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cidx"),
+        col("cvec"), col("csq")))).as("cb"))
+  }
+
+  /** Map-side encode: nearest codeword per subspace by rounded
+    * L2-equivalent distance (csq − 2·dot; ‖x‖² is constant within the
+    * argmin), ties to the lower code. Appends `codes` (array<int>),
+    * drops nothing else. */
+  def pqEncode(vecs: DataFrame, cbRow: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cbRow))
+      .withColumn("codes", array((0 until PqM).map { m =>
+        array_min(transform(
+          filter(col("cb"), c => c.getField("sub") === m),
+          c => struct(
+            round(c.getField("csq") -
+              lit(2.0) * vecDot(pqSlice("embedding", m), c.getField("cvec")), 6)
+              .as("d"),
+            c.getField("cidx").as("code"))))
+          .getField("code")
+      }: _*))
+      .drop("cb")
+
+  /** Per-query ADC lookup tables: lut[m][cidx+1] = rounded dot of the
+    * query's subvector m with codeword cidx (filter preserves the
+    * (sub, cidx) sort of `cb`, so inner position = code). */
+  def pqLut(queries: DataFrame, cbRow: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(cbRow))
+      .withColumn("lut", array((0 until PqM).map { m =>
+        transform(
+          filter(col("cb"), c => c.getField("sub") === m),
+          c => round(vecDot(pqSlice("embedding", m), c.getField("cvec")), 6))
+      }: _*))
+      .drop("cb")
+
+  /** ADC shortlist: corpus side carries only (n_id, codes); the scored
+    * approximate dot is the left-to-right sum of the M addressed LUT
+    * entries; top-`r` per query survive. The rank ≤ r filter compiles to
+    * a map-side WindowGroupLimit, so the shortlist shuffle carries
+    * ≤ r·|queries| rows per input partition. */
+  def pqShortlist(corpus: DataFrame, queries: DataFrame, cbRow: DataFrame,
+      r: Int): DataFrame = {
+    val c = pqEncode(corpus, cbRow).select(col("vec_id").as("n_id"), col("codes"))
+    val q = pqLut(queries, cbRow).select(col("vec_id").as("q_id"), col("lut"))
+    val adc = round((0 until PqM).map(m =>
+        element_at(element_at(col("lut"), m + 1),
+          element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _), 6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .withColumn("adc_rank", row_number().over(w))
+      .filter(col("adc_rank") <= r)
+      .select(col("q_id"), col("n_id"), col("adc"))
+  }
+
+  /** How many ADC candidates survive to the exact rerank. */
+  val PqRerank = 50
+
+  /** The full IVFADC-style pipeline: ADC shortlist over codes → fetch the
+    * shortlist's full vectors (an equi-join carrying r·|queries| rows, the
+    * only time PQ touches a real embedding on the corpus side) → exact
+    * cosine rerank to top-k. The quantizer only has to put true neighbors
+    * in the top-r, not rank them — which is how production PQ systems
+    * recover exactness the lossy codes give up. */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cbRow = pqCodebook(corpus)
+    val short = pqShortlist(corpus, queries, cbRow, PqRerank)
+    val cFull = withNorm(corpus).select(col("vec_id").as("n_id"),
+      col("embedding").as("e_n"), col("nrm").as("n_n"))
+    val qFull = withNorm(queries).select(col("vec_id").as("q_id"),
+      col("embedding").as("e_q"), col("nrm").as("n_q"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    short.join(cFull, "n_id").join(broadcast(qFull), "q_id")
+      .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    pqSearch(e, testQueries(e), 5)
+  }
+
+  /** DuckDB replay: decimal-exact centroid means → per-subspace codewords
+    * (dense ROW_NUMBER code ids in cell order) → rounded-argmin codes →
+    * rounded LUT entries → ADC as the same left-associated M-term sum →
+    * top-[[PqRerank]] shortlist → exact rounded-cosine rerank. */
+  lazy val q88Sql: String = {
+    val codeCols = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN sub = $m THEN code END) AS c$m").mkString(",\n    ")
+    val lutJoins = (1 until PqM).map(m =>
+      s"JOIN lut l$m ON l$m.q_id = l0.q_id AND l$m.sub = $m AND l$m.cidx = n.c$m")
+      .mkString("\n  ")
+    val adcSum = (0 until PqM).map(m => s"l$m.l").mkString(" + ")
+    s"""WITH ${centroidMeanCtesSql},
+       |sd AS (SELECT (MAX(dim) + 1) // $PqM AS sd FROM cmeans),
+       |labs AS (
+       |  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INTEGER) AS cidx
+       |  FROM (SELECT DISTINCT label FROM embeddings) _l),
+       |cw AS (
+       |  SELECT labs.cidx, CAST(dim // sd.sd AS INTEGER) AS sub,
+       |    list(CAST(c AS FLOAT) ORDER BY dim) AS cvec
+       |  FROM cmeans JOIN labs USING (label) CROSS JOIN sd
+       |  GROUP BY labs.cidx, CAST(dim // sd.sd AS INTEGER)),
+       |cwsq AS (
+       |  SELECT sub, cidx, cvec,
+       |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN cvec]) AS csq
+       |  FROM cw),
+       |encd AS (
+       |  SELECT e.vec_id, w.sub, w.cidx,
+       |    round(w.csq - 2 * list_sum([CAST(e.embedding[w.sub * sd.sd + i] AS DOUBLE) *
+       |        CAST(w.cvec[i] AS DOUBLE) FOR i IN range(1, sd.sd + 1)]), 6) AS d
+       |  FROM embeddings e CROSS JOIN cwsq w CROSS JOIN sd),
+       |enc AS (
+       |  SELECT vec_id, sub, cidx AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cidx) AS rn
+       |    FROM encd) _e WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM enc GROUP BY vec_id),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, w.sub, w.cidx,
+       |    round(list_sum([CAST(q.embedding[w.sub * sd.sd + i] AS DOUBLE) *
+       |        CAST(w.cvec[i] AS DOUBLE) FOR i IN range(1, sd.sd + 1)]), 6) AS l
+       |  FROM embeddings q CROSS JOIN cwsq w CROSS JOIN sd
+       |  WHERE q.vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT l0.q_id, n.vec_id AS n_id, round($adcSum, 6) AS adc
+       |  FROM codes n
+       |  JOIN lut l0 ON l0.sub = 0 AND l0.cidx = n.c0
+       |  $lutJoins
+       |  WHERE l0.q_id <> n.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rn
+       |    FROM scored) _s WHERE rn <= $PqRerank),
+       |$embNrmCteSql,
+       |rerank AS (
+       |  SELECT short.q_id, short.n_id, ${pairCosSql("q", "c")} AS cos
+       |  FROM short
+       |  JOIN e q ON short.q_id = q.vec_id
+       |  JOIN e c ON short.n_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM rerank)
+       |SELECT q_id, n_id, cos, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // --- 55. per-label vector statistics ----------------------------------
   /** Centroid via decimal-exact per-dimension sums (order-independent →
     * cross-engine deterministic); norms folded sequentially. */
@@ -444,5 +644,6 @@ object SimOps {
     Op("q61_ann_ivf", q61, Some(q61Sql)),
     Op("q78_ann_lsh_multi", q78, Some(q78Sql)),
     Op("q84_embed_quantize", q84, Some(q84Sql)),
+    Op("q88_ann_pq", q88, Some(q88Sql)),
   )
 }

@@ -601,6 +601,63 @@ object TextOps {
        |        FROM (SELECT doc_id, $toksSql AS toks FROM documents) _t) g) r
        |ORDER BY doc_id""".stripMargin
 
+  // --- 90. bigram-LM quality score (r4) -----------------------------------
+  /** CCNet-style language-model quality signal: score each document by
+    * the average log-probability of its word bigrams under an add-one-
+    * smoothed bigram model trained on the corpus itself (low scores ⇒
+    * out-of-distribution / junk text; the quality gate a real pretraining
+    * pipeline runs next to q45's heuristics). P(w₂|w₁) =
+    * (c(w₁w₂) + 1) / (c(w₁·) + V), with c(w₁·) summed over the bigram
+    * table so each conditional distribution normalizes exactly.
+    *
+    * Scale shape: the model is two aggregations of the exploded bigram
+    * relation — both with map-side partial combine, so hot bigrams
+    * ("of the") arrive pre-aggregated, never as a hot-key row stream —
+    * and the model table is vocab-sized ≪ corpus. Scoring re-joins
+    * occurrences to the model on the bigram key: 1:1 per occurrence
+    * (no fan-out), AQE free to broadcast the model when it fits. The
+    * per-bigram log-prob is rounded to 6 before a decimal-exact sum, so
+    * the per-doc average is aggregation-order-independent and replays
+    * bit-for-bit in DuckDB. */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithToks(s, dir)
+    val bg = d.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val w1Counts = bgCounts.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+    val model = bgCounts.join(w1Counts, "w1")
+    val vocab = d.select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bg.join(model, "bg")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        round(log((col("c_bg") + 1) / (col("c_w1") + col("v")).cast("double")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q90Sql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS bg FROM d),
+       |bgc AS (SELECT bg, COUNT(*) AS c_bg, split_part(bg, ' ', 1) AS w1
+       |  FROM bg GROUP BY bg),
+       |w1c AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM bgc GROUP BY w1),
+       |v AS (SELECT COUNT(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(toks) AS tok FROM d) _t),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |    round(ln((m.c_bg + 1) / CAST(w.c_w1 + v.v AS DOUBLE)), 6) AS logp
+       |  FROM bg b JOIN bgc m USING (bg) JOIN w1c w ON m.w1 = w.w1 CROSS JOIN v)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  round(CAST(SUM(CAST(logp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_logp
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -619,5 +676,6 @@ object TextOps {
     Op("q71_stemming", q71, Some(q71Sql)),
     Op("q76_multiclass_metrics", q76, Some(q76Sql)),
     Op("q80_repetition_ratio", q80, Some(q80Sql)),
+    Op("q90_lm_quality", q90, Some(q90Sql)),
   )
 }

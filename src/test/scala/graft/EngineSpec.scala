@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 87) // r3: +q81..q87
+    assert(SparkEntry.queries.size === 90) // r4: +q88/q89/q90
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 77) // r3: +q54/61/78/82..q87
+    assert(SparkEntry.oracleSql.size === 81) // r4: +q51/q88/q89/q90
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -141,6 +141,49 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     q.unpersist()
   }
 
+  test("q88 PQ: codes in range, encode shuffle-free, ADC recall reasonable") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, SF)
+    // codebook precomputed (in production an offline artifact); the
+    // corpus encode subplan itself must never move the corpus — the same
+    // zero-shuffle contract as the IVF assignment
+    val cbRow = SimOps.pqCodebook(e).cache()
+    val nCells = cbRow.select(size(col("cb"))).head().getInt(0) / SimOps.PqM
+    val enc = SimOps.pqEncode(e, cbRow)
+    val shuffles = enc.queryExecution.executedPlan.collect {
+      case x: ShuffleExchangeLike => x }
+    assert(shuffles.isEmpty,
+      s"PQ encode must be map-side only:\n${enc.queryExecution.executedPlan}")
+    // every vector gets M codes, each addressing a real codeword
+    val codeStats = enc.select(
+      min(size(col("codes"))), max(size(col("codes"))),
+      min(array_min(col("codes"))), max(array_max(col("codes")))).head()
+    assert(codeStats.getInt(0) === SimOps.PqM)
+    assert(codeStats.getInt(1) === SimOps.PqM)
+    assert(codeStats.getInt(2) >= 0)
+    assert(codeStats.getInt(3) < nCells)
+    // end-to-end recall@5 vs exact q53: the lossy codes only need to get
+    // true neighbors into the ADC top-R shortlist — the exact rerank
+    // restores their order and exact cosines
+    val truth = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val pq = SimOps.q88(spark, SF).collect()
+    val recall = pq.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+      .count(truth.contains).toDouble / truth.size
+    assert(recall >= 0.5, s"PQ+rerank recall@5 = $recall too low")
+    // reranked cosines are exact: any hit shared with q53 carries the
+    // identical rounded cosine
+    val exactCos = SimOps.q53(spark, SF).collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("n_id")),
+        r.getAs[Double]("cos"))).toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      exactCos.get(key).foreach(c => assert(c === r.getAs[Double]("cos")))
+    }
+    cbRow.unpersist()
+  }
+
   test("q55 vector stats cover all labels with sane norms") {
     val rows = SimOps.q55(spark, SF).collect()
     assert(rows.length === 10)

@@ -64,6 +64,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got.filter(col("nation").isNull).count() === 0)
   }
 
+  test("stateful agg is state-store-portable: RocksDB provider ≡ batch q31") {
+    // the default HDFSBackedStateStoreProvider holds state on the JVM
+    // heap — at 100 TB/day stream volume the off-heap RocksDB provider
+    // is the production choice (bounded heap, incremental checkpoints).
+    // Same query, same results, only the state backend swapped.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      ms.addData(eventData)
+      val q = StreamOps.windowedUserCounts(ms.toDF())
+        .writeStream.format("memory").queryName("t_rocksdb")
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val got = spark.table("t_rocksdb")
+        .select("win_start", "n_users").as[(String, Long)].collect().sortBy(_._1)
+      val want = Events.q31(spark, SF)
+        .select("win_start", "n_users").as[(String, Long)].collect().sortBy(_._1)
+      assert(got === want)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // --- late / out-of-order arrivals: watermark-drop semantics ------------
   /** Epoch-anchored timestamps (UTC midnight 2024-01-01) so 6 h windows
     * land on exact boundaries regardless of JVM default timezone. */

@@ -77,4 +77,21 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     // the signal must fire on at least one repetitive document
     assert(rows.exists(_.getAs[Double]("rep_ratio") > 0.0))
   }
+
+  test("q90 bigram-LM scores are valid log-probs that separate documents") {
+    import org.apache.spark.sql.functions.{col, size}
+    val rows = TextOps.q90(spark, SF).collect()
+    // one row per document with at least one bigram (≥ 2 tokens)
+    val nMulti = Tables.documents(spark, SF)
+      .filter(size(graft.text.Text.tokens(col("text"))) >= 2).count()
+    assert(rows.length === nMulti)
+    rows.foreach { r =>
+      // smoothed probabilities are strictly < 1 ⇒ log-probs strictly < 0
+      assert(r.getAs[Double]("avg_logp") < 0.0)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+    // a corpus-trained LM must actually discriminate (non-constant score)
+    val scores = rows.map(_.getAs[Double]("avg_logp")).distinct
+    assert(scores.length > 1)
+  }
 }
