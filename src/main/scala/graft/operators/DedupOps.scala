@@ -592,6 +592,30 @@ object DedupOps {
       |WHERE cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --- 91. duplicate-cluster size distribution (r4) ----------------------
+  /** The dedup run's diagnostic readout: how much of the corpus sits in
+    * duplicate clusters of which size — the number a data-curation team
+    * actually reviews before committing a keeper policy (a heavy tail of
+    * giant clusters means boilerplate/template contamination; ~all-
+    * singletons means the candidate thresholds are too tight). Aggregates
+    * the production pipeline's (q74) component labels twice — root →
+    * cluster size → histogram — so the whole readout is map-side-combined
+    * aggregation on top of the already-checkpointed CC output; the
+    * recursive-CTE oracle hash-checks the fixpoint AND the histogram. */
+  def q91(s: SparkSession, dir: String): DataFrame =
+    q74(s, dir)
+      .groupBy(col("root")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+      .withColumn("n_docs", col("csize") * col("n_components"))
+      .orderBy(col("csize"))
+
+  lazy val q91Sql: String =
+    s"""WITH RECURSIVE ${ccCtesSql(q50PairsSql)}
+       |SELECT csize, COUNT(*) AS n_components, csize * COUNT(*) AS n_docs
+       |FROM (SELECT root, COUNT(*) AS csize FROM roots GROUP BY root) _c
+       |GROUP BY csize
+       |ORDER BY csize""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
@@ -601,5 +625,6 @@ object DedupOps {
     Op("q70_dedup_corpus", q70, Some(q70Sql)),
     Op("q74_dedup_pipeline", q74, Some(q74Sql)),
     Op("q75_dedup_embedding_scale", q75, Some(q75Sql)),
+    Op("q91_dedup_cluster_stats", q91, Some(q91Sql)),
   )
 }

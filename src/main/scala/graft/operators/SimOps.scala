@@ -441,6 +441,40 @@ object SimOps {
         col("cvec"), col("csq")))).as("cb"))
   }
 
+  /** One Lloyd step over the assigned subvectors: re-center every
+    * (subspace, code) cell on the decimal-exact per-dimension mean of
+    * the subvectors it captured; cells that captured nothing keep their
+    * seed codeword. This is the offline codebook-training path a
+    * production PQ index runs (typically to convergence) before the
+    * encode/search ops ship — one aggregate-shaped pass per step, fully
+    * deterministic (decimal sums + rounded assignment), so trained
+    * codebooks are as reproducible as the seed ones. SimilaritySpec
+    * asserts a step never degrades end-to-end recall and strictly
+    * reduces mean quantization distortion on this corpus. */
+  def pqRefine(corpus: DataFrame, cbRow: DataFrame): DataFrame = {
+    val sub = pqEncode(corpus, cbRow)
+      .select(explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("sub"), element_at(col("codes"), m + 1).as("cidx"),
+          pqSlice("embedding", m).as("sv"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("x.cidx").as("cidx"),
+        posexplode(col("x.sv")).as(Seq("d", "xval")))
+    val means = sub.groupBy(col("sub"), col("cidx"), col("d"))
+      .agg((sum(col("xval").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("sub"), col("cidx"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("sub"), col("cidx"),
+        transform(col("dc"), x => x.getField("c").cast("float")).as("cvec1"))
+    cbRow.select(explode(col("cb")).as("c"))
+      .select(col("c.sub").as("sub"), col("c.cidx").as("cidx"),
+        col("c.cvec").as("cvec0"))
+      .join(means, Seq("sub", "cidx"), "left")
+      .withColumn("cvec", coalesce(col("cvec1"), col("cvec0")))
+      .withColumn("csq", vecDot(col("cvec"), col("cvec")))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cidx"),
+        col("cvec"), col("csq")))).as("cb"))
+  }
+
   /** Map-side encode: nearest codeword per subspace by rounded
     * L2-equivalent distance (csq − 2·dot; ‖x‖² is constant within the
     * argmin), ties to the lower code. Appends `codes` (array<int>),
@@ -501,8 +535,13 @@ object SimOps {
     * cosine rerank to top-k. The quantizer only has to put true neighbors
     * in the top-r, not rank them — which is how production PQ systems
     * recover exactness the lossy codes give up. */
-  def pqSearch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cbRow = pqCodebook(corpus)
+  def pqSearch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    pqSearchWith(corpus, queries, k, pqCodebook(corpus))
+
+  /** [[pqSearch]] against a caller-supplied codebook (e.g. a
+    * [[pqRefine]]-trained one loaded as an offline artifact). */
+  def pqSearchWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cbRow: DataFrame): DataFrame = {
     val short = pqShortlist(corpus, queries, cbRow, PqRerank)
     val cFull = withNorm(corpus).select(col("vec_id").as("n_id"),
       col("embedding").as("e_n"), col("nrm").as("n_n"))

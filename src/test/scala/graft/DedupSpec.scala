@@ -139,6 +139,24 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q91 cluster-size histogram partitions the corpus and counts components") {
+    val hist = DedupOps.q91(spark, SF).collect()
+    val cc = DedupOps.q74(spark, SF).collect()
+    // every doc is in exactly one cluster: histogram mass = corpus size
+    assert(hist.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, SF).count())
+    // per-row consistency and total components = q74's keeper count
+    hist.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("csize") * r.getAs[Long]("n_components"))
+      assert(r.getAs[Long]("csize") >= 1L)
+    }
+    assert(hist.map(_.getAs[Long]("n_components")).sum ===
+      cc.count(_.getAs[Int]("is_keeper") == 1))
+    // the planted dups must produce at least one non-singleton cluster
+    assert(hist.exists(_.getAs[Long]("csize") > 1L))
+  }
+
   test("q75 cell-blocked pairs are exact, subset of q52, recall monotone in nprobe") {
     val brute = DedupOps.q52(spark, SF).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos"))).toMap

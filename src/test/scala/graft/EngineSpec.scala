@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 90) // r4: +q88/q89/q90
+    assert(SparkEntry.queries.size === 91) // r4: +q88..q91
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 81) // r4: +q51/q88/q89/q90
+    assert(SparkEntry.oracleSql.size === 82) // r4: +q51/q88..q91
   }
 
   test("entry flagship runs on sf0.001 with rows") {

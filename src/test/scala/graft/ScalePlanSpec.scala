@@ -140,6 +140,42 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
       s"keyed shuffle below the df-cap filter:\n${anti.get.left}")
   }
 
+  test("broadcast joins degrade to shuffle joins — same answers — when dims outgrow the threshold") {
+    // SURVEY §5's claim made executable: the declarative q3 plan
+    // broadcasts its dimension sides at test scale, and when a
+    // "dimension" outgrows the broadcast threshold at real scale the
+    // SAME plan must flip to a shuffle join under Catalyst/AQE with
+    // identical results. Simulate the outgrowth by disabling the
+    // threshold instead of inflating the data.
+    import graft.operators.Relational
+    // BOTH thresholds: the static planner's, and AQE's runtime one —
+    // with only the static threshold off, AQE happily re-broadcasts a
+    // side it measures as small at runtime (that re-plan freedom is
+    // exactly what SURVEY §5 relies on in the other direction)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    val broadcastRows = Relational.q3(spark, SF).collect()
+    val planB = Relational.q3(spark, SF).queryExecution.executedPlan.toString
+    assert(planB.contains("BroadcastHashJoin"))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val df = Relational.q3(spark, SF)
+      val shuffleRows = df.collect()
+      val planS = df.queryExecution.executedPlan.toString
+      // the threshold-decided lineitem ⋈ orders join flips to a shuffle
+      // join; the customer side stays broadcast because q3 HINTS it —
+      // an explicit broadcast() is a size-bounded-by-contract claim that
+      // thresholds must not silently override
+      assert(planS.contains("SortMergeJoin") || planS.contains("ShuffledHashJoin"),
+        s"expected the unhinted join to become a shuffle join:\n$planS")
+      assert(shuffleRows === broadcastRows)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("OrderStats.keysAtRanks selects exact order-statistic keys") {
     import spark.implicits._
     // adversarial distribution: heavy ties + a skewed cluster in one bin

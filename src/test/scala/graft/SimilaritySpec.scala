@@ -184,6 +184,45 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     cbRow.unpersist()
   }
 
+  test("pqRefine: a Lloyd step cuts distortion and never degrades rerank recall") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.VectorExprs.vecDot
+    val e = Tables.embeddings(spark, SF)
+    val cb0 = SimOps.pqCodebook(e).cache(); cb0.count()
+    val cb1 = SimOps.pqRefine(e, cb0).cache(); cb1.count()
+    // mean quantization distortion Σ_sub ‖x_sub − cw(code)‖² over the corpus
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cbFlat = cb.select(explode(col("cb")).as("c"))
+        .select(col("c.sub").as("sub"), col("c.cidx").as("cidx"),
+          col("c.cvec").as("cvec"))
+      val subs = SimOps.pqEncode(e, cb)
+        .select(col("vec_id"), explode(array((0 until SimOps.PqM).map(m =>
+          struct(lit(m).as("sub"),
+            element_at(col("codes"), m + 1).as("cidx"),
+            expr(s"slice(embedding, $m * (size(embedding) div ${SimOps.PqM}) + 1, " +
+              s"size(embedding) div ${SimOps.PqM})").as("sv"))): _*)).as("x"))
+        .select(col("x.sub").as("sub"), col("x.cidx").as("cidx"), col("x.sv").as("sv"))
+      subs.join(cbFlat, Seq("sub", "cidx"))
+        .agg(avg(vecDot(col("sv"), col("sv")) -
+          lit(2.0) * vecDot(col("sv"), col("cvec")) +
+          vecDot(col("cvec"), col("cvec")))).head().getDouble(0)
+    }
+    val d0 = distortion(cb0)
+    val d1 = distortion(cb1)
+    assert(d1 < d0, s"Lloyd step must cut distortion: $d0 -> $d1")
+    // end-to-end rerank recall with the trained codebook vs the seed one
+    val truth = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recall(cb: org.apache.spark.sql.DataFrame): Double =
+      SimOps.pqSearchWith(e, e.filter(col("vec_id") % 50 === 0), 5, cb).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .count(truth.contains).toDouble / truth.size
+    val r0 = recall(cb0)
+    val r1 = recall(cb1)
+    assert(r1 >= r0, s"trained-codebook recall $r1 must not degrade seed recall $r0")
+    cb0.unpersist(); cb1.unpersist()
+  }
+
   test("q55 vector stats cover all labels with sane norms") {
     val rows = SimOps.q55(spark, SF).collect()
     assert(rows.length === 10)

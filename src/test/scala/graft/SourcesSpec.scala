@@ -43,6 +43,32 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("PartitionFilters") || !plan.contains("lang#"))
   }
 
+  test("orc round-trip preserves rows and pushes filters into the scan") {
+    val docs = Tables.documents(spark, SF).select("doc_id", "text", "lang", "n_chars")
+    val path = tmp("orc")
+    Sources.writeOrc(docs, path)
+    val back = Sources.readOrc(spark, path)
+      .filter(col("n_chars") > 100).select("doc_id", "lang")
+    assert(back.count() === docs.filter(col("n_chars") > 100).count())
+    // ORC gets the same pushdown/pruning treatment as parquet: the filter
+    // reaches the file source and the scan reads only referenced columns
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      s"ORC scan must carry the pushed filter:\n$scan")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:"),
+      s"ORC scan must prune to the referenced columns:\n$scan")
+  }
+
+  test("partitioned orc sink prunes partitions on read") {
+    val docs = Tables.documents(spark, SF).select("doc_id", "lang", "source")
+    val path = tmp("orcp")
+    Sources.writeOrc(docs, path, partitionBy = Seq("lang"))
+    val back = Sources.readOrc(spark, path).filter(col("lang") === "en")
+    assert(back.count() === docs.filter(col("lang") === "en").count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("lang#"))
+  }
+
   /** A real minimal workbook written with the JDK zip API: shared + inline
     * strings, numbers, a boolean, a sparse row (skipped B cell), rich-text
     * runs in sharedStrings — the forms literature exports emit. */
