@@ -26,4 +26,56 @@ object Num {
 
   /** Deterministic average: exact decimal sum divided (IEEE, one op) by count. */
   def davg(c: Column): Column = sum(dec2(c)).cast("double") / count(c)
+
+  // --- boundary-free 6-decimal rounding of exact rationals (r4) ----------
+  //
+  // round(p/q, 6) on a DOUBLE is engine-ambiguous when the exact rational
+  // p/q lands ON a .5e-6 boundary (q = 128 does it: 65/128 =
+  // 0.5078125): Spark rounds the exact decimal expansion of the nearest
+  // double, DuckDB rounds a scaled double — they can disagree exactly
+  // there (bit q90 at sf0.1). For ratios of INTEGERS the boundary is
+  // decidable exactly: compute ⌊p·10⁶/q⌉ half-away-from-zero in int64
+  // and divide by 10⁶ for display. The result equals round(p/q, 6)
+  // everywhere except exact boundaries, where it is the mathematically
+  // correct half-away value on BOTH engines.
+
+  /** Exact truncating division of non-negative longs: (a − a mod b) is
+    * divisible by b, so the decimal division is exact — no double (2⁵³)
+    * loss, no decimal-scale rounding. */
+  private def idivPos(a: Column, b: Column): Column =
+    ((a - a % b).cast(DecimalType(38, 0)) / b.cast(DecimalType(38, 0)))
+      .cast("long")
+
+  /** ⌊p/q⌉ half-away-from-zero in pure int64; q > 0, p any sign. */
+  def idivHalfAway(p: Column, q: Column): Column = {
+    val pl = p.cast("long")
+    val ql = q.cast("long")
+    val den = ql * 2
+    when(pl >= 0, idivPos(pl * 2 + ql, den))
+      .otherwise(-idivPos(-pl * 2 + ql, den))
+  }
+
+  /** DuckDB fragment of [[idivHalfAway]]. */
+  def idivHalfAwaySql(p: String, q: String): String =
+    s"(CASE WHEN ($p) >= 0 THEN (2 * ($p) + ($q)) // (2 * ($q)) " +
+      s"ELSE -((-2 * ($p) + ($q)) // (2 * ($q))) END)"
+
+  /** round(p/q, 6) via integer micros; q > 0, p any sign, both integral
+    * (callers keep |p| ≤ ~4.6e12 so 2·p·10⁶ stays in int64). */
+  def ratio6(p: Column, q: Column): Column =
+    idivHalfAway(p.cast("long") * 1000000L, q) / 1000000.0
+
+  /** DuckDB fragment of [[ratio6]] (p, q SQL expressions; q > 0). */
+  def ratio6Sql(p: String, q: String): String =
+    s"${idivHalfAwaySql(s"($p) * 1000000", q)} / 1000000.0"
+
+  /** Half-away 6-decimal average of values already ON the 1e-6 lattice
+    * (e.g. [[ratio6]] outputs): recover the integer micros, average in
+    * int64. `micros` must be a pre-aggregated SUM of
+    * `round(x·10⁶).cast(long)`; `n` the count. */
+  def latticeAvg6(micros: Column, n: Column): Column =
+    idivHalfAway(micros, n) / 1000000.0
+
+  def latticeAvg6Sql(micros: String, n: String): String =
+    s"${idivHalfAwaySql(micros, n)} / 1000000.0"
 }

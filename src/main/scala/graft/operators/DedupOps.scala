@@ -124,7 +124,12 @@ object DedupOps {
       .withColumn("jaccard_raw",
         col("shared") / (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
       .filter(col("jaccard_raw") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+      // integer-micro rounding: shared/union is a small-denominator exact
+      // rational, the boundary class where double round() is
+      // engine-ambiguous (graft.functions.Num)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Num.ratio6(col("shared"),
+          col("sz_a") + col("sz_b") - col("shared")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -139,7 +144,7 @@ object DedupOps {
        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY id_a, id_b)
        |SELECT id_a, id_b,
-       |  round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
+       |  ${graft.functions.Num.ratio6Sql("shared", "sa.sz + sb.sz - shared")} AS jaccard
        |FROM pairs
        |JOIN sizes sa ON id_a = sa.doc_id
        |JOIN sizes sb ON id_b = sb.doc_id
@@ -247,7 +252,9 @@ object DedupOps {
       .withColumn("jaccard_raw", col("inter") /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard_raw") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Num.ratio6(col("inter"),
+          size(col("shs_a")) + size(col("shs_b")) - col("inter")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -275,11 +282,11 @@ object DedupOps {
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |verified AS (
        |  SELECT id_a, id_b,
-       |    len(list_intersect(da.shs, db.shs)) /
-       |      CAST(len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS jraw
+       |    len(list_intersect(da.shs, db.shs)) AS inter,
+       |    len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs)) AS uni
        |  FROM cand JOIN dnz da ON id_a = da.doc_id JOIN dnz db ON id_b = db.doc_id)
-       |SELECT id_a, id_b, round(jraw, 6) AS jaccard
-       |FROM verified WHERE jraw >= 0.5
+       |SELECT id_a, id_b, ${graft.functions.Num.ratio6Sql("inter", "uni")} AS jaccard
+       |FROM verified WHERE inter / CAST(uni AS DOUBLE) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
   // --- 51. SimHash + hamming near-dup (rows-check) ----------------------

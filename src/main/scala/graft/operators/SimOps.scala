@@ -641,10 +641,15 @@ object SimOps {
       .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1))).as("c"))
     val centroidNorm = dims.groupBy(col("label"))
       .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+    // avg via integer nanos: an exact decimal sum divided as a double can
+    // land ON a .5e-6 rounding boundary where engines disagree (the q90
+    // failure class); p9/(1000·n) in half-away int64 has no boundary
     val norms = e.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("nrm").cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
-          .as("avg_norm"))
+        (sum(col("nrm").cast("decimal(18,9)")) * 1000000000L).cast("long").as("p9"))
+      .select(col("label"), col("n_vectors"),
+        (graft.functions.Num.idivHalfAway(col("p9"),
+          lit(1000L) * col("n_vectors")) / 1000000.0).as("avg_norm"))
     norms.join(centroidNorm, "label")
       .select(col("label"), col("n_vectors"), col("centroid_norm"), col("avg_norm"))
       .orderBy(col("label"))
@@ -667,11 +672,15 @@ object SimOps {
   val q55Sql: String =
     s"""WITH $centroidMeanCtesSql,
       |cn AS (SELECT label, round(sqrt(SUM(c * c)), 6) AS centroid_norm FROM cmeans GROUP BY label),
-      |vn AS (
+      |vn0 AS (
       |  SELECT label, COUNT(*) AS n_vectors,
-      |    round(CAST(SUM(CAST(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))
-      |      AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
-      |  FROM embeddings GROUP BY label)
+      |    CAST(SUM(CAST(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))
+      |      AS DECIMAL(18,9))) * 1000000000 AS BIGINT) AS p9
+      |  FROM embeddings GROUP BY label),
+      |vn AS (
+      |  SELECT label, n_vectors,
+      |    ${graft.functions.Num.idivHalfAwaySql("p9", "1000 * n_vectors")} / 1000000.0 AS avg_norm
+      |  FROM vn0)
       |SELECT label, n_vectors, centroid_norm, avg_norm
       |FROM vn JOIN cn USING (label)
       |ORDER BY label""".stripMargin

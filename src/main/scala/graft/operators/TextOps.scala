@@ -186,9 +186,13 @@ object TextOps {
         sum(when(col("pred") === 0 && col("y") === 1, 1).otherwise(0)).as("fn"),
         sum(when(col("pred") === 0 && col("y") === 0, 1).otherwise(0)).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        round(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
-        round(col("tp") / (col("tp") + col("fn")), 6).as("recall"),
-        round(lit(2) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+        // ratios of exact counts round through integer micros — round(x,6)
+        // of a small-denominator rational can sit ON the .5e-6 boundary
+        // where double rounding is engine-ambiguous (graft.functions.Num)
+        graft.functions.Num.ratio6(col("tp"), col("tp") + col("fp")).as("precision"),
+        graft.functions.Num.ratio6(col("tp"), col("tp") + col("fn")).as("recall"),
+        graft.functions.Num.ratio6(lit(2) * col("tp"),
+          lit(2) * col("tp") + col("fp") + col("fn")).as("f1"))
   }
 
   lazy val q39Sql: String =
@@ -201,9 +205,9 @@ object TextOps {
        |    CAST(SUM(CASE WHEN pred = 0 AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |  FROM preds JOIN documents USING (doc_id))
        |SELECT tp, fp, fn, tn,
-       |  round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
-       |  round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
-       |  round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+       |  ${graft.functions.Num.ratio6Sql("tp", "tp + fp")} AS precision,
+       |  ${graft.functions.Num.ratio6Sql("tp", "tp + fn")} AS recall,
+       |  ${graft.functions.Num.ratio6Sql("2 * tp", "2 * tp + fp + fn")} AS f1
        |FROM cm""".stripMargin
 
   // --- 40. WSS@95 screening metric ---------------------------------------
@@ -278,8 +282,11 @@ object TextOps {
   def q40(s: SparkSession, dir: String): DataFrame =
     screeningStats(s, dir)
       .select(col("n_docs"), col("n_pos"), col("k_at_95"),
-        round(lit(1.0) - col("k_at_95") / col("n_docs").cast("double") - 0.05, 6)
-          .as("wss95"))
+        // 1 − k/n − 0.05 ≡ (19n − 20k)/(20n): an exact integer ratio,
+        // rounded boundary-free through Num.ratio6
+        graft.functions.Num.ratio6(
+          lit(19) * col("n_docs") - lit(20) * col("k_at_95"),
+          lit(20) * col("n_docs")).as("wss95"))
 
   lazy val q40Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder),
@@ -292,7 +299,7 @@ object TextOps {
        |  FROM preds p JOIN documents d USING (doc_id)),
        |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos FROM ranked)
        |SELECT n_docs, n_pos, MIN(rank) AS k_at_95,
-       |  round(1.0 - MIN(rank) / CAST(n_docs AS DOUBLE) - 0.05, 6) AS wss95
+       |  ${graft.functions.Num.ratio6Sql("19 * n_docs - 20 * MIN(rank)", "20 * n_docs")} AS wss95
        |FROM ranked CROSS JOIN tot
        |WHERE cum_pos >= ceil(0.95 * n_pos)
        |GROUP BY n_docs, n_pos""".stripMargin
@@ -305,16 +312,18 @@ object TextOps {
       .withColumn("fold", pmod(col("doc_id"), lit(5)))
       .groupBy(col("fold"))
       .agg(count(lit(1)).as("n"),
-        round(sum(when(col("pred") === col("y"), 1).otherwise(0))
-          / count(lit(1)).cast("double"), 6).as("accuracy"))
+        graft.functions.Num.ratio6(
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)),
+          count(lit(1))).as("accuracy"))
       .orderBy(col("fold"))
   }
 
   lazy val q43Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder)
        |SELECT doc_id % 5 AS fold, COUNT(*) AS n,
-       |  round(SUM(CASE WHEN pred = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-       |    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+       |  ${graft.functions.Num.ratio6Sql(
+            "CAST(SUM(CASE WHEN pred = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) " +
+              "THEN 1 ELSE 0 END) AS BIGINT)", "COUNT(*)")} AS accuracy
        |FROM preds JOIN documents USING (doc_id)
        |GROUP BY fold
        |ORDER BY fold""".stripMargin
@@ -358,17 +367,17 @@ object TextOps {
       .withColumn("alnum_len",
         length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
       .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
-        round(col("n_stop") / col("n_toks").cast("double"), 6).as("stop_ratio"),
-        round((length(col("text")) - col("alnum_len")) /
-          length(col("text")).cast("double"), 6).as("non_alnum_ratio"),
-        round(col("alnum_len") / col("n_toks").cast("double"), 6).as("avg_tok_len"))
+        graft.functions.Num.ratio6(col("n_stop"), col("n_toks")).as("stop_ratio"),
+        graft.functions.Num.ratio6(length(col("text")) - col("alnum_len"),
+          length(col("text"))).as("non_alnum_ratio"),
+        graft.functions.Num.ratio6(col("alnum_len"), col("n_toks")).as("avg_tok_len"))
       .orderBy(col("doc_id"))
 
   val q45Sql: String =
     s"""SELECT doc_id, n_toks,
-       |  round(n_stop / CAST(n_toks AS DOUBLE), 6) AS stop_ratio,
-       |  round((LENGTH(text) - alnum_len) / CAST(LENGTH(text) AS DOUBLE), 6) AS non_alnum_ratio,
-       |  round(alnum_len / CAST(n_toks AS DOUBLE), 6) AS avg_tok_len
+       |  ${graft.functions.Num.ratio6Sql("n_stop", "n_toks")} AS stop_ratio,
+       |  ${graft.functions.Num.ratio6Sql("LENGTH(text) - alnum_len", "LENGTH(text)")} AS non_alnum_ratio,
+       |  ${graft.functions.Num.ratio6Sql("alnum_len", "n_toks")} AS avg_tok_len
        |FROM (
        |  SELECT doc_id, text, len($toksSql) AS n_toks,
        |    len(list_filter($toksSql, t -> t IN $StopwordsSqlList)) AS n_stop,
@@ -423,13 +432,13 @@ object TextOps {
     // the threshold, its rank k_at_95 the screening workload, cum_pos = T
     screeningStats(s, dir)
       .select(col("threshold"),
-        round(col("t") / col("k_at_95").cast("double"), 6).as("precision_at_t"),
+        graft.functions.Num.ratio6(col("t"), col("k_at_95")).as("precision_at_t"),
         // ANSI mode throws on 0/0 — a zero-positive corpus has recall 0/0,
         // which IEEE engines report as NaN; mirror that instead of failing
         when(col("n_pos") > 0,
-          round(col("t") / col("n_pos").cast("double"), 6))
+          graft.functions.Num.ratio6(col("t"), col("n_pos")))
           .otherwise(lit(Double.NaN)).as("recall_at_t"),
-        round(col("k_at_95") / col("n_docs").cast("double"), 6).as("screen_fraction"))
+        graft.functions.Num.ratio6(col("k_at_95"), col("n_docs")).as("screen_fraction"))
 
   lazy val q63Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder),
@@ -442,9 +451,9 @@ object TextOps {
        |  FROM preds p JOIN documents d USING (doc_id)),
        |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos FROM ranked)
        |SELECT score AS threshold,
-       |  round(cum_pos / CAST(rank AS DOUBLE), 6) AS precision_at_t,
-       |  round(cum_pos / CAST(n_pos AS DOUBLE), 6) AS recall_at_t,
-       |  round(rank / CAST(n_docs AS DOUBLE), 6) AS screen_fraction
+       |  ${graft.functions.Num.ratio6Sql("cum_pos", "rank")} AS precision_at_t,
+       |  ${graft.functions.Num.ratio6Sql("cum_pos", "n_pos")} AS recall_at_t,
+       |  ${graft.functions.Num.ratio6Sql("rank", "n_docs")} AS screen_fraction
        |FROM ranked CROSS JOIN tot
        |WHERE cum_pos >= ceil(0.95 * n_pos)
        |ORDER BY rank
@@ -507,20 +516,29 @@ object TextOps {
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),
         coalesce(col("tp_t"), col("tp_p"), lit(0L)).as("tp"))
       .withColumn("precision",
-        when(col("n_pred") > 0, round(col("tp") / col("n_pred").cast("double"), 6)))
+        when(col("n_pred") > 0, graft.functions.Num.ratio6(col("tp"), col("n_pred"))))
       .withColumn("recall",
-        when(col("support") > 0, round(col("tp") / col("support").cast("double"), 6)))
+        when(col("support") > 0, graft.functions.Num.ratio6(col("tp"), col("support"))))
       .withColumn("f1", when(col("n_pred") + col("support") > 0,
-        round(lit(2) * col("tp") / (col("n_pred") + col("support")).cast("double"), 6)))
+        graft.functions.Num.ratio6(lit(2) * col("tp"),
+          col("n_pred") + col("support"))))
+    // macro averages run over the per-class MICRO integers (the values
+    // are on the 1e-6 lattice by construction) — an avg-of-rounded
+    // double division is the same boundary class that bit q90
+    def micros(c: org.apache.spark.sql.Column) =
+      sum(round(c * 1000000L, 0).cast("long"))
     val totals = per.filter(col("support") > 0)
       .agg(sum(col("support")).as("n"), sum(col("tp")).as("correct"),
-        round(avg(coalesce(col("precision"), lit(0.0))), 6).as("mp"),
-        round(avg(col("recall")), 6).as("mr"),
-        round(avg(coalesce(col("f1"), lit(0.0))), 6).as("mf"))
+        micros(coalesce(col("precision"), lit(0.0))).as("pm"),
+        micros(col("recall")).as("rm"),
+        micros(coalesce(col("f1"), lit(0.0))).as("fm"),
+        count(lit(1)).as("k"))
     val macroRow = totals.select(lit("macro_avg").as("cls"),
       col("n").as("support"), col("n").as("n_pred"), col("correct").as("tp"),
-      col("mp").as("precision"), col("mr").as("recall"), col("mf").as("f1"))
-    val acc = round(col("correct") / col("n").cast("double"), 6)
+      graft.functions.Num.latticeAvg6(col("pm"), col("k")).as("precision"),
+      graft.functions.Num.latticeAvg6(col("rm"), col("k")).as("recall"),
+      graft.functions.Num.latticeAvg6(col("fm"), col("k")).as("f1"))
+    val acc = graft.functions.Num.ratio6(col("correct"), col("n"))
     val microRow = totals.select(lit("micro_avg").as("cls"),
       col("n").as("support"), col("n").as("n_pred"), col("correct").as("tp"),
       acc.as("precision"), acc.as("recall"), acc.as("f1"))
@@ -552,25 +570,29 @@ object TextOps {
        |  FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls),
        |perm AS (
        |  SELECT cls, support, n_pred, tp,
-       |    CASE WHEN n_pred > 0 THEN round(tp / CAST(n_pred AS DOUBLE), 6) END AS precision,
-       |    CASE WHEN support > 0 THEN round(tp / CAST(support AS DOUBLE), 6) END AS recall,
+       |    CASE WHEN n_pred > 0 THEN ${graft.functions.Num.ratio6Sql("tp", "n_pred")} END AS precision,
+       |    CASE WHEN support > 0 THEN ${graft.functions.Num.ratio6Sql("tp", "support")} END AS recall,
        |    CASE WHEN n_pred + support > 0
-       |      THEN round(2 * tp / CAST(n_pred + support AS DOUBLE), 6) END AS f1
+       |      THEN ${graft.functions.Num.ratio6Sql("2 * tp", "n_pred + support")} END AS f1
        |  FROM per),
        |tot AS (
        |  SELECT CAST(SUM(support) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS correct,
-       |    round(AVG(COALESCE(precision, 0)), 6) AS mp,
-       |    round(AVG(recall), 6) AS mr,
-       |    round(AVG(COALESCE(f1, 0)), 6) AS mf
+       |    CAST(SUM(CAST(round(COALESCE(precision, 0) * 1000000, 0) AS BIGINT)) AS BIGINT) AS pm,
+       |    CAST(SUM(CAST(round(recall * 1000000, 0) AS BIGINT)) AS BIGINT) AS rm,
+       |    CAST(SUM(CAST(round(COALESCE(f1, 0) * 1000000, 0) AS BIGINT)) AS BIGINT) AS fm,
+       |    COUNT(*) AS k
        |  FROM perm WHERE support > 0)
        |SELECT cls, support, n_pred, tp, precision, recall, f1 FROM perm
        |UNION ALL
-       |SELECT 'macro_avg', n, n, correct, mp, mr, mf FROM tot
+       |SELECT 'macro_avg', n, n, correct,
+       |  ${graft.functions.Num.latticeAvg6Sql("pm", "k")},
+       |  ${graft.functions.Num.latticeAvg6Sql("rm", "k")},
+       |  ${graft.functions.Num.latticeAvg6Sql("fm", "k")} FROM tot
        |UNION ALL
        |SELECT 'micro_avg', n, n, correct,
-       |  round(correct / CAST(n AS DOUBLE), 6),
-       |  round(correct / CAST(n AS DOUBLE), 6),
-       |  round(correct / CAST(n AS DOUBLE), 6) FROM tot
+       |  ${graft.functions.Num.ratio6Sql("correct", "n")},
+       |  ${graft.functions.Num.ratio6Sql("correct", "n")},
+       |  ${graft.functions.Num.ratio6Sql("correct", "n")} FROM tot
        |ORDER BY cls""".stripMargin
 
   // --- 80. intra-document repetition ratio -------------------------------
@@ -586,14 +608,15 @@ object TextOps {
         size(array_distinct(col("g3"))).cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
         when(col("n_ngrams") > 0,
-          round(lit(1.0) - col("n_distinct") / col("n_ngrams").cast("double"), 6))
+          graft.functions.Num.ratio6(col("n_ngrams") - col("n_distinct"),
+            col("n_ngrams")))
           .otherwise(0.0))
       .orderBy(col("doc_id"))
 
   val q80Sql: String =
     s"""SELECT doc_id, n_ngrams, n_distinct,
        |  CASE WHEN n_ngrams > 0
-       |    THEN round(1.0 - n_distinct / CAST(n_ngrams AS DOUBLE), 6)
+       |    THEN ${graft.functions.Num.ratio6Sql("n_ngrams - n_distinct", "n_ngrams")}
        |    ELSE 0.0 END AS rep_ratio
        |FROM (
        |  SELECT doc_id, len(g3) AS n_ngrams, len(list_distinct(g3)) AS n_distinct
@@ -628,14 +651,22 @@ object TextOps {
     val model = bgCounts.join(w1Counts, "w1")
     val vocab = d.select(explode(col("toks")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
+    // per-term log-probs quantize to integer MICROS immediately, and the
+    // per-doc average is a half-away-from-zero INTEGER division — a
+    // 6-decimal sum divided as a double can land exactly on a .5e-6
+    // rounding boundary (observed at sf0.1: sum −67.766590 / 20 =
+    // −3.3883295), where Spark's exact-decimal round and DuckDB's
+    // scaled-double round disagree; integer arithmetic has no boundary
     bg.join(model, "bg")
       .crossJoin(broadcast(vocab))
-      .withColumn("logp",
-        round(log((col("c_bg") + 1) / (col("c_w1") + col("v")).cast("double")), 6))
+      .withColumn("lpm",
+        round(log((col("c_bg") + 1) / (col("c_w1") + col("v")).cast("double")) *
+          1000000L, 0).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("logp").cast("decimal(18,9)")).cast("double") /
-          count(lit(1)), 6).as("avg_logp"))
+      .agg(count(lit(1)).as("n"), sum(col("lpm")).as("s"))
+      .select(col("doc_id"), col("n").as("n_bigrams"),
+        (expr("CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) " +
+          "ELSE -((-2 * s + n) div (2 * n)) END") / 1000000.0).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
 
@@ -649,14 +680,87 @@ object TextOps {
        |  FROM (SELECT unnest(toks) AS tok FROM d) _t),
        |scored AS (
        |  SELECT b.doc_id,
-       |    round(ln((m.c_bg + 1) / CAST(w.c_w1 + v.v AS DOUBLE)), 6) AS logp
-       |  FROM bg b JOIN bgc m USING (bg) JOIN w1c w ON m.w1 = w.w1 CROSS JOIN v)
-       |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  round(CAST(SUM(CAST(logp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
-       |    AS avg_logp
-       |FROM scored
-       |GROUP BY doc_id
+       |    CAST(round(ln((m.c_bg + 1) / CAST(w.c_w1 + v.v AS DOUBLE)) * 1000000, 0)
+       |      AS BIGINT) AS lpm
+       |  FROM bg b JOIN bgc m USING (bg) JOIN w1c w ON m.w1 = w.w1 CROSS JOIN v),
+       |agg AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(lpm) AS BIGINT) AS s
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n AS n_bigrams,
+       |  (CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+       |    ELSE -((-2 * s + n) // (2 * n)) END) / 1000000.0 AS avg_logp
+       |FROM agg
        |ORDER BY doc_id""".stripMargin
+
+  // --- 92. vocabulary coverage (Zipf head) (r4) ---------------------------
+  /** Tokenizer-planning readout: the minimal number of distinct token
+    * TYPES (taken in descending frequency order) covering 50/90/95/99 %
+    * of corpus token mass — the Zipf-head statistic that sizes a
+    * tokenizer vocabulary / stop-list.
+    *
+    * Scale shape: token counts aggregate map-side; the trick is that the
+    * cumulative-frequency walk runs over the COUNT-OF-COUNTS relation
+    * (one row per distinct frequency, ~O(√mass) rows), not the vocab —
+    * equal-frequency types are interchangeable, so the threshold
+    * resolves arithmetically inside a frequency class:
+    * n_types = types above the class + ⌈remaining mass / class freq⌉.
+    * The only unpartitioned window cumulates that aggregated relation
+    * (the ScalePlanSpec rule), and every quantity is integer/IEEE-exact
+    * cross-engine. */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docsWithToks(s, dir).select(explode(col("toks")).as("tok"))
+    val cc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("types"))
+      .withColumn("mass", col("cnt") * col("types"))
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cc.withColumn("cum_mass", sum(col("mass")).over(w))
+      .withColumn("cum_types", sum(col("types")).over(w))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+    val thresholds = Seq(0.5, 0.9, 0.95, 0.99)
+    val th = s.range(1).select(explode(
+      array(thresholds.map(lit): _*)).as("coverage"))
+    // per threshold: the highest-frequency class whose cumulative mass
+    // reaches need = coverage·total, then the in-class arithmetic pick
+    th.join(broadcast(cum), col("cum_mass") >= col("coverage") * col("total"))
+      .groupBy(col("coverage"))
+      .agg(min(struct((lit(Long.MaxValue) - col("cnt")).as("inv"),
+        col("cnt").as("cnt"), col("types").as("types"),
+        col("cum_mass").as("cum_mass"), col("cum_types").as("cum_types"),
+        col("total").as("total"))).as("c"))
+      .select(col("coverage"),
+        (col("c.cum_types") - col("c.types") +
+          ceil((col("coverage") * col("c.total") -
+            (col("c.cum_mass") - col("c.cnt") * col("c.types")).cast("double")) /
+            col("c.cnt")).cast("long")).as("n_types"))
+      .orderBy(col("coverage"))
+  }
+
+  val q92Sql: String =
+    s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |tc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+       |cc AS (SELECT cnt, COUNT(*) AS types, cnt * COUNT(*) AS mass
+       |  FROM tc GROUP BY cnt),
+       |cum AS (
+       |  SELECT cnt, types,
+       |    CAST(SUM(mass) OVER w AS BIGINT) AS cum_mass,
+       |    CAST(SUM(types) OVER w AS BIGINT) AS cum_types
+       |  FROM cc WINDOW w AS (ORDER BY cnt DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tot AS (SELECT COUNT(*) AS total FROM toks),
+       |th(coverage) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+       |  (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+       |hit AS (
+       |  SELECT coverage, cnt, types, cum_mass, cum_types, total,
+       |    ROW_NUMBER() OVER (PARTITION BY coverage ORDER BY cnt DESC) AS rn
+       |  FROM th CROSS JOIN cum CROSS JOIN tot
+       |  WHERE cum_mass >= coverage * total)
+       |SELECT coverage,
+       |  cum_types - types +
+       |    CAST(ceil((coverage * total - CAST(cum_mass - cnt * types AS DOUBLE))
+       |      / cnt) AS BIGINT) AS n_types
+       |FROM hit WHERE rn = 1
+       |ORDER BY coverage""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
@@ -677,5 +781,6 @@ object TextOps {
     Op("q76_multiclass_metrics", q76, Some(q76Sql)),
     Op("q80_repetition_ratio", q80, Some(q80Sql)),
     Op("q90_lm_quality", q90, Some(q90Sql)),
+    Op("q92_vocab_coverage", q92, Some(q92Sql)),
   )
 }

@@ -94,4 +94,31 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     val scores = rows.map(_.getAs[Double]("avg_logp")).distinct
     assert(scores.length > 1)
   }
+
+  test("q92 vocab coverage picks the MINIMAL head for each threshold") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val rows = TextOps.q92(spark, SF).collect()
+      .map(r => r.getAs[Double]("coverage") -> r.getAs[Long]("n_types")).toMap
+    assert(rows.keySet === Set(0.5, 0.9, 0.95, 0.99))
+    // recompute ground truth from raw counts: sort types by (freq desc),
+    // n_types must be the first prefix reaching coverage*total — and
+    // minimal (the prefix one shorter must NOT reach it)
+    val counts = Tables.documents(spark, SF)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(_.getAs[Long]("count")).sortBy(-_)
+    val total = counts.sum.toDouble
+    val cum = counts.scanLeft(0L)(_ + _).tail
+    rows.foreach { case (cov, n) =>
+      val need = cov * total
+      assert(cum(n.toInt - 1) >= need,
+        s"$n types cover ${cum(n.toInt - 1)} < $need at $cov")
+      if (n > 1)
+        assert(cum(n.toInt - 2) < need,
+          s"${n - 1} types already cover at $cov — not minimal")
+    }
+    // monotone in the threshold
+    assert(rows(0.5) <= rows(0.9) && rows(0.9) <= rows(0.95) &&
+      rows(0.95) <= rows(0.99))
+  }
 }
