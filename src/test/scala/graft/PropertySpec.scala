@@ -28,6 +28,25 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ratio6 equals BigDecimal HALF_UP division, including exact boundaries") {
+    // exact .5e-6 boundaries (65/128 = 0.5078125) are the cases double
+    // round() gets engine-ambiguously wrong — the whole point of ratio6
+    val boundary = Seq((65L, 128L), (-65L, 128L), (1L, 2000000L),
+      (3L, 2000000L), (1L, 3L), (-1L, 3L), (0L, 7L), (9475L, 10000L))
+    val rnd = samples(Gen.zip(Gen.chooseNum(-2000000L, 2000000L),
+      Gen.chooseNum(1L, 99999L)), 400)
+    val cases = boundary ++ rnd
+    val got = cases.toDF("p", "q")
+      .select(col("p"), col("q"), Num.ratio6(col("p"), col("q")).as("r"))
+      .collect()
+    got.foreach { r =>
+      val expect = new java.math.BigDecimal(r.getLong(0))
+        .divide(new java.math.BigDecimal(r.getLong(1)), 6,
+          java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getDouble(2) === expect, s"${r.getLong(0)}/${r.getLong(1)}")
+    }
+  }
+
   test("tokens() agrees with a reference scalar tokenizer on arbitrary input") {
     val textGen = Gen.listOf(Gen.oneOf(
       Gen.alphaNumStr.map(_.take(8)),
