@@ -21,7 +21,7 @@ object SparkEntry {
     operators.MLOps.ops,
     Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None),
       Op("q72_compression_quality", multimodal.MultiModal.compressionRatio, None)),
-    operators.Relational2.ops)
+    operators.Relational2.ops ++ operators.Bucketed.ops)
 
   /** All operators, flattened in SURVEY §2 order. */
   def allOps: Seq[Op] = opGroups.flatten

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.Op.SUM_D
+import graft.functions.Num.dsum
+
+/** Bucketed-table storage path (SURVEY §2 r4, q93).
+  *
+  * The 100 TB fact-fact join strategy: pay the shuffle ONCE at write
+  * time — both tables bucketed (and sorted) on the join key — and every
+  * subsequent join on that key plans with no exchange on either side;
+  * co-location replaces the network. This operator is deliberately
+  * write-then-query: the write IS the operator (the storage layout is
+  * the optimization), and the query half shows the layout is
+  * transparent to results. Correctness is oracle-checked against the
+  * plain parquet join; the no-shuffle plan shape of the big-big path is
+  * pinned in BucketJoinSpec (with broadcast disabled — at test SF the
+  * optimizer correctly prefers broadcasting the small side, which
+  * bucketing must not and does not break).
+  *
+  * Bucket files live under an external path in the system temp dir, and
+  * the op resets table + files on entry so repeated Verify/Bench
+  * invocations are idempotent.
+  */
+object Bucketed {
+  val Buckets = 8
+
+  private def reset(s: SparkSession, base: java.io.File, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // the in-memory catalog is fresh per JVM: orphaned file locations
+    // from a previous run survive DROP TABLE, so clear them on disk too
+    val d = new java.io.File(base, table)
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
+  }
+
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed")
+    Seq("g93_orders", "g93_lineitem").foreach(reset(s, base, _))
+    Tables.orders(s, dir)
+      .write.bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", new java.io.File(base, "g93_orders").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g93_orders")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", new java.io.File(base, "g93_lineitem").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g93_lineitem")
+    s.table("g93_lineitem")
+      .join(s.table("g93_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q93Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${SUM_D("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("q93_bucketed_join", q93, Some(q93Sql)),
+  )
+}

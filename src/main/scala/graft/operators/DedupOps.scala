@@ -623,6 +623,40 @@ object DedupOps {
        |GROUP BY csize
        |ORDER BY csize""".stripMargin
 
+  // --- 94. near-dup degree distribution (r4) ------------------------------
+  /** The other graph readout (with q91's cluster sizes): how many
+    * near-dup EDGES each document carries — degree 0 isolates included
+    * via the document universe. A heavy degree tail is the early-warning
+    * signal that the candidate generator is drifting quadratic (hub
+    * documents: boilerplate that near-matches everything); the spec-
+    * pinned near-linear candidate bound is per-corpus, this is the
+    * per-document view a curation run actually monitors. Two map-side-
+    * combined aggregations over the verified q50 edge set + one
+    * left join against the doc universe. */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q50(s, dir)
+    val deg = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
+  lazy val q94Sql: String =
+    s"""WITH pairs AS (SELECT id_a, id_b FROM ($q50PairsSql) _p),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree FROM (
+       |    SELECT id_a AS doc_id FROM pairs
+       |    UNION ALL SELECT id_b AS doc_id FROM pairs) _e
+       |  GROUP BY doc_id)
+       |SELECT COALESCE(degree, 0) AS degree, COUNT(*) AS n_docs
+       |FROM documents d LEFT JOIN deg USING (doc_id)
+       |GROUP BY COALESCE(degree, 0)
+       |ORDER BY degree""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
@@ -633,5 +667,6 @@ object DedupOps {
     Op("q74_dedup_pipeline", q74, Some(q74Sql)),
     Op("q75_dedup_embedding_scale", q75, Some(q75Sql)),
     Op("q91_dedup_cluster_stats", q91, Some(q91Sql)),
+    Op("q94_dedup_degree", q94, Some(q94Sql)),
   )
 }

@@ -58,4 +58,23 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === expect)
   }
+
+  test("q93 registered op writes really-bucketed tables and matches the plain join") {
+    import graft.operators.Bucketed
+    val got = Bucketed.q93(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // the catalog metadata carries the bucket spec — the layout exists,
+    // it's not just a parquet copy
+    val meta = spark.sql("DESCRIBE EXTENDED g93_lineitem").collect()
+      .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
+    assert(meta.contains(s"Num Buckets: ${Bucketed.Buckets}"), meta)
+    assert(meta.contains("Bucket Columns: [`l_orderkey`]"), meta)
+    val expect = Tables.lineitem(spark, SF)
+      .join(Tables.orders(spark, SF), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === expect)
+    // idempotent: a second run (Verify/Bench re-invoke ops) is clean
+    assert(Bucketed.q93(spark, SF).count() === got.size.toLong)
+  }
 }

@@ -157,6 +157,18 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(hist.exists(_.getAs[Long]("csize") > 1L))
   }
 
+  test("q94 degree histogram is consistent with the q50 edge set") {
+    val hist = DedupOps.q94(spark, SF).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_docs")).toMap
+    // mass = corpus; edge-endpoint mass = 2·|edges| (handshake lemma)
+    assert(hist.values.sum === Tables.documents(spark, SF).count())
+    val nEdges = DedupOps.q50(spark, SF).count()
+    assert(hist.map { case (d, n) => d * n }.sum === 2 * nEdges)
+    // the planted dups give some doc at least one edge, most have none
+    assert(hist.getOrElse(0L, 0L) > 0L)
+    assert(hist.keys.max >= 1L)
+  }
+
   test("q75 cell-blocked pairs are exact, subset of q52, recall monotone in nprobe") {
     val brute = DedupOps.q52(spark, SF).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos"))).toMap

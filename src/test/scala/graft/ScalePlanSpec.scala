@@ -176,6 +176,47 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime — same answers") {
+    // SURVEY §5's skew story made executable: a Zipf-headed key (2/3 of
+    // the left relation on one key) lands in one shuffle partition; with
+    // the skew thresholds scaled to test volume, AQE must split that
+    // partition (skew=true in the executed plan) and change nothing
+    // about the results. On the real cluster the same mechanism fires
+    // with the default 256 MB thresholds.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(300000).select(
+        when(col("id") < 200000, 0L).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val row = joined.collect()(0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$plan")
+      // ground truth computed without the join: every left row matches
+      // exactly one right row (keys 0..999 all present on the right)
+      assert(row.getAs[Long]("n") === 300000L)
+      val expectS = (0L until 300000L).map { id =>
+        val k = if (id < 200000) 0L else id % 1000
+        id + 2 * k
+      }.sum
+      assert(row.getAs[Long]("s") === expectS)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("OrderStats.keysAtRanks selects exact order-statistic keys") {
     import spark.implicits._
     // adversarial distribution: heavy ties + a skewed cluster in one bin

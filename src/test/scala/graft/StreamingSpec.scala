@@ -92,6 +92,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("Trigger.AvailableNow drains everything, terminates itself, ≡ batch q31") {
+    // the periodic-ingest production pattern: a scheduled job starts the
+    // stream, AvailableNow processes exactly the data present (in
+    // rate-limited micro-batches, unlike the deprecated Trigger.Once)
+    // and shuts the query down — incremental semantics, batch lifecycle
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(eventData)
+    val q = StreamOps.windowedUserCounts(ms.toDF())
+      .writeStream.format("memory").queryName("t_avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(!q.isActive)
+    val got = spark.table("t_avnow")
+      .select("win_start", "n_users").as[(String, Long)].collect().sortBy(_._1)
+    val want = Events.q31(spark, SF)
+      .select("win_start", "n_users").as[(String, Long)].collect().sortBy(_._1)
+    assert(got === want)
+  }
+
   // --- late / out-of-order arrivals: watermark-drop semantics ------------
   /** Epoch-anchored timestamps (UTC midnight 2024-01-01) so 6 h windows
     * land on exact boundaries regardless of JVM default timezone. */
