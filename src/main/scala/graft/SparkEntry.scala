@@ -16,7 +16,7 @@ object SparkEntry {
     operators.TextOps.ops,
     // PipelineOps shares the dedup family's cached subplans (shingle
     // index, verified pairs) — same cache group so q77 reuses them
-    operators.DedupOps.ops ++ operators.PipelineOps.ops,
+    operators.DedupOps.ops ++ operators.PipelineOps.ops ++ operators.GraphOps.ops,
     operators.SimOps.ops,
     operators.MLOps.ops,
     Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None),

@@ -489,7 +489,7 @@ object DedupOps {
   }
 
   private lazy val q49PairsSql: String = q49Sql.split("\nORDER BY")(0)
-  private lazy val q50PairsSql: String = q50Sql.split("\nORDER BY")(0)
+  private[operators] lazy val q50PairsSql: String = q50Sql.split("\nORDER BY")(0)
 
   /** CTE prefix of the recursive-CTE replay of [[connectedComponents]]
     * (ends with `roots(doc_id, root)`); shared with the composed

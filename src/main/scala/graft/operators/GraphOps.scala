@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Iterative graph analytics on the near-dup graph (SURVEY §2 r4, q95).
+  *
+  * PageRank generalizes q70/q74's min-label fixpoint from "which
+  * component" to "how central": on the duplication graph a high-rank
+  * document is template/boilerplate material whose near-copies are
+  * themselves heavily duplicated — the doc a curation team inspects
+  * first, and a better keeper-priority signal than raw degree (q94)
+  * because it discounts edges to already-redundant neighbors.
+  *
+  * Numerics are EXACT integer micros so the iteration is replayable
+  * cross-engine: ranks start at 10⁶, each round computes
+  * `r' = 150000 + (85 · Σ_{b∈N(a)} (r_b div deg_b)) div 100` in int64
+  * (damping 0.85; per-neighbor truncating shares — both engines
+  * truncate identically on non-negative operands). A FIXED 8 rounds
+  * rather than a convergence test keeps the oracle expressible as 8
+  * unrolled CTEs and removes the one per-round driver action the CC
+  * loop needs. Isolated docs settle at (1−α) = 0.15 after round 1.
+  *
+  * Scale shape (per round): one equi-join of ranks onto the cached
+  * symmetric edge list (shuffle keyed on the neighbor id), one
+  * map-side-combined `groupBy(id_a).sum` — contribution volume is
+  * edge-linear, hub fan-out is handled by partial aggregation — and one
+  * left join back to the doc universe. Lineage is truncated per round
+  * with `localCheckpoint` exactly like [[DedupOps.connectedComponents]]
+  * (eager, one job, previous round's blocks released); final blocks go
+  * to [[graft.CheckpointRegistry]] for harness-owned release. Nothing
+  * driver-sized anywhere: the driver never sees ranks, only job
+  * completions.
+  */
+object GraphOps {
+  /** Damping factor ×100 (α = 0.85). */
+  val Damping = 85
+  /** Fixed iteration count (oracle-unrolled). */
+  val Iters = 8
+  /** Rank unit: integer micros. */
+  val RankScale = 1000000L
+
+  /** q95: PageRank over the verified MinHash near-dup pairs (q50),
+    * isolates included via the document universe. */
+  def q95(s: SparkSession, dir: String): DataFrame =
+    pagerank(DedupOps.q50(s, dir).select(col("id_a"), col("id_b")),
+      Tables.documents(s, dir).select(col("doc_id")))
+
+  /** Integer-micros PageRank over an undirected pair set; `docs`
+    * supplies the universe so isolates hold rank (1−α). */
+  def pagerank(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    // symmetric edges: degree = out-degree = in-degree, keyed on the
+    // CONTRIBUTING endpoint (id_b) to join once per round
+    val deg = edges.groupBy(col("id_b")).agg(count(lit(1)).as("deg"))
+    var ranks = docs.select(col("doc_id"), lit(RankScale).as("r"))
+      .localCheckpoint()
+    var prevBlocks = blocks(ranks)
+    for (_ <- 1 to Iters) {
+      val shares = ranks
+        .join(deg, ranks("doc_id") === deg("id_b"))
+        .select(col("id_b"), expr("r div deg").as("share"))
+      val contrib = edges.join(shares, "id_b")
+        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
+      val next = docs.select(col("doc_id"))
+        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
+        .select(col("doc_id"),
+          (lit((100 - Damping) * RankScale / 100) +
+            expr(s"($Damping * cin0) div 100")).as("r"))
+        .localCheckpoint()
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = blocks(next)
+      ranks = next
+    }
+    edges.unpersist()
+    prevBlocks.foreach(r => graft.CheckpointRegistry.register(r))
+    ranks.select(col("doc_id"), (col("r") / 1000000.0).as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle unrolls the fixed 8 rounds as chained CTEs — the same
+    * int64 formula DuckDB-side (`//` ≡ `div` on non-negative operands;
+    * SUM's HUGEINT is cast back per round). */
+  lazy val q95Sql: String = {
+    val base = (100 - Damping) * RankScale / 100
+    val iterCtes = (1 to Iters).map { k =>
+      s"""r$k AS (
+         |  SELECT d.doc_id,
+         |    CAST($base + ($Damping * COALESCE(SUM(s.share), 0)) // 100 AS BIGINT) AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.id_a, r.r // g.deg AS share
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON e.id_b = r.doc_id
+         |    JOIN deg g ON e.id_b = g.id_b) s
+         |  ON d.doc_id = s.id_a
+         |  GROUP BY d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT id_a, id_b FROM (${DedupOps.q50PairsSql}) _p),
+       |edges AS (SELECT id_a, id_b FROM pairs
+       |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+       |deg AS (SELECT id_b, COUNT(*) AS deg FROM edges GROUP BY id_b),
+       |r0 AS (SELECT doc_id, CAST($RankScale AS BIGINT) AS r FROM documents),
+       |$iterCtes
+       |SELECT doc_id, r / 1000000.0 AS rank FROM r$Iters
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("q95_pagerank", q95, Some(q95Sql)),
+  )
+}
