@@ -328,6 +328,48 @@ object PipelineOps {
        |ORDER BY cand.doc_id, bench_id""".stripMargin
   }
 
+  // --- 96. exact per-stratum quota sampling -------------------------------
+  /** The fixed-BUDGET companion of q82's fixed-RATE mixing: exactly
+    * `QuotaPerStratum` docs per language (all of an undersized stratum),
+    * chosen as the prefix of the deterministic md5 order — an unbiased
+    * uniform draw that is reproducible run-over-run and engine-portable,
+    * the primitive behind "1M docs per source" eval/calibration splits.
+    *
+    * Scale shape: the `row_number ≤ N` filter over the per-lang window
+    * compiles to a map-side WindowGroupLimit (spec-pinned), so each input
+    * partition forwards at most N rows per stratum and the final per-lang
+    * window task sees ≤ N·partitions rows — the stratum's corpus-scale
+    * row count never converges on one task, the same rank-limit pushdown
+    * q9/q88 lean on. Strata cardinality (languages/sources) is small by
+    * contract; the quota itself bounds all downstream volume. */
+  val QuotaPerStratum = 40L
+
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(concat(lit("quota:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("skey"))
+    keyed
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))))
+      .filter(col("rk") <= QuotaPerStratum)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  lazy val q96Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+       |  FROM documents)
+       |SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rk
+       |  FROM keyed) _r
+       |WHERE rk <= $QuotaPerStratum
+       |ORDER BY lang, rk""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -335,5 +377,6 @@ object PipelineOps {
     Op("q85_decontaminate", q85, Some(q85Sql)),
     Op("q86_training_build", q86, Some(q86Sql)),
     Op("q87_decontaminate_scale", q87, Some(q87Sql)),
+    Op("q96_quota_sample", q96, Some(q96Sql)),
   )
 }

@@ -167,4 +167,39 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val shardSeq = ordered.map(_._4)
     assert(shardSeq === shardSeq.sorted)
   }
+
+  test("q96 quota sample: exact per-stratum budgets, hash-prefix membership, map-side limit") {
+    import org.apache.spark.sql.functions._
+    val df = PipelineOps.q96(spark, SF)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // per-stratum size = min(quota, stratum size)
+    val strata = Tables.documents(spark, SF).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    strata.foreach { case (l, n) =>
+      assert(got(l) === math.min(PipelineOps.QuotaPerStratum, n), s"stratum $l")
+    }
+    // membership = prefix of the deterministic md5 order, per stratum
+    def skey(id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"quota:$id".getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val byLang = Tables.documents(spark, SF).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    byLang.foreach { case (l, ds) =>
+      val want = ds.map(_._1).sortBy(id => (skey(id), id))
+        .take(PipelineOps.QuotaPerStratum.toInt).toSet
+      assert(rows.filter(_._2 == l).map(_._1).toSet === want, s"stratum $l")
+    }
+    // ranks are 1..quota within each stratum
+    rows.groupBy(_._2).foreach { case (l, rs) =>
+      assert(rs.map(_._3).sorted === (1L to rs.length.toLong), s"stratum $l")
+    }
+    // scale path: the rank filter is pushed to a map-side WindowGroupLimit,
+    // so a corpus-sized stratum never lands whole on one window task
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
