@@ -475,6 +475,65 @@ object SimOps {
         col("cvec"), col("csq")))).as("cb"))
   }
 
+  /** Result of [[pqTrain]]: the trained codebook row, rounds run, whether
+    * the tolerance was reached within the cap, the last round's changed-
+    * code count and the corpus size it is measured against. */
+  final case class PqTrained(cb: DataFrame, iters: Int, converged: Boolean,
+      residualChanged: Long, n: Long)
+
+  /** Lloyd iterated to assignment STABILITY: repeat [[pqRefine]] until
+    * the fraction of vectors changing any subspace code falls to
+    * `tolPpm` parts-per-million (or `maxIters`). A tolerance, not an
+    * exact code fixpoint, is the production k-means stopping rule — and
+    * here an exact fixpoint may not EXIST: the 6-decimal rounded
+    * distances and float-cast means that buy cross-engine determinism
+    * break Lloyd's strict-descent guarantee, so the tail of the
+    * iteration can cycle among a handful of boundary vectors (observed:
+    * a 1–3-code wobble on a 2k corpus long after 99.9 % stability).
+    * Waiting for exactness over 10⁹ vectors would be wrong even if it
+    * existed.
+    *
+    * Per round: one corpus-linear encode inside the refine (zero-shuffle
+    * broadcast argmin) + one aggregate pass for the means, then one more
+    * encode pair joined on vec_id for the convergence count. The codebook
+    * is a single checkpointed row (driver-sized by construction: M · ksub
+    * codewords); the corpus is never cached here — at 100 TB the caller
+    * owns that decision. */
+  def pqTrain(corpus: DataFrame, maxIters: Int = 25,
+      tolPpm: Long = 1000L): PqTrained = {
+    // localCheckpoint per round, NOT cache: pqRefine references the
+    // codebook plan twice (encode + the re-center join), so without
+    // lineage truncation the logical tree DOUBLES per round — 10 rounds
+    // is a 2¹⁰-node plan that OOMs the driver before any data moves.
+    // The checkpointed codebook is one tiny row; blocks of superseded
+    // rounds are released immediately, the final round's are handed to
+    // the registry (the CC/q50 ownership pattern).
+    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    val n = corpus.count()
+    val threshold = n * tolPpm / 1000000L
+    var cb = pqCodebook(corpus).localCheckpoint()
+    var prevBlocks = blocks(cb)
+    var iters = 0
+    var converged = false
+    var lastChanged = n
+    while (!converged && iters < maxIters) {
+      val next = pqRefine(corpus, cb).localCheckpoint()
+      lastChanged = pqEncode(corpus, cb)
+        .select(col("vec_id"), col("codes").as("c0"))
+        .join(pqEncode(corpus, next).select(col("vec_id"), col("codes").as("c1")),
+          "vec_id")
+        .filter(col("c0") =!= col("c1")).count()
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = blocks(next)
+      cb = next
+      iters += 1
+      converged = lastChanged <= threshold
+    }
+    prevBlocks.foreach(r => graft.CheckpointRegistry.register(r))
+    PqTrained(cb, iters, converged, lastChanged, n)
+  }
+
   /** Map-side encode: nearest codeword per subspace by rounded
     * L2-equivalent distance (csq − 2·dot; ‖x‖² is constant within the
     * argmin), ties to the lower code. Appends `codes` (array<int>),

@@ -223,6 +223,56 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     cb0.unpersist(); cb1.unpersist()
   }
 
+  test("pqTrain: Lloyd to assignment stability, trained codebook beats the seed") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.VectorExprs.vecDot
+    val e = Tables.embeddings(spark, SF)
+    // 1% tolerance at test scale: a 500-vector corpus keeps a handful of
+    // boundary vectors wobbling forever (see pqTrain doc); production
+    // corpora use the tighter default — relative noise shrinks with n
+    val tolPpm = 10000L
+    val trained = SimOps.pqTrain(e, maxIters = 30, tolPpm = tolPpm)
+    val threshold = trained.n * tolPpm / 1000000L
+    assert(trained.converged,
+      s"must reach ≤1% changing codes; ran ${trained.iters}, residual ${trained.residualChanged}/${trained.n}")
+    assert(trained.iters >= 2) // the seed codebook is far from stationary
+    assert(trained.residualChanged <= threshold)
+    // one more refine at stability only moves boundary-wobble code mass
+    val again = SimOps.pqRefine(e, trained.cb).localCheckpoint()
+    val moved = SimOps.pqEncode(e, trained.cb)
+      .select(col("vec_id"), col("codes").as("c0"))
+      .join(SimOps.pqEncode(e, again).select(col("vec_id"), col("codes").as("c1")), "vec_id")
+      .filter(col("c0") =!= col("c1")).count()
+    assert(moved <= 2 * threshold + 1, s"stability not sticky: $moved moved")
+    // training strictly cuts distortion vs the seed codebook
+    val cb0 = SimOps.pqCodebook(e).localCheckpoint()
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cbFlat = cb.select(explode(col("cb")).as("c"))
+        .select(col("c.sub").as("sub"), col("c.cidx").as("cidx"),
+          col("c.cvec").as("cvec"))
+      SimOps.pqEncode(e, cb)
+        .select(col("vec_id"), explode(array((0 until SimOps.PqM).map(m =>
+          struct(lit(m).as("sub"),
+            element_at(col("codes"), m + 1).as("cidx"),
+            expr(s"slice(embedding, $m * (size(embedding) div ${SimOps.PqM}) + 1, " +
+              s"size(embedding) div ${SimOps.PqM})").as("sv"))): _*)).as("x"))
+        .select(col("x.sub").as("sub"), col("x.cidx").as("cidx"), col("x.sv").as("sv"))
+        .join(cbFlat, Seq("sub", "cidx"))
+        .agg(avg(vecDot(col("sv"), col("sv")) -
+          lit(2.0) * vecDot(col("sv"), col("cvec")) +
+          vecDot(col("cvec"), col("cvec")))).head().getDouble(0)
+    }
+    assert(distortion(trained.cb) < distortion(cb0))
+    // trained artifact still clears the pinned end-to-end recall floor
+    val truth = SimOps.q53(spark, SF).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val rec = SimOps.pqSearchWith(e, e.filter(col("vec_id") % 50 === 0), 5, trained.cb)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+      .count(truth.contains).toDouble / truth.size
+    assert(rec >= 0.5, s"trained-codebook recall $rec below floor")
+    // checkpoint-backed frames' blocks belong to the registry
+  }
+
   test("q55 vector stats cover all labels with sane norms") {
     val rows = SimOps.q55(spark, SF).collect()
     assert(rows.length === 10)
