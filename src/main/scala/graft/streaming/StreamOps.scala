@@ -175,6 +175,45 @@ object StreamOps {
   /** Per-user session counting with explicit keyed state
     * (flatMapGroupsWithState): gap > 30 min starts a new session. Emits
     * (user_id, n_sessions) per trigger. */
+  /** Streaming quantile sketch, bin side: equi-width binned value counts
+    * — the bounded-state form of percentile estimation on an unbounded
+    * stream. State is ONE count per occupied bin (≤ domain/binWidth by
+    * contract; the width knob trades resolution for state), updated per
+    * micro-batch with map-side partial aggregation. The stream never
+    * buffers raw values — Spark's exact `percentile` would buffer every
+    * value in state — and reads interpolate from the tiny bin relation
+    * ([[quantileFromBins]]) with error bounded by one bin width. The
+    * same two-piece shape (mergeable binned counts + read-time
+    * interpolation) is how q24/q67 avoid value buffering in batch. */
+  def binnedValueCounts(events: DataFrame, binWidth: Double): DataFrame =
+    events
+      .groupBy(floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Read side of the sketch: interpolated quantile estimates for `ps`
+    * from a binned-count relation. All joins are against the bin
+    * relation (bounded by contract) or a 1-row total — broadcast-sized;
+    * the cumulative window orders the AGGREGATED bins, never raw data. */
+  def quantileFromBins(bins: DataFrame, binWidth: Double,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val cum = bins.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bin"))))
+    val ranks = ps.toDF("p")
+      .crossJoin(broadcast(bins.agg(sum(col("cnt")).as("total"))))
+      .withColumn("rank", greatest(ceil(col("p") * col("total")), lit(1L)))
+    ranks.join(broadcast(cum), col("cum") >= col("rank"))
+      .groupBy(col("p"), col("rank"))
+      .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("b"))
+      .select(col("p"),
+        (col("b.bin") * binWidth +
+          lit(binWidth) * (col("rank") - (col("b.cum") - col("b.cnt"))) /
+            col("b.cnt")).as("est"))
+      .orderBy(col("p"))
+  }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

@@ -114,6 +114,35 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got === want)
   }
 
+  test("streaming binned quantile sketch: bins ≡ batch, error ≤ one bin width") {
+    implicit val ctx = spark.sqlContext
+    val values = eventData.map(_.value).sorted
+    val width = (values.last - values.head) / 32.0
+    val ms = MemoryStream[Event]
+    ms.addData(eventData)
+    val q = StreamOps.binnedValueCounts(ms.toDF(), width)
+      .writeStream.format("memory").queryName("t_qsketch")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamBins = spark.table("t_qsketch")
+    // the incremental state ≡ the batch aggregation, and it IS small:
+    // bounded by occupied bins, not by stream length
+    val batchBins = StreamOps.binnedValueCounts(eventData.toDF(), width)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = streamBins.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batchBins)
+    assert(got.size <= 33 && got.values.sum === values.length.toLong)
+    // interpolated estimates land within one bin of the exact quantile
+    val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val est = StreamOps.quantileFromBins(streamBins, width, ps)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.foreach { p =>
+      val exact = values(math.max(0, math.ceil(p * values.length).toInt - 1))
+      assert(math.abs(est(p) - exact) <= width + 1e-9,
+        s"p=$p est=${est(p)} exact=$exact width=$width")
+    }
+  }
+
   // --- late / out-of-order arrivals: watermark-drop semantics ------------
   /** Epoch-anchored timestamps (UTC midnight 2024-01-01) so 6 h windows
     * land on exact boundaries regardless of JVM default timezone. */
