@@ -84,34 +84,88 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
-  /** The oracle unrolls the fixed 8 rounds as chained CTEs — the same
-    * int64 formula DuckDB-side (`//` ≡ `div` on non-negative operands;
-    * SUM's HUGEINT is cast back per round). */
-  lazy val q95Sql: String = {
+  /** The `prdeg, pr0..pr$Iters` CTE chain replaying [[pagerank]] over an
+    * existing symmetric edge relation `edges(a, b)` — the same int64
+    * formula DuckDB-side (`//` ≡ `div` on non-negative operands; SUM's
+    * HUGEINT is cast back per round). Unrolled because the per-round
+    * aggregation can't live inside a recursive CTE term. Shared by the
+    * q95 oracle and the q97 composition. */
+  def prCtesSql(edges: String, a: String, b: String): String = {
     val base = (100 - Damping) * RankScale / 100
-    val iterCtes = (1 to Iters).map { k =>
-      s"""r$k AS (
+    val head = Seq(
+      s"prdeg AS (SELECT $b AS nid, COUNT(*) AS deg FROM $edges GROUP BY $b)",
+      s"pr0 AS (SELECT doc_id, CAST($RankScale AS BIGINT) AS r FROM documents)")
+    val iters = (1 to Iters).map { k =>
+      s"""pr$k AS (
          |  SELECT d.doc_id,
          |    CAST($base + ($Damping * COALESCE(SUM(s.share), 0)) // 100 AS BIGINT) AS r
          |  FROM documents d LEFT JOIN (
-         |    SELECT e.id_a, r.r // g.deg AS share
-         |    FROM edges e
-         |    JOIN r${k - 1} r ON e.id_b = r.doc_id
-         |    JOIN deg g ON e.id_b = g.id_b) s
-         |  ON d.doc_id = s.id_a
+         |    SELECT e.$a AS tgt, r.r // g.deg AS share
+         |    FROM $edges e
+         |    JOIN pr${k - 1} r ON e.$b = r.doc_id
+         |    JOIN prdeg g ON e.$b = g.nid) s
+         |  ON d.doc_id = s.tgt
          |  GROUP BY d.doc_id)""".stripMargin
-    }.mkString(",\n")
+    }
+    (head ++ iters).mkString(",\n")
+  }
+
+  lazy val q95Sql: String =
     s"""WITH pairs AS (SELECT id_a, id_b FROM (${DedupOps.q50PairsSql}) _p),
        |edges AS (SELECT id_a, id_b FROM pairs
        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
-       |deg AS (SELECT id_b, COUNT(*) AS deg FROM edges GROUP BY id_b),
-       |r0 AS (SELECT doc_id, CAST($RankScale AS BIGINT) AS r FROM documents),
-       |$iterCtes
-       |SELECT doc_id, r / 1000000.0 AS rank FROM r$Iters
+       |${prCtesSql("edges", "id_a", "id_b")}
+       |SELECT doc_id, r / 1000000.0 AS rank FROM pr$Iters
        |ORDER BY doc_id""".stripMargin
+
+  // --- 97. keeper-by-centrality (r4) --------------------------------------
+  /** The curation policy q95 exists to feed: within each near-dup
+    * cluster keep the most CENTRAL document (highest PageRank, doc_id
+    * tie-break) rather than q70/q74's min-id convention — "keep the
+    * canonical version" instead of "keep an arbitrary one". Composes the
+    * production edge set (q50) with connected components and PageRank —
+    * both checkpoint-backed iterations over ONE shared cached pair
+    * relation — then a per-cluster argmax whose `row_number ≤ 1` compiles
+    * to a map-side WindowGroupLimit (a pathological mega-cluster never
+    * lands whole on one task). One row per cluster, singletons included. */
+  def q97(s: SparkSession, dir: String): DataFrame =
+    keeperByRank(DedupOps.q50(s, dir).select(col("id_a"), col("id_b")),
+      Tables.documents(s, dir).select(col("doc_id")))
+
+  /** Cluster + rank + per-cluster argmax over any undirected pair set. */
+  def keeperByRank(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val p = pairs.cache()
+    val roots = DedupOps.connectedComponents(p, docs)
+      .select(col("doc_id"), col("root"))
+    val ranks = pagerank(p, docs)
+    // both iterations have materialized to checkpoint blocks; the pair
+    // relation is no longer reachable from the returned plan
+    p.unpersist(blocking = false)
+    roots.join(ranks, "doc_id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("root"))
+          .orderBy(col("rank").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("root").as("cluster"), col("doc_id").as("keeper"),
+        col("rank").as("keeper_rank"))
+      .orderBy(col("cluster"))
   }
+
+  lazy val q97Sql: String =
+    s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},
+       |${prCtesSql("edges", "a", "b")},
+       |sel AS (
+       |  SELECT t.root, t.doc_id, p.r,
+       |    ROW_NUMBER() OVER (PARTITION BY t.root
+       |      ORDER BY p.r DESC, t.doc_id) AS rk
+       |  FROM roots t JOIN pr$Iters p ON t.doc_id = p.doc_id)
+       |SELECT root AS cluster, doc_id AS keeper, r / 1000000.0 AS keeper_rank
+       |FROM sel WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("q95_pagerank", q95, Some(q95Sql)),
+    Op("q97_keeper_by_rank", q97, Some(q97Sql)),
   )
 }

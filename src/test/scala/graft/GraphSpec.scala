@@ -52,4 +52,38 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(total <= n.toDouble + 1e-6)
     assert(total >= 0.15 * n - 1e-6)
   }
+
+  test("q97 keeps the highest-rank member of every q50 cluster") {
+    val ranks = GraphOps.q95(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val roots = operators.DedupOps.connectedComponents(
+        DedupOps.q50(spark, SF).select("id_a", "id_b"),
+        Tables.documents(spark, SF).select(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = GraphOps.q97(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // one row per cluster, clusters = distinct CC roots
+    assert(got.map(_._1).toSet === roots.values.toSet)
+    assert(got.length === roots.values.toSet.size)
+    got.foreach { case (cluster, keeper, kRank) =>
+      val members = roots.collect { case (d, r) if r == cluster => d }
+      val best = members.minBy(d => (-ranks(d), d))
+      assert(keeper === best, s"cluster $cluster")
+      assert(kRank === ranks(keeper))
+    }
+  }
+
+  test("keeperByRank picks the hub of a star, not the min id") {
+    import spark.implicits._
+    // star: 10 is the center, 11..14 the leaves; plus isolate 99.
+    // min-label CC roots the cluster at 10... no — at the MIN id, 10.
+    // Shift ids so the hub is NOT the min: center 13, leaves 10,11,12,14.
+    val pairs = Seq((13L, 10L), (13L, 11L), (13L, 12L), (13L, 14L))
+      .toDF("id_a", "id_b")
+    val docs = Seq(10L, 11L, 12L, 13L, 14L, 99L).toDF("doc_id")
+    val got = GraphOps.keeperByRank(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // cluster is labeled by min id (10) but the kept doc is the hub (13)
+    assert(got === Map(10L -> 13L, 99L -> 99L))
+  }
 }
