@@ -72,20 +72,25 @@ object DedupOps {
     * ([[graft.functions.BloomPrune]]) whose size stays bounded. */
   val MaxBroadcastPruneIds = 4L * 1024 * 1024
 
-  def q49(s: SparkSession, dir: String): DataFrame = {
-    // df-cap via groupBy + broadcast anti-join, NOT a window over sh: a
-    // Window.partitionBy(sh) count shuffles the full exploded relation on
-    // the skewed shingle key and materializes every hot shingle's rows in
-    // ONE task — the stop-word-like shingle in 1% of a 100 TB corpus is
-    // exactly the straggler/OOM task the cap exists to prevent. groupBy
-    // pre-aggregates the hot key map-side (the shuffle carries one
-    // (sh, cnt) partial per partition, never a hot shingle's rows), and
-    // the HOT set — the small side: ≤ |occurrences|/cap distinct
-    // shingles, a Zipf head in practice — broadcasts back as an
-    // anti-join applied map-side, so the exploded corpus is never
-    // shuffled on sh before the cap filter. cache() because the index
-    // feeds three consumers (sizes + both join sides) and the upstream
-    // tokenize/shingle pipeline is the expensive part.
+  /** df-capped shingle occurrences (doc_id, sh) — the corpus inverted
+    * index with hot shingles removed. Shared by q49 (Jaccard) and q100
+    * (IDF cosine): both are cached, so within the dedup cache group the
+    * second caller structural-match reuses the materialized relation.
+    *
+    * df-cap via groupBy + broadcast anti-join, NOT a window over sh: a
+    * Window.partitionBy(sh) count shuffles the full exploded relation on
+    * the skewed shingle key and materializes every hot shingle's rows in
+    * ONE task — the stop-word-like shingle in 1% of a 100 TB corpus is
+    * exactly the straggler/OOM task the cap exists to prevent. groupBy
+    * pre-aggregates the hot key map-side (the shuffle carries one
+    * (sh, cnt) partial per partition, never a hot shingle's rows), and
+    * the HOT set — the small side: ≤ |occurrences|/cap distinct
+    * shingles, a Zipf head in practice — broadcasts back as an
+    * anti-join applied map-side, so the exploded corpus is never
+    * shuffled on sh before the cap filter. cache() because the index
+    * feeds three consumers (sizes + both join sides) and the upstream
+    * tokenize/shingle pipeline is the expensive part. */
+  private[graft] def keptShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir).select(col("doc_id"), explode(col("shs")).as("sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") > ShingleDfCap)
@@ -112,7 +117,11 @@ object DedupOps {
             .unionAll(sh.filter(probe).join(hot, Seq("sh"), "left_anti"))
         case None => sh // empty hot set: nothing to exclude
       }
-    val kept = kept0.cache()
+    kept0.cache()
+  }
+
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val kept = keptShingles(s, dir)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = kept.select(col("doc_id").as("id_a"), col("sh"))
     val b = kept.select(col("doc_id").as("id_b"), col("sh"))
@@ -657,6 +666,193 @@ object DedupOps {
        |GROUP BY COALESCE(degree, 0)
        |ORDER BY degree""".stripMargin
 
+  // --- 98. duplicated-span detection (r4) ---------------------------------
+  /** EXACT substring-level duplication readout (the span form of corpus
+    * dedup, à la "train-set substrings repeated verbatim elsewhere"):
+    * every position whose [[DupSpanK]]-token window also occurs in some
+    * OTHER document is duplicated; overlapping windows merge into maximal
+    * spans per doc (classic gaps-and-islands over the running max end),
+    * and the per-doc readout is span count / covered tokens / covered
+    * fraction. Doc-level near-dup (q48–q51) misses partial copies —
+    * a quoted paragraph inside an otherwise-unique doc — this is the
+    * operator that finds them, and the span coordinates are exactly what
+    * a cut-the-span cleaning pass consumes.
+    *
+    * Scale shape: positional shingles are corpus-linear (one row per
+    * token); the duplicated-shingle set comes from one groupBy(sh) whose
+    * distinct-doc count partially aggregates map-side, and rejoins the
+    * occurrence relation 1:1 per occurrence — a shingle in k docs
+    * contributes k rows, NOT k² (no pair join anywhere, unlike q49).
+    * The dup set is corpus-sized so it shuffles (no broadcast); AQE skew
+    * split covers a hot shingle's join partition. Span merging windows
+    * by doc_id — O(doc length) per key, never corpus-global. */
+  val DupSpanK = 8
+
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache() // two consumers: positional shingles + the doc universe
+    val occ = docs
+      .select(col("doc_id"), posexplode(shingles(col("toks"), DupSpanK)).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("sh"))
+    val dup = occ.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= 2).select(col("sh"))
+    val hits = occ.join(dup, "sh")
+      .select(col("doc_id"), col("pos"), (col("pos") + (DupSpanK - 1)).as("fin"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = max(col("fin")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = hits
+      .withColumn("new_span", when(col("pos") > coalesce(prevMax, lit(0L)), 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("fin")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          graft.functions.Num.ratio6(coalesce(col("dup_tokens"), lit(0L)), col("n_tokens")))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q98Sql: String = {
+    val shExpr = (0 until DupSpanK).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i AS pos, $shExpr AS sh
+       |  FROM d, unnest(range(1, greatest(len(toks) - ${DupSpanK - 2}, 1))) AS u(i)),
+       |dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT o.doc_id, o.pos, o.pos + ${DupSpanK - 1} AS fin
+       |  FROM occ o JOIN dup USING (sh)),
+       |marked AS (
+       |  SELECT doc_id, pos, fin,
+       |    CASE WHEN pos > COALESCE(MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, fin,
+       |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM marked),
+       |sp AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(fin) AS e
+       |  FROM isl GROUP BY doc_id, span_id),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+       |  FROM sp GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.toks) AS n_tokens,
+       |  COALESCE(p.n_spans, 0) AS n_spans,
+       |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       |  CASE WHEN len(d.toks) > 0
+       |    THEN ${graft.functions.Num.ratio6Sql("COALESCE(p.dup_tokens, 0)", "len(d.toks)")}
+       |    ELSE 0.0 END AS dup_fraction
+       |FROM d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- 99. cross-source duplication matrix (r4) ----------------------------
+  /** WHERE the duplication comes from: the verified near-dup pairs (q50)
+    * keyed by the unordered (source, source) pair — the readout that
+    * tells a curation team which feeds copy which (a heavy diagonal means
+    * within-crawl re-posts; a heavy off-diagonal cell means two feeds
+    * mirror each other and one can be dropped wholesale). Two broadcast
+    * joins of the doc→source dimension onto the pair set + one counting
+    * groupBy — nothing beyond q50's own cost at any scale (the dimension
+    * broadcast is |docs|-sized here, but only because doc→source IS the
+    * dimension; at 100 TB the same plan flips to shuffle joins under AQE
+    * with identical semantics). */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val pairs = q50(s, dir)
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  lazy val q99Sql: String =
+    s"""WITH pairs AS (SELECT id_a, id_b FROM ($q50PairsSql) _p)
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON pairs.id_a = da.doc_id
+       |JOIN documents db ON pairs.id_b = db.doc_id
+       |GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // --- 100. IDF-weighted shingle cosine (r4) -------------------------------
+  /** SOFT lexical near-dup scoring: cosine over IDF-weighted binary
+    * shingle vectors on the same df-capped space as q49. Jaccard treats
+    * a boilerplate 3-gram and a rare quote identically; IDF weighting
+    * scores overlap by how *distinctive* the shared shingles are — the
+    * signal used to separate "same template" from "same content" before
+    * a keeper policy fires. Same inverted-index + cap skew guard as q49
+    * (the [[keptShingles]] relation is shared and cached); the weight
+    * table derives from kept itself (rare shingles retain ALL their
+    * occurrences, so COUNT per shingle ≡ its df) and re-joins the index
+    * skew-free — every kept shingle carries ≤ [[ShingleDfCap]] rows.
+    *
+    * Numerics are cross-engine exact: weights live on the integer-micro
+    * lattice (round(idf·10⁶) — idf is a log, never on a .5 boundary),
+    * dot products and norms are int64 term products summed in
+    * DECIMAL(38,0) (exact, order-independent; terms ≤ 9e14 even at
+    * 10¹² docs), and only the final cosine divides as double — the same
+    * IEEE ops from the same exact integers on both engines. */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val kept = keptShingles(s, dir)
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = kept.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("sh"), round(idf(col("n_docs"), col("dfc")) * 1000000L).cast("long").as("m"))
+    val wk = kept.join(w, "sh")
+    val norms = wk.groupBy(col("doc_id"))
+      .agg(sum((col("m") * col("m")).cast(DecimalType(38, 0))).cast("double").as("n2"))
+    val dot = wk.select(col("doc_id").as("id_a"), col("sh"), col("m").as("ma"))
+      .join(wk.select(col("doc_id").as("id_b"), col("sh"), col("m").as("mb")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("ma") * col("mb")).cast(DecimalType(38, 0))).cast("double").as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na2")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb2")), "id_b")
+      .withColumn("cos", col("dot") / sqrt(col("na2") * col("nb2")))
+      .filter(col("cos") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  lazy val q100Sql: String =
+    s"""WITH d AS ($docShSql),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+       |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $ShingleDfCap),
+       |kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |w AS (SELECT sh, CAST(round((${idfSql("n_docs", "dfc")}) * 1000000) AS BIGINT) AS m
+       |  FROM (SELECT sh, COUNT(*) AS dfc FROM kept GROUP BY sh) _df CROSS JOIN n),
+       |wk AS (SELECT k.doc_id, k.sh, w.m FROM kept k JOIN w USING (sh)),
+       |norms AS (SELECT doc_id, CAST(SUM(m * m) AS DOUBLE) AS n2 FROM wk GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.m * b.m) AS DOUBLE) AS dot
+       |  FROM wk a JOIN wk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, dot / sqrt(na.n2 * nb.n2) AS cos
+       |FROM pr
+       |JOIN norms na ON id_a = na.doc_id
+       |JOIN norms nb ON id_b = nb.doc_id
+       |WHERE dot / sqrt(na.n2 * nb.n2) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
@@ -668,5 +864,8 @@ object DedupOps {
     Op("q75_dedup_embedding_scale", q75, Some(q75Sql)),
     Op("q91_dedup_cluster_stats", q91, Some(q91Sql)),
     Op("q94_dedup_degree", q94, Some(q94Sql)),
+    Op("q98_dup_spans", q98, Some(q98Sql)),
+    Op("q99_cross_source_dups", q99, Some(q99Sql)),
+    Op("q100_dedup_idf_cosine", q100, Some(q100Sql)),
   )
 }

@@ -191,4 +191,63 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(p2.size.toDouble / brute.size >= 0.4,
       s"nprobe=2 recall ${p2.size.toDouble / brute.size} below floor")
   }
+
+  test("q98 duplicated spans match a sequential brute-force recompute") {
+    val k = DedupOps.DupSpanK
+    val toks = Tables.documents(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z0-9]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toVector)
+      .toMap
+    // brute force: count each k-shingle's distinct docs, mark covered
+    // positions, merge into maximal runs
+    val docsPerSh = toks.toSeq
+      .flatMap { case (id, ts) => ts.sliding(k).filter(_.size == k)
+        .map(w => (w.mkString(" "), id)).toSeq.distinct }
+      .groupBy(_._1).map { case (sh, v) => sh -> v.map(_._2).distinct.size }
+    val expected = toks.map { case (id, ts) =>
+      val covered = ts.sliding(k).zipWithIndex
+        .collect { case (w, i) if w.size == k && docsPerSh(w.mkString(" ")) >= 2 =>
+          (i until i + k) }
+        .flatten.toSet
+      val runs =
+        if (covered.isEmpty) 0
+        else covered.toSeq.sorted.sliding(2)
+          .count { case Seq(a, b) => b != a + 1; case _ => false } + 1
+      id -> ((runs.toLong, covered.size.toLong, ts.size.toLong))
+    }
+    val got = DedupOps.q98(spark, SF).collect()
+    assert(got.length === toks.size)
+    got.foreach { r =>
+      val (spans, dupToks, n) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("n_spans") === spans)
+      assert(r.getAs[Long]("dup_tokens") === dupToks)
+    }
+    // the planted near-dups must surface as duplicated spans
+    assert(got.count(_.getAs[Long]("dup_tokens") > 0) > 0)
+  }
+
+  test("q100 IDF cosine pairs: thresholded, valid cosines, finds the planted dups") {
+    val rows = DedupOps.q100(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.5 && c <= 1.0 + 1e-9)
+    }
+    // strong Jaccard near-dups are also strong IDF-cosine near-dups:
+    // j ≥ 0.9 ⇒ cos ≥ j under binary vectors with near-equal weights
+    val strong = DedupOps.q49(spark, SF).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty && strong.subsetOf(got))
+  }
+
+  test("q99 source matrix partitions the q50 pair set, pairs unordered") {
+    val rows = DedupOps.q99(spark, SF).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === DedupOps.q50(spark, SF).count())
+    rows.foreach(r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
+  }
 }

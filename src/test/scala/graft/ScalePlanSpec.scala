@@ -140,6 +140,37 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
       s"keyed shuffle below the df-cap filter:\n${anti.get.left}")
   }
 
+  test("q98 windows are all doc-keyed; q100 sits on the capped anti-joined index") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    spark.catalog.clearCache() // cold plans — warm caches hide the joins
+    // q98's span merge must never fall back to a global window: a corpus
+    // can't sort on one task. Every Window partitions by doc_id.
+    val p98 = operators.DedupOps.q98(spark, SF).queryExecution.optimizedPlan
+    assert(p98.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "q98 must never run an unpartitioned window")
+    // q100 shares keptShingles: the df cap must reach its plan as the
+    // same broadcast anti-join q49 is guarded for. cache() registers the
+    // kept relation eagerly, so descend through InMemoryRelation's cached
+    // physical plan (the logical view only shows the cache node).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case x => Seq(x)
+      }
+    val p100 = flatten(
+      operators.DedupOps.q100(spark, SF).queryExecution.executedPlan)
+    assert(p100.exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftAnti
+      case _ => false
+    }, "q100 must apply the hot-shingle cap as a broadcast anti-join")
+  }
+
   test("broadcast joins degrade to shuffle joins — same answers — when dims outgrow the threshold") {
     // SURVEY §5's claim made executable: the declarative q3 plan
     // broadcasts its dimension sides at test scale, and when a
