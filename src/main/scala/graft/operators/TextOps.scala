@@ -762,6 +762,86 @@ object TextOps {
        |FROM hit WHERE rn = 1
        |ORDER BY coverage""".stripMargin
 
+  // --- 101. heavy hitters: MG sketch candidates → exact verify (r4) -------
+  /** Frequent tokens (share ≥ 1/[[HeavyDen]]) WITHOUT ever shuffling the
+    * long tail: pass 1 runs the mergeable Misra–Gries aggregate
+    * ([[graft.expressions.FreqItemsAgg]], k = [[HeavyK]] counters per
+    * buffer, map-side partial merge) down to ONE driver-sized summary —
+    * its guarantee (undercount ≤ n/(k+1), so every item with share
+    * > 1/(k+1) survives) makes the summary a provable candidate
+    * SUPERSET of the heavy set; pass 2 broadcasts the ≤ k candidates
+    * back and exact-counts only matching rows (map-side filter, ≤ k
+    * groups). Output is therefore EXACT and partitioning-independent
+    * even though sketch estimates aren't — which is what lets DuckDB
+    * replay it as a plain HAVING aggregate. Contrast with q33's full
+    * groupBy: at 100 TB the vocabulary's tail (trillions of rare keys)
+    * is the shuffle; here the tail dies map-side in pass 1 and never
+    * moves. */
+  val HeavyK = 64
+  val HeavyDen = 40 // heavy ⇔ share ≥ 1/40; guarantee needs 1/40 > 1/(k+1) ✓
+
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsWithToks(s, dir).select(explode(col("toks")).as("token"))
+    val sk = tok.agg(
+      graft.expressions.FreqItemsAgg.freqItems(col("token"), HeavyK).as("cands"),
+      count(lit(1)).as("n_total"))
+    val cand = sk.select(explode(map_keys(col("cands"))).as("token"), col("n_total"))
+    tok.join(broadcast(cand), "token")
+      .groupBy(col("token"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HeavyDen >= col("n_total"))
+      .select(col("token"), col("cnt"),
+        graft.functions.Num.ratio6(col("cnt"), col("n_total")).as("share"))
+      .orderBy(col("token"))
+  }
+
+  lazy val q101Sql: String =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+       |n AS (SELECT COUNT(*) AS n_total FROM tok)
+       |SELECT token, COUNT(*) AS cnt,
+       |  ${graft.functions.Num.ratio6Sql("COUNT(*)", "n_total")} AS share
+       |FROM tok CROSS JOIN n
+       |GROUP BY token, n_total
+       |HAVING COUNT(*) * $HeavyDen >= n_total
+       |ORDER BY token""".stripMargin
+
+  // --- 102. per-group heavy hitters: MG sketch under groupBy (r4) --------
+  /** [[q101]] generalized to an arbitrary group key: frequent tokens PER
+    * LANGUAGE (share ≥ 1/[[HeavyDen]] within the language). The MG
+    * guarantee is per-group for free — each group gets its own
+    * aggregation buffer, so every group's summary independently carries
+    * undercount ≤ n_g/(k+1) and the candidate-superset property holds
+    * within each group. Pass 2 broadcasts ≤ |groups|·k (group, token)
+    * candidates for the exact recount. At 100 TB this is the
+    * "per-language stop-word table" build: the grouped sketch shuffles
+    * |groups|·k counters instead of the |groups|×vocab cross tail. */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsWithToks(s, dir)
+      .select(col("lang"), explode(col("toks")).as("token"))
+    val sk = tok.groupBy(col("lang")).agg(
+      graft.expressions.FreqItemsAgg.freqItems(col("token"), HeavyK).as("cands"),
+      count(lit(1)).as("n_lang"))
+    val cand = sk.select(col("lang"),
+      explode(map_keys(col("cands"))).as("token"), col("n_lang"))
+    tok.join(broadcast(cand), Seq("lang", "token"))
+      .groupBy(col("lang"), col("token"), col("n_lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HeavyDen >= col("n_lang"))
+      .select(col("lang"), col("token"), col("cnt"),
+        graft.functions.Num.ratio6(col("cnt"), col("n_lang")).as("share"))
+      .orderBy(col("lang"), col("token"))
+  }
+
+  lazy val q102Sql: String =
+    s"""WITH tok AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+       |n AS (SELECT lang, COUNT(*) AS n_lang FROM tok GROUP BY lang)
+       |SELECT t.lang, token, COUNT(*) AS cnt,
+       |  ${graft.functions.Num.ratio6Sql("COUNT(*)", "n_lang")} AS share
+       |FROM tok t JOIN n USING (lang)
+       |GROUP BY t.lang, token, n_lang
+       |HAVING COUNT(*) * $HeavyDen >= n_lang
+       |ORDER BY lang, token""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -782,5 +862,7 @@ object TextOps {
     Op("q80_repetition_ratio", q80, Some(q80Sql)),
     Op("q90_lm_quality", q90, Some(q90Sql)),
     Op("q92_vocab_coverage", q92, Some(q92Sql)),
+    Op("q101_heavy_hitters", q101, Some(q101Sql)),
+    Op("q102_heavy_hitters_grouped", q102, Some(q102Sql)),
   )
 }

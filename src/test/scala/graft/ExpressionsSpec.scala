@@ -76,6 +76,62 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(decl === 32.0)
   }
 
+  test("FreqItemsAgg: MG guarantee holds on a skewed stream, any partitioning") {
+    import graft.expressions.FreqItemsAgg
+    val k = 8
+    // Zipf-ish: item i appears ~n/i times; heavy head + long tail
+    val stream = (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"item$i"))
+    val n = stream.size
+    val exact = stream.groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    Seq(1, 3, 17).foreach { parts =>
+      val sk = stream.toDF("t").repartition(parts)
+        .agg(FreqItemsAgg.freqItems(col("t"), k).as("m"))
+        .collect()(0).getMap[String, Long](0)
+      assert(sk.size <= k)
+      // estimates are lower bounds, undercounting by at most n/(k+1)
+      sk.foreach { case (item, est) =>
+        assert(est <= exact(item), s"$item overcounted at parts=$parts")
+        assert(exact(item) - est <= n / (k + 1) + 1, s"$item at parts=$parts")
+      }
+      // completeness: every item heavier than n/(k+1) must be present
+      exact.foreach { case (item, c) =>
+        if (c > n / (k + 1)) assert(sk.contains(item), s"$item lost at parts=$parts")
+      }
+    }
+  }
+
+  test("q101 equals the exact heavy-hitter set (sketch is only a candidate pass)") {
+    val tok = Tables.documents(spark, SF)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("token"))
+    val n = tok.count()
+    val expect = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * operators.TextOps.HeavyDen >= n)
+      .orderBy(col("token"))
+      .as[(String, Long)].collect().toList
+    val got = operators.TextOps.q101(spark, SF)
+      .select(col("token"), col("cnt")).as[(String, Long)].collect().toList
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q102 equals the exact per-group heavy-hitter set") {
+    val tok = Tables.documents(spark, SF)
+      .select(col("lang"), explode(graft.text.Text.tokens(col("text"))).as("token"))
+    val n = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val expect = tok.join(n, "lang")
+      .groupBy(col("lang"), col("token"), col("n_lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * operators.TextOps.HeavyDen >= col("n_lang"))
+      .select(col("lang"), col("token"), col("cnt"))
+      .orderBy(col("lang"), col("token"))
+      .as[(String, String, Long)].collect().toList
+    val got = operators.TextOps.q102(spark, SF)
+      .select(col("lang"), col("token"), col("cnt"))
+      .as[(String, String, Long)].collect().toList
+    assert(got === expect)
+    assert(got.map(_._1).distinct.size > 1, "needs multiple language groups")
+  }
+
   test("text primitives are null-safe") {
     val df = Seq[Option[String]](None, Some(""), Some("one two three")).toDF("text")
     val toks = df.select(graft.text.Text.tokens(col("text")).as("t"))
