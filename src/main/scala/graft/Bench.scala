@@ -20,6 +20,7 @@ object Bench {
       }
       spark.catalog.clearCache() // warm-up caches hold sf0.001 data
       CheckpointRegistry.releaseAll()
+      SharedRelations.clear()
     }
     // opGroups preserves SURVEY §2 order — deterministic run order makes
     // per-query timings comparable across rounds (Map order isn't).
@@ -46,6 +47,7 @@ object Bench {
         op.name -> (if (good.isEmpty) -1.0 else good.min)
       }
       spark.catalog.clearCache()
+      SharedRelations.clear() // family memo (pair/label/rank sets)
       rs
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -44,8 +44,9 @@ object GraphOps {
   /** q95: PageRank over the verified MinHash near-dup pairs (q50),
     * isolates included via the document universe. */
   def q95(s: SparkSession, dir: String): DataFrame =
-    pagerank(DedupOps.q50(s, dir).select(col("id_a"), col("id_b")),
-      Tables.documents(s, dir).select(col("doc_id")))
+    graft.SharedRelations.getOrBuild("pr50", dir)(
+      pagerank(DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b")),
+        Tables.documents(s, dir).select(col("doc_id"))))
 
   /** Integer-micros PageRank over an undirected pair set; `docs`
     * supplies the universe so isolates hold rank (1−α). */
@@ -127,10 +128,13 @@ object GraphOps {
     * both checkpoint-backed iterations over ONE shared cached pair
     * relation — then a per-cluster argmax whose `row_number ≤ 1` compiles
     * to a map-side WindowGroupLimit (a pathological mega-cluster never
-    * lands whole on one task). One row per cluster, singletons included. */
+    * lands whole on one task). One row per cluster, singletons included.
+    * Both iterations come from the family memo ([[graft.SharedRelations]]):
+    * q74's label set and q95's rank vector are materialized once per
+    * family run, so q97 itself is just the argmax join. */
   def q97(s: SparkSession, dir: String): DataFrame =
-    keeperByRank(DedupOps.q50(s, dir).select(col("id_a"), col("id_b")),
-      Tables.documents(s, dir).select(col("doc_id")))
+    clusterArgmax(DedupOps.q74(s, dir).select(col("doc_id"), col("root")),
+      q95(s, dir))
 
   /** Cluster + rank + per-cluster argmax over any undirected pair set. */
   def keeperByRank(pairs: DataFrame, docs: DataFrame): DataFrame = {
@@ -141,6 +145,12 @@ object GraphOps {
     // both iterations have materialized to checkpoint blocks; the pair
     // relation is no longer reachable from the returned plan
     p.unpersist(blocking = false)
+    clusterArgmax(roots, ranks)
+  }
+
+  /** Per-cluster argmax: highest-rank member of each `root` cluster,
+    * doc_id tie-break; `row_number ≤ 1` compiles to WindowGroupLimit. */
+  private def clusterArgmax(roots: DataFrame, ranks: DataFrame): DataFrame =
     roots.join(ranks, "doc_id")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -150,7 +160,6 @@ object GraphOps {
       .select(col("root").as("cluster"), col("doc_id").as("keeper"),
         col("rank").as("keeper_rank"))
       .orderBy(col("cluster"))
-  }
 
   lazy val q97Sql: String =
     s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},

@@ -14,6 +14,7 @@ trait SharedSpark extends BeforeAndAfterAll { self: Suite =>
     * of a checkpointed plan has already materialized by teardown. */
   override def afterAll(): Unit = {
     CheckpointRegistry.releaseAll()
+    SharedRelations.clear()
     super.afterAll()
   }
 }
