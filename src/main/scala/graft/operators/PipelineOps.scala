@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Op
+import graft.text.Text
+import graft.text.Text.toksSql
 
 /** The composed training-data selection pipeline (SURVEY §2 row 77) —
   * what a 100 TB corpus run actually executes end-to-end: language gate
@@ -370,6 +372,56 @@ object PipelineOps {
        |WHERE rk <= $QuotaPerStratum
        |ORDER BY lang, rk""".stripMargin
 
+  // --- 104. weighted sampling without replacement (r4) --------------------
+  /** Deterministic Efraimidis–Spirakis A-ES weighted sampling: draw
+    * [[WrsK]] documents WITHOUT replacement with inclusion probability
+    * ∝ weight (here token count + 1 — a compute-per-token training
+    * budget spends ∝ length). Per doc: u = deterministic md5-uniform in
+    * (0,1), sort key = ln(u)/w (the log of the classic u^(1/w) — same
+    * order, one transcendental), take the top K keys. A-ES's guarantee:
+    * the top-K-by-key set is EXACTLY a weighted draw without
+    * replacement.
+    *
+    * Scale shape: one corpus-linear projection (hash + ln, no joins, no
+    * state), then `orderBy.limit(K)` = TakeOrderedAndProject — per-
+    * partition K-heaps, driver merges K·parts rows; the corpus is never
+    * globally sorted and nothing corpus-sized shuffles. Determinism is
+    * the q90/q96 recipe: 60-bit md5 uniforms reduced mod 10¹⁵ (exact in
+    * a double), identical literals/association in both engines,
+    * micro-quantized key, doc_id tie-break. */
+  val WrsK = 100
+
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), (size(col("toks")).cast("long") + 1L).as("w"))
+    d.withColumn("hm",
+        conv(substring(md5(concat(lit("wrs:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long") % 1000000000000000L)
+      .withColumn("km",
+        round((log((col("hm") + lit(0.5)) / lit(1.0e15)) / col("w")) *
+          lit(1000000L), 0).cast("long"))
+      .select(col("doc_id"), col("w"), (col("km") / 1000000.0).as("skey"))
+      .orderBy(col("km").desc, col("doc_id"))
+      .limit(WrsK)
+  }
+
+  lazy val q104Sql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) + 1 AS w FROM documents),
+       |keyed AS (
+       |  SELECT doc_id, w,
+       |    CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1000000000000000 AS hm
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, w,
+       |    CAST(round((ln((hm + 0.5) / 1e15) / w) * 1000000, 0) AS BIGINT) AS km
+       |  FROM keyed)
+       |SELECT doc_id, w, km / 1000000.0 AS skey
+       |FROM scored
+       |ORDER BY km DESC, doc_id
+       |LIMIT $WrsK""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -378,5 +430,6 @@ object PipelineOps {
     Op("q86_training_build", q86, Some(q86Sql)),
     Op("q87_decontaminate_scale", q87, Some(q87Sql)),
     Op("q96_quota_sample", q96, Some(q96Sql)),
+    Op("q104_weighted_sample", q104, Some(q104Sql)),
   )
 }

@@ -744,6 +744,168 @@ object SimOps {
       |FROM vn JOIN cn USING (label)
       |ORDER BY label""".stripMargin
 
+  // --- 105. persisted IVF+PQ index: build once, query many (r4) ----------
+  /** The production ANN serving shape: the index is a real on-disk
+    * ARTIFACT, not a per-query subplan. Build writes one self-contained
+    * table — (vec_id, codes, embedding, nrm) partitioned by IVF
+    * `cell_id` — so a query batch (1) probes its cells map-side against
+    * the broadcast centroid row, (2) reads ONLY the probed cells'
+    * partitions (static partition pruning: non-probed cell directories
+    * never open — the probed-cell id list is ≤ |cells|, driver-sized by
+    * IVF construction, same class as the centroid broadcast), (3) ADC-
+    * shortlists inside the pruned scan via broadcast LUTs, (4) exact-
+    * reranks the top-[[PqRerank]] from the embeddings stored IN the
+    * index. At 100 TB the build cost amortizes over every query batch,
+    * and each batch's IO is |probed cells| / |cells| of the corpus.
+    * nprobe = 1 keeps the oracle replay exact (q88's ADC pipeline ∩
+    * q61's cell assignment); recall/pruning are spec-asserted. */
+  val IdxK = 5
+
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_annindex")
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val cbRow = pqCodebook(e)
+    val cellsRow = cellsAsRow(centroidCells(e))
+    pqEncode(assignToCells(withNorm(e), cellsRow), cbRow)
+      .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+        col("cell_id").cast("int").as("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite")
+      .parquet(base.getAbsolutePath)
+    val idx = s.read.parquet(base.getAbsolutePath)
+    annIndexSearch(idx,
+      probeCells(withNorm(testQueries(e)), cellsRow, 1), cbRow, IdxK)
+  }
+
+  /** Query half of [[q105]]: ADC shortlist + exact rerank of a probed
+    * query set against an index relation (persisted or in-memory — the
+    * spec proves both give identical results). Prunes the index scan to
+    * the probed cell ids before anything else touches it. */
+  private[graft] def annIndexSearch(idx: DataFrame, probed: DataFrame,
+      cbRow: DataFrame, k: Int): DataFrame = {
+    val qlut = pqLut(probed, cbRow)
+      .select(col("vec_id").as("q_id"), col("cell_id").cast("int").as("cell_id"),
+        col("embedding").as("e_q"), col("nrm").as("n_q"), col("lut"))
+    // the probed-cell id set is ≤ |cells| (IVF's driver-sized artifact);
+    // inlining it as literals is what turns into static partition pruning
+    val probedIds = qlut.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scan = idx.filter(col("cell_id").isin(probedIds.map(Int.box): _*))
+      .select(col("vec_id").as("n_id"), col("codes"), col("cell_id"),
+        col("embedding").as("e_n"), col("nrm").as("n_n"))
+    val adc = round((0 until PqM).map(m =>
+        element_at(element_at(col("lut"), m + 1),
+          element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _), 6)
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scan.join(broadcast(qlut), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .withColumn("adc_rank", row_number().over(wS))
+      .filter(col("adc_rank") <= PqRerank)
+      .withColumn("cos", round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  lazy val q105Sql: String = {
+    val codeCols = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN sub = $m THEN code END) AS c$m").mkString(",\n    ")
+    val lutJoins = (1 until PqM).map(m =>
+      s"JOIN lut l$m ON l$m.q_id = l0.q_id AND l$m.sub = $m AND l$m.cidx = n.c$m")
+      .mkString("\n  ")
+    val adcSum = (0 until PqM).map(m => s"l$m.l").mkString(" + ")
+    s"""WITH ${centroidMeanCtesSql},
+       |sd AS (SELECT (MAX(dim) + 1) // $PqM AS sd FROM cmeans),
+       |labs AS (
+       |  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INTEGER) AS cidx
+       |  FROM (SELECT DISTINCT label FROM embeddings) _l),
+       |cw AS (
+       |  SELECT labs.cidx, CAST(dim // sd.sd AS INTEGER) AS sub,
+       |    list(CAST(c AS FLOAT) ORDER BY dim) AS cvec
+       |  FROM cmeans JOIN labs USING (label) CROSS JOIN sd
+       |  GROUP BY labs.cidx, CAST(dim // sd.sd AS INTEGER)),
+       |cwsq AS (
+       |  SELECT sub, cidx, cvec,
+       |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN cvec]) AS csq
+       |  FROM cw),
+       |$embNrmCteSql,
+       |cent AS (
+       |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+       |  FROM cmeans GROUP BY label),
+       |centn AS (
+       |  SELECT cell_id, centroid,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
+       |  FROM cent),
+       |cscored AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
+       |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
+       |  FROM e CROSS JOIN centn c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
+       |    FROM cscored) s WHERE rn = 1),
+       |encd AS (
+       |  SELECT e.vec_id, w.sub, w.cidx,
+       |    round(w.csq - 2 * list_sum([CAST(e.embedding[w.sub * sd.sd + i] AS DOUBLE) *
+       |        CAST(w.cvec[i] AS DOUBLE) FOR i IN range(1, sd.sd + 1)]), 6) AS d
+       |  FROM embeddings e CROSS JOIN cwsq w CROSS JOIN sd),
+       |enc AS (
+       |  SELECT vec_id, sub, cidx AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cidx) AS rn
+       |    FROM encd) _e WHERE rn = 1),
+       |codes AS (
+       |  SELECT c.vec_id, a.cell_id,
+       |    $codeCols
+       |  FROM enc c JOIN assigned a USING (vec_id) GROUP BY c.vec_id, a.cell_id),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, a.cell_id, w.sub, w.cidx,
+       |    round(list_sum([CAST(q.embedding[w.sub * sd.sd + i] AS DOUBLE) *
+       |        CAST(w.cvec[i] AS DOUBLE) FOR i IN range(1, sd.sd + 1)]), 6) AS l
+       |  FROM embeddings q JOIN assigned a ON q.vec_id = a.vec_id
+       |  CROSS JOIN cwsq w CROSS JOIN sd
+       |  WHERE q.vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT l0.q_id, n.vec_id AS n_id, round($adcSum, 6) AS adc
+       |  FROM codes n
+       |  JOIN lut l0 ON l0.sub = 0 AND l0.cidx = n.c0 AND l0.cell_id = n.cell_id
+       |  $lutJoins
+       |  WHERE l0.q_id <> n.vec_id),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rn
+       |    FROM scored) _s WHERE rn <= $PqRerank),
+       |rerank AS (
+       |  SELECT short.q_id, short.n_id, ${pairCosSql("q", "c")} AS cos
+       |  FROM short
+       |  JOIN e q ON short.q_id = q.vec_id
+       |  JOIN e c ON short.n_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM rerank)
+       |SELECT q_id, n_id, cos, rank FROM ranked
+       |WHERE rank <= $IdxK
+       |ORDER BY q_id, rank""".stripMargin
+      // DuckDB inlines CTEs by default; the 8-way LUT self-join would
+      // re-expand the whole encode subtree per branch (measured > 7 min
+      // at sf0.1 vs 1.3 s materialized). Values are unaffected.
+      .replaceAll("\\b(cwsq|assigned|enc|codes|lut|e) AS \\(",
+        "$1 AS MATERIALIZED (")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q53_knn_brute", q53, Some(q53Sql)),
     Op("q54_ann_lsh", q54, Some(q54Sql)),
@@ -752,5 +914,6 @@ object SimOps {
     Op("q78_ann_lsh_multi", q78, Some(q78Sql)),
     Op("q84_embed_quantize", q84, Some(q84Sql)),
     Op("q88_ann_pq", q88, Some(q88Sql)),
+    Op("q105_ann_index", q105, Some(q105Sql)),
   )
 }

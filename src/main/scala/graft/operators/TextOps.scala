@@ -842,6 +842,71 @@ object TextOps {
        |HAVING COUNT(*) * $HeavyDen >= n_lang
        |ORDER BY lang, token""".stripMargin
 
+  // --- 103. BM25 retrieval (r4) -------------------------------------------
+  /** Okapi BM25 top-k retrieval for a fixed query — the ranked-search
+    * primitive of the reference's literature-screening domain (rank the
+    * corpus against a reviewer's query, screen from the top). k1 = 1.2,
+    * b = 0.75 (the classic defaults).
+    *
+    * Scale shape: the `isin(query)` filter lands directly on the
+    * exploded token stream, so only query-term occurrences — a
+    * |query|-bounded fraction — ever shuffle; corpus-wide inputs reduce
+    * to a 1-row (N, Σlen) aggregate and a |query|-row df table, both
+    * broadcast. Top-k is `orderBy.limit` = TakeOrderedAndProject (per-
+    * partition heaps + driver merge of k·parts rows, never a global
+    * sort). Cross-engine determinism is the q90 recipe: one shared ln,
+    * identical association/literals in both engines, per-term micro-
+    * quantization before an exact integer sum, ties broken by doc_id. */
+  val Bm25TopK = 20
+  val Bm25Query: Seq[String] = Seq("vector", "stream", "filter", "window")
+
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithToks(s, dir).select(col("doc_id"), col("toks"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_len"))
+    val occ = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Query: _*))
+    val tf = occ.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
+    tf.join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))))
+      .withColumn("norm", lit(0.25) +
+        lit(0.75) * (col("dl") * col("n_docs")) / col("sum_len"))
+      .withColumn("sm",
+        round((col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * col("norm")))) * lit(1000000L), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sm")).as("s"))
+      .select(col("doc_id"), col("n_terms"), (col("s") / 1000000.0).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  lazy val q103Sql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_len FROM d),
+       |occ AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok
+       |  FROM d) ,
+       |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM occ
+       |  WHERE tok IN ($terms) GROUP BY doc_id, dl, tok),
+       |dft AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(round((ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)) *
+       |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * n_docs) / sum_len))))
+       |      * 1000000, 0) AS BIGINT) AS sm
+       |  FROM tf t JOIN dft USING (tok) CROSS JOIN stats)
+       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sm) AS BIGINT) / 1000000.0 AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -864,5 +929,6 @@ object TextOps {
     Op("q92_vocab_coverage", q92, Some(q92Sql)),
     Op("q101_heavy_hitters", q101, Some(q101Sql)),
     Op("q102_heavy_hitters_grouped", q102, Some(q102Sql)),
+    Op("q103_bm25", q103, Some(q103Sql)),
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, size}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{DedupOps, PipelineOps, TextOps}
 
@@ -201,5 +202,42 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     // so a corpus-sized stratum never lands whole on one window task
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q104 weighted sample: A-ES keys, no global sort, length bias holds") {
+    import spark.implicits._
+    val df = operators.PipelineOps.q104(spark, SF)
+    val got = df.as[(Long, Long, Double)].collect().toList
+    assert(got.size === operators.PipelineOps.WrsK)
+    assert(got.map(_._1).distinct.size === got.size, "without replacement")
+    // keys descend (ties broken by doc_id, so non-strict)
+    assert(got.map(_._3).sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    })
+    // the sample is a true top-K of the corpus-wide key
+    val all = graft.Tables.documents(spark, SF)
+      .select(col("doc_id"), (size(graft.text.Text.tokens(col("text"))) + 1).cast("long").as("w"))
+      .as[(Long, Long)].collect()
+    def key(id: Long, w: Long): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wrs:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val hm = java.lang.Long.parseLong(hex, 16) % 1000000000000000L
+      (math.round((math.log((hm + 0.5) / 1.0e15) / w) * 1000000.0), id)
+    }
+    val exact = all.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (_, _, (km, id)) => (-km, id) }
+      .take(operators.PipelineOps.WrsK)
+      .map { case (id, w, (km, _)) => (id, w, km / 1000000.0) }.toList
+    assert(got === exact)
+    // heavier (longer) docs are over-represented vs a uniform draw:
+    // mean weight of the sample should exceed the corpus mean
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.size
+    assert(sampleMean > corpusMean)
+    // scale shape: top-k must plan as a take-ordered, not a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 }

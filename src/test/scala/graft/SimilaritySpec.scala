@@ -285,4 +285,40 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(r.getAs[Double]("centroid_norm") <= r.getAs[Double]("avg_norm") + 1e-9)
     }
   }
+
+  test("q105 persisted index: partition-pruned scan, results match the in-memory build") {
+    import org.apache.spark.sql.functions._
+    val df = SimOps.q105(spark, SF)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toList
+    assert(got.nonEmpty)
+    // the query's scan must read only the probed cells' partitions: the
+    // index scan line carries the probed-cell set as a PartitionFilter
+    // (plan traversed via toString — AQE's adaptive root hides the scan
+    // node from collect{})
+    val idxScanLine = df.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("graft_annindex"))
+    assert(idxScanLine.nonEmpty, "index scan not found in the plan")
+    assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
+      s"probed-cell restriction must prune partitions, not filter rows:\n${idxScanLine.get}")
+    // the artifact is transparent: querying the unwritten build relation
+    // yields the identical ranking
+    val e = Tables.embeddings(spark, SF)
+    val cbRow = SimOps.pqCodebook(e)
+    val cellsRow = SimOps.cellsAsRow(SimOps.centroidCells(e))
+    val mem = SimOps.annIndexSearch(
+      SimOps.pqEncode(SimOps.assignToCells(
+          e.withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding"))),
+          cellsRow), cbRow)
+        .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+          col("cell_id").cast("int").as("cell_id")),
+      SimOps.probeCells(
+        e.filter(col("vec_id") % 50 === 0)
+          .withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding"))),
+        cellsRow, 1),
+      cbRow, SimOps.IdxK)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toList
+    assert(got === mem)
+  }
 }

@@ -121,4 +121,35 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     assert(rows(0.5) <= rows(0.9) && rows(0.9) <= rows(0.95) &&
       rows(0.95) <= rows(0.99))
   }
+
+  test("q103 BM25 equals a driver-side recompute of the Okapi formula") {
+    val docs = Tables.documents(spark, SF)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length.toLong
+    val sumLen = docs.map(_._2.size.toLong).sum
+    val q = TextOps.Bm25Query.toSet
+    val dft = q.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val exact = docs.flatMap { case (id, toks) =>
+      val dl = toks.size.toLong
+      val tfs = toks.filter(q).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      if (tfs.isEmpty) None
+      else {
+        val s = tfs.map { case (t, tf) =>
+          val idf = math.log(1.0 + (n - dft(t) + 0.5) / (dft(t) + 0.5))
+          val norm = 0.25 + 0.75 * (dl * n) / sumLen.toDouble
+          math.round((idf * ((tf * 2.2) / (tf + 1.2 * norm))) * 1000000.0)
+        }.sum
+        Some((id, tfs.size.toLong, s))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(TextOps.Bm25TopK)
+      .map { case (id, nt, s) => (id, nt, s / 1000000.0) }.toList
+    val got = TextOps.q103(spark, SF)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got === exact)
+    assert(got.nonEmpty && got.map(_._3).sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    })
+  }
 }
