@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.FloatVecDot
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.expressions.{FloatVecDot, FreqItemsAgg, SimHashAgg}
 
 /** Spark session extension registering graft's native expressions with the
   * SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
@@ -19,6 +20,8 @@ import graft.expressions.FloatVecDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.freqItemsDescriptor)
+    ext.injectFunction(GraftExtensions.simHashDescriptor)
   }
 }
 
@@ -29,5 +32,30 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "vec_dot(a, b) takes exactly two arguments")
       FloatVecDot(children.head, children(1))
+    })
+
+  /** `freq_items_agg(col, k)` — the Misra–Gries summary as a SQL
+    * aggregate; `k` must be a literal int (it sizes the buffer). */
+  val freqItemsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_items_agg"),
+    new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "freq_items_agg(col, k) takes two arguments")
+      val k = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"freq_items_agg: k must be an integer literal, got $other")
+      }
+      FreqItemsAgg(children.head, k).toAggregateExpression()
+    })
+
+  /** `simhash_agg(hA, hB)` — the 64-bit SimHash sketch as a SQL
+    * aggregate over the two 32-bit token-hash halves. */
+  val simHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_agg"),
+    new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "simhash_agg(hA, hB) takes two arguments")
+      SimHashAgg(children.head, children(1)).toAggregateExpression()
     })
 }

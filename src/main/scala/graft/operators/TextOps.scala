@@ -26,10 +26,18 @@ object TextOps {
 
   /** repartition fans the tokenizer out past the (single, at test SF)
     * parquet split — see [[DedupOps.docShingles]]. */
+  /** cache(): every text op starts from this tokenized projection, and
+    * several (q101/q102's sketch+recount, q36's tf/df passes) scan it
+    * twice within one plan — the family cache group (SparkEntry
+    * .opGroups) holds ONE tokenized corpus copy for the family's
+    * lifetime and structural-match reuses it across all ~25 consumers,
+    * exactly the [[DedupOps.docShingles]] pattern (MEMORY_AND_DISK,
+    * executor-local, evicted at the family boundary). */
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", tokens(col("text")))
+      .cache()
 
   // --- 33. tokenize → explode → corpus word count ----------------------
   def q33(s: SparkSession, dir: String): DataFrame =

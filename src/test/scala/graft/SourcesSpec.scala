@@ -194,4 +194,28 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       .collect()(0).getDouble(0)
     assert(r > 0.0)
   }
+
+  test("sql extension exposes the native aggregates (freq_items_agg, simhash_agg)") {
+    Tables.documents(spark, SF).createOrReplaceTempView("docs_ext_test")
+    // the SQL form must agree with the Column-API form used by q101
+    val viaSql = spark.sql(
+      """SELECT freq_items_agg(token, 8) AS m FROM (
+        |  SELECT explode(split(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM docs_ext_test WHERE doc_id < 50) _t""".stripMargin)
+      .collect()(0).getMap[String, Long](0)
+    assert(viaSql.nonEmpty && viaSql.size <= 8)
+    val sh = spark.sql(
+      """SELECT simhash_agg(
+        |  CAST(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT),
+        |  CAST(conv(substr(md5(token), 9, 8), 16, 10) AS BIGINT)) AS s
+        |FROM (SELECT explode(split(lower(text), '[^a-z0-9]+')) AS token
+        |      FROM docs_ext_test WHERE doc_id = 0) _t""".stripMargin)
+      .collect()(0)
+    assert(!sh.isNullAt(0))
+    // k must be a literal — a column reference is a clear error
+    val ex = intercept[Exception] {
+      spark.sql("SELECT freq_items_agg(token, doc_id) FROM (SELECT CAST(doc_id AS STRING) AS token, CAST(doc_id AS INT) AS doc_id FROM docs_ext_test) _t").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
