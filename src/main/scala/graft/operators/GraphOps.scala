@@ -50,7 +50,20 @@ object GraphOps {
 
   /** Integer-micros PageRank over an undirected pair set; `docs`
     * supplies the universe so isolates hold rank (1−α). */
-  def pagerank(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  def pagerank(pairs: DataFrame, docs: DataFrame): DataFrame =
+    pagerankFrom(docs.select(col("doc_id"), lit(RankScale).as("r")),
+      pairs, docs, Iters)
+
+  /** The iteration body, resumable from an arbitrary integer-micros rank
+    * snapshot `ranks0(doc_id, r)` — because each round is a pure
+    * function of the previous ranks, running k rounds, persisting the
+    * micro ranks, and resuming for the remaining Iters−k rounds is
+    * BIT-IDENTICAL to one straight run (GraphSpec pins it). That is the
+    * operational property a 100 TB graph job needs: a rank snapshot is
+    * a restart point, not a re-run — and an incremental corpus update
+    * warm-starts from the previous snapshot instead of uniform ranks. */
+  def pagerankFrom(ranks0: DataFrame, pairs: DataFrame, docs: DataFrame,
+      iters: Int): DataFrame = {
     def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
     val edges = pairs
@@ -59,10 +72,10 @@ object GraphOps {
     // symmetric edges: degree = out-degree = in-degree, keyed on the
     // CONTRIBUTING endpoint (id_b) to join once per round
     val deg = edges.groupBy(col("id_b")).agg(count(lit(1)).as("deg"))
-    var ranks = docs.select(col("doc_id"), lit(RankScale).as("r"))
+    var ranks = ranks0.select(col("doc_id"), col("r"))
       .localCheckpoint()
     var prevBlocks = blocks(ranks)
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       val shares = ranks
         .join(deg, ranks("doc_id") === deg("id_b"))
         .select(col("id_b"), expr("r div deg").as("share"))

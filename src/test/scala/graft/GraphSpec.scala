@@ -73,6 +73,22 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("pagerank resumes bit-identically from a mid-run rank snapshot") {
+    import spark.implicits._
+    val pairs = DedupOps.q50(spark, SF).select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(spark, SF).select(col("doc_id"))
+    val straight = GraphOps.pagerank(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    // run 3 rounds, persist the snapshot as micros, resume for the rest
+    val snap = GraphOps.pagerankFrom(
+        docs.withColumn("r", lit(GraphOps.RankScale)), pairs, docs, 3)
+      .select(col("doc_id"),
+        round(col("rank") * GraphOps.RankScale, 0).cast("long").as("r"))
+    val resumed = GraphOps.pagerankFrom(snap, pairs, docs, GraphOps.Iters - 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(resumed === straight)
+  }
+
   test("keeperByRank picks the hub of a star, not the min id") {
     import spark.implicits._
     // star: 10 is the center, 11..14 the leaves; plus isolate 99.
