@@ -826,7 +826,12 @@ object DedupOps {
     val w = kept.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
       .crossJoin(broadcast(nDocs))
       .select(col("sh"), round(idf(col("n_docs"), col("dfc")) * 1000000L).cast("long").as("m"))
-    val wk = kept.join(w, "sh")
+    // cache: three consumers (norms + both self-join sides) would each
+    // recompute the weight join — and the join leaves wk hash-partitioned
+    // by sh, which the pair self-join below reuses without re-shuffling.
+    // Group-scoped lifecycle (cleared with the dedup family), the q36
+    // pattern; sized like the already-cached kept index + one long.
+    val wk = kept.join(w, "sh").cache()
     val norms = wk.groupBy(col("doc_id"))
       .agg(sum((col("m") * col("m")).cast(DecimalType(38, 0))).cast("double").as("n2"))
     val dot = wk.select(col("doc_id").as("id_a"), col("sh"), col("m").as("ma"))
