@@ -757,9 +757,13 @@ object SimOps {
     * reranks the top-[[PqRerank]] from the embeddings stored IN the
     * index. At 100 TB the build cost amortizes over every query batch,
     * and each batch's IO is |probed cells| / |cells| of the corpus.
-    * nprobe = 1 keeps the oracle replay exact (q88's ADC pipeline ∩
-    * q61's cell assignment); recall/pruning are spec-asserted. */
+    * nprobe = [[IdxNProbe]] is the recall/IO knob: a query probes its
+    * top-n cells (a corpus row lives in exactly ONE cell, so no
+    * candidate duplicates); the oracle replays it as q88's ADC pipeline
+    * over a rank ≤ nprobe probe set; recall/pruning spec-asserted. */
   val IdxK = 5
+  /** Cells probed per query batch against the persisted index. */
+  val IdxNProbe = 2
 
   def q105(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -781,7 +785,7 @@ object SimOps {
       .parquet(base.getAbsolutePath)
     val idx = s.read.parquet(base.getAbsolutePath)
     annIndexSearch(idx,
-      probeCells(withNorm(testQueries(e)), cellsRow, 1), cbRow, IdxK)
+      probeCells(withNorm(testQueries(e)), cellsRow, IdxNProbe), cbRow, IdxK)
   }
 
   /** Query half of [[q105]]: ADC shortlist + exact rerank of a probed
@@ -856,6 +860,10 @@ object SimOps {
        |  SELECT vec_id, cell_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
        |    FROM cscored) s WHERE rn = 1),
+       |probed AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
+       |    FROM cscored WHERE vec_id % 50 = 0) s WHERE rn <= $IdxNProbe),
        |encd AS (
        |  SELECT e.vec_id, w.sub, w.cidx,
        |    round(w.csq - 2 * list_sum([CAST(e.embedding[w.sub * sd.sd + i] AS DOUBLE) *
@@ -870,16 +878,16 @@ object SimOps {
        |    $codeCols
        |  FROM enc c JOIN assigned a USING (vec_id) GROUP BY c.vec_id, a.cell_id),
        |lut AS (
-       |  SELECT q.vec_id AS q_id, a.cell_id, w.sub, w.cidx,
+       |  SELECT q.vec_id AS q_id, w.sub, w.cidx,
        |    round(list_sum([CAST(q.embedding[w.sub * sd.sd + i] AS DOUBLE) *
        |        CAST(w.cvec[i] AS DOUBLE) FOR i IN range(1, sd.sd + 1)]), 6) AS l
-       |  FROM embeddings q JOIN assigned a ON q.vec_id = a.vec_id
-       |  CROSS JOIN cwsq w CROSS JOIN sd
+       |  FROM embeddings q CROSS JOIN cwsq w CROSS JOIN sd
        |  WHERE q.vec_id % 50 = 0),
        |scored AS (
        |  SELECT l0.q_id, n.vec_id AS n_id, round($adcSum, 6) AS adc
        |  FROM codes n
-       |  JOIN lut l0 ON l0.sub = 0 AND l0.cidx = n.c0 AND l0.cell_id = n.cell_id
+       |  JOIN probed p ON p.cell_id = n.cell_id
+       |  JOIN lut l0 ON l0.q_id = p.vec_id AND l0.sub = 0 AND l0.cidx = n.c0
        |  $lutJoins
        |  WHERE l0.q_id <> n.vec_id),
        |short AS (

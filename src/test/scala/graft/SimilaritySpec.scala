@@ -315,10 +315,31 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       SimOps.probeCells(
         e.filter(col("vec_id") % 50 === 0)
           .withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding"))),
-        cellsRow, 1),
+        cellsRow, SimOps.IdxNProbe),
       cbRow, SimOps.IdxK)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getLong(3))).toList
     assert(got === mem)
+    // nprobe is the recall knob: probing more cells can only grow the
+    // candidate set, and an exact rerank over a superset has >= recall
+    def recallOf(res: List[(Long, Long, Double, Long)]): Double = {
+      val exact = SimOps.q53(spark, SF).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+      res.count { case (q, n, _, _) => exact((q, n)) }.toDouble / exact.size
+    }
+    val mem1 = SimOps.annIndexSearch(
+      SimOps.pqEncode(SimOps.assignToCells(
+          e.withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding"))),
+          cellsRow), cbRow)
+        .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+          col("cell_id").cast("int").as("cell_id")),
+      SimOps.probeCells(
+        e.filter(col("vec_id") % 50 === 0)
+          .withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding"))),
+        cellsRow, 1),
+      cbRow, SimOps.IdxK)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toList
+    assert(recallOf(got) >= recallOf(mem1))
   }
 }
