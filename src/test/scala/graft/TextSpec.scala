@@ -151,5 +151,8 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       case Seq(a, b) => a >= b
       case _ => true
     })
+    // top-k must plan as per-partition heaps, never a global sort
+    assert(TextOps.q103(spark, SF).queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
   }
 }
