@@ -186,8 +186,56 @@ object GraphOps {
        |FROM sel WHERE rk = 1
        |ORDER BY cluster""".stripMargin
 
+  // --- 106. policy-driven keeper selection (r4) ---------------------------
+  /** q97 with the keeper POLICY a curation run actually ships: prefer
+    * documents that pass the quality gate (q45's length/symbol
+    * metrics, q77's thresholds), break ties by centrality (q95), then
+    * doc_id — "keep the best-written canonical version". The policy is
+    * a lexicographic ORDER BY inside the same per-cluster argmax, so
+    * swapping policies costs nothing at plan level; all three inputs
+    * (CC labels, ranks, quality) come from family-memoized / cached
+    * relations, leaving q106 itself as two equi-joins + a map-side
+    * WindowGroupLimit. */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val roots = DedupOps.q74(s, dir).select(col("doc_id"), col("root"))
+    val qual = TextOps.q45(s, dir).select(col("doc_id"),
+      (col("n_toks") >= 10 && col("non_alnum_ratio") <= 0.5)
+        .cast("int").as("quality_ok"))
+    roots.join(q95(s, dir), "doc_id").join(qual, "doc_id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("root"))
+          .orderBy(col("quality_ok").desc, col("rank").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("root").as("cluster"), col("doc_id").as("keeper"),
+        col("quality_ok"), col("rank").as("keeper_rank"))
+      .orderBy(col("cluster"))
+  }
+
+  private lazy val q45Body: String =
+    TextOps.q45Sql.split("\nORDER BY")(0)
+
+  lazy val q106Sql: String =
+    s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},
+       |${prCtesSql("edges", "a", "b")},
+       |qual AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_toks >= 10 AND non_alnum_ratio <= 0.5 THEN 1 ELSE 0 END AS quality_ok
+       |  FROM ($q45Body) _q),
+       |sel AS (
+       |  SELECT t.root, t.doc_id, q.quality_ok, p.r,
+       |    ROW_NUMBER() OVER (PARTITION BY t.root
+       |      ORDER BY q.quality_ok DESC, p.r DESC, t.doc_id) AS rk
+       |  FROM roots t
+       |  JOIN pr$Iters p ON t.doc_id = p.doc_id
+       |  JOIN qual q ON t.doc_id = q.doc_id)
+       |SELECT root AS cluster, doc_id AS keeper, quality_ok, r / 1000000.0 AS keeper_rank
+       |FROM sel WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q95_pagerank", q95, Some(q95Sql)),
     Op("q97_keeper_by_rank", q97, Some(q97Sql)),
+    Op("q106_keeper_policy", q106, Some(q106Sql)),
   )
 }

@@ -89,6 +89,32 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(resumed === straight)
   }
 
+  test("q106 keeper policy: quality gate first, then centrality, then id") {
+    val roots = GraphOps.q97(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = operators.TextOps.q45(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks") >= 10 && r.getAs[Double]("non_alnum_ratio") <= 0.5))
+      .toMap
+    val members = operators.DedupOps.q74(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root")))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = GraphOps.q106(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    // same cluster set as q97
+    assert(got.map(_._1).toSet === roots.keySet)
+    got.foreach { case (cluster, keeper, qOk) =>
+      assert(qOk === (if (qual(keeper)) 1 else 0))
+      // where the whole cluster fails (or passes) the gate uniformly,
+      // the policy must degrade to exactly q97's centrality argmax
+      val ms = members(cluster)
+      if (ms.forall(qual) || !ms.exists(qual))
+        assert(keeper === roots(cluster), s"cluster $cluster")
+      // a keeper failing the gate means NO member passes it
+      if (qOk === 0) assert(!ms.exists(qual), s"cluster $cluster")
+    }
+  }
+
   test("keeperByRank picks the hub of a star, not the min id") {
     import spark.implicits._
     // star: 10 is the center, 11..14 the leaves; plus isolate 99.
