@@ -277,21 +277,64 @@ object PipelineOps {
     * only. Catches the dominant contamination mode (a training doc
     * nearly duplicating an eval doc; Jaccard ≳ 0.5 by the banding);
     * diffuse low-overlap leakage stays q85's job. Same hash/perm
-    * formulas as q50, so the DuckDB oracle replays end-to-end. */
-  def q87(s: SparkSession, dir: String): DataFrame = {
+    * formulas as q50, so the DuckDB oracle replays end-to-end.
+    *
+    * Candidate transport is id-only (q50's shape): the (band, bucket)
+    * exchange carries (doc_id, band, bucket) — never the shingle
+    * arrays, which on this op's premise are eval-suite-corpus-sized ×4
+    * bands. The distinct (doc_id, bench_id) pairs checkpoint once
+    * (banding is an action; without it the verify joins would rebuild
+    * the sketch per side), then each side's shingle relation is pruned
+    * to probable candidates — exact broadcast semi-join while the id
+    * set broadcasts, bloom past that (fp = extra shuffled rows, never
+    * wrong output) — before the candidate-sized verify joins. */
+  private[graft] def q87Shingles(s: SparkSession, dir: String,
+      benchSide: Boolean): DataFrame = {
     import graft.text.Text
-    def sh(df: DataFrame) = df.select(col("doc_id"),
+    val docs = graft.Tables.documents(s, dir)
+    val side =
+      if (benchSide) docs.filter(col("doc_id") % 11 === 0)
+      else docs.filter(col("doc_id") % 11 =!= 0)
+    side.select(col("doc_id"),
         array_distinct(Text.shingles(Text.tokens(col("text")), ContamShingleK))
           .as("shs"))
       .filter(size(col("shs")) > 0)
-    val docs = graft.Tables.documents(s, dir)
-    val corpus = DedupOps.rowBandBuckets(sh(docs.filter(col("doc_id") % 11 =!= 0)))
-    val bench = DedupOps.rowBandBuckets(sh(docs.filter(col("doc_id") % 11 === 0)))
-      .select(col("doc_id").as("bench_id"), col("shs").as("shs_b"),
-        col("band"), col("bucket"))
-    corpus.join(bench, Seq("band", "bucket"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(first(col("shs")).as("shs"), first(col("shs_b")).as("shs_b"))
+  }
+
+  /** The id-only candidate stage, pre-checkpoint — exposed so the
+    * plan-shape spec can assert no array column crosses the (band,
+    * bucket) exchange (q87 itself checkpoints this, which hides the
+    * exchange behind a LogicalRDD). */
+  private[graft] def q87Candidates(s: SparkSession, dir: String): DataFrame = {
+    val corpusB = DedupOps.rowBandBuckets(q87Shingles(s, dir, benchSide = false))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val benchB = DedupOps.rowBandBuckets(q87Shingles(s, dir, benchSide = true))
+      .select(col("doc_id").as("bench_id"), col("band"), col("bucket"))
+    corpusB.join(benchB, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+  }
+
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val corpusSh = q87Shingles(s, dir, benchSide = false)
+    val benchSh = q87Shingles(s, dir, benchSide = true)
+    val candCk = q87Candidates(s, dir).localCheckpoint()
+    candCk.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
+    def prune(rel: DataFrame, ids: DataFrame): DataFrame = {
+      val d = ids.distinct()
+      val n = d.count() // reads checkpoint blocks — cheap, sizes the sketch
+      if (n <= DedupOps.MaxBroadcastPruneIds)
+        rel.join(broadcast(d), col("doc_id") === col("id"), "left_semi")
+      else graft.functions.BloomPrune.semiPrune(
+        rel, "doc_id", d, "id", expectedItems = math.max(1L, n))
+    }
+    val verC = prune(corpusSh, candCk.select(col("doc_id").as("id")))
+    val verB = prune(benchSh, candCk.select(col("bench_id").as("id")))
+      .select(col("doc_id").as("bench_id"), col("shs").as("shs_b"))
+    candCk
+      .join(verC, "doc_id")
+      .join(verB, "bench_id")
       .withColumn("n_shared",
         size(array_intersect(col("shs"), col("shs_b"))).cast("long"))
       .filter(col("n_shared") >= ContamMinShared)

@@ -171,6 +171,57 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     }, "q100 must apply the hot-shingle cap as a broadcast anti-join")
   }
 
+  test("q87's band-bucket exchange is id-only — no array column crosses it") {
+    // the op's premise is an eval suite too big to broadcast; shipping
+    // each doc's shingle array ×4 bands through the candidate join
+    // would make the shuffle volume corpus-payload-sized. Candidates
+    // must travel as ids (the q50 pattern); arrays only re-join after
+    // the candidate-sized prune.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    spark.catalog.clearCache()
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case x => Seq(x)
+      }
+    // at test scale the bench side broadcasts (no exchange at all, which
+    // is also array-free); the assertion targets the 100 TB plan, where
+    // neither side fits a broadcast and the band join must shuffle —
+    // force that shape by disabling the thresholds
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      // the candidate stage pre-checkpoint: q87 itself localCheckpoints
+      // it, which replaces the whole subplan with a LogicalRDD
+      val df = operators.PipelineOps.q87Candidates(spark, SF)
+      val bandExchanges = flatten(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeLike
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+            e.outputPartitioning.asInstanceOf[HashPartitioning].expressions
+              .flatMap(_.references.toSeq).exists(a =>
+                a.name == "band" || a.name == "bucket") => e
+      }
+      assert(bandExchanges.nonEmpty,
+        "expected a (band, bucket)-keyed exchange in q87's candidate join")
+      bandExchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"array column(s) ${arrays.map(_.name).mkString(",")} cross the band-bucket exchange")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("broadcast joins degrade to shuffle joins — same answers — when dims outgrow the threshold") {
     // SURVEY §5's claim made executable: the declarative q3 plan
     // broadcasts its dimension sides at test scale, and when a
