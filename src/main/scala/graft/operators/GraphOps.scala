@@ -98,6 +98,135 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-round rank history `(doc_id, t, r)` for t = 0..iters — the
+    * state an EXACT incremental update needs: [[pagerankDelta]]
+    * recomputes a round-t rank only inside the delta's t-hop ball and
+    * reads every unaffected contributor's round-(t−1) rank from here.
+    * A rank vector is one int64 per doc, so a 100 TB pipeline persists
+    * all iters+1 of them alongside its corpus snapshot (partition by
+    * `t` and each round's readback is one pruned partition). */
+  def pagerankHistory(pairs: DataFrame, docs: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    val deg = edges.groupBy(col("id_b")).agg(count(lit(1)).as("deg"))
+    var ranks = docs.select(col("doc_id"), lit(RankScale).as("r"))
+      .localCheckpoint()
+    blocks(ranks).foreach(r => graft.CheckpointRegistry.register(r))
+    val rounds = scala.collection.mutable.ArrayBuffer(
+      ranks.withColumn("t", lit(0)))
+    for (t <- 1 to iters) {
+      val shares = ranks
+        .join(deg, ranks("doc_id") === deg("id_b"))
+        .select(col("id_b"), expr("r div deg").as("share"))
+      val contrib = edges.join(shares, "id_b")
+        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
+      val next = docs.select(col("doc_id"))
+        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
+        .select(col("doc_id"),
+          (lit((100 - Damping) * RankScale / 100) +
+            expr(s"($Damping * cin0) div 100")).as("r"))
+        .localCheckpoint()
+      blocks(next).foreach(r => graft.CheckpointRegistry.register(r))
+      rounds += next.withColumn("t", lit(t))
+      ranks = next
+    }
+    edges.unpersist()
+    rounds.reduce(_ unionAll _).select(col("doc_id"), col("t"), col("r"))
+  }
+
+  /** EXACT incremental PageRank: given the per-round [[pagerankHistory]]
+    * of a previous run over `oldPairs`, a batch of `newPairs` (the
+    * near-dup edges an incremental corpus batch adds), and the MERGED
+    * doc universe, produce ranks bit-identical to a full `iters`-round
+    * run over `oldPairs ∪ newPairs` — recomputing, per round t, only
+    * the t-hop merged-graph ball around the delta.
+    *
+    * Exactness: a round-t rank is a pure function of round-(t−1)
+    * neighbor ranks and degrees. Degrees/adjacency change only at the
+    * new edges' endpoints (plus docs new to the universe), so the set
+    * of docs whose round-t rank can differ from history grows by at
+    * most one merged-graph hop per round; everything outside the ball
+    * is READ from history, never recomputed (GraphSpec corrupts an
+    * out-of-ball history row to prove the readout path).
+    *
+    * Scale shape: the affected set is delta-ball-sized, so every
+    * per-round join is keyed on it — Catalyst broadcasts it against
+    * the cached edge/degree relations while small (map-side prune; no
+    * graph-sized shuffle). A daily delta batch against a 100 TB graph
+    * costs ∝ |ball|·deg per round, not ∝ |graph|, and near-dup
+    * components are small by construction so the ball saturates the
+    * touched components after a few rounds. */
+  def pagerankDelta(history: DataFrame, oldPairs: DataFrame,
+      newPairs: DataFrame, docs: DataFrame, iters: Int = Iters): DataFrame = {
+    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    val merged = oldPairs.unionAll(newPairs)
+    val edges = merged
+      .unionAll(merged.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    val deg = edges.groupBy(col("id_b")).agg(count(lit(1)).as("deg")).cache()
+    // seeds: endpoints of the delta edges + docs absent from history
+    val newDocs = docs.select(col("doc_id"))
+      .join(history.filter(col("t") === 0).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val seed = newPairs.select(col("id_a").as("doc_id"))
+      .unionAll(newPairs.select(col("id_b").as("doc_id")))
+      .unionAll(newDocs)
+    def neighbors(ids: DataFrame): DataFrame =
+      edges.join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a").as("doc_id"))
+    var affected = seed.distinct().localCheckpoint()
+    var changed = newDocs.select(col("doc_id"), lit(RankScale).as("r"))
+      .localCheckpoint()
+    var prevBlocks = Seq(blocks(affected), blocks(changed)).flatten
+    for (t <- 1 to iters) {
+      val ball = affected.unionAll(neighbors(affected)).distinct()
+        .localCheckpoint()
+      // contributions INTO the ball only; contributor round-(t−1) ranks
+      // = history overlaid with the previous round's recomputed set
+      val inEdges = edges.join(ball.select(col("doc_id").as("id_a")),
+        Seq("id_a"), "left_semi")
+      val contribIds = inEdges.select(col("id_b").as("doc_id")).distinct()
+      val prevHist = history.filter(col("t") === t - 1)
+        .join(contribIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("r"))
+      val prev = prevHist
+        .join(changed.select(col("doc_id"), col("r").as("cr")),
+          Seq("doc_id"), "full")
+        .select(col("doc_id"), coalesce(col("cr"), col("r")).as("r"))
+      val shares = prev.join(deg, prev("doc_id") === deg("id_b"))
+        .select(col("id_b"), expr("r div deg").as("share"))
+      val contrib = inEdges.join(shares, "id_b")
+        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
+      val next = ball
+        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
+        .select(col("doc_id"),
+          (lit((100 - Damping) * RankScale / 100) +
+            expr(s"($Damping * cin0) div 100")).as("r"))
+        .localCheckpoint()
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = Seq(blocks(ball), blocks(next)).flatten
+      affected = ball
+      changed = next
+    }
+    edges.unpersist()
+    deg.unpersist()
+    // out-of-ball docs read their final rank straight from history
+    prevBlocks.foreach(r => graft.CheckpointRegistry.register(r))
+    history.filter(col("t") === iters).select(col("doc_id"), col("r"))
+      .join(changed.select(col("doc_id"), col("r").as("cr")),
+        Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        (coalesce(col("cr"), col("r")) / 1000000.0).as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The `prdeg, pr0..pr$Iters` CTE chain replaying [[pagerank]] over an
     * existing symmetric edge relation `edges(a, b)` — the same int64
     * formula DuckDB-side (`//` ≡ `div` on non-negative operands; SUM's
@@ -212,8 +341,11 @@ object GraphOps {
       .orderBy(col("cluster"))
   }
 
+  // strip the TRAILING order clause only: lastIndexOf, not split — a
+  // future newline-led ORDER BY inside a q45Sql subquery must not
+  // silently truncate the oracle body (r4 ADVICE)
   private lazy val q45Body: String =
-    TextOps.q45Sql.split("\nORDER BY")(0)
+    TextOps.q45Sql.substring(0, TextOps.q45Sql.lastIndexOf("\nORDER BY"))
 
   lazy val q106Sql: String =
     s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},
@@ -233,9 +365,97 @@ object GraphOps {
        |FROM sel WHERE rk = 1
        |ORDER BY cluster""".stripMargin
 
+  // --- 110. weighted / personalized keeper policy (r5) --------------------
+  /** q106 generalized from a lexicographic tuple to a TUNABLE linear
+    * score — the form a curation team actually ships when signals must
+    * trade off rather than strictly dominate: per-SOURCE priors (trust
+    * wiki over scraped web; distrust a known-spammy feed), a quality
+    * boost, and centrality, all in exact integer micros so any policy
+    * instantiation stays engine-replayable. Priors arrive as a policy
+    * TABLE (not a hardcoded expression): at plan level a ≤|sources|-row
+    * relation broadcast-joined onto the cluster members — swapping or
+    * A/B-ing policies is a data change, zero plan change. Argmax is the
+    * same map-side WindowGroupLimit as q97/q106. */
+  final case class KeeperPolicy(
+      sourcePriorMicros: Map[String, Long],
+      qualityBoostMicros: Long,
+      rankWeightPct: Long)
+
+  /** The shipped default: one trusted source, one distrusted, quality
+    * worth a full rank unit, centrality at face value. */
+  val DefaultPolicy: KeeperPolicy = KeeperPolicy(
+    sourcePriorMicros = Map("src3" -> 400000L, "src12" -> -300000L),
+    qualityBoostMicros = 1000000L,
+    rankWeightPct = 100L)
+
+  /** Per-cluster argmax of
+    * `prior(source) + quality_ok·boost + (w·r_micros) div 100`. */
+  def keeperByPolicy(s: SparkSession, dir: String,
+      policy: KeeperPolicy): DataFrame = {
+    import s.implicits._
+    val roots = DedupOps.q74(s, dir).select(col("doc_id"), col("root"))
+    val qual = TextOps.q45(s, dir).select(col("doc_id"),
+      (col("n_toks") >= 10 && col("non_alnum_ratio") <= 0.5)
+        .cast("int").as("quality_ok"))
+    val priors = policy.sourcePriorMicros.toSeq.toDF("source", "prior")
+    val src = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(priors), Seq("source"), "left")
+      .select(col("doc_id"), coalesce(col("prior"), lit(0L)).as("prior"))
+    roots.join(q95(s, dir), "doc_id").join(qual, "doc_id").join(src, "doc_id")
+      .withColumn("r_micros",
+        round(col("rank") * RankScale, 0).cast("long"))
+      .withColumn("score",
+        col("prior") + col("quality_ok") * policy.qualityBoostMicros +
+          expr(s"(${policy.rankWeightPct} * r_micros) div 100"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("root"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("root").as("cluster"), col("doc_id").as("keeper"),
+        col("score").as("keeper_score"))
+      .orderBy(col("cluster"))
+  }
+
+  def q110(s: SparkSession, dir: String): DataFrame =
+    keeperByPolicy(s, dir, DefaultPolicy)
+
+  lazy val q110Sql: String = {
+    val p = DefaultPolicy
+    val priorRows = p.sourcePriorMicros.toSeq.sortBy(_._1)
+      .map { case (src, m) => s"('$src', CAST($m AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},
+       |${prCtesSql("edges", "a", "b")},
+       |priors(source, prior) AS (VALUES $priorRows),
+       |qual AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_toks >= 10 AND non_alnum_ratio <= 0.5 THEN 1 ELSE 0 END AS quality_ok
+       |  FROM ($q45Body) _q),
+       |src AS (
+       |  SELECT d.doc_id, COALESCE(p.prior, 0) AS prior
+       |  FROM documents d LEFT JOIN priors p ON d.source = p.source),
+       |scored AS (
+       |  SELECT t.root, t.doc_id,
+       |    s.prior + q.quality_ok * ${p.qualityBoostMicros} +
+       |      (${p.rankWeightPct} * pr.r) // 100 AS score
+       |  FROM roots t
+       |  JOIN pr$Iters pr ON t.doc_id = pr.doc_id
+       |  JOIN qual q ON t.doc_id = q.doc_id
+       |  JOIN src s ON t.doc_id = s.doc_id),
+       |sel AS (
+       |  SELECT root, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY root
+       |      ORDER BY score DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT root AS cluster, doc_id AS keeper, score AS keeper_score
+       |FROM sel WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q95_pagerank", q95, Some(q95Sql)),
     Op("q97_keeper_by_rank", q97, Some(q97Sql)),
     Op("q106_keeper_policy", q106, Some(q106Sql)),
+    Op("q110_keeper_weighted", q110, Some(q110Sql)),
   )
 }

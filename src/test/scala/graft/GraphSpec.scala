@@ -115,6 +115,87 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("pagerankDelta: history + delta edges ≡ full recompute on the merged edge set") {
+    val allPairs = DedupOps.q50(spark, SF).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    assert(allPairs.count() > 0)
+    val docs = Tables.documents(spark, SF).select(col("doc_id"))
+    // deterministic split: ~1/3 of the verified pairs arrive as a delta
+    val oldPairs = allPairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+    val newPairs = allPairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+    assert(newPairs.count() > 0)
+    val hist = GraphOps.pagerankHistory(oldPairs, docs)
+    val got = GraphOps.pagerankDelta(hist, oldPairs, newPairs, docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val want = GraphOps.pagerank(allPairs, docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got === want)
+  }
+
+  test("pagerankDelta grows the universe and never recomputes outside the delta ball") {
+    import spark.implicits._
+    // line graph 1-2-3-...-12: with 8 rounds, a delta at node 1 can
+    // influence at most 8 hops — nodes 11/12 must be pure history reads
+    val oldPairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val oldDocs = (1L to 12L).toDF("doc_id")
+    // delta: NEW doc 100 attaches to node 1; doc 200 arrives isolated
+    val newPairs = Seq((1L, 100L)).toDF("id_a", "id_b")
+    val docs = ((1L to 12L) ++ Seq(100L, 200L)).toDF("doc_id")
+    val hist = GraphOps.pagerankHistory(oldPairs, oldDocs).localCheckpoint()
+    val got = GraphOps.pagerankDelta(hist, oldPairs, newPairs, docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = GraphOps.pagerank(oldPairs.unionAll(newPairs), docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === want)
+    assert(got(200L) === 0.15) // isolated newcomer settles at 1−α
+    // locality proof: corrupt node 12's FINAL history rank — the delta
+    // run must surface the corruption verbatim (a readout, not a
+    // recompute), while every in-ball node is still exact
+    val corrupt = hist.withColumn("r",
+      when(col("doc_id") === 12L && col("t") === GraphOps.Iters,
+        lit(999999999L)).otherwise(col("r")))
+    val gotC = GraphOps.pagerankDelta(corrupt, oldPairs, newPairs, docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotC(12L) === 999.999999)
+    assert(gotC.removed(12L) === want.removed(12L))
+  }
+
+  test("q110 weighted policy: score argmax with priors, reduces to q97 under a zero policy") {
+    // zero policy (no priors, no quality boost, rank at face value)
+    // must reproduce q97's centrality argmax exactly
+    val zero = GraphOps.keeperByPolicy(spark, SF,
+        GraphOps.KeeperPolicy(Map.empty, 0L, 100L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val q97 = GraphOps.q97(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(zero === q97)
+    // the shipped policy: replay the scoring driver-side
+    val ranks = GraphOps.q95(spark, SF).collect()
+      .map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6).toLong).toMap
+    val qual = operators.TextOps.q45(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks") >= 10 && r.getAs[Double]("non_alnum_ratio") <= 0.5))
+      .toMap
+    val src = Tables.documents(spark, SF).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val p = GraphOps.DefaultPolicy
+    def score(d: Long): Long =
+      p.sourcePriorMicros.getOrElse(src(d), 0L) +
+        (if (qual(d)) p.qualityBoostMicros else 0L) +
+        p.rankWeightPct * ranks(d) / 100
+    val members = operators.DedupOps.q74(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root")))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val got = GraphOps.q110(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === members.keySet)
+    got.foreach { case (cluster, keeper, kScore) =>
+      val best = members(cluster).minBy(d => (-score(d), d))
+      assert(keeper === best, s"cluster $cluster")
+      assert(kScore === score(keeper))
+    }
+  }
+
   test("keeperByRank picks the hub of a star, not the min id") {
     import spark.implicits._
     // star: 10 is the center, 11..14 the leaves; plus isolate 99.
