@@ -697,28 +697,47 @@ object DedupOps {
     * split covers a hot shingle's join partition. Span merging windows
     * by doc_id — O(doc length) per key, never corpus-global. */
   val DupSpanK = 8
+  /** The finer-grained sliding window (q109): catches shorter verbatim
+    * repeats — attributions, disclaimers, 4–7-token quotes — that K=8
+    * windows step over; the price is more positions qualifying as
+    * duplicated (every sub-window of a K=8 hit is itself a hit). */
+  val SlideSpanK = 4
 
-  def q98(s: SparkSession, dir: String): DataFrame = {
+  /** Maximal duplicated spans `(doc_id, s, e)` over `docs(doc_id,
+    * toks)` at window size k — the shared detection core of
+    * q98/q107/q109, occurrence-linear throughout (a window shared by
+    * k docs emits k rows, never k²; no pair join anywhere). */
+  private[graft] def dupSpans(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .cache() // two consumers: positional shingles + the doc universe
     val occ = docs
-      .select(col("doc_id"), posexplode(shingles(col("toks"), DupSpanK)).as(Seq("p0", "sh")))
+      .select(col("doc_id"), posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("sh"))
     val dup = occ.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") >= 2).select(col("sh"))
     val hits = occ.join(dup, "sh")
-      .select(col("doc_id"), col("pos"), (col("pos") + (DupSpanK - 1)).as("fin"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("fin"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevMax = max(col("fin")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val perDoc = hits
+    hits
       .withColumn("new_span", when(col("pos") > coalesce(prevMax, lit(0L)), 1).otherwise(0))
       .withColumn("span_id", sum(col("new_span"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("pos")).as("s"), max(col("fin")).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** Tokenized doc relation shared by the span family (cached: span
+    * detection + the doc universe / cleaning readback both consume it). */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+
+  private def dupSpanStats(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = spanDocs(s, dir)
+    val perDoc = dupSpans(docs, k)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
     docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
@@ -732,14 +751,22 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  lazy val q98Sql: String = {
-    val shExpr = (0 until DupSpanK).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
-    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  def q98(s: SparkSession, dir: String): DataFrame =
+    dupSpanStats(s, dir, DupSpanK)
+
+  def q109(s: SparkSession, dir: String): DataFrame =
+    dupSpanStats(s, dir, SlideSpanK)
+
+  /** The `d, occ, dup, hits, marked, isl, sp` CTE chain replaying
+    * [[dupSpans]] at window size k; `sp` holds the maximal spans. */
+  private def dupSpanCtesSql(k: Int): String = {
+    val shExpr = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |occ AS (
        |  SELECT doc_id, i AS pos, $shExpr AS sh
-       |  FROM d, unnest(range(1, greatest(len(toks) - ${DupSpanK - 2}, 1))) AS u(i)),
+       |  FROM d, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)),
        |dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
-       |hits AS (SELECT o.doc_id, o.pos, o.pos + ${DupSpanK - 1} AS fin
+       |hits AS (SELECT o.doc_id, o.pos, o.pos + ${k - 1} AS fin
        |  FROM occ o JOIN dup USING (sh)),
        |marked AS (
        |  SELECT doc_id, pos, fin,
@@ -752,7 +779,11 @@ object DedupOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
        |  FROM marked),
        |sp AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(fin) AS e
-       |  FROM isl GROUP BY doc_id, span_id),
+       |  FROM isl GROUP BY doc_id, span_id)""".stripMargin
+  }
+
+  private def dupSpanStatsSql(k: Int): String =
+    s"""WITH ${dupSpanCtesSql(k)},
        |per_doc AS (
        |  SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
        |  FROM sp GROUP BY doc_id)
@@ -764,7 +795,68 @@ object DedupOps {
        |    ELSE 0.0 END AS dup_fraction
        |FROM d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  lazy val q98Sql: String = dupSpanStatsSql(DupSpanK)
+  lazy val q109Sql: String = dupSpanStatsSql(SlideSpanK)
+
+  // --- 107. span-cleaning (r5) ---------------------------------------------
+  /** The ACTION q98's readout promises: cut every duplicated span out
+    * of the token stream and emit the cleaned text plus kept-fraction
+    * stats — the pass that turns span coordinates into training data.
+    * Positions survive iff outside every span; spans are maximal and
+    * non-overlapping by construction, so the complement is exact
+    * gaps-and-islands (SQL-replayable, hash-checked).
+    *
+    * Scale shape: the span set rides back to the token stream as a
+    * per-doc ARRAY (spans per doc are merged-maximal — bounded by
+    * n_tokens/k, in practice a handful), so cleaning is one equi-join
+    * on doc_id + a codegen'd array filter per row: no explode of the
+    * corpus into per-token rows, no window. The oracle replays the
+    * same complement per-position (DuckDB is happy to unnest at
+    * sf0.01; the Spark side never does). */
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = spanDocs(s, dir)
+    val spans = dupSpans(docs, DupSpanK)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("cleaned",
+        when(col("spans").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) => !exists(col("spans"), sp =>
+            (i + 1).cast("long").between(sp.getField("s"), sp.getField("e"))))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cleaned")).cast("long").as("kept_tokens"),
+        when(size(col("toks")) > 0,
+          graft.functions.Num.ratio6(size(col("cleaned")).cast("long"),
+            size(col("toks")).cast("long")))
+          .otherwise(lit(0.0)).as("kept_fraction"),
+        concat_ws(" ", col("cleaned")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
   }
+
+  lazy val q107Sql: String =
+    s"""WITH ${dupSpanCtesSql(DupSpanK)},
+       |pos AS (
+       |  SELECT doc_id, i, toks[i] AS tok
+       |  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.tok
+       |  FROM pos p LEFT JOIN sp
+       |    ON p.doc_id = sp.doc_id AND p.i BETWEEN sp.s AND sp.e
+       |  WHERE sp.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS kept_tokens,
+       |    string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.toks) AS n_tokens,
+       |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       |  CASE WHEN len(d.toks) > 0
+       |    THEN ${graft.functions.Num.ratio6Sql("COALESCE(a.kept_tokens, 0)", "len(d.toks)")}
+       |    ELSE 0.0 END AS kept_fraction,
+       |  COALESCE(a.cleaned_text, '') AS cleaned_text
+       |FROM d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   // --- 99. cross-source duplication matrix (r4) ----------------------------
   /** WHERE the duplication comes from: the verified near-dup pairs (q50)
@@ -880,6 +972,8 @@ object DedupOps {
     Op("q91_dedup_cluster_stats", q91, Some(q91Sql)),
     Op("q94_dedup_degree", q94, Some(q94Sql)),
     Op("q98_dup_spans", q98, Some(q98Sql)),
+    Op("q107_span_clean", q107, Some(q107Sql)),
+    Op("q109_dup_spans_fine", q109, Some(q109Sql)),
     Op("q99_cross_source_dups", q99, Some(q99Sql)),
     Op("q100_dedup_idf_cosine", q100, Some(q100Sql)),
   )

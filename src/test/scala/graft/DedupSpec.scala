@@ -227,6 +227,61 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(got.count(_.getAs[Long]("dup_tokens") > 0) > 0)
   }
 
+  test("q107 cleans the exact span complement; q109 fine spans dominate q98") {
+    val k = DedupOps.DupSpanK
+    val toks = Tables.documents(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z0-9]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toVector)
+      .toMap
+    val docsPerSh = toks.toSeq
+      .flatMap { case (id, ts) => ts.sliding(k).filter(_.size == k)
+        .map(w => (w.mkString(" "), id)).toSeq.distinct }
+      .groupBy(_._1).map { case (sh, v) => sh -> v.map(_._2).distinct.size }
+    val covered = toks.map { case (id, ts) =>
+      id -> ts.sliding(k).zipWithIndex
+        .collect { case (w, i) if w.size == k && docsPerSh(w.mkString(" ")) >= 2 =>
+          (i until i + k) }
+        .flatten.toSet
+    }
+    val got = DedupOps.q107(spark, SF).collect()
+    assert(got.length === toks.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ts = toks(id)
+      val keep = ts.indices.filterNot(covered(id)).map(ts)
+      assert(r.getAs[Long]("n_tokens") === ts.size.toLong)
+      assert(r.getAs[Long]("kept_tokens") === keep.size.toLong)
+      assert(r.getAs[String]("cleaned_text") === keep.mkString(" "))
+    }
+    // something was actually cut (the planted near-dups)
+    assert(got.exists(r => r.getAs[Long]("kept_tokens") < r.getAs[Long]("n_tokens")))
+    // q109 at K=4: every duplicated 8-window nests duplicated 4-windows,
+    // so per-doc duplicated coverage is monotone non-decreasing in 1/K
+    val d8 = DedupOps.q98(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    val d4 = DedupOps.q109(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(d4.keySet === d8.keySet)
+    d8.foreach { case (id, v8) => assert(d4(id) >= v8, s"doc $id") }
+    assert(d4.values.sum > d8.values.sum) // strictly finer on this corpus
+  }
+
+  test("dupSpans volume is occurrence-linear on an m-way duplicated corpus") {
+    import spark.implicits._
+    // m identical 6-token docs: a k-doc-shared window must emit k span
+    // rows (one per occurrence), never k² pair rows — the guarantee that
+    // keeps span dedup corpus-linear where q49-style pair joins are not
+    val m = 40
+    val docs = (1L to m.toLong).map(i =>
+      (i, Seq("alpha", "beta", "gamma", "delta", "eps", "zeta"))).toDF("doc_id", "toks")
+    val sp = DedupOps.dupSpans(docs, DedupOps.SlideSpanK).collect()
+    assert(sp.length === m)
+    sp.foreach { r =>
+      assert(r.getAs[Long]("s") === 1L)
+      assert(r.getAs[Long]("e") === 6L)
+    }
+  }
+
   test("q100 IDF cosine pairs: thresholded, valid cosines, finds the planted dups") {
     val rows = DedupOps.q100(spark, SF).collect()
     assert(rows.nonEmpty)
