@@ -27,7 +27,7 @@ import graft.functions.Num.dsum
 object Bucketed {
   val Buckets = 8
 
-  private def reset(s: SparkSession, base: java.io.File, table: String): Unit = {
+  private[operators] def reset(s: SparkSession, base: java.io.File, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     // the in-memory catalog is fresh per JVM: orphaned file locations
     // from a previous run survive DROP TABLE, so clear them on disk too

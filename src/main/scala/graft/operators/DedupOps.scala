@@ -858,6 +858,116 @@ object DedupOps {
        |FROM d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- 108. incremental dedup vs a PERSISTED band index (r5) ---------------
+  /** The batch form of the incremental-dedup shape StreamOps.dedupVsIndex
+    * proves on a stream: the corpus's MinHash band index and shingle
+    * sets are ON-DISK artifacts — written ONCE per corpus snapshot,
+    * bucketed (and sorted) on their probe keys so the shuffle is paid at
+    * write time — and a new-docs batch dedups against the corpus by
+    * probing them. Per batch: stateless per-row signatures (the same
+    * [[rowBandBuckets]] HOF fold the stream uses, id-only through the
+    * band join — q87's transport rule), a bucket equi-join with NO
+    * exchange on the index side (BucketJoinSpec-style pinned), distinct
+    * candidate pairs checkpointed, then the exact-Jaccard verify where
+    * the shingle artifact is candidate-pruned map-side (broadcast semi /
+    * bloom, the q50 pattern) and its bucket layout again eliminates the
+    * index-side exchange AND the sort.
+    *
+    * At 100 TB: batch cost ∝ arrival rate × collision rate — the corpus
+    * is only ever touched through its bucketed artifacts, never
+    * re-shuffled, never re-shingled. Oracle = q50's pipeline restricted
+    * to (new, indexed) pairs: identical signatures, banding, verify
+    * threshold, and rounding. */
+  val IncrSplitMod = 7
+  val IndexBuckets = 16
+
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dedupindex-${s.sparkContext.applicationId}")
+    Seq("g108_buckets", "g108_shingles").foreach(Bucketed.reset(s, base, _))
+    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
+    val oldSh = docSh.filter(col("doc_id") % IncrSplitMod =!= 0)
+    // corpus-snapshot build: both artifacts bucketed on their probe key
+    rowBandBuckets(oldSh).select(col("doc_id"), col("band"), col("bucket"))
+      .write.bucketBy(IndexBuckets, "band", "bucket")
+      .option("path", new java.io.File(base, "g108_buckets").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g108_buckets")
+    oldSh.write.bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+      .option("path", new java.io.File(base, "g108_shingles").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g108_shingles")
+    // per-batch probe: id-only candidates against the persisted index
+    val newSh = docSh.filter(col("doc_id") % IncrSplitMod === 0)
+    val candCk = q108Candidates(s, dir).localCheckpoint()
+    candCk.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
+    val dupIds = candCk.select(col("dup_of").as("id")).distinct()
+    val nIds = dupIds.count() // reads checkpoint blocks; sizes the prune
+    val idxSh = {
+      val t = s.table("g108_shingles")
+      val pruned =
+        if (nIds <= MaxBroadcastPruneIds)
+          t.join(broadcast(dupIds), col("doc_id") === col("id"), "left_semi")
+        else graft.functions.BloomPrune.semiPrune(
+          t, "doc_id", dupIds, "id", expectedItems = math.max(1L, nIds))
+      pruned.select(col("doc_id").as("dup_of"), col("shs").as("shs_b"))
+    }
+    candCk
+      .join(newSh, "doc_id")
+      .join(idxSh, "dup_of")
+      .withColumn("inter", size(array_intersect(col("shs"), col("shs_b"))))
+      .withColumn("jraw", col("inter") /
+        (size(col("shs")) + size(col("shs_b")) - col("inter")).cast("double"))
+      .filter(col("jraw") >= 0.5)
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.Num.ratio6(col("inter"),
+          size(col("shs")) + size(col("shs_b")) - col("inter")).as("jaccard"))
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
+  /** The id-only probe stage, pre-checkpoint — requires the g108
+    * artifacts to exist (q108 writes them first); exposed so the plan
+    * spec can pin the exchange-free index side of the band join. */
+  private[graft] def q108Candidates(s: SparkSession, dir: String): DataFrame = {
+    val newSh = docShingles(s, dir).filter(size(col("shs")) > 0)
+      .filter(col("doc_id") % IncrSplitMod === 0)
+    rowBandBuckets(newSh)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .join(s.table("g108_buckets").withColumnRenamed("doc_id", "dup_of"),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("dup_of")).distinct()
+  }
+
+  lazy val q108Sql: String =
+    s"""WITH d AS ($docShSql),
+       |dnz AS (SELECT * FROM d WHERE len(shs) > 0),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM dnz),
+       |hashed AS (SELECT doc_id, sh,
+       |  CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 1073741824 AS h FROM sh),
+       |perms(i, a, b) AS (VALUES $permsValuesSql),
+       |sigs AS (
+       |  SELECT doc_id, i, MIN((a * h + b) % ${MinhashP}) AS sig
+       |  FROM hashed CROSS JOIN perms GROUP BY doc_id, i),
+       |buckets AS (
+       |  SELECT doc_id, i // $BandSize AS band,
+       |    md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |  FROM sigs GROUP BY doc_id, i // $BandSize),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+       |  FROM buckets n JOIN buckets o
+       |    ON n.band = o.band AND n.bucket = o.bucket
+       |    AND n.doc_id % $IncrSplitMod = 0 AND o.doc_id % $IncrSplitMod <> 0),
+       |verified AS (
+       |  SELECT cand.doc_id, dup_of,
+       |    len(list_intersect(dn.shs, do_.shs)) AS inter,
+       |    len(dn.shs) + len(do_.shs) - len(list_intersect(dn.shs, do_.shs)) AS uni
+       |  FROM cand
+       |  JOIN dnz dn ON cand.doc_id = dn.doc_id
+       |  JOIN dnz do_ ON cand.dup_of = do_.doc_id)
+       |SELECT doc_id, dup_of, ${graft.functions.Num.ratio6Sql("inter", "uni")} AS jaccard
+       |FROM verified WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+       |ORDER BY doc_id, dup_of""".stripMargin
+
   // --- 99. cross-source duplication matrix (r4) ----------------------------
   /** WHERE the duplication comes from: the verified near-dup pairs (q50)
     * keyed by the unordered (source, source) pair — the readout that
@@ -973,6 +1083,7 @@ object DedupOps {
     Op("q94_dedup_degree", q94, Some(q94Sql)),
     Op("q98_dup_spans", q98, Some(q98Sql)),
     Op("q107_span_clean", q107, Some(q107Sql)),
+    Op("q108_dedup_incremental", q108, Some(q108Sql)),
     Op("q109_dup_spans_fine", q109, Some(q109Sql)),
     Op("q99_cross_source_dups", q99, Some(q99Sql)),
     Op("q100_dedup_idf_cosine", q100, Some(q100Sql)),

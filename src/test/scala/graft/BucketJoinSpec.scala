@@ -59,6 +59,89 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
     assert(got === expect)
   }
 
+  test("q108 probes the persisted band index with no exchange on either index side") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    spark.catalog.clearCache()
+    // big-big shape: at real scale neither the probe batch's bucket set
+    // nor the index broadcasts; pin that plan by disabling thresholds
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val df = DedupOps.q108(spark, SF) // writes artifacts, builds verify plan
+      // the catalog carries both bucket specs — real layout, not a copy
+      val metaB = spark.sql("DESCRIBE EXTENDED g108_buckets").collect()
+        .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
+      assert(metaB.contains(s"Num Buckets: ${DedupOps.IndexBuckets}"), metaB)
+      assert(metaB.contains("Bucket Columns: [`band`, `bucket`]"), metaB)
+      def flatten(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case x => x }.flatMap {
+          case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+          case x => Seq(x)
+        }
+      // any join side that reads an artifact must be exchange-free: the
+      // write paid the shuffle once; probes never re-shuffle the corpus.
+      // (Do not descend into broadcast BUILD sides — the candidate-id
+      // set aggregating before its broadcast is id-sized by design.)
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+      def rowExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BroadcastExchangeLike => Seq.empty
+        case e: ShuffleExchangeLike =>
+          e +: p.children.flatMap(rowExchanges)
+        case s: InMemoryTableScanExec => rowExchanges(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => rowExchanges(a.executedPlan)
+        case _ => p.children.flatMap(rowExchanges)
+      }
+      def assertIndexSidesClean(plan: SparkPlan, table: String): Unit = {
+        val joins = flatten(plan).collect { case j: BaseJoinExec => j }
+        val sides = joins.flatMap(j => Seq(j.left, j.right))
+          .filter(side => side.toString.contains(table))
+        assert(sides.nonEmpty, s"no join side reads $table:\n$plan")
+        sides.foreach { side =>
+          assert(rowExchanges(side).isEmpty,
+            s"row-stream exchange on the $table side:\n$side")
+        }
+      }
+      // band-bucket probe join (pre-checkpoint stage)
+      val candPlan = DedupOps.q108Candidates(spark, SF)
+        .queryExecution.executedPlan
+      assert(candPlan.toString.contains("Bucketed: true"), candPlan.toString)
+      assertIndexSidesClean(candPlan, "g108_buckets")
+      // verify join against the pruned shingle artifact (returned plan;
+      // the broadcast-semi prune is a hint and may legitimately appear)
+      val verifyPlan = df.queryExecution.executedPlan
+      assertIndexSidesClean(verifyPlan, "g108_shingles")
+      val semis = flatten(verifyPlan).collect {
+        case j: BroadcastHashJoinExec
+          if j.joinType.toString == "LeftSemi" => j }
+      assert(semis.nonEmpty, "shingle artifact must be candidate-pruned map-side")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q108 equals q50 restricted to (new, indexed) pairs") {
+    import graft.operators.DedupOps
+    val mod = DedupOps.IncrSplitMod
+    val got = DedupOps.q108(spark, SF).collect()
+      .map(r => ((math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))), r.getDouble(2))).toMap
+    val want = DedupOps.q50(spark, SF).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((a, b), _) => (a % mod == 0) != (b % mod == 0) }
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty, "split produced no cross near-dup pairs at this SF")
+  }
+
   test("q93 registered op writes really-bucketed tables and matches the plain join") {
     import graft.operators.Bucketed
     val got = Bucketed.q93(spark, SF).collect()
