@@ -13,10 +13,15 @@ object Bench {
     // whole-stage-codegen compilation (~10 s measured), which would land
     // on whichever query happens to run first. Timed runs then measure
     // the operators, not the compiler.
+    // Optional subset (comma-separated op names) for focused iteration —
+    // same knob Verify honors; the emitted totals then cover the subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(op: Op): Boolean = only.forall(_.contains(op.name))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      SparkEntry.allOps.filter(selected).foreach { op =>
+        try op.fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       spark.catalog.clearCache() // warm-up caches hold sf0.001 data
       CheckpointRegistry.releaseAll()
@@ -31,8 +36,8 @@ object Bench {
     // query that throws is reported as -1, never as a fast "success".
     // Cache cleared between families: shared subplans (tf-idf, shingle
     // index) persist exactly as long as their consumer group runs.
-    val results: Seq[(String, Double)] = SparkEntry.opGroups.flatMap { group =>
-      val rs = group.map { op =>
+    val results: Seq[(String, Double, Double)] = SparkEntry.opGroups.flatMap { group =>
+      val rs = group.filter(selected).map { op =>
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { op.fn(spark, sfDir).count(); true }
@@ -44,30 +49,44 @@ object Bench {
         // per-op or the best-of-2 dedup family pins one label snapshot
         // per run (they back only this op's finished plan — never shared)
         CheckpointRegistry.releaseAll()
-        op.name -> (if (good.isEmpty) -1.0 else good.min)
+        if (good.isEmpty) (op.name, -1.0, -1.0)
+        else (op.name, good.min, good.max)
       }
       spark.catalog.clearCache()
       SharedRelations.clear() // family memo (pair/label/rank sets)
       rs
     }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // Two emissions. The DETAIL line carries full operator names at full
-    // precision for humans/auditing; it deliberately does NOT start with
-    // '{' so a tail-parser never picks it up. The FINAL line is the
-    // driver contract — and the driver stores only the last ~2000 chars
-    // of stdout (sbt appends its own "[success] Total time" line after
-    // us), so the line must stay well under that budget to parse at all:
-    // short keys (the unique qNN prefix) and 3-decimal seconds keep ~90
-    // queries near 1.3 KB where the full-name form was ~4 KB (truncated
-    // head => BENCH_r{1,2,3}.json all recorded parsed:null).
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // precision — including both run samples, so a contended run
+    // (max ≫ min) is self-identifying per query; it deliberately does
+    // NOT start with '{' so a tail-parser never picks it up. The FINAL
+    // line is the driver contract — and the driver stores only the last
+    // ~2000 chars of stdout (sbt appends its own "[success] Total time"
+    // line after us), so the line must stay well under that budget to
+    // parse at all: short keys (the unique qNN prefix) and 3-decimal
+    // seconds keep ~110 queries near 1.4 KB where the full-name form was
+    // ~4 KB (truncated head => BENCH_r{1,2,3}.json recorded parsed:null).
+    // Spread rides the final line as a compact SUMMARY: how many queries
+    // saw a >2x gap between their two runs (with >1s absolute delta),
+    // the worst offender, and its delta — a contended host flags itself
+    // (r4: a noise-corrupted artifact had to be adjudicated post-hoc).
+    val detail = results.map { case (k, lo, hi) => s"\"$k\":[$lo,$hi]" }
       .mkString("{", ",", "}")
     println(s"""BENCH_DETAIL {"value":$total,"queries":$detail,"sf":"$sfDir"}""")
     def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + d3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val noisy = results.filter { case (_, lo, hi) =>
+      lo > 0 && hi > 2 * lo && hi - lo > 1.0 }
+    val worst = noisy.sortBy { case (_, lo, hi) => lo - hi }.headOption
+    val spread = worst match {
+      case Some((k, lo, hi)) =>
+        s""","spread":{"n2x":${noisy.size},"worst":"${k.takeWhile(_ != '_')}","delta":${d3(hi - lo)}}"""
+      case None => ""","spread":{"n2x":0}"""
+    }
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$spread}""")
     spark.stop()
   }
 }

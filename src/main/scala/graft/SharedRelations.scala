@@ -43,7 +43,16 @@ object SharedRelations {
     * materializing it on first request. Single-JVM scope (one session
     * per harness/test run); the build runs inside the lock, which is
     * correct for the sequential harness loops and prevents a concurrent
-    * double-build. */
+    * double-build.
+    *
+    * LOAD-BEARING single-threaded constraint (r4 ADVICE): the whole
+    * multi-minute build executes while holding this object's monitor,
+    * and NESTED getOrBuild calls (q95 → pairs50) rely on reentrant
+    * locking plus LinkedHashMap.getOrElseUpdate tolerating
+    * self-insertion during the default thunk. Safe under the harness's
+    * sequential loops; a future multi-threaded consumer must switch to
+    * a per-key future/latch so the lock only guards map mutation (and
+    * unrelated families' builds stop serializing). */
   def getOrBuild(key: String, dir: String)(build: => DataFrame): DataFrame =
     synchronized {
       memo.getOrElseUpdate((key, dir), {

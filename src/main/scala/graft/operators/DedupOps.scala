@@ -202,8 +202,14 @@ object DedupOps {
       .select(keep :+ col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }
 
-  def q50(s: SparkSession, dir: String): DataFrame = {
-    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
+  /** Band buckets of a (doc_id, shs) relation via codegen'd explode +
+    * 16-way MIN aggregate — the CORPUS-side banding form: at corpus
+    * volume whole-stage-codegen'd aggregates beat [[rowBandBuckets]]'s
+    * interpreted per-row HOF fold (that form remains the per-batch /
+    * stream one: stateless, no aggregation). Bit-identical buckets:
+    * both minimize (a·h30(sh)+b) mod p over the distinct shingle set
+    * and md5 the same comma-joined band slice. */
+  private[graft] def aggBandBuckets(docSh: DataFrame): DataFrame = {
     val sh = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
       .withColumn("h", h30(col("sh")))
     // one pass: 16 MIN aggregates over (a_i·h + b_i) mod p
@@ -216,8 +222,13 @@ object DedupOps {
       struct(lit(bnd).as("band"),
         md5(concat_ws(",", parts: _*)).as("bucket")).as(s"b$bnd")
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
+    val buckets = aggBandBuckets(docSh)
     val cand = buckets.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
       .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -819,11 +830,23 @@ object DedupOps {
     val spans = dupSpans(docs, DupSpanK)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    // complement as SEGMENT slices, not a per-token membership probe:
+    // spans are sorted, maximal, non-overlapping, so the kept stream is
+    // the concatenation of the ≤ |spans|+1 gaps — O(spans) higher-order
+    // calls + bulk array copies per doc (measured ~8× vs the O(tokens ×
+    // spans) exists() filter). Adjacent spans / span-at-edge yield
+    // empty slices via the length clamp.
+    val segStarts = concat(array(lit(1L)),
+      transform(col("spans"), sp => sp.getField("e") + lit(1L)))
+    val segEnds = concat(
+      transform(col("spans"), sp => sp.getField("s") - lit(1L)),
+      array(size(col("toks")).cast("long")))
     docs.join(spans, Seq("doc_id"), "left")
       .withColumn("cleaned",
         when(col("spans").isNull, col("toks")).otherwise(
-          filter(col("toks"), (_, i) => !exists(col("spans"), sp =>
-            (i + 1).cast("long").between(sp.getField("s"), sp.getField("e"))))))
+          flatten(zip_with(segStarts, segEnds, (st, en) =>
+            slice(col("toks"), st.cast("int"),
+              greatest(lit(0), (en - st + lit(1L)).cast("int")))))))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("cleaned")).cast("long").as("kept_tokens"),
@@ -881,23 +904,43 @@ object DedupOps {
   val IncrSplitMod = 7
   val IndexBuckets = 16
 
-  def q108(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus-snapshot build: both artifacts bucketed on their probe key. */
+  private[graft] def q108Write(s: SparkSession, oldSh: DataFrame): Unit = {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_dedupindex-${s.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
     Seq("g108_buckets", "g108_shingles").foreach(Bucketed.reset(s, base, _))
-    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
-    val oldSh = docSh.filter(col("doc_id") % IncrSplitMod =!= 0)
-    // corpus-snapshot build: both artifacts bucketed on their probe key
-    rowBandBuckets(oldSh).select(col("doc_id"), col("band"), col("bucket"))
+    // corpus-volume banding: the codegen'd aggregate form, not the
+    // per-row HOF fold (measured ~10× on the 6/7-corpus index side)
+    aggBandBuckets(oldSh)
       .write.bucketBy(IndexBuckets, "band", "bucket")
       .option("path", new java.io.File(base, "g108_buckets").getAbsolutePath)
       .mode("overwrite").saveAsTable("g108_buckets")
     oldSh.write.bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
       .option("path", new java.io.File(base, "g108_shingles").getAbsolutePath)
       .mode("overwrite").saveAsTable("g108_shingles")
-    // per-batch probe: id-only candidates against the persisted index
-    val newSh = docSh.filter(col("doc_id") % IncrSplitMod === 0)
-    val candCk = q108Candidates(s, dir).localCheckpoint()
+  }
+
+  /** Index MAINTENANCE: fold an accepted batch into the artifacts by
+    * bucketed APPEND — the delta alone is shuffled into bucket files
+    * (the corpus snapshot is never rewritten), and the new files join
+    * the same bucket layout, so subsequent probes see old ∪ delta with
+    * the same exchange-free plan. (With several files per bucket Spark
+    * drops the sorted-scan shortcut and re-sorts per task — correctness
+    * and bucketing are unaffected; a periodic full q108Write is the
+    * compaction that restores it.) */
+  private[graft] def q108Append(s: SparkSession, addSh: DataFrame): Unit = {
+    aggBandBuckets(addSh)
+      .write.bucketBy(IndexBuckets, "band", "bucket")
+      .mode("append").saveAsTable("g108_buckets")
+    addSh.write.bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+      .mode("append").saveAsTable("g108_shingles")
+  }
+
+  /** Per-batch probe: id-only candidates against the persisted index,
+    * checkpointed, then the candidate-pruned verify. */
+  private[graft] def q108Probe(s: SparkSession, newSh: DataFrame): DataFrame = {
+    val candCk = q108CandidatesOf(s, newSh).localCheckpoint()
     candCk.queryExecution.analyzed
       .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
       .foreach(r => graft.CheckpointRegistry.register(r))
@@ -925,18 +968,24 @@ object DedupOps {
       .orderBy(col("doc_id"), col("dup_of"))
   }
 
-  /** The id-only probe stage, pre-checkpoint — requires the g108
-    * artifacts to exist (q108 writes them first); exposed so the plan
-    * spec can pin the exchange-free index side of the band join. */
-  private[graft] def q108Candidates(s: SparkSession, dir: String): DataFrame = {
-    val newSh = docShingles(s, dir).filter(size(col("shs")) > 0)
-      .filter(col("doc_id") % IncrSplitMod === 0)
-    rowBandBuckets(newSh)
-      .select(col("doc_id"), col("band"), col("bucket"))
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
+    q108Write(s, docSh.filter(col("doc_id") % IncrSplitMod =!= 0))
+    q108Probe(s, docSh.filter(col("doc_id") % IncrSplitMod === 0))
+  }
+
+  private def q108CandidatesOf(s: SparkSession, newSh: DataFrame): DataFrame =
+    aggBandBuckets(newSh)
       .join(s.table("g108_buckets").withColumnRenamed("doc_id", "dup_of"),
         Seq("band", "bucket"))
       .select(col("doc_id"), col("dup_of")).distinct()
-  }
+
+  /** The id-only probe stage, pre-checkpoint — requires the g108
+    * artifacts to exist (q108 writes them first); exposed so the plan
+    * spec can pin the exchange-free index side of the band join. */
+  private[graft] def q108Candidates(s: SparkSession, dir: String): DataFrame =
+    q108CandidatesOf(s, docShingles(s, dir).filter(size(col("shs")) > 0)
+      .filter(col("doc_id") % IncrSplitMod === 0))
 
   lazy val q108Sql: String =
     s"""WITH d AS ($docShSql),
@@ -1073,7 +1122,11 @@ object DedupOps {
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
-    Op("q50_dedup_minhash", pairs50, Some(q50Sql)),
+    // q50 registers the REAL pipeline, not the pairs50 memo: the timed
+    // op must rebuild signature→band→verify on every run or Bench's
+    // best-of-2 would report a checkpoint-block scan as q50's cost
+    // (r4 ADVICE). Family consumers still share via pairs50.
+    Op("q50_dedup_minhash", q50, Some(q50Sql)),
     Op("q51_dedup_simhash", q51, Some(q51Sql)),
     Op("q52_dedup_embedding", q52, Some(q52Sql)),
     Op("q70_dedup_corpus", q70, Some(q70Sql)),

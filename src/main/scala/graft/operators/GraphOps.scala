@@ -452,10 +452,115 @@ object GraphOps {
        |ORDER BY cluster""".stripMargin
   }
 
+  // --- 111. personalized PageRank (per-source teleport) (r5) ---------------
+  /** [[pagerank]] with a PERSONALIZED teleport vector: the restart mass
+    * lands proportionally to a per-source trust weight instead of
+    * uniformly — "centrality as seen from the trusted part of the
+    * corpus", the standard way to bias keeper selection toward
+    * canonical sources without touching edges. Weights arrive as a
+    * broadcast policy table (q110's pattern) in integer micros,
+    * deliberately UNNORMALIZED so the iteration stays int64-exact
+    * (ranks scale linearly with Σw — argmax/ordering consumers are
+    * scale-invariant). Same per-round plan shape and checkpoint
+    * regime as [[pagerankFrom]]; uniform weights reduce exactly to
+    * [[q95]] (spec-pinned). */
+  val TeleportDefaultMicros = 1000000L
+  val TeleportMicros: Map[String, Long] =
+    Map("src3" -> 3000000L, "src12" -> 250000L)
+
+  /** Integer-micros personalized PageRank: `weights(doc_id, pw)` is the
+    * unnormalized teleport vector; each round computes
+    * `r' = ((100−α₀₀)·pw) div 100 + (α₀₀ · Σ shares) div 100`. */
+  def pagerankPersonalized(pairs: DataFrame, weights: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    val deg = edges.groupBy(col("id_b")).agg(count(lit(1)).as("deg"))
+    val pw = weights.select(col("doc_id"), col("pw")).cache()
+    var ranks = pw.select(col("doc_id"), col("pw").as("r")).localCheckpoint()
+    var prevBlocks = blocks(ranks)
+    for (_ <- 1 to iters) {
+      val shares = ranks
+        .join(deg, ranks("doc_id") === deg("id_b"))
+        .select(col("id_b"), expr("r div deg").as("share"))
+      val contrib = edges.join(shares, "id_b")
+        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
+      val next = pw
+        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
+        .select(col("doc_id"),
+          (expr(s"((${100 - Damping}) * pw) div 100") +
+            expr(s"($Damping * cin0) div 100")).as("r"))
+        .localCheckpoint()
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = blocks(next)
+      ranks = next
+    }
+    edges.unpersist()
+    pw.unpersist(blocking = false)
+    prevBlocks.foreach(r => graft.CheckpointRegistry.register(r))
+    ranks.select(col("doc_id"), (col("r") / 1000000.0).as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tp = TeleportMicros.toSeq.toDF("source", "w")
+    val weights = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(tp), Seq("source"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w"), lit(TeleportDefaultMicros)).as("pw"))
+    pagerankPersonalized(
+      DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b")), weights)
+  }
+
+  /** [[prCtesSql]] generalized to a per-doc teleport table `pw(doc_id,
+    * pw)`: pr0 starts at pw, each round's base term is ((100−α₀₀)·pw)
+    * div 100. */
+  def prPersonalizedCtesSql(edges: String, a: String, b: String): String = {
+    val head = Seq(
+      s"prdeg AS (SELECT $b AS nid, COUNT(*) AS deg FROM $edges GROUP BY $b)",
+      s"pr0 AS (SELECT doc_id, pw AS r FROM pw)")
+    val iters = (1 to Iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT d.doc_id,
+         |    CAST(((${100 - Damping}) * d.pw) // 100
+         |      + ($Damping * COALESCE(SUM(s.share), 0)) // 100 AS BIGINT) AS r
+         |  FROM pw d LEFT JOIN (
+         |    SELECT e.$a AS tgt, r.r // g.deg AS share
+         |    FROM $edges e
+         |    JOIN pr${k - 1} r ON e.$b = r.doc_id
+         |    JOIN prdeg g ON e.$b = g.nid) s
+         |  ON d.doc_id = s.tgt
+         |  GROUP BY d.doc_id, d.pw)""".stripMargin
+    }
+    (head ++ iters).mkString(",\n")
+  }
+
+  lazy val q111Sql: String = {
+    val tpRows = TeleportMicros.toSeq.sortBy(_._1)
+      .map { case (src, w) => s"('$src', CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH pairs AS (SELECT id_a, id_b FROM (${DedupOps.q50PairsSql}) _p),
+       |edges AS (SELECT id_a, id_b FROM pairs
+       |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+       |teleport(source, w) AS (VALUES $tpRows),
+       |pw AS (
+       |  SELECT d.doc_id, COALESCE(t.w, $TeleportDefaultMicros) AS pw
+       |  FROM documents d LEFT JOIN teleport t ON d.source = t.source),
+       |${prPersonalizedCtesSql("edges", "id_a", "id_b")}
+       |SELECT doc_id, r / 1000000.0 AS rank FROM pr$Iters
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q95_pagerank", q95, Some(q95Sql)),
     Op("q97_keeper_by_rank", q97, Some(q97Sql)),
     Op("q106_keeper_policy", q106, Some(q106Sql)),
     Op("q110_keeper_weighted", q110, Some(q110Sql)),
+    Op("q111_pagerank_personalized", q111, Some(q111Sql)),
   )
 }

@@ -288,10 +288,14 @@ object PipelineOps {
     * to probable candidates — exact broadcast semi-join while the id
     * set broadcasts, bloom past that (fp = extra shuffled rows, never
     * wrong output) — before the candidate-sized verify joins. */
+  /** Per-side distinct-5-gram relations, CACHED: each side feeds both
+    * the banding (candidates) and the verify re-join — without the
+    * cache the tokenize+shingle pipeline would run twice per side. */
   private[graft] def q87Shingles(s: SparkSession, dir: String,
       benchSide: Boolean): DataFrame = {
     import graft.text.Text
     val docs = graft.Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
     val side =
       if (benchSide) docs.filter(col("doc_id") % 11 === 0)
       else docs.filter(col("doc_id") % 11 =!= 0)
@@ -299,16 +303,17 @@ object PipelineOps {
         array_distinct(Text.shingles(Text.tokens(col("text")), ContamShingleK))
           .as("shs"))
       .filter(size(col("shs")) > 0)
+      .cache()
   }
 
   /** The id-only candidate stage, pre-checkpoint — exposed so the
     * plan-shape spec can assert no array column crosses the (band,
     * bucket) exchange (q87 itself checkpoints this, which hides the
-    * exchange behind a LogicalRDD). */
+    * exchange behind a LogicalRDD). Corpus-volume sides → codegen'd
+    * aggregate banding, not the per-row HOF fold. */
   private[graft] def q87Candidates(s: SparkSession, dir: String): DataFrame = {
-    val corpusB = DedupOps.rowBandBuckets(q87Shingles(s, dir, benchSide = false))
-      .select(col("doc_id"), col("band"), col("bucket"))
-    val benchB = DedupOps.rowBandBuckets(q87Shingles(s, dir, benchSide = true))
+    val corpusB = DedupOps.aggBandBuckets(q87Shingles(s, dir, benchSide = false))
+    val benchB = DedupOps.aggBandBuckets(q87Shingles(s, dir, benchSide = true))
       .select(col("doc_id").as("bench_id"), col("band"), col("bucket"))
     corpusB.join(benchB, Seq("band", "bucket"))
       .select(col("doc_id"), col("bench_id")).distinct()

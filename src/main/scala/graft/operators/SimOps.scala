@@ -767,8 +767,12 @@ object SimOps {
 
   def q105(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_annindex")
+    // per-application dir: concurrent JVMs (test forks, Bench beside
+    // sbt test) must not delete each other's index mid-query; cleanup
+    // at JVM exit via the artifact registry (r4 ADVICE)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annindex-${s.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
     if (base.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -142,6 +142,42 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty, "split produced no cross near-dup pairs at this SF")
   }
 
+  test("q108 delta append extends the index: batch2 probe ≡ q50 restricted, and misses without it") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.size
+    val mod = DedupOps.IncrSplitMod
+    // three-way split: snapshot (%7 ∉ {0,1}), delta batch (%7=1),
+    // query batch (%7=0) — write snapshot, probe, append, probe again
+    val docSh = Tables.documents(spark, SF)
+      .select(col("doc_id"),
+        array_distinct(graft.text.Text.shingles(
+          graft.text.Text.tokens(col("text")), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val snapshot = docSh.filter(col("doc_id") % mod =!= 0 && col("doc_id") % mod =!= 1)
+    val delta = docSh.filter(col("doc_id") % mod === 1)
+    val batch2 = docSh.filter(col("doc_id") % mod === 0)
+    DedupOps.q108Write(spark, snapshot)
+    val before = DedupOps.q108Probe(spark, batch2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    DedupOps.q108Append(spark, delta)
+    val after = DedupOps.q108Probe(spark, batch2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // ground truth: q50 pairs with exactly one endpoint in batch2
+    val q50 = DedupOps.q50(spark, SF).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    def norm(m: Map[(Long, Long), Double]) =
+      m.map { case ((a, b), j) => ((math.min(a, b), math.max(a, b)), j) }
+    val wantAfter = q50
+      .filter { case ((a, b), _) => (a % mod == 0) != (b % mod == 0) }.toMap
+    val wantBefore = q50.filter { case ((a, b), _) =>
+      ((a % mod == 0) != (b % mod == 0)) && a % mod != 1 && b % mod != 1 }.toMap
+    assert(norm(after) === norm(wantAfter))
+    assert(norm(before) === norm(wantBefore))
+    // the delta contributed pairs the snapshot probe could not know
+    assert(wantBefore.size < wantAfter.size,
+      "split produced no delta-dependent pairs at this SF; pick another mod")
+  }
+
   test("q93 registered op writes really-bucketed tables and matches the plain join") {
     import graft.operators.Bucketed
     val got = Bucketed.q93(spark, SF).collect()

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 106) // r4: +q88..q106
+    assert(SparkEntry.queries.size === 111) // r5: +q107..q111
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 97) // r4: +q51/q88..q106
+    assert(SparkEntry.oracleSql.size === 102) // r5: +q107..q111
   }
 
   test("entry flagship runs on sf0.001 with rows") {

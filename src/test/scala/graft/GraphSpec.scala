@@ -196,6 +196,36 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q111 personalized pagerank: uniform teleport ≡ q95; trusted source outranks its uniform self") {
+    import spark.implicits._
+    val pairs = DedupOps.q50(spark, SF).select(col("id_a"), col("id_b"))
+    val uniform = Tables.documents(spark, SF)
+      .select(col("doc_id"), lit(GraphOps.RankScale).as("pw"))
+    val got = GraphOps.pagerankPersonalized(pairs, uniform).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    val want = GraphOps.q95(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got === want)
+    // the shipped teleport: boosted-source docs never lose rank vs the
+    // uniform run; demoted-source ISOLATES (pure teleport mass) lose
+    val ranks111 = GraphOps.q111(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val src = Tables.documents(spark, SF).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val deg = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val base = want.toMap
+    // exact integer-micros expectations: isolate rank = (15·pw)//100
+    src.foreach { case (d, s) =>
+      if (!deg.contains(d)) {
+        assert(math.rint(base(d) * 1e6).toLong === 150000L, s"doc $d uniform")
+        val m = math.rint(ranks111(d) * 1e6).toLong
+        if (s == "src3") assert(m === 450000L, s"doc $d")
+        else if (s == "src12") assert(m === 37500L, s"doc $d")
+        else assert(m === 150000L, s"doc $d")
+      }
+    }
+  }
+
   test("keeperByRank picks the hub of a star, not the min id") {
     import spark.implicits._
     // star: 10 is the center, 11..14 the leaves; plus isolate 99.
