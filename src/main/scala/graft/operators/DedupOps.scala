@@ -904,6 +904,51 @@ object DedupOps {
   val IncrSplitMod = 7
   val IndexBuckets = 16
 
+  /** EXACT incremental connected components: update a label snapshot
+    * `oldLabels(doc_id, root)` (root = component min id, q74's
+    * convention) with a batch of `newEdges` — and a possibly grown
+    * `docs` universe — WITHOUT re-running the fixpoint over the corpus.
+    *
+    * The delta contracts to the QUOTIENT graph over affected roots:
+    * endpoint ids → their old roots (docs new to the universe are their
+    * own root), self-loops dropped, then min-label CC runs on a graph
+    * whose node count is ∝ affected components, not corpus. Min of
+    * component minima = global minimum, so one relabel join reproduces
+    * full CC on the merged edge set bit-for-bit (spec-pinned, including
+    * a delta that BRIDGES two old components through a new doc).
+    *
+    * Corpus-side cost: one broadcast-semi prune of the label snapshot
+    * down to the delta's endpoints, and one map-side broadcast left
+    * join applying the ≤|affected components| relabel map — the label
+    * snapshot is never shuffled. The daily-batch companion of
+    * [[q108Append]] (index) and GraphOps.pagerankDelta (ranks). */
+  private[graft] def ccDelta(oldLabels: DataFrame, newEdges: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val known = oldLabels.select(col("doc_id"), col("root"))
+    val newDocs = docs.select(col("doc_id"))
+      .join(known.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("root"))
+    val labels = known.unionAll(newDocs)
+    // endpoint → old-root map, pruned to the batch (broadcast semi; the
+    // endpoint set is batch-sized by contract)
+    val epIds = newEdges.select(col("id_a").as("doc_id"))
+      .unionAll(newEdges.select(col("id_b").as("doc_id"))).distinct()
+    val epLabels = labels.join(broadcast(epIds), Seq("doc_id"), "left_semi")
+    val qe = newEdges
+      .join(epLabels.select(col("doc_id").as("id_a"), col("root").as("ra")), "id_a")
+      .join(epLabels.select(col("doc_id").as("id_b"), col("root").as("rb")), "id_b")
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val qNodes = qe.select(col("id_a").as("doc_id"))
+      .unionAll(qe.select(col("id_b").as("doc_id"))).distinct()
+    val relabel = connectedComponents(qe, qNodes)
+      .select(col("doc_id").as("old_root"), col("root").as("new_root"))
+    labels
+      .join(broadcast(relabel), labels("root") === col("old_root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("root")).as("root"))
+  }
+
   /** Corpus-snapshot build: both artifacts bucketed on their probe key. */
   private[graft] def q108Write(s: SparkSession, oldSh: DataFrame): Unit = {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -226,6 +226,33 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ccDelta: label snapshot + delta edges ≡ full CC on the merged edge set") {
+    import spark.implicits._
+    val allPairs = DedupOps.q50(spark, SF).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val docs = Tables.documents(spark, SF).select(col("doc_id"))
+    val oldPairs = allPairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+    val newPairs = allPairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+    assert(newPairs.count() > 0)
+    val snapshot = DedupOps.connectedComponents(oldPairs, docs)
+    val got = DedupOps.ccDelta(snapshot, newPairs, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = DedupOps.connectedComponents(allPairs, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // toy: the delta BRIDGES two old components through a NEW doc, and
+    // an untouched component keeps its label without recompute
+    val oldE = Seq((1L, 2L), (4L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val oldDocs = Seq(1L, 2L, 4L, 5L, 7L, 8L).toDF("doc_id")
+    val deltaE = Seq((2L, 9L), (9L, 4L)).toDF("id_a", "id_b")
+    val newDocs = Seq(1L, 2L, 4L, 5L, 7L, 8L, 9L, 11L).toDF("doc_id")
+    val snap = DedupOps.connectedComponents(oldE, oldDocs)
+    val got2 = DedupOps.ccDelta(snap, deltaE, newDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 1L,
+      7L -> 7L, 8L -> 7L, 11L -> 11L))
+  }
+
   test("keeperByRank picks the hub of a star, not the min id") {
     import spark.implicits._
     // star: 10 is the center, 11..14 the leaves; plus isolate 99.
