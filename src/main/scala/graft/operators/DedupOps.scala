@@ -770,7 +770,7 @@ object DedupOps {
 
   /** The `d, occ, dup, hits, marked, isl, sp` CTE chain replaying
     * [[dupSpans]] at window size k; `sp` holds the maximal spans. */
-  private def dupSpanCtesSql(k: Int): String = {
+  private[operators] def dupSpanCtesSql(k: Int): String = {
     val shExpr = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
     s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |occ AS (
@@ -825,7 +825,10 @@ object DedupOps {
     * corpus into per-token rows, no window. The oracle replays the
     * same complement per-position (DuckDB is happy to unnest at
     * sf0.01; the Spark side never does). */
-  def q107(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, toks, cleaned): every doc with its original token array
+    * and the span-cleaned one — the shared core of q107 (readout) and
+    * q112 (cleaned training build). */
+  private[operators] def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = spanDocs(s, dir)
     val spans = dupSpans(docs, DupSpanK)
       .groupBy(col("doc_id"))
@@ -847,6 +850,11 @@ object DedupOps {
           flatten(zip_with(segStarts, segEnds, (st, en) =>
             slice(col("toks"), st.cast("int"),
               greatest(lit(0), (en - st + lit(1L)).cast("int")))))))
+      .select(col("doc_id"), col("toks"), col("cleaned"))
+  }
+
+  def q107(s: SparkSession, dir: String): DataFrame =
+    cleanedDocs(s, dir)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("cleaned")).cast("long").as("kept_tokens"),
@@ -856,11 +864,11 @@ object DedupOps {
           .otherwise(lit(0.0)).as("kept_fraction"),
         concat_ws(" ", col("cleaned")).as("cleaned_text"))
       .orderBy(col("doc_id"))
-  }
 
-  lazy val q107Sql: String =
-    s"""WITH ${dupSpanCtesSql(DupSpanK)},
-       |pos AS (
+  /** `pos, kept, agg` complement CTEs over [[dupSpanCtesSql]]'s `d`/`sp`
+    * — agg(doc_id, kept_tokens, cleaned_text); shared by q107/q112. */
+  private[operators] lazy val spanCleanCtesSql: String =
+    s"""pos AS (
        |  SELECT doc_id, i, toks[i] AS tok
        |  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
        |kept AS (
@@ -871,7 +879,11 @@ object DedupOps {
        |agg AS (
        |  SELECT doc_id, COUNT(*) AS kept_tokens,
        |    string_agg(tok, ' ' ORDER BY i) AS cleaned_text
-       |  FROM kept GROUP BY doc_id)
+       |  FROM kept GROUP BY doc_id)""".stripMargin
+
+  lazy val q107Sql: String =
+    s"""WITH ${dupSpanCtesSql(DupSpanK)},
+       |$spanCleanCtesSql
        |SELECT d.doc_id, len(d.toks) AS n_tokens,
        |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
        |  CASE WHEN len(d.toks) > 0

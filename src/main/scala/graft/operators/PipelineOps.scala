@@ -217,11 +217,9 @@ object PipelineOps {
     * map-side sampling, the binned two-level cumsum — and the whole
     * chain is hash-replayed by the composed DuckDB oracle, so the exact
     * shard-level training set is pinned end-to-end. */
-  def q86(s: SparkSession, dir: String): DataFrame = {
-    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
-    val docs = graft.Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .join(sel, "doc_id")
+  /** Gate → mix → pack over any `(doc_id, lang, text)` relation — the
+    * selection join is the caller's (q86: raw text; q112: span-cleaned). */
+  private def trainBuild(docs: DataFrame): DataFrame = {
     val mixed = mixSampled(docs)
       .select(col("doc_id"), col("lang"), col("weight"),
         graft.text.Text.bpeTokenCount(col("text")).as("n_tokens"),
@@ -233,6 +231,13 @@ object PipelineOps {
         col("cum_tokens"),
         expr(s"(cum_tokens - n_tokens) div ${ShardTokenBudget}L").as("shard"))
       .orderBy(col("doc_id"))
+  }
+
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
+    trainBuild(graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .join(sel, "doc_id"))
   }
 
   lazy val q86Sql: String =
@@ -470,6 +475,62 @@ object PipelineOps {
        |ORDER BY km DESC, doc_id
        |LIMIT $WrsK""".stripMargin
 
+  // --- 112. span-cleaned training build (r5) -------------------------------
+  /** q86's gate → mix → pack with q107's span cleaning FUSED between
+    * selection and packing: duplicated spans are cut from each selected
+    * doc before its token count enters the shard cumsum — the "clean
+    * then pack" order a contamination-aware corpus build actually
+    * wants (q98's doc promises the coordinates; q107 emits the cleaned
+    * stream; this op makes the training set consume it). Gates stay on
+    * the ORIGINAL text (selection must not depend on what cleaning
+    * removes); only token counts / shard packing see the cleaned
+    * stream. Plan = q86's shapes + one extra doc_id equi-join of the
+    * cleaned relation; the span pipeline is corpus-linear (q98). */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
+    val cleaned = DedupOps.cleanedDocs(s, dir)
+      .select(col("doc_id"), concat_ws(" ", col("cleaned")).as("text"))
+    trainBuild(graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(sel, "doc_id")
+      .join(cleaned, "doc_id"))
+  }
+
+  lazy val q112Sql: String =
+    s"""WITH RECURSIVE ${DedupOps.q49CcCtesSql},
+       |${DedupOps.dupSpanCtesSql(DedupOps.DupSpanK)},
+       |${DedupOps.spanCleanCtesSql},
+       |langp AS (SELECT doc_id, pred_lang FROM ($q44Body) _l),
+       |qual AS (SELECT doc_id, n_toks, non_alnum_ratio FROM ($q45Body) _q),
+       |sel AS (
+       |  SELECT l.doc_id FROM langp l
+       |  JOIN qual q ON l.doc_id = q.doc_id
+       |  JOIN roots r ON l.doc_id = r.doc_id
+       |  WHERE pred_lang = 'en' AND n_toks >= 10 AND non_alnum_ratio <= 0.5
+       |    AND r.doc_id = r.root),
+       |dsel AS (
+       |  SELECT doc_id, lang, COALESCE(a.cleaned_text, '') AS text
+       |  FROM documents JOIN sel USING (doc_id) LEFT JOIN agg a USING (doc_id)),
+       |sampled AS (
+       |  SELECT doc_id, lang, text, $mixRateCaseSql AS rate
+       |  FROM dsel
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < $mixRateCaseSql * 1000000),
+       |t AS (
+       |  SELECT doc_id, lang, round(1.0 / rate, 6) AS weight,
+       |    ${graft.text.Text.bpeCountSql} AS n_tokens,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM sampled),
+       |c AS (
+       |  SELECT doc_id, lang, weight, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY bkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, weight, n_tokens, cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -479,5 +540,6 @@ object PipelineOps {
     Op("q87_decontaminate_scale", q87, Some(q87Sql)),
     Op("q96_quota_sample", q96, Some(q96Sql)),
     Op("q104_weighted_sample", q104, Some(q104Sql)),
+    Op("q112_training_build_clean", q112, Some(q112Sql)),
   )
 }

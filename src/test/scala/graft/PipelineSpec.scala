@@ -82,6 +82,31 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
   }
 
+  test("q112 cleaned build: same membership as q86, token counts = bpe over span-cleaned text") {
+    import org.apache.spark.sql.functions._
+    val rows86 = PipelineOps.q86(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val rows112 = PipelineOps.q112(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("shard")))
+    // selection/sampling on ORIGINAL text → identical membership
+    assert(rows112.map(_._1).toSet === rows86.keySet)
+    // cleaning can only remove tokens, and on this corpus it does
+    rows112.foreach { case (id, n, _, _) =>
+      assert(n <= rows86(id), s"doc $id gained tokens after cleaning") }
+    assert(rows112.map(_._2).sum < rows86.values.sum,
+      "no duplicated span intersected the sampled training set")
+    // cleaned counts replay driver-side: bpe over the span-cleaned stream
+    val cleaned = operators.DedupOps.q107(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned_text")).toMap
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    rows112.foreach { case (id, n, _, _) =>
+      assert(n === re.findAllIn(cleaned(id).toLowerCase).length.toLong, s"doc $id") }
+    // packing invariant holds on the cleaned counts
+    rows112.foreach { case (_, n, cum, sh) =>
+      assert(sh === (cum - n) / PipelineOps.ShardTokenBudget) }
+  }
+
   test("q85 decontamination: self-overlap totality, flag consistency") {
     import org.apache.spark.sql.functions._
     import graft.text.Text

@@ -144,11 +144,15 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.catalyst.plans.logical.Join
     spark.catalog.clearCache() // cold plans — warm caches hide the joins
-    // q98's span merge must never fall back to a global window: a corpus
-    // can't sort on one task. Every Window partitions by doc_id.
-    val p98 = operators.DedupOps.q98(spark, SF).queryExecution.optimizedPlan
-    assert(p98.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
-      "q98 must never run an unpartitioned window")
+    // span-family merges must never fall back to a global window: a
+    // corpus can't sort on one task. Every Window partitions by doc_id.
+    Seq("q98" -> operators.DedupOps.q98(spark, SF),
+        "q107" -> operators.DedupOps.q107(spark, SF),
+        "q109" -> operators.DedupOps.q109(spark, SF)).foreach { case (n, df) =>
+      val p = df.queryExecution.optimizedPlan
+      assert(p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$n must never run an unpartitioned window")
+    }
     // q100 shares keptShingles: the df cap must reach its plan as the
     // same broadcast anti-join q49 is guarded for. cache() registers the
     // kept relation eagerly, so descend through InMemoryRelation's cached
