@@ -214,6 +214,88 @@ object StreamOps {
       .orderBy(col("p"))
   }
 
+  /** One hit row of the streaming span probe (the shingle itself is
+    * dropped at the join — only coordinates enter state). */
+  final case class SpanHit(doc_id: Long, ts: Timestamp, pos: Long)
+  /** Keyed state: the doc's current MAXIMAL merged spans + a monotone
+    * update counter (so a consumer keeps each doc's latest row). */
+  final case class SpanState(spans: List[(Long, Long)], seq: Long)
+  final case class SpanUpd(doc_id: Long, upd_seq: Long, n_spans: Long,
+      dup_tokens: Long, spans: String)
+
+  /** Streaming SPAN-level dedup against a static corpus shingle set —
+    * the span companion of [[dedupVsIndex]] and the streaming form of
+    * the q98/q109 detection core (DedupOps.dupSpans) restricted to
+    * new-vs-corpus: every k-token window of an arriving doc that also
+    * occurs in the corpus is a duplicated position, and overlapping
+    * windows merge into maximal spans (same `pos > prevMax` island
+    * rule as batch; adjacent-but-disjoint windows stay separate).
+    *
+    * Stages: stateless positional explode → stream-static LEFT SEMI
+    * join against `indexShingles(sh)` (the corpus relation is only
+    * ever probed by equi-join — broadcast or shuffled per Catalyst,
+    * never in stream state) → gaps-and-islands inside keyed state per
+    * doc_id. State is the doc's merged span list — O(doc length / k),
+    * bounded by the doc, never by the corpus — and is evicted by
+    * event-time timeout one watermark delay past the doc's arrival.
+    * Re-delivery of a doc (or a doc split across micro-batches) merges
+    * idempotently into the same maximal spans (spec-pinned).
+    *
+    * Emits one Update-mode row per doc per touching trigger:
+    * (doc_id, upd_seq, n_spans, dup_tokens, spans) with `spans` the
+    * "s-e,s-e" rendering of the maximal span list.
+    *
+    * `newDocs`: (doc_id, text, ts). `indexShingles`: (sh) distinct —
+    * in production the parquet artifact written at corpus-build time
+    * (the q108 pattern); here any static relation. */
+  def spanDedupVsIndex(newDocs: DataFrame, indexShingles: DataFrame,
+      k: Int): DataFrame = {
+    import graft.text.Text
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val hits = newDocs
+      .select(col("doc_id"), col("ts"),
+        posexplode(Text.shingles(Text.tokens(col("text")), k)).as(Seq("p0", "sh")))
+      .join(indexShingles.select(col("sh")), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("ts"), (col("p0") + 1).cast("long").as("pos"))
+      .withWatermark("ts", "1 hour")
+      .as[SpanHit]
+    hits
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[SpanState, SpanUpd](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (docId: Long, it: Iterator[SpanHit], state: GroupState[SpanState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toList
+            val add = rows.map(h => (h.pos, h.pos + (k - 1)))
+            if (add.isEmpty) Iterator.empty
+            else {
+              val st = state.getOption.getOrElse(SpanState(Nil, 0L))
+              // batch island rule: a window whose start is > the running
+              // max end opens a new span; <= merges (extends the end)
+              val merged = (st.spans ++ add).sortBy(identity)
+                .foldLeft(List.empty[(Long, Long)]) {
+                  case ((s, e) :: acc, (s2, e2)) if s2 <= e =>
+                    (s, math.max(e, e2)) :: acc
+                  case (acc, sp) => sp :: acc
+                }.reverse
+              val ns = SpanState(merged, st.seq + 1)
+              state.update(ns)
+              // evict once the watermark passes the doc's own event time
+              // + delay (NOT currentWatermark + delay: that is 0-based on
+              // the first batch and would expire live state immediately)
+              state.setTimeoutTimestamp(
+                rows.map(_.ts.getTime).max + 3600L * 1000)
+              Iterator(SpanUpd(docId, ns.seq, merged.size.toLong,
+                merged.map { case (s, e) => e - s + 1 }.sum,
+                merged.map { case (s, e) => s"$s-$e" }.mkString(",")))
+            }
+          }
+      }
+      .toDF()
+  }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

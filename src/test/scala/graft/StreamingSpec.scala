@@ -276,6 +276,59 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     corpusSh.unpersist(); indexBuckets.unpersist()
   }
 
+  test("streaming span dedup vs static shingle index ≡ batch island merge, idempotent on re-delivery") {
+    implicit val ctx = spark.sqlContext
+    import graft.text.Text
+    val k = DedupOps.SlideSpanK
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+    val corpusSh = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(explode(Text.shingles(Text.tokens(col("text")), k)).as("sh"))
+      .distinct().cache()
+    val base = 1704067200000L
+    val streamDocs = docs.filter(col("doc_id") % 4 === 0)
+      .as[(Long, String)].collect()
+    val mk = streamDocs.map { case (id, t) =>
+      NewDoc(id, t, new java.sql.Timestamp(base + id)) }.toSeq
+    val ms = MemoryStream[NewDoc]
+    val q = StreamOps.spanDedupVsIndex(ms.toDF(), corpusSh, k)
+      .writeStream.format("memory").queryName("t_spandedup")
+      .outputMode("update").start()
+    try {
+      ms.addData(mk); q.processAllAvailable()
+      ms.addData(mk); q.processAllAvailable() // full re-delivery
+    } finally { q.stop() }
+    val latest = spark.table("t_spandedup")
+      .as[StreamOps.SpanUpd].collect()
+      .groupBy(_.doc_id).map { case (id, rows) => id -> rows.maxBy(_.upd_seq) }
+    // pure-Scala ground truth: hit iff the window string ∈ corpus set,
+    // islands merge while the next start ≤ the running max end
+    val corpusSet = corpusSh.as[String].collect().toSet
+    val want = streamDocs.flatMap { case (id, text) =>
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      val hits = toks.sliding(k).zipWithIndex.collect {
+        case (w, i) if w.length == k && corpusSet(w.mkString(" ")) =>
+          ((i + 1).toLong, (i + k).toLong)
+      }.toList
+      val merged = hits.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: acc, (s2, e2)) if s2 <= e => (s, math.max(e, e2)) :: acc
+        case (acc, sp) => sp :: acc
+      }.reverse
+      if (merged.isEmpty) None
+      else Some(id -> merged.map { case (s, e) => s"$s-$e" }.mkString(","))
+    }.toMap
+    assert(latest.keySet === want.keySet)
+    latest.foreach { case (id, row) =>
+      assert(row.spans === want(id), s"doc $id spans")
+      assert(row.dup_tokens ===
+        row.spans.split(",").map { sp =>
+          val Array(s, e) = sp.split("-"); e.toLong - s.toLong + 1 }.sum)
+      // re-delivery touched the doc again but merged idempotently
+      assert(row.upd_seq === 2L, s"doc $id update count")
+    }
+    assert(want.nonEmpty, "no duplicated span straddles the corpus/stream split")
+    corpusSh.unpersist()
+  }
+
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
