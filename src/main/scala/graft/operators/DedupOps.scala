@@ -994,6 +994,64 @@ object DedupOps {
       .mode("append").saveAsTable("g108_shingles")
   }
 
+  private val compactGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Index COMPACTION — the maintenance companion of [[q108Append]]:
+    * each append folds delta files into the buckets, and once a bucket
+    * holds several files Spark drops the sorted-scan shortcut and
+    * re-sorts per task; compaction rewrites each artifact as ONE sorted
+    * file per bucket and swaps it in UNDER THE SAME TABLE NAME, so
+    * probe code (and its exchange-free plan contract) never changes.
+    *
+    * The rewrite streams table → `repartition(numBuckets, bucketCols)`
+    * — the same murmur3-pmod hash bucketing assigns file buckets with,
+    * so every write task holds exactly its own bucket's rows and emits
+    * exactly one file — → bucketed write at a fresh generation path.
+    * The catalog swap is DROP + RENAME and the superseded generation's
+    * files are deleted. Single-writer contract (as Append): no
+    * concurrent probe or maintenance during the swap.
+    *
+    * Corpus cost: one read + write of the artifacts, no joins, no
+    * wide aggregation — the periodic price that keeps probe plans both
+    * exchange-free and sort-free at any append count. */
+  private[graft] def q108Compact(s: SparkSession): Unit = {
+    val gen = compactGen.incrementAndGet()
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dedupindex-${s.sparkContext.applicationId}-c$gen")
+    graft.TempArtifacts.register(base)
+    def swap(table: String)(write: (DataFrame, String) => Unit): Unit = {
+      val oldLoc = new java.io.File(s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      val tmp = s"${table}_c$gen"
+      // read the FILES, not the table: a bucketed-table scan satisfies
+      // the repartition's distribution, so Catalyst elides the exchange
+      // — and then DisableUnnecessaryBucketedScan (no join/agg consumer)
+      // downgrades to a packed plain scan, leaving the write running on
+      // arbitrary file splits (observed: 2 files per bucket). The plain
+      // read keeps the aligning repartition in the plan.
+      write(s.read.parquet(oldLoc.getAbsolutePath), tmp)
+      s.sql(s"DROP TABLE $table")
+      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(oldLoc)
+    }
+    swap("g108_buckets") { (df, t) =>
+      df.repartition(IndexBuckets, col("band"), col("bucket"))
+        .write.bucketBy(IndexBuckets, "band", "bucket")
+        .option("path", new java.io.File(base, t).getAbsolutePath)
+        .saveAsTable(t)
+    }
+    swap("g108_shingles") { (df, t) =>
+      df.repartition(IndexBuckets, col("doc_id"))
+        .write.bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+        .option("path", new java.io.File(base, t).getAbsolutePath)
+        .saveAsTable(t)
+    }
+  }
+
   /** Per-batch probe: id-only candidates against the persisted index,
     * checkpointed, then the candidate-pruned verify. */
   private[graft] def q108Probe(s: SparkSession, newSh: DataFrame): DataFrame = {
@@ -1176,6 +1234,107 @@ object DedupOps {
        |WHERE dot / sqrt(na.n2 * nb.n2) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- 113. span-level cross-source contamination matrix (r5) -------------
+  /** Per-(doc, other-source) maximal duplicated spans — the attribution
+    * core of q113, exposed for the consistency spec. An occurrence in
+    * doc d attributes to source `osrc` iff some OTHER doc of `osrc`
+    * holds the same [[DupSpanK]]-window; the island merge then runs per
+    * (doc_id, osrc), so the same position can count toward several
+    * sharing sources (that's the point: attribution, not coverage). */
+  private[graft] def q113PerDoc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = DupSpanK
+    val occ = spanDocs(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("pos"), col("sh"))
+    // attribution relation: distinct docs per (window, source). Joining
+    // occurrences 1:1 against THIS (never doc-to-doc) keeps the whole
+    // pipeline occurrence-linear: a window in k docs over m sources
+    // emits k·m rows, never k². Same-source duplication stays exact —
+    // own source qualifies only with a second doc of that source.
+    val snd = occ.groupBy(col("sh"), col("source").as("osrc"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val hits = occ.join(snd, "sh")
+      .filter(col("osrc") =!= col("source") || col("nd") >= 2)
+      .select(col("doc_id"), col("source"), col("osrc"),
+        col("pos"), (col("pos") + (k - 1)).as("fin"))
+    val w = Window.partitionBy(col("doc_id"), col("osrc")).orderBy(col("pos"))
+    val prevMax = max(col("fin")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_span",
+        when(col("pos") > coalesce(prevMax, lit(0L)), 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("source"), col("osrc"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("fin")).as("e"))
+      .groupBy(col("doc_id"), col("source"), col("osrc"))
+      .agg(sum(col("e") - col("s") + 1).as("dt"))
+  }
+
+  /** WHERE the duplicated SPANS come from: q99 attributes doc-level
+    * near-dup PAIRS to source pairs; this is the span-level form — for
+    * every duplicated position (q98 semantics: the window occurs in ≥2
+    * docs), the other sources holding that window, merged into maximal
+    * spans per (doc, other_source) and aggregated into the ordered
+    * (source, other_source) matrix of affected docs + covered tokens.
+    * The asymmetric readout — "how many of src_a's tokens are covered
+    * by text that also lives in src_b" — is the decontamination
+    * priority list a multi-source corpus build consults before q107
+    * cuts anything.
+    *
+    * Scale shape: occurrence-linear throughout ([[q113PerDoc]] — no
+    * doc-pair join; the blow-up bound is |sources|, a catalog-sized
+    * constant). One groupBy(sh, source) with map-side combine, one
+    * corpus-sized equi-join on sh (AQE skew split covers hot
+    * boilerplate windows), island windows keyed (doc_id, osrc) — per-
+    * doc-length state, never corpus-global — and a ≤|sources|² final
+    * aggregate. */
+  def q113(s: SparkSession, dir: String): DataFrame =
+    q113PerDoc(s, dir)
+      .groupBy(col("source"), col("osrc"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("dt")).cast("long").as("dup_tokens"))
+      .orderBy(col("source"), col("osrc"))
+
+  lazy val q113Sql: String = {
+    val k = DupSpanK
+    val shExpr = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    // occ is MATERIALIZED: DuckDB inlines CTEs per reference, and occ
+    // (the expensive window construction) is consumed twice
+    s"""WITH d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, source, i AS pos, $shExpr AS sh
+       |  FROM d, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)),
+       |snd AS (SELECT sh, source AS osrc, COUNT(DISTINCT doc_id) AS nd
+       |  FROM occ GROUP BY sh, source),
+       |hits AS (
+       |  SELECT o.doc_id, o.source, s.osrc, o.pos, o.pos + ${k - 1} AS fin
+       |  FROM occ o JOIN snd s USING (sh)
+       |  WHERE s.osrc <> o.source OR s.nd >= 2),
+       |marked AS (
+       |  SELECT doc_id, source, osrc, pos, fin,
+       |    CASE WHEN pos > COALESCE(MAX(fin) OVER (PARTITION BY doc_id, osrc
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, source, osrc, pos, fin,
+       |    SUM(new_span) OVER (PARTITION BY doc_id, osrc ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM marked),
+       |sp AS (SELECT doc_id, source, osrc, span_id, MIN(pos) AS s, MAX(fin) AS e
+       |  FROM isl GROUP BY doc_id, source, osrc, span_id),
+       |per_do AS (SELECT doc_id, source, osrc, SUM(e - s + 1) AS dt
+       |  FROM sp GROUP BY doc_id, source, osrc)
+       |SELECT source, osrc, COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(dt) AS BIGINT) AS dup_tokens
+       |FROM per_do GROUP BY source, osrc
+       |ORDER BY source, osrc""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
@@ -1197,5 +1356,6 @@ object DedupOps {
     Op("q109_dup_spans_fine", q109, Some(q109Sql)),
     Op("q99_cross_source_dups", q99, Some(q99Sql)),
     Op("q100_dedup_idf_cosine", q100, Some(q100Sql)),
+    Op("q113_span_source_matrix", q113, Some(q113Sql)),
   )
 }

@@ -178,6 +178,55 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
       "split produced no delta-dependent pairs at this SF; pick another mod")
   }
 
+  test("q108 compaction: one sorted file per bucket, same probe results, layout contract intact") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.size
+    val mod = DedupOps.IncrSplitMod
+    val docSh = Tables.documents(spark, SF)
+      .select(col("doc_id"),
+        array_distinct(graft.text.Text.shingles(
+          graft.text.Text.tokens(col("text")), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val snapshot = docSh.filter(col("doc_id") % mod =!= 0 && col("doc_id") % mod =!= 1)
+    val delta = docSh.filter(col("doc_id") % mod === 1)
+    val batch2 = docSh.filter(col("doc_id") % mod === 0)
+    DedupOps.q108Write(spark, snapshot)
+    DedupOps.q108Append(spark, delta)
+    def dataFiles(table: String): Array[java.io.File] = {
+      val loc = new java.io.File(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      loc.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    // append left >1 file in at least one bucket (else nothing to compact)
+    assert(dataFiles("g108_shingles").length > DedupOps.IndexBuckets ||
+      dataFiles("g108_buckets").length > DedupOps.IndexBuckets,
+      "append produced no extra files; the compaction premise is vacuous")
+    val before = DedupOps.q108Probe(spark, batch2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    DedupOps.q108Compact(spark)
+    // exactly one file per (non-empty) bucket in both artifacts
+    Seq("g108_buckets", "g108_shingles").foreach { t =>
+      val fs = dataFiles(t)
+      assert(fs.length <= DedupOps.IndexBuckets, s"$t: ${fs.length} files")
+      // bucket id is the _NNNNN suffix (the part- prefix is the task id)
+      val bucketId = "_(\\d{5})\\.".r
+      val byBucket = fs.groupBy(f =>
+        bucketId.findFirstMatchIn(f.getName).map(_.group(1)).getOrElse(f.getName))
+      assert(byBucket.values.forall(_.length == 1),
+        s"$t has a multi-file bucket after compaction: ${fs.map(_.getName).toList}")
+    }
+    // bucket spec survives the catalog swap — probes keep their plan
+    val meta = spark.sql("DESCRIBE EXTENDED g108_buckets").collect()
+      .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
+    assert(meta.contains(s"Num Buckets: ${DedupOps.IndexBuckets}"), meta)
+    assert(meta.contains("Bucket Columns: [`band`, `bucket`]"), meta)
+    // and the probe answers are bit-identical to pre-compaction
+    val after = DedupOps.q108Probe(spark, batch2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(after === before)
+    assert(after.nonEmpty, "probe empty — compaction equivalence is vacuous")
+  }
+
   test("q93 registered op writes really-bucketed tables and matches the plain join") {
     import graft.operators.Bucketed
     val got = Bucketed.q93(spark, SF).collect()

@@ -305,4 +305,51 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     rows.foreach(r =>
       assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
   }
+
+  test("q113 span attribution matches brute force; per-doc slices never exceed q98") {
+    val k = DedupOps.DupSpanK
+    val docs = Tables.documents(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        "[a-z0-9]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toVector))
+    // brute force: distinct docs per (window, source), then per (doc,
+    // other-source) covered positions — own source needs a SECOND doc
+    val docsPerShSrc = docs
+      .flatMap { case (id, src, ts) => ts.sliding(k).filter(_.size == k)
+        .map(w => ((w.mkString(" "), src), id)).toSeq.distinct }
+      .groupBy(_._1).map { case (key, v) => key -> v.map(_._2).distinct.size }
+    val sourcesOfSh = docsPerShSrc.keys.groupBy(_._1)
+      .map { case (sh, keys) => sh -> keys.map(_._2).toSet }
+    val perDoc = docs.flatMap { case (id, src, ts) =>
+      val winAt = ts.sliding(k).zipWithIndex
+        .collect { case (w, i) if w.size == k => (i, w.mkString(" ")) }.toSeq
+      sourcesOfSh.values.flatten.toSet.toSeq.flatMap { osrc: String =>
+        val covered = winAt.collect { case (i, sh)
+          if sourcesOfSh.getOrElse(sh, Set.empty).contains(osrc) &&
+            (osrc != src || docsPerShSrc((sh, src)) >= 2) =>
+          (i until i + k) }.flatten.toSet
+        if (covered.isEmpty) None else Some((id, src, osrc, covered.size.toLong))
+      }
+    }
+    val wantMatrix = perDoc.groupBy { case (_, src, osrc, _) => (src, osrc) }
+      .map { case (key, v) =>
+        key -> ((v.map(_._1).distinct.size.toLong, v.map(_._4).sum)) }
+    val got = DedupOps.q113(spark, SF).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("osrc")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(got === wantMatrix)
+    assert(got.nonEmpty, "no cross-source duplicated span at this SF")
+    // membership symmetry: a shared window makes both directions hit
+    assert(got.keySet.map(_.swap) === got.keySet)
+    // per-(doc, osrc) coverage can never exceed the doc's q98 coverage
+    val q98Cov = DedupOps.q98(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    val slices = DedupOps.q113PerDoc(spark, SF).collect()
+    slices.foreach { r =>
+      assert(r.getAs[Long]("dt") <= q98Cov(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} slice exceeds q98 coverage")
+    }
+    // and every attributed doc is a q98 dup doc
+    assert(slices.map(_.getAs[Long]("doc_id")).toSet
+      .subsetOf(q98Cov.filter(_._2 > 0).keySet))
+  }
 }

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 112) // r5: +q107..q112
+    assert(SparkEntry.queries.size === 113) // r5: +q107..q113
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 103) // r5: +q107..q112
+    assert(SparkEntry.oracleSql.size === 104) // r5: +q107..q113
   }
 
   test("entry flagship runs on sf0.001 with rows") {

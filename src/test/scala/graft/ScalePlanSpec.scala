@@ -148,7 +148,8 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     // corpus can't sort on one task. Every Window partitions by doc_id.
     Seq("q98" -> operators.DedupOps.q98(spark, SF),
         "q107" -> operators.DedupOps.q107(spark, SF),
-        "q109" -> operators.DedupOps.q109(spark, SF)).foreach { case (n, df) =>
+        "q109" -> operators.DedupOps.q109(spark, SF),
+        "q113" -> operators.DedupOps.q113(spark, SF)).foreach { case (n, df) =>
       val p = df.queryExecution.optimizedPlan
       assert(p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
         s"$n must never run an unpartitioned window")
