@@ -27,14 +27,14 @@ object SimOps {
   // native codegen expressions (graft.expressions.FloatVecDot) — the
   // declarative zip_with/aggregate form is interpreted per pair and ~20×
   // slower on the O(n·k) candidate-scoring path
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", vecNorm(col("embedding")))
 
   private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   /** The test probe set: every 50th vector. Kept ONLY as the registered
     * entries' instantiation of the bounded-query contract. */
-  private def testQueries(e: DataFrame): DataFrame =
+  private[graft] def testQueries(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 50 === 0)
 
   // --- 53. brute-force cosine top-k -------------------------------------

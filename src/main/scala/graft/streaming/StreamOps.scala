@@ -296,6 +296,37 @@ object StreamOps {
       .toDF()
   }
 
+  /** Streaming ANN SERVING against the persisted IVF+PQ index (the
+    * q105 artifact): each query micro-batch runs the exact batch
+    * serving path — probe its top-nprobe cells map-side against the
+    * broadcast centroid row, collect the ≤|cells| probed ids, prune
+    * the index read to those partitions, ADC-shortlist, exact-rerank.
+    *
+    * Deliberately `foreachBatch`, not a stream-static join: a join
+    * would plan the index scan against stream VALUES it cannot see at
+    * plan time, so every micro-batch reads the whole index; inside
+    * foreachBatch the batch is a plain DataFrame, the probed-cell list
+    * inlines as literals, and static partition pruning fires exactly
+    * as in q105 (the spec asserts `PartitionFilters` on the inner
+    * plan). Per-batch IO = |probed cells| / |cells| of the index —
+    * the property that makes ANN serving viable at 100 TB; stream
+    * state is ZERO (every stage is stateless, the artifact owns all
+    * persistence).
+    *
+    * `queries`: streaming (vec_id, embedding). `sink` receives each
+    * batch's ranked results (q_id, n_id, cos, rank) — in production a
+    * write, in the spec a buffer. Caller starts/stops the query. */
+  def annServe(queries: DataFrame, idx: DataFrame, cellsRow: DataFrame,
+      cbRow: DataFrame, k: Int)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.SimOps
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(SimOps.annIndexSearch(idx,
+        SimOps.probeCells(SimOps.withNorm(batch), cellsRow, SimOps.IdxNProbe),
+        cbRow, k))
+    }
+  }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

@@ -329,6 +329,52 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     corpusSh.unpersist()
   }
 
+  test("streaming ANN serving ≡ batch q105, partition-pruned per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.SimOps
+    val e = Tables.embeddings(spark, SF)
+    // q105 writes the per-application index artifact and answers the
+    // test query set in batch — the ground truth AND the served index
+    val want = SimOps.q105(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annindex-${spark.sparkContext.applicationId}")
+    val idx = spark.read.parquet(base.getAbsolutePath)
+    val cellsRow = SimOps.cellsAsRow(SimOps.centroidCells(e)).cache()
+    val cbRow = SimOps.pqCodebook(e).cache()
+    val qs = SimOps.testQueries(e).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val (h1, h2) = qs.splitAt(qs.length / 2)
+    assert(h1.nonEmpty && h2.nonEmpty)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val q = StreamOps.annServe(ms.toDF().toDF("vec_id", "embedding"),
+        idx, cellsRow, cbRow, SimOps.IdxK) { out =>
+      plans += out.queryExecution.executedPlan.toString
+      buf ++= out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    }.start()
+    try {
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      ms.addData(h2.toSeq); q.processAllAvailable()
+    } finally { q.stop() }
+    // batching is invisible: per-query rankings are independent, so the
+    // union over micro-batches is exactly the batch serving answer
+    assert(buf.toSet === want)
+    assert(buf.nonEmpty)
+    // each micro-batch's index read was statically partition-pruned to
+    // its own probed cells (the q105 serving contract, now per batch)
+    assert(plans.nonEmpty)
+    plans.foreach { p =>
+      val scan = p.split("\n").find(_.contains("graft_annindex"))
+      assert(scan.nonEmpty, s"index scan not found:\n$p")
+      assert(scan.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
+        s"micro-batch index read must prune partitions:\n${scan.get}")
+    }
+    cellsRow.unpersist(); cbRow.unpersist()
+  }
+
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
