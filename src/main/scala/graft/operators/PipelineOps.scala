@@ -531,6 +531,93 @@ object PipelineOps {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  // --- 114. post-cleaning mix rebalance (r5) -------------------------------
+  /** Span cleaning (q112) removes tokens ASYMMETRICALLY — boilerplate-
+    * heavy sources/languages shrink more — so the realized token
+    * mixture drifts from the q82-configured target. This op measures
+    * the drift over the ACTUAL q112 population (q77-selected docs;
+    * gates judge original text) and emits the corrected per-language
+    * sampling rate that restores the configured token proportions:
+    * rate_adj = min(1, rate · raw_tokens/clean_tokens) — the upweight
+    * exactly cancels each language's cleaning shrinkage (capped at
+    * sampling everything).
+    *
+    * Exactness: token masses are exact int64 sums; rates are eighths
+    * (the [[MixRates]] lattice), so rate·raw/clean is computed as ONE
+    * half-away integer division in micros ([[graft.functions.Num]]) —
+    * no double product, both engines see identical values. (The micros
+    * numerator is eighths·raw·10⁶ ≤ 8·10⁶·Σtokens — int64-safe to
+    * ~10¹² corpus tokens per language; a 100 TB deployment lifts the
+    * same formula to DECIMAL(38).)
+    *
+    * Scale shape: q112's own relations (span pipeline corpus-linear,
+    * selection joins id-sized) + one ≤|languages| aggregate. */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
+    val cleaned = DedupOps.cleanedDocs(s, dir)
+      .select(col("doc_id"), concat_ws(" ", col("cleaned")).as("ctext"))
+    val eighths = MixRates.foldLeft(lit((MixDefaultRate * 8).toLong)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit((r * 8).toLong)).otherwise(acc) }
+    graft.Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      .join(sel, "doc_id")
+      .join(cleaned, "doc_id")
+      .select(col("lang"),
+        graft.text.Text.bpeTokenCount(col("text")).as("rt"),
+        graft.text.Text.bpeTokenCount(col("ctext")).as("ct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rt")).as("raw_tokens"),
+        sum(col("ct")).as("clean_tokens"))
+      .withColumn("rate", eighths / lit(8.0))
+      .withColumn("rate_adj",
+        when(col("clean_tokens") === 0, lit(1.0))
+          .otherwise(least(lit(1.0),
+            Num.idivHalfAway(eighths * col("raw_tokens") * 1000000L,
+              lit(8L) * col("clean_tokens")) / 1000000.0)))
+      .select(col("lang"), col("n_docs"), col("raw_tokens"),
+        col("clean_tokens"), col("rate"), col("rate_adj"))
+      .orderBy(col("lang"))
+  }
+
+  lazy val q114Sql: String = {
+    val eighthsSql = "CASE lang " +
+      MixRates.map { case (l, r) => s"WHEN '$l' THEN ${(r * 8).toLong}" }
+        .mkString(" ") + s" ELSE ${(MixDefaultRate * 8).toLong} END"
+    val bpeCt = """len(regexp_extract_all(lower(ctext), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
+    s"""WITH RECURSIVE ${DedupOps.q49CcCtesSql},
+       |${DedupOps.dupSpanCtesSql(DedupOps.DupSpanK)},
+       |${DedupOps.spanCleanCtesSql},
+       |langp AS (SELECT doc_id, pred_lang FROM ($q44Body) _l),
+       |qual AS (SELECT doc_id, n_toks, non_alnum_ratio FROM ($q45Body) _q),
+       |sel AS (
+       |  SELECT l.doc_id FROM langp l
+       |  JOIN qual q ON l.doc_id = q.doc_id
+       |  JOIN roots r ON l.doc_id = r.doc_id
+       |  WHERE pred_lang = 'en' AND n_toks >= 10 AND non_alnum_ratio <= 0.5
+       |    AND r.doc_id = r.root),
+       |dsel AS (
+       |  SELECT doc_id, lang, text, COALESCE(a.cleaned_text, '') AS ctext
+       |  FROM documents JOIN sel USING (doc_id) LEFT JOIN agg a USING (doc_id)),
+       |t AS (
+       |  SELECT lang, ${graft.text.Text.bpeCountSql} AS rt, $bpeCt AS ct
+       |  FROM dsel),
+       |g AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(rt) AS BIGINT) AS raw_tokens,
+       |    CAST(SUM(ct) AS BIGINT) AS clean_tokens,
+       |    $eighthsSql AS eighths
+       |  FROM t GROUP BY lang)
+       |SELECT lang, n_docs, raw_tokens, clean_tokens,
+       |  eighths / 8.0 AS rate,
+       |  CASE WHEN clean_tokens = 0 THEN 1.0
+       |    ELSE least(1.0, ${graft.functions.Num.idivHalfAwaySql(
+              "eighths * raw_tokens * 1000000", "8 * clean_tokens")} / 1000000.0)
+       |  END AS rate_adj
+       |FROM g
+       |ORDER BY lang""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -541,5 +628,6 @@ object PipelineOps {
     Op("q96_quota_sample", q96, Some(q96Sql)),
     Op("q104_weighted_sample", q104, Some(q104Sql)),
     Op("q112_training_build_clean", q112, Some(q112Sql)),
+    Op("q114_mix_rebalance", q114, Some(q114Sql)),
   )
 }

@@ -107,6 +107,34 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       assert(sh === (cum - n) / PipelineOps.ShardTokenBudget) }
   }
 
+  test("q114 rebalance: rate_adj cancels per-lang cleaning shrinkage, capped at 1") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineOps.q114(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, clean) = (r.getAs[Long]("raw_tokens"), r.getAs[Long]("clean_tokens"))
+      val (rate, adj) = (r.getAs[Double]("rate"), r.getAs[Double]("rate_adj"))
+      assert(clean <= raw, s"${r.getAs[String]("lang")}: cleaning added tokens")
+      // upweight never downweights, and never exceeds sampling everything
+      assert(adj >= rate - 1e-9 && adj <= 1.0 + 1e-9)
+      // driver-side replay of the micros formula
+      val eighths = Map("en" -> 8L, "de" -> 4L, "fr" -> 2L)
+        .getOrElse(r.getAs[String]("lang"), 1L)
+      val want =
+        if (clean == 0) 1.0
+        else math.min(1.0,
+          ((2 * eighths * raw * 1000000L + 8 * clean) / (16 * clean)) / 1e6)
+      assert(adj === want, s"${r.getAs[String]("lang")} rate_adj")
+    }
+    // the population is exactly q112's: per-lang doc counts agree
+    val want = PipelineOps.q86(spark, SF).select("doc_id").collect().length
+    // q86 samples FROM the selected population; q114 counts the whole
+    // selected population per lang — q86's sample can never exceed it
+    assert(rows.map(_.getAs[Long]("n_docs")).sum >= want)
+    // and cleaning must have bitten somewhere for the op to be non-vacuous
+    assert(rows.exists(r => r.getAs[Long]("clean_tokens") < r.getAs[Long]("raw_tokens")))
+  }
+
   test("q85 decontamination: self-overlap totality, flag consistency") {
     import org.apache.spark.sql.functions._
     import graft.text.Text
