@@ -719,14 +719,23 @@ object DedupOps {
     * q98/q107/q109, occurrence-linear throughout (a window shared by
     * k docs emits k rows, never k²; no pair join anywhere). */
   private[graft] def dupSpans(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val occ = docs
-      .select(col("doc_id"), posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("sh"))
+    val occ = spanOcc(docs, k)
     val dup = occ.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") >= 2).select(col("sh"))
-    val hits = occ.join(dup, "sh")
-      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("fin"))
+    mergeSpans(occ.join(dup, "sh")
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("fin")))
+  }
+
+  /** Positional k-shingle occurrences (doc_id, pos, sh), pos 1-based. */
+  private def spanOcc(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("sh"))
+
+  /** Gaps-and-islands merge of hit windows `(doc_id, pos, fin)` into
+    * maximal spans `(doc_id, s, e)` — per-doc windows only. */
+  private def mergeSpans(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevMax = max(col("fin")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     hits
@@ -737,6 +746,16 @@ object DedupOps {
       .agg(min(col("pos")).as("s"), max(col("fin")).as("e"))
       .select(col("doc_id"), col("s"), col("e"))
   }
+
+  /** Maximal spans of `docs(doc_id, toks)` whose k-window occurs in the
+    * static `indexShingles(sh)` relation — the new-vs-corpus form of
+    * [[dupSpans]]: presence in the index IS the duplication signal (no
+    * ≥2-doc rule; the index already aggregates the corpus side). */
+  private[graft] def indexSpans(docs: DataFrame, indexShingles: DataFrame,
+      k: Int): DataFrame =
+    mergeSpans(spanOcc(docs, k)
+      .join(indexShingles.select(col("sh")), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("fin")))
 
   /** Tokenized doc relation shared by the span family (cached: span
     * detection + the doc universe / cleaning readback both consume it). */
@@ -830,27 +849,53 @@ object DedupOps {
     * q112 (cleaned training build). */
   private[operators] def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = spanDocs(s, dir)
-    val spans = dupSpans(docs, DupSpanK)
-      .groupBy(col("doc_id"))
+    cutSpans(docs, dupSpans(docs, DupSpanK))
+  }
+
+  /** Cut maximal spans `(doc_id, s, e)` out of `docs(doc_id, toks)` →
+    * (doc_id, toks, cleaned). Complement as SEGMENT slices, not a
+    * per-token membership probe: spans are sorted, maximal,
+    * non-overlapping, so the kept stream is the concatenation of the
+    * ≤ |spans|+1 gaps — O(spans) higher-order calls + bulk array copies
+    * per doc (measured ~8× vs the O(tokens × spans) exists() filter).
+    * Adjacent spans / span-at-edge yield empty slices via the length
+    * clamp. Shared by [[cleanedDocs]] (corpus self-dup) and
+    * [[cleanVsIndex]] (new-vs-index). */
+  private[graft] def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
-    // complement as SEGMENT slices, not a per-token membership probe:
-    // spans are sorted, maximal, non-overlapping, so the kept stream is
-    // the concatenation of the ≤ |spans|+1 gaps — O(spans) higher-order
-    // calls + bulk array copies per doc (measured ~8× vs the O(tokens ×
-    // spans) exists() filter). Adjacent spans / span-at-edge yield
-    // empty slices via the length clamp.
     val segStarts = concat(array(lit(1L)),
       transform(col("spans"), sp => sp.getField("e") + lit(1L)))
     val segEnds = concat(
       transform(col("spans"), sp => sp.getField("s") - lit(1L)),
       array(size(col("toks")).cast("long")))
-    docs.join(spans, Seq("doc_id"), "left")
+    docs.join(perDoc, Seq("doc_id"), "left")
       .withColumn("cleaned",
         when(col("spans").isNull, col("toks")).otherwise(
           flatten(zip_with(segStarts, segEnds, (st, en) =>
             slice(col("toks"), st.cast("int"),
               greatest(lit(0), (en - st + lit(1L)).cast("int")))))))
       .select(col("doc_id"), col("toks"), col("cleaned"))
+  }
+
+  /** Span cleaning of NEW docs against a static corpus shingle set —
+    * the q107 action in incremental form: every k-window of a new doc
+    * that already exists in the corpus is cut before the doc enters the
+    * training stream. Same q107-shaped readout (n_tokens, kept_tokens,
+    * kept_fraction, cleaned_text). Batch-plan core of the streaming
+    * [[graft.streaming.StreamOps.spanCleanServe]]. */
+  private[graft] def cleanVsIndex(newDocs: DataFrame, indexShingles: DataFrame,
+      k: Int): DataFrame = {
+    val docs = newDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    cutSpans(docs, indexSpans(docs, indexShingles, k))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cleaned")).cast("long").as("kept_tokens"),
+        when(size(col("toks")) > 0,
+          graft.functions.Num.ratio6(size(col("cleaned")).cast("long"),
+            size(col("toks")).cast("long")))
+          .otherwise(lit(0.0)).as("kept_fraction"),
+        concat_ws(" ", col("cleaned")).as("cleaned_text"))
   }
 
   def q107(s: SparkSession, dir: String): DataFrame =

@@ -327,6 +327,30 @@ object StreamOps {
     }
   }
 
+  /** Streaming span CLEANING against a static corpus shingle set — the
+    * action to [[spanDedupVsIndex]]'s readout: every k-window of an
+    * arriving doc that already exists in the corpus is cut before the
+    * doc flows on, emitting the q107-shaped readout per micro-batch.
+    *
+    * `foreachBatch`, not keyed state: the island merge + complement
+    * slicing need the doc's full token stream, and unlike detection
+    * (which accumulates hit coordinates incrementally), cleaning is
+    * only correct once the doc is complete — so the contract is
+    * doc-atomic micro-batches (one ingest record = one whole doc, the
+    * normal file/queue ingest shape), and each batch runs the exact
+    * batch plan (DedupOps.cleanVsIndex: stateless explode →
+    * stream-static semi-join → per-doc island merge → segment-slice
+    * complement). Zero stream state; per-batch cost is batch-linear.
+    *
+    * `newDocs`: streaming (doc_id, text). `sink` receives each batch's
+    * (doc_id, n_tokens, kept_tokens, kept_fraction, cleaned_text). */
+  def spanCleanServe(newDocs: DataFrame, indexShingles: DataFrame, k: Int)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.DedupOps.cleanVsIndex(batch, indexShingles, k))
+    }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

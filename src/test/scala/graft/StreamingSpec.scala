@@ -375,6 +375,55 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     cellsRow.unpersist(); cbRow.unpersist()
   }
 
+  test("streaming span cleaning ≡ batch clean-vs-index; cut tokens ≡ detection spans") {
+    implicit val ctx = spark.sqlContext
+    import graft.text.Text
+    val k = DedupOps.SlideSpanK
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+    val corpusSh = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(explode(Text.shingles(Text.tokens(col("text")), k)).as("sh"))
+      .distinct().cache()
+    val streamDocs = docs.filter(col("doc_id") % 4 === 0)
+    val base = 1704067200000L
+    val mk = streamDocs.as[(Long, String)].collect()
+      .map { case (id, t) => NewDoc(id, t, new java.sql.Timestamp(base + id)) }.toSeq
+    val (h1, h2) = mk.splitAt(mk.length / 2)
+    val ms = MemoryStream[NewDoc]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, String)]()
+    val q = StreamOps.spanCleanServe(
+        ms.toDF().select("doc_id", "text"), corpusSh, k) { out =>
+      buf ++= out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getString(4)))
+    }.start()
+    try {
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+    } finally { q.stop() }
+    // union over micro-batches ≡ one batch run over all stream docs
+    val want = DedupOps.cleanVsIndex(streamDocs, corpusSh, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    assert(buf.toSet === want)
+    assert(buf.map(_._1).toSet === mk.map(_.doc_id).toSet,
+      "cleaning must emit every doc, cut or not")
+    assert(buf.exists(r => r._3 < r._2), "no span was cut — vacuous")
+    // the cut mass reconciles with the DETECTION op on the same index:
+    // n_tokens − kept_tokens per doc == spanDedupVsIndex's dup_tokens
+    val ms2 = MemoryStream[NewDoc]
+    ms2.addData(mk)
+    val q2 = StreamOps.spanDedupVsIndex(ms2.toDF(), corpusSh, k)
+      .writeStream.format("memory").queryName("t_spanclean_det")
+      .outputMode("update").start()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val det = spark.table("t_spanclean_det").as[StreamOps.SpanUpd].collect()
+      .groupBy(_.doc_id).map { case (id, rows) => id -> rows.maxBy(_.upd_seq) }
+    buf.foreach { case (id, n, kept, _, _) =>
+      assert(n - kept === det.get(id).map(_.dup_tokens).getOrElse(0L),
+        s"doc $id cut mass vs detection")
+    }
+    corpusSh.unpersist()
+  }
+
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
