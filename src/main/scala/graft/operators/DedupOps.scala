@@ -1279,6 +1279,81 @@ object DedupOps {
        |WHERE dot / sqrt(na.n2 * nb.n2) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- 115. incremental span cleaning vs a persisted window index (r5) -----
+  /** Corpus-snapshot WINDOW index: the distinct [[DupSpanK]]-token
+    * window strings of the corpus, bucketed on `sh` — the span-family
+    * sibling of [[q108Write]]'s band index. Write pays the one distinct
+    * shuffle; every probe joins it bucket-aligned with no exchange on
+    * the index side. */
+  private[graft] def q115Write(s: SparkSession, oldDocs: DataFrame): Unit = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_spanindex-${s.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
+    Bucketed.reset(s, base, "g115_spans")
+    spanOcc(oldDocs, DupSpanK).select(col("sh")).distinct()
+      .write.bucketBy(IndexBuckets, "sh")
+      .option("path", new java.io.File(base, "g115_spans").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g115_spans")
+  }
+
+  /** Incremental SPAN CLEANING against the persisted window index —
+    * q107's action in the q108 arrival model: a new-docs batch is
+    * cleaned of every window the EXISTING corpus already contains,
+    * without recomputing anything corpus-side. The probe is
+    * [[cleanVsIndex]] (stateless explode → semi-join → island merge →
+    * segment-slice complement) against the bucketed artifact, so the
+    * batch side alone shuffles on sh (the index side is bucket-aligned,
+    * exchange-free — spec-pinned); batch cost is arrival-rate-sized.
+    * The registered entry stands in doc_id % [[IncrSplitMod]] == 0 as
+    * the arriving batch; production probes with its own batch and
+    * refreshes the artifact on the corpus-build cadence (the
+    * [[q108Append]]/[[q108Compact]] lifecycle applies verbatim). */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    q115Write(s, docs.filter(col("doc_id") % IncrSplitMod =!= 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    cleanVsIndex(docs.filter(col("doc_id") % IncrSplitMod === 0),
+        s.table("g115_spans"), DupSpanK)
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q115Sql: String = {
+    val k = DupSpanK
+    val shExpr = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT * FROM base WHERE doc_id % $IncrSplitMod = 0),
+       |oldsh AS MATERIALIZED (
+       |  SELECT DISTINCT $shExpr AS sh
+       |  FROM base, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)
+       |  WHERE doc_id % $IncrSplitMod <> 0),
+       |hits AS (
+       |  SELECT o.doc_id, o.pos, o.pos + ${k - 1} AS fin
+       |  FROM (SELECT doc_id, i AS pos, $shExpr AS sh
+       |        FROM d, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)) o
+       |  JOIN oldsh USING (sh)),
+       |marked AS (
+       |  SELECT doc_id, pos, fin,
+       |    CASE WHEN pos > COALESCE(MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, fin,
+       |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM marked),
+       |sp AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(fin) AS e
+       |  FROM isl GROUP BY doc_id, span_id),
+       |$spanCleanCtesSql
+       |SELECT d.doc_id, len(d.toks) AS n_tokens,
+       |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       |  CASE WHEN len(d.toks) > 0
+       |    THEN ${graft.functions.Num.ratio6Sql("COALESCE(a.kept_tokens, 0)", "len(d.toks)")}
+       |    ELSE 0.0 END AS kept_fraction,
+       |  COALESCE(a.cleaned_text, '') AS cleaned_text
+       |FROM d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // --- 113. span-level cross-source contamination matrix (r5) -------------
   /** Per-(doc, other-source) maximal duplicated spans — the attribution
     * core of q113, exposed for the consistency spec. An occurrence in
@@ -1402,5 +1477,6 @@ object DedupOps {
     Op("q99_cross_source_dups", q99, Some(q99Sql)),
     Op("q100_dedup_idf_cosine", q100, Some(q100Sql)),
     Op("q113_span_source_matrix", q113, Some(q113Sql)),
+    Op("q115_span_incremental", q115, Some(q115Sql)),
   )
 }

@@ -227,6 +227,63 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
     assert(after.nonEmpty, "probe empty — compaction equivalence is vacuous")
   }
 
+  test("q115 window-index probe: exchange-free index side, ≡ cleanVsIndex on the split") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    spark.catalog.clearCache()
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1")) // big-big: the index must not broadcast
+      val df = DedupOps.q115(spark, SF)
+      val meta = spark.sql("DESCRIBE EXTENDED g115_spans").collect()
+        .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
+      assert(meta.contains(s"Num Buckets: ${DedupOps.IndexBuckets}"), meta)
+      assert(meta.contains("Bucket Columns: [`sh`]"), meta)
+      def rowExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BroadcastExchangeLike => Seq.empty
+        case e: ShuffleExchangeLike => e +: p.children.flatMap(rowExchanges)
+        case s: InMemoryTableScanExec => rowExchanges(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => rowExchanges(a.executedPlan)
+        case _ => p.children.flatMap(rowExchanges)
+      }
+      def flatten(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case x => x }.flatMap {
+          case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+          case x => Seq(x)
+        }
+      val plan = df.queryExecution.executedPlan
+      // the INNERMOST join side that reads the artifact (downstream
+      // joins transitively contain the index scan plus the probe side's
+      // own legitimate exchanges — only the semi-join's index side must
+      // be exchange-free)
+      val sides = flatten(plan).collect { case j: BaseJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => side.toString.contains("g115_spans") &&
+          side.collectFirst { case j: BaseJoinExec => j }.isEmpty)
+      assert(sides.nonEmpty, s"no join side reads g115_spans:\n$plan")
+      sides.foreach(side => assert(rowExchanges(side).isEmpty,
+        s"row-stream exchange on the window-index side:\n$side"))
+      // and the registered result is exactly the library core on the split
+      val docs = Tables.documents(spark, SF).select(col("doc_id"), col("text"))
+      val want = DedupOps.cleanVsIndex(
+          docs.filter(col("doc_id") % DedupOps.IncrSplitMod === 0),
+          spark.table("g115_spans"), DedupOps.DupSpanK)
+        .collect().map(_.toSeq.toList).toSet
+      assert(df.collect().map(_.toSeq.toList).toSet === want)
+      assert(want.nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q93 registered op writes really-bucketed tables and matches the plain join") {
     import graft.operators.Bucketed
     val got = Bucketed.q93(spark, SF).collect()
