@@ -552,35 +552,53 @@ object PipelineOps {
     *
     * Scale shape: q112's own relations (span pipeline corpus-linear,
     * selection joins id-sized) + one ≤|languages| aggregate. */
-  def q114(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Num
+  /** Doc-level raw/cleaned token masses over the q112 population —
+    * (doc_id, lang, rt, ct); shared by q114 (per-lang aggregate) and
+    * q116 (re-sampling membership). */
+  private def q114Docs(s: SparkSession, dir: String): DataFrame = {
     val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
     val cleaned = DedupOps.cleanedDocs(s, dir)
       .select(col("doc_id"), concat_ws(" ", col("cleaned")).as("ctext"))
-    val eighths = MixRates.foldLeft(lit((MixDefaultRate * 8).toLong)) {
-      case (acc, (l, r)) => when(col("lang") === l, lit((r * 8).toLong)).otherwise(acc) }
     graft.Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
       .join(sel, "doc_id")
       .join(cleaned, "doc_id")
-      .select(col("lang"),
+      .select(col("doc_id"), col("lang"),
         graft.text.Text.bpeTokenCount(col("text")).as("rt"),
         graft.text.Text.bpeTokenCount(col("ctext")).as("ct"))
+  }
+
+  private def eighthsCol = MixRates.foldLeft(lit((MixDefaultRate * 8).toLong)) {
+    case (acc, (l, r)) => when(col("lang") === l, lit((r * 8).toLong)).otherwise(acc) }
+
+  /** Per-lang masses + the corrected rate as INTEGER MICROS —
+    * (lang, n_docs, raw_tokens, clean_tokens, eighths, rate_micros);
+    * the micros never round-trip through a double, so q116's sampling
+    * predicate compares exact int64 on both engines. */
+  private def q114Policy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    q114Docs(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("rt")).as("raw_tokens"),
         sum(col("ct")).as("clean_tokens"))
-      .withColumn("rate", eighths / lit(8.0))
-      .withColumn("rate_adj",
-        when(col("clean_tokens") === 0, lit(1.0))
-          .otherwise(least(lit(1.0),
-            Num.idivHalfAway(eighths * col("raw_tokens") * 1000000L,
-              lit(8L) * col("clean_tokens")) / 1000000.0)))
-      .select(col("lang"), col("n_docs"), col("raw_tokens"),
-        col("clean_tokens"), col("rate"), col("rate_adj"))
-      .orderBy(col("lang"))
+      .withColumn("eighths", eighthsCol)
+      .withColumn("rate_micros",
+        when(col("clean_tokens") === 0, lit(1000000L))
+          .otherwise(least(lit(1000000L),
+            Num.idivHalfAway(col("eighths") * col("raw_tokens") * 1000000L,
+              lit(8L) * col("clean_tokens")))))
   }
 
-  lazy val q114Sql: String = {
+  def q114(s: SparkSession, dir: String): DataFrame =
+    q114Policy(s, dir)
+      .select(col("lang"), col("n_docs"), col("raw_tokens"),
+        col("clean_tokens"), (col("eighths") / lit(8.0)).as("rate"),
+        (col("rate_micros") / 1000000.0).as("rate_adj"))
+      .orderBy(col("lang"))
+
+  /** CTE chain through the micros policy — `t`(doc_id, lang, rt, ct) and
+    * `policy`(lang, …, rate_micros); shared by q114 and q116. */
+  private lazy val q114CtesSql: String = {
     val eighthsSql = "CASE lang " +
       MixRates.map { case (l, r) => s"WHEN '$l' THEN ${(r * 8).toLong}" }
         .mkString(" ") + s" ELSE ${(MixDefaultRate * 8).toLong} END"
@@ -600,23 +618,69 @@ object PipelineOps {
        |  SELECT doc_id, lang, text, COALESCE(a.cleaned_text, '') AS ctext
        |  FROM documents JOIN sel USING (doc_id) LEFT JOIN agg a USING (doc_id)),
        |t AS (
-       |  SELECT lang, ${graft.text.Text.bpeCountSql} AS rt, $bpeCt AS ct
+       |  SELECT doc_id, lang, ${graft.text.Text.bpeCountSql} AS rt, $bpeCt AS ct
        |  FROM dsel),
        |g AS (
        |  SELECT lang, COUNT(*) AS n_docs,
        |    CAST(SUM(rt) AS BIGINT) AS raw_tokens,
        |    CAST(SUM(ct) AS BIGINT) AS clean_tokens,
        |    $eighthsSql AS eighths
-       |  FROM t GROUP BY lang)
+       |  FROM t GROUP BY lang),
+       |policy AS (
+       |  SELECT lang, n_docs, raw_tokens, clean_tokens, eighths,
+       |    CASE WHEN clean_tokens = 0 THEN 1000000
+       |      ELSE least(1000000, ${graft.functions.Num.idivHalfAwaySql(
+                "eighths * raw_tokens * 1000000", "8 * clean_tokens")})
+       |    END AS rate_micros
+       |  FROM g)""".stripMargin
+  }
+
+  lazy val q114Sql: String =
+    s"""$q114CtesSql
        |SELECT lang, n_docs, raw_tokens, clean_tokens,
        |  eighths / 8.0 AS rate,
-       |  CASE WHEN clean_tokens = 0 THEN 1.0
-       |    ELSE least(1.0, ${graft.functions.Num.idivHalfAwaySql(
-              "eighths * raw_tokens * 1000000", "8 * clean_tokens")} / 1000000.0)
-       |  END AS rate_adj
-       |FROM g
+       |  rate_micros / 1000000.0 AS rate_adj
+       |FROM policy
        |ORDER BY lang""".stripMargin
+
+  // --- 116. feedback-corrected mixture sampling (r5) -----------------------
+  /** The q114 loop CLOSED: re-sample the cleaned corpus with the
+    * corrected rates as a POLICY TABLE (rates are data, not code — the
+    * q110 pattern for the mixing knob; swapping policies is a data
+    * change, no redeploy). Membership is the same deterministic
+    * md5-micros draw as q82, compared against each language's
+    * rate_micros — exact int64 on both engines, so the realized sample
+    * is the q82 sample PLUS exactly the extra mass the upweight admits
+    * (q112's membership is provably a subset, spec-pinned). Weight =
+    * 1/rate as one half-away micros division. Per-doc output carries
+    * the CLEANED token count — the mass the corrected mixture actually
+    * trains on.
+    *
+    * Scale shape: the policy is ≤|languages| rows (broadcast); sampling
+    * stays a corpus-linear map + filter; everything upstream is q112's
+    * own relations. */
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val policy = q114Policy(s, dir).select(col("lang"), col("rate_micros"))
+    q114Docs(s, dir)
+      .join(broadcast(policy), Seq("lang"))
+      .withColumn("u", mixU)
+      .filter(col("u") < col("rate_micros"))
+      .select(col("doc_id"), col("lang"),
+        Num.ratio6(lit(1000000L), col("rate_micros")).as("weight"),
+        col("ct").as("n_tokens_clean"))
+      .orderBy(col("doc_id"))
   }
+
+  lazy val q116Sql: String =
+    s"""$q114CtesSql
+       |SELECT t.doc_id, t.lang,
+       |  ${graft.functions.Num.ratio6Sql("CAST(1000000 AS BIGINT)", "p.rate_micros")} AS weight,
+       |  t.ct AS n_tokens_clean
+       |FROM t JOIN policy p USING (lang)
+       |WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |  % 1000000 < p.rate_micros
+       |ORDER BY t.doc_id""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
@@ -629,5 +693,6 @@ object PipelineOps {
     Op("q104_weighted_sample", q104, Some(q104Sql)),
     Op("q112_training_build_clean", q112, Some(q112Sql)),
     Op("q114_mix_rebalance", q114, Some(q114Sql)),
+    Op("q116_mix_feedback", q116, Some(q116Sql)),
   )
 }

@@ -135,6 +135,39 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(rows.exists(r => r.getAs[Long]("clean_tokens") < r.getAs[Long]("raw_tokens")))
   }
 
+  test("q116 feedback sampling: q112's membership is a subset, draw replays exactly") {
+    import org.apache.spark.sql.functions._
+    val rows116 = PipelineOps.q116(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Double]("weight")))).toMap
+    assert(rows116.nonEmpty)
+    // rate_adj ≥ rate on the same md5 draw ⇒ the corrected sample can
+    // only ADD members relative to the q82-rate sample (q112's)
+    val m112 = PipelineOps.q112(spark, SF).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(m112.subsetOf(rows116.keySet))
+    // driver-side replay: membership = u(doc) < rate_micros(lang),
+    // weight = half-away(1e12 / micros) / 1e6
+    val policy = PipelineOps.q114(spark, SF).collect()
+      .map(r => r.getAs[String]("lang") ->
+        math.round(r.getAs[Double]("rate_adj") * 1e6)).toMap
+    def u(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 1000000L
+    }
+    rows116.foreach { case (id, (lang, w)) =>
+      assert(u(id) < policy(lang), s"doc $id sampled against its rate")
+      val micros = policy(lang)
+      assert(w === ((2 * 1000000L * 1000000L + micros) / (2 * micros)) / 1e6,
+        s"doc $id weight")
+    }
+    // and no in-population doc below its rate was dropped
+    val pop = PipelineOps.q114(spark, SF).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(rows116.size <= pop)
+  }
+
   test("q85 decontamination: self-overlap totality, flag consistency") {
     import org.apache.spark.sql.functions._
     import graft.text.Text
