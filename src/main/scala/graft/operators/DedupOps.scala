@@ -1354,6 +1354,78 @@ object DedupOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --- 117. span-level benchmark decontamination (r5) ----------------------
+  /** Decontamination as an ACTION at span granularity: q85 FLAGS docs
+    * sharing 5-grams with the benchmark and q87 scales the flagging;
+    * this op CUTS the overlapping spans — every
+    * [[PipelineOps.ContamShingleK]]-token window (q85's length: the
+    * flag and the cut agree on what "overlap" means) of a training doc
+    * that also occurs in the eval set is
+    * removed from the token stream (the GPT-3/Pile remedy applied
+    * surgically: the doc survives, the leaked span doesn't). Reuses
+    * [[cleanVsIndex]] with the benchmark's distinct windows as the
+    * index; the benchmark side is eval-sized by contract, so Catalyst
+    * BROADCASTS the semi-join — the corpus is never shuffled at all
+    * (cf. q115, whose corpus-sized index makes the batch side shuffle).
+    * The registered entry stands in doc_id % 97 == 0 as the benchmark
+    * (q85's convention); production passes its own eval table through
+    * [[spanDecontaminate]]. Readout: q107 shape + a contaminated flag.
+    */
+  def spanDecontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val k = PipelineOps.ContamShingleK // q85's window length: flag and cut agree
+    cleanVsIndex(corpus,
+        spanOcc(benchmark.select(col("doc_id"), tokens(col("text")).as("toks")),
+          k).select(col("sh")).distinct(),
+        k)
+      .withColumn("contaminated",
+        (col("kept_tokens") < col("n_tokens")).cast("int"))
+  }
+
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    spanDecontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q117Sql: String = {
+    val k = PipelineOps.ContamShingleK
+    val shExpr = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT * FROM base WHERE doc_id % 97 <> 0),
+       |bench AS MATERIALIZED (
+       |  SELECT DISTINCT $shExpr AS sh
+       |  FROM base, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)
+       |  WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT o.doc_id, o.pos, o.pos + ${k - 1} AS fin
+       |  FROM (SELECT doc_id, i AS pos, $shExpr AS sh
+       |        FROM d, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)) o
+       |  JOIN bench USING (sh)),
+       |marked AS (
+       |  SELECT doc_id, pos, fin,
+       |    CASE WHEN pos > COALESCE(MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, fin,
+       |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM marked),
+       |sp AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(fin) AS e
+       |  FROM isl GROUP BY doc_id, span_id),
+       |$spanCleanCtesSql
+       |SELECT d.doc_id, len(d.toks) AS n_tokens,
+       |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       |  CASE WHEN len(d.toks) > 0
+       |    THEN ${graft.functions.Num.ratio6Sql("COALESCE(a.kept_tokens, 0)", "len(d.toks)")}
+       |    ELSE 0.0 END AS kept_fraction,
+       |  COALESCE(a.cleaned_text, '') AS cleaned_text,
+       |  CASE WHEN COALESCE(a.kept_tokens, 0) < len(d.toks) THEN 1 ELSE 0 END AS contaminated
+       |FROM d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // --- 113. span-level cross-source contamination matrix (r5) -------------
   /** Per-(doc, other-source) maximal duplicated spans — the attribution
     * core of q113, exposed for the consistency spec. An occurrence in
@@ -1478,5 +1550,6 @@ object DedupOps {
     Op("q100_dedup_idf_cosine", q100, Some(q100Sql)),
     Op("q113_span_source_matrix", q113, Some(q113Sql)),
     Op("q115_span_incremental", q115, Some(q115Sql)),
+    Op("q117_decontaminate_spans", q117, Some(q117Sql)),
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, PipelineOps}
 
 class DedupSpec extends AnyFunSuite with SharedSpark {
 
@@ -304,6 +304,45 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum === DedupOps.q50(spark, SF).count())
     rows.foreach(r =>
       assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
+  }
+
+  test("q117 span decontamination: brute-force replay, benchmark side broadcasts") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val k = PipelineOps.ContamShingleK
+    val docs = Tables.documents(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z0-9]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toVector)
+    val benchSh = docs.collect { case (id, ts) if id % 97 == 0 =>
+      ts.sliding(k).filter(_.size == k).map(_.mkString(" ")) }
+      .flatten.toSet
+    val got = DedupOps.q117(spark, SF).collect()
+    val corpus = docs.filter(_._1 % 97 != 0).toMap
+    assert(got.length === corpus.size)
+    got.foreach { r =>
+      val ts = corpus(r.getAs[Long]("doc_id"))
+      val covered = ts.sliding(k).zipWithIndex
+        .collect { case (w, i) if w.size == k && benchSh(w.mkString(" ")) =>
+          (i until i + k) }.flatten.toSet
+      val keep = ts.indices.filterNot(covered).map(ts)
+      assert(r.getAs[Long]("kept_tokens") === keep.size.toLong)
+      assert(r.getAs[String]("cleaned_text") === keep.mkString(" "))
+      assert(r.getAs[Int]("contaminated") === (if (covered.nonEmpty) 1 else 0))
+    }
+    assert(got.exists(_.getAs[Int]("contaminated") === 1),
+      "no doc overlaps the stand-in benchmark at this SF")
+    // eval-sized index ⇒ the semi-join must broadcast: the corpus is
+    // never shuffled before the per-doc window merge
+    val plan = DedupOps.q117(spark, SF).queryExecution.executedPlan
+    def flat(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: flat(a.executedPlan)
+        case x => Seq(x)
+      }
+    assert(flat(plan).exists {
+      case j: BroadcastHashJoinExec => j.joinType.toString == "LeftSemi"
+      case _ => false
+    }, s"benchmark window set must broadcast:\n$plan")
   }
 
   test("q113 span attribution matches brute force; per-doc slices never exceed q98") {
