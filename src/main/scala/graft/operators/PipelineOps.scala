@@ -574,9 +574,12 @@ object PipelineOps {
     * (lang, n_docs, raw_tokens, clean_tokens, eighths, rate_micros);
     * the micros never round-trip through a double, so q116's sampling
     * predicate compares exact int64 on both engines. */
-  private def q114Policy(s: SparkSession, dir: String): DataFrame = {
+  private def q114Policy(s: SparkSession, dir: String): DataFrame =
+    q114PolicyOf(q114Docs(s, dir))
+
+  private def q114PolicyOf(docs: DataFrame): DataFrame = {
     import graft.functions.Num
-    q114Docs(s, dir)
+    docs
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("rt")).as("raw_tokens"),
@@ -661,8 +664,11 @@ object PipelineOps {
     * own relations. */
   def q116(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Num
-    val policy = q114Policy(s, dir).select(col("lang"), col("rate_micros"))
-    q114Docs(s, dir)
+    // one span-pipeline build feeds both the policy aggregate and the
+    // sampling join — the doc relation is 4 scalars per population doc
+    val docs = q114Docs(s, dir).cache()
+    val policy = q114PolicyOf(docs).select(col("lang"), col("rate_micros"))
+    docs
       .join(broadcast(policy), Seq("lang"))
       .withColumn("u", mixU)
       .filter(col("u") < col("rate_micros"))
@@ -682,6 +688,57 @@ object PipelineOps {
        |  % 1000000 < p.rate_micros
        |ORDER BY t.doc_id""".stripMargin
 
+  // --- 118. corrected training build (r5 capstone) -------------------------
+  /** The shippable artifact: quality/lang/dedup gates on ORIGINAL text
+    * (q77) → duplicated spans cut (q107) → mixture re-sampled at the
+    * feedback-CORRECTED rates (q116's policy, so the cleaned token
+    * proportions hit the q82 target) → packed into fixed-budget shards
+    * by exact running cumsum over the CLEANED counts. q112 is this
+    * build at the uncorrected rates; q118 is what the pipeline ships
+    * after q114 measures the drift. Everything upstream is shared
+    * relations; the pack is [[graft.functions.PrefixSum]] (binned
+    * two-level cumsum — no global single-task window). */
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val docs = q114Docs(s, dir).cache() // shared: policy aggregate + sampling join
+    val policy = q114PolicyOf(docs).select(col("lang"), col("rate_micros"))
+    val sampled = docs
+      .join(broadcast(policy), Seq("lang"))
+      .withColumn("u", mixU)
+      .filter(col("u") < col("rate_micros"))
+      .select(col("doc_id"), col("lang"),
+        Num.ratio6(lit(1000000L), col("rate_micros")).as("weight"),
+        col("ct").as("n_tokens"),
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("bkey"))
+    graft.functions.PrefixSum
+      .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("lang"), col("weight"), col("n_tokens"),
+        col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div ${ShardTokenBudget}L").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q118Sql: String =
+    s"""$q114CtesSql,
+       |sampled AS (
+       |  SELECT t.doc_id, t.lang,
+       |    ${graft.functions.Num.ratio6Sql("CAST(1000000 AS BIGINT)", "p.rate_micros")} AS weight,
+       |    t.ct AS n_tokens,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM t JOIN policy p USING (lang)
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |c AS (
+       |  SELECT doc_id, lang, weight, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY bkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM sampled)
+       |SELECT doc_id, lang, weight, n_tokens, cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -694,5 +751,6 @@ object PipelineOps {
     Op("q112_training_build_clean", q112, Some(q112Sql)),
     Op("q114_mix_rebalance", q114, Some(q114Sql)),
     Op("q116_mix_feedback", q116, Some(q116Sql)),
+    Op("q118_training_build_final", q118, Some(q118Sql)),
   )
 }

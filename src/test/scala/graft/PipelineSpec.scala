@@ -168,6 +168,28 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(rows116.size <= pop)
   }
 
+  test("q118 final build: q116's sample packed on cleaned counts") {
+    import org.apache.spark.sql.functions._
+    val b = PipelineOps.q118(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("weight"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("shard")))
+    assert(b.nonEmpty)
+    // membership, weights and token counts are exactly q116's
+    val s116 = PipelineOps.q116(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Double]("weight"),
+          r.getAs[Long]("n_tokens_clean")))).toMap
+    assert(b.map(_._1).toSet === s116.keySet)
+    b.foreach { case (id, lang, w, n, _, _) =>
+      assert((lang, w, n) === s116(id), s"doc $id") }
+    // pack invariants: cumsum is a permutation-consistent running total
+    // over the sampled set, and shard = start-offset div budget
+    assert(b.map(_._5).max === b.map(_._4).sum)
+    b.foreach { case (_, _, _, n, cum, sh) =>
+      assert(sh === (cum - n) / PipelineOps.ShardTokenBudget) }
+  }
+
   test("q85 decontamination: self-overlap totality, flag consistency") {
     import org.apache.spark.sql.functions._
     import graft.text.Text
