@@ -1059,42 +1059,47 @@ object DedupOps {
     * Corpus cost: one read + write of the artifacts, no joins, no
     * wide aggregation — the periodic price that keeps probe plans both
     * exchange-free and sort-free at any append count. */
-  private[graft] def q108Compact(s: SparkSession): Unit = {
+  /** Rewrite one bucketed artifact as ONE file per bucket under the
+    * same table name, at a fresh generation path; `dedupe` collapses
+    * duplicate rows first (for SET-valued artifacts like g115, where
+    * appends re-add windows the index already holds). */
+  private[graft] def compactBucketed(s: SparkSession, dirPrefix: String,
+      table: String, bucketCols: Seq[String], sortCols: Seq[String],
+      dedupe: Boolean = false): Unit = {
     val gen = compactGen.incrementAndGet()
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_dedupindex-${s.sparkContext.applicationId}-c$gen")
+      s"$dirPrefix-${s.sparkContext.applicationId}-c$gen")
     graft.TempArtifacts.register(base)
-    def swap(table: String)(write: (DataFrame, String) => Unit): Unit = {
-      val oldLoc = new java.io.File(s.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
-      val tmp = s"${table}_c$gen"
-      // read the FILES, not the table: a bucketed-table scan satisfies
-      // the repartition's distribution, so Catalyst elides the exchange
-      // — and then DisableUnnecessaryBucketedScan (no join/agg consumer)
-      // downgrades to a packed plain scan, leaving the write running on
-      // arbitrary file splits (observed: 2 files per bucket). The plain
-      // read keeps the aligning repartition in the plan.
-      write(s.read.parquet(oldLoc.getAbsolutePath), tmp)
-      s.sql(s"DROP TABLE $table")
-      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(oldLoc)
+    val oldLoc = new java.io.File(s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val tmp = s"${table}_c$gen"
+    // read the FILES, not the table: a bucketed-table scan satisfies
+    // the repartition's distribution, so Catalyst elides the exchange
+    // — and then DisableUnnecessaryBucketedScan (no join/agg consumer)
+    // downgrades to a packed plain scan, leaving the write running on
+    // arbitrary file splits (observed: 2 files per bucket). The plain
+    // read keeps the aligning repartition in the plan.
+    val src0 = s.read.parquet(oldLoc.getAbsolutePath)
+    val src = if (dedupe) src0.distinct() else src0
+    val w = src.repartition(IndexBuckets, bucketCols.map(col): _*)
+      .write.bucketBy(IndexBuckets, bucketCols.head, bucketCols.tail: _*)
+      .option("path", new java.io.File(base, tmp).getAbsolutePath)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tmp)
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
     }
-    swap("g108_buckets") { (df, t) =>
-      df.repartition(IndexBuckets, col("band"), col("bucket"))
-        .write.bucketBy(IndexBuckets, "band", "bucket")
-        .option("path", new java.io.File(base, t).getAbsolutePath)
-        .saveAsTable(t)
-    }
-    swap("g108_shingles") { (df, t) =>
-      df.repartition(IndexBuckets, col("doc_id"))
-        .write.bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
-        .option("path", new java.io.File(base, t).getAbsolutePath)
-        .saveAsTable(t)
-    }
+    rm(oldLoc)
+  }
+
+  private[graft] def q108Compact(s: SparkSession): Unit = {
+    compactBucketed(s, "graft_dedupindex", "g108_buckets",
+      Seq("band", "bucket"), Nil)
+    compactBucketed(s, "graft_dedupindex", "g108_shingles",
+      Seq("doc_id"), Seq("doc_id"))
   }
 
   /** Per-batch probe: id-only candidates against the persisted index,
@@ -1295,6 +1300,19 @@ object DedupOps {
       .option("path", new java.io.File(base, "g115_spans").getAbsolutePath)
       .mode("overwrite").saveAsTable("g115_spans")
   }
+
+  /** Window-index MAINTENANCE: fold a new batch's distinct windows in
+    * by bucketed append. Duplicates against the existing set are
+    * harmless — the probe is a semi-join — and [[q115Compact]]'s
+    * dedup-compaction collapses them back to the exact set, one sorted
+    * file per bucket. `addDocs`: (doc_id, toks). */
+  private[graft] def q115Append(s: SparkSession, addDocs: DataFrame): Unit =
+    spanOcc(addDocs, DupSpanK).select(col("sh")).distinct()
+      .write.bucketBy(IndexBuckets, "sh").mode("append").saveAsTable("g115_spans")
+
+  private[graft] def q115Compact(s: SparkSession): Unit =
+    compactBucketed(s, "graft_spanindex", "g115_spans", Seq("sh"), Nil,
+      dedupe = true)
 
   /** Incremental SPAN CLEANING against the persisted window index —
     * q107's action in the q108 arrival model: a new-docs batch is

@@ -284,6 +284,48 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q115 lifecycle: append extends cleaning, dedup-compaction restores one exact file per bucket") {
+    import graft.operators.DedupOps
+    val mod = DedupOps.IncrSplitMod
+    val docs = Tables.documents(spark, SF).select(col("doc_id"), col("text"))
+    def toksOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.text.Text.tokens(col("text")).as("toks"))
+    val snapshot = docs.filter(col("doc_id") % mod =!= 0 && col("doc_id") % mod =!= 1)
+    val delta = docs.filter(col("doc_id") % mod === 1)
+    val batch = docs.filter(col("doc_id") % mod === 0)
+    DedupOps.q115Write(spark, toksOf(snapshot))
+    def probe() = DedupOps.cleanVsIndex(batch, spark.table("g115_spans"),
+        DedupOps.DupSpanK).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_tokens"), r.getAs[String]("cleaned_text")))).toMap
+    val before = probe()
+    DedupOps.q115Append(spark, toksOf(delta))
+    val after = probe()
+    // more index ⇒ cleaning can only cut more
+    after.foreach { case (id, (kept, _)) => assert(kept <= before(id)._1, s"doc $id") }
+    // and the appended index answers EXACTLY like a fresh union build
+    val unionSh = toksOf(snapshot.unionAll(delta))
+    val wantAfter = DedupOps.cleanVsIndex(batch,
+        unionSh.select(explode(graft.text.Text.shingles(col("toks"),
+          DedupOps.DupSpanK)).as("sh")).distinct(), DedupOps.DupSpanK)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_tokens"), r.getAs[String]("cleaned_text")))).toMap
+    assert(after === wantAfter)
+    // append bloats: duplicate windows live in the files until compaction
+    val rowsAppended = spark.table("g115_spans").count()
+    val distinctRows = spark.table("g115_spans").distinct().count()
+    DedupOps.q115Compact(spark)
+    assert(spark.table("g115_spans").count() === distinctRows,
+      "dedup-compaction must collapse re-appended windows")
+    assert(rowsAppended >= distinctRows)
+    val loc = new java.io.File(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("g115_spans")).location)
+    val fs = loc.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(fs.length <= DedupOps.IndexBuckets, s"${fs.length} files after compaction")
+    // and probing the compacted artifact is bit-identical
+    assert(probe() === after)
+  }
+
   test("q93 registered op writes really-bucketed tables and matches the plain join") {
     import graft.operators.Bucketed
     val got = Bucketed.q93(spark, SF).collect()
