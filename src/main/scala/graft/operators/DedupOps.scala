@@ -732,20 +732,26 @@ object DedupOps {
       .select(col("doc_id"), posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("sh"))
 
-  /** Gaps-and-islands merge of hit windows `(doc_id, pos, fin)` into
-    * maximal spans `(doc_id, s, e)` — per-doc windows only. */
-  private def mergeSpans(hits: DataFrame): DataFrame = {
+  /** Gaps-and-islands merge of hit windows `(keys…, pos, fin)` into
+    * maximal spans `(keys…, s, e)` — windows keyed per `keys` (always
+    * doc-grained or finer, so per-key state is O(doc length), never
+    * corpus-global). */
+  private def mergeSpansBy(hits: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
     val prevMax = max(col("fin")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     hits
       .withColumn("new_span", when(col("pos") > coalesce(prevMax, lit(0L)), 1).otherwise(0))
       .withColumn("span_id", sum(col("new_span"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("span_id"))
+      .groupBy(keys.map(col) :+ col("span_id"): _*)
       .agg(min(col("pos")).as("s"), max(col("fin")).as("e"))
-      .select(col("doc_id"), col("s"), col("e"))
+      .select(keys.map(col) :+ col("s") :+ col("e"): _*)
   }
+
+  /** [[mergeSpansBy]] at the default doc grain. */
+  private def mergeSpans(hits: DataFrame): DataFrame =
+    mergeSpansBy(hits, Seq("doc_id"))
 
   /** Maximal spans of `docs(doc_id, toks)` whose k-window occurs in the
     * static `indexShingles(sh)` relation — the new-vs-corpus form of
@@ -1545,6 +1551,98 @@ object DedupOps {
        |ORDER BY source, osrc""".stripMargin
   }
 
+  // --- 119. incremental span-source attribution vs a persisted index (r5) --
+  /** Corpus-snapshot SOURCE-TAGGED window index: distinct (sh, osrc)
+    * over the snapshot's [[DupSpanK]]-windows, bucketed on `sh` — g115
+    * with the attribution tag kept. ≤ |sources| rows per distinct
+    * window (catalog-sized blow-up bound, q113's argument); probes join
+    * it bucket-aligned, exchange-free on the index side. The
+    * [[q115Append]]/[[q115Compact]] lifecycle (bucketed append +
+    * dedup-compaction via [[compactBucketed]]) applies verbatim. */
+  private[graft] def q119Write(s: SparkSession, oldDocs: DataFrame): Unit = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_srcspanindex-${s.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
+    Bucketed.reset(s, base, "g119_spans")
+    oldDocs
+      .select(col("source").as("osrc"),
+        explode(shingles(col("toks"), DupSpanK)).as("sh"))
+      .select(col("sh"), col("osrc")).distinct()
+      .write.bucketBy(IndexBuckets, "sh")
+      .option("path", new java.io.File(base, "g119_spans").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g119_spans")
+  }
+
+  /** Span-source attribution of a new-docs batch against the persisted
+    * index — q113's matrix in the q108/q115 arrival model: WHICH
+    * EXISTING sources does the arriving batch overlap, and by how many
+    * covered tokens, without recomputing anything corpus-side. Unlike
+    * full q113 there is no own-source ≥2-docs rule: the batch doc is
+    * not in the snapshot, so ANY index hit is cross-doc duplication by
+    * construction (the [[indexSpans]] argument, per attribution tag).
+    * The registered entry stands in doc_id % [[IncrSplitMod]] == 0 as
+    * the arriving batch.
+    *
+    * Scale shape: batch-side occurrence-linear explode (a window shared
+    * with m sources emits m rows — |sources| is the bound, never doc
+    * counts), one equi-join on sh with the index side exchange-free
+    * (bucketed artifact), island merge keyed (doc_id, osrc) — per-doc
+    * state — and a ≤|sources|² final aggregate. Batch cost ∝ arrival
+    * rate; the corpus is only touched through its bucketed artifact. */
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val k = DupSpanK
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    q119Write(s, docs.filter(col("doc_id") % IncrSplitMod =!= 0))
+    val occ = docs.filter(col("doc_id") % IncrSplitMod === 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("pos"), col("sh"))
+    val hits = occ.join(s.table("g119_spans"), "sh")
+      .select(col("doc_id"), col("source"), col("osrc"),
+        col("pos"), (col("pos") + (k - 1)).as("fin"))
+    mergeSpansBy(hits, Seq("doc_id", "source", "osrc"))
+      .groupBy(col("source"), col("osrc"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+      .orderBy(col("source"), col("osrc"))
+  }
+
+  lazy val q119Sql: String = {
+    val k = DupSpanK
+    val shExpr = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH base AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |d AS (SELECT * FROM base WHERE doc_id % $IncrSplitMod = 0),
+       |idx AS MATERIALIZED (
+       |  SELECT DISTINCT $shExpr AS sh, source AS osrc
+       |  FROM base, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)
+       |  WHERE doc_id % $IncrSplitMod <> 0),
+       |occ AS (
+       |  SELECT doc_id, source, i AS pos, $shExpr AS sh
+       |  FROM d, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)),
+       |hits AS (
+       |  SELECT o.doc_id, o.source, x.osrc, o.pos, o.pos + ${k - 1} AS fin
+       |  FROM occ o JOIN idx x USING (sh)),
+       |marked AS (
+       |  SELECT doc_id, source, osrc, pos, fin,
+       |    CASE WHEN pos > COALESCE(MAX(fin) OVER (PARTITION BY doc_id, osrc
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, source, osrc, pos, fin,
+       |    SUM(new_span) OVER (PARTITION BY doc_id, osrc ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM marked),
+       |sp AS (SELECT doc_id, source, osrc, span_id, MIN(pos) AS s, MAX(fin) AS e
+       |  FROM isl GROUP BY doc_id, source, osrc, span_id)
+       |SELECT source, osrc, COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+       |FROM sp GROUP BY source, osrc
+       |ORDER BY source, osrc""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
@@ -1568,6 +1666,7 @@ object DedupOps {
     Op("q100_dedup_idf_cosine", q100, Some(q100Sql)),
     Op("q113_span_source_matrix", q113, Some(q113Sql)),
     Op("q115_span_incremental", q115, Some(q115Sql)),
+    Op("q119_span_source_incremental", q119, Some(q119Sql)),
     Op("q117_decontaminate_spans", q117, Some(q117Sql)),
   )
 }

@@ -326,6 +326,70 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
     assert(probe() === after)
   }
 
+  test("q119 source-tagged index: exchange-free index side, attribution ⊆ own-coverage bound") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    spark.catalog.clearCache()
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1")) // big-big: the index must not broadcast
+      val df = DedupOps.q119(spark, SF)
+      val meta = spark.sql("DESCRIBE EXTENDED g119_spans").collect()
+        .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
+      assert(meta.contains(s"Num Buckets: ${DedupOps.IndexBuckets}"), meta)
+      assert(meta.contains("Bucket Columns: [`sh`]"), meta)
+      def rowExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BroadcastExchangeLike => Seq.empty
+        case e: ShuffleExchangeLike => e +: p.children.flatMap(rowExchanges)
+        case s: InMemoryTableScanExec => rowExchanges(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => rowExchanges(a.executedPlan)
+        case _ => p.children.flatMap(rowExchanges)
+      }
+      def flatten(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case x => x }.flatMap {
+          case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+          case x => Seq(x)
+        }
+      val plan = df.queryExecution.executedPlan
+      val sides = flatten(plan).collect { case j: BaseJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side => side.toString.contains("g119_spans") &&
+          side.collectFirst { case j: BaseJoinExec => j }.isEmpty)
+      assert(sides.nonEmpty, s"no join side reads g119_spans:\n$plan")
+      sides.foreach(side => assert(rowExchanges(side).isEmpty,
+        s"row-stream exchange on the source-tagged index side:\n$side"))
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // attribution is per-source coverage of the BATCH: each (source,
+      // osrc) cell's covered tokens is bounded by the batch's tokens of
+      // that source (per doc, spans per osrc are merged maximal ⊆ doc)
+      val batchToks = Tables.documents(spark, SF)
+        .filter(col("doc_id") % DedupOps.IncrSplitMod === 0)
+        .groupBy(col("source"))
+        .agg(sum(size(graft.text.Text.tokens(col("text")))).as("nt"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("nt")).toMap
+      rows.foreach { r =>
+        assert(r.getAs[Long]("dup_tokens") <= batchToks(r.getAs[String]("source")),
+          s"cell exceeds batch mass: $r")
+      }
+      // and every osrc really is an indexed (snapshot) source
+      val snapSources = Tables.documents(spark, SF)
+        .filter(col("doc_id") % DedupOps.IncrSplitMod =!= 0)
+        .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+      rows.foreach(r => assert(snapSources(r.getAs[String]("osrc"))))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q93 registered op writes really-bucketed tables and matches the plain join") {
     import graft.operators.Bucketed
     val got = Bucketed.q93(spark, SF).collect()
