@@ -739,6 +739,85 @@ object PipelineOps {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  // --- 120. mixture-rate FIXPOINT: capped water-filling (r5) ---------------
+  /** q114's correction closed over LANGUAGES, not just within one: when
+    * a language cannot supply its target clean-token mass even at
+    * rate 1 (q114's cap), sampling at the capped rates DRIFTS the
+    * realized mixture — the capped language under-delivers while the
+    * others still deliver in full. The fix is a total-mass fixpoint
+    * (water-filling under caps): shrink the total training mass T until
+    * every language can supply its target SHARE of T, i.e. iterate
+    *   T ← Σ_l min(clean_l, share_l · T)
+    * from T₀ = Σ clean. The map is monotone and the sequence
+    * non-increasing, so it converges geometrically; [[MixFixpointRounds]]
+    * fixed rounds make both engines bit-identical (the spec pins that
+    * one more round is a no-op at test SF — the fixpoint is REACHED,
+    * not approximated). All arithmetic is integer micros (half-away
+    * division, the q114 rule), shares from the q82 target masses
+    * eighths·raw.
+    *
+    * Scale shape: everything upstream is q112's shared relations; the
+    * fixpoint runs on the ≤|languages| aggregate — per iteration ONE
+    * scalar (the new T) leaves the cluster, eight times. Per-lang math
+    * stays a DataFrame; nothing driver-sized beyond the catalog-bounded
+    * language table. (int64 micros hold to ~10¹² corpus tokens; a
+    * 100 TB deployment lifts to DECIMAL(38), same as q114.) */
+  val MixFixpointRounds = 8
+
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val g = q114PolicyOf(q114Docs(s, dir))
+      .select(col("lang"), col("n_docs"), col("raw_tokens"),
+        col("clean_tokens"), col("eighths"), (col("eighths") * col("raw_tokens")).as("tw"))
+      .cache()
+    val tot = g.agg(sum(col("tw")).as("tws"), sum(col("clean_tokens")).as("t0")).head()
+    val (tws, t0) = (tot.getAs[Long]("tws"), tot.getAs[Long]("t0"))
+    val shared = g.withColumn("share_micros",
+      Num.idivHalfAway(col("tw") * 1000000L, lit(tws)))
+    def alloc(t: Long) = least(col("clean_tokens"),
+      Num.idivHalfAway(col("share_micros") * lit(t), lit(1000000L)))
+    var t = t0
+    for (_ <- 1 to MixFixpointRounds)
+      t = shared.agg(sum(alloc(t))).head().getLong(0)
+    shared
+      .withColumn("alloc_tokens", alloc(t).cast("long"))
+      .withColumn("rate_micros",
+        when(col("clean_tokens") === 0, lit(1000000L))
+          .otherwise(least(lit(1000000L),
+            Num.idivHalfAway(col("alloc_tokens") * 1000000L, col("clean_tokens")))))
+      .select(col("lang"), col("n_docs"), col("raw_tokens"), col("clean_tokens"),
+        col("share_micros"), col("rate_micros"), col("alloc_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  lazy val q120Sql: String = {
+    val allocSql = (tRef: String) => "LEAST(clean_tokens, " +
+      graft.functions.Num.idivHalfAwaySql(s"share_micros * $tRef", "1000000") + ")"
+    // every tᵢ is referenced ≥2× downstream and DuckDB inlines plain
+    // CTEs per reference — without MATERIALIZED the whole upstream
+    // pipeline re-expands 2^rounds times
+    val iters = (1 to MixFixpointRounds).map { i =>
+      s"t$i AS MATERIALIZED (SELECT CAST(SUM(${allocSql(s"(SELECT t FROM t${i - 1})")}) AS BIGINT) AS t FROM sh)"
+    }.mkString(",\n")
+    s"""$q114CtesSql,
+       |w AS (SELECT lang, n_docs, raw_tokens, clean_tokens,
+       |    eighths * raw_tokens AS tw FROM g),
+       |tot AS MATERIALIZED (SELECT CAST(SUM(tw) AS BIGINT) AS tws FROM w),
+       |sh AS MATERIALIZED (SELECT w.*, ${graft.functions.Num.idivHalfAwaySql(
+              "tw * 1000000", "(SELECT tws FROM tot)")} AS share_micros FROM w),
+       |t0 AS MATERIALIZED (SELECT CAST(SUM(clean_tokens) AS BIGINT) AS t FROM sh),
+       |$iters
+       |SELECT lang, n_docs, raw_tokens, clean_tokens, share_micros,
+       |  CASE WHEN clean_tokens = 0 THEN 1000000
+       |    ELSE LEAST(1000000, ${graft.functions.Num.idivHalfAwaySql(
+              s"${allocSql(s"(SELECT t FROM t$MixFixpointRounds)")} * 1000000",
+              "clean_tokens")})
+       |  END AS rate_micros,
+       |  CAST(${allocSql(s"(SELECT t FROM t$MixFixpointRounds)")} AS BIGINT) AS alloc_tokens
+       |FROM sh
+       |ORDER BY lang""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -752,5 +831,6 @@ object PipelineOps {
     Op("q114_mix_rebalance", q114, Some(q114Sql)),
     Op("q116_mix_feedback", q116, Some(q116Sql)),
     Op("q118_training_build_final", q118, Some(q118Sql)),
+    Op("q120_mix_fixpoint", q120, Some(q120Sql)),
   )
 }

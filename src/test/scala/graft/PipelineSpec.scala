@@ -348,4 +348,34 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q120 fixpoint: reached at test SF, caps honored, uncapped langs get exact shares") {
+    val rows = PipelineOps.q120(spark, SF).collect().map(r => (
+      r.getAs[String]("lang"), r.getAs[Long]("clean_tokens"),
+      r.getAs[Long]("share_micros"), r.getAs[Long]("rate_micros"),
+      r.getAs[Long]("alloc_tokens")))
+    assert(rows.nonEmpty)
+    def idivHA(p: Long, q: Long) = (2 * p + q) / (2 * q) // nonneg args
+    val t = rows.map(_._5).sum
+    // REACHED, not approximated: applying the map once more returns t
+    val tNext = rows.map { case (_, clean, share, _, _) =>
+      math.min(clean, idivHA(share * t, 1000000L)) }.sum
+    assert(tNext === t, "one more water-filling round changed the total")
+    rows.foreach { case (lang, clean, share, rate, alloc) =>
+      assert(alloc <= clean, lang)                      // never exceeds supply
+      assert(rate <= 1000000L, lang)                    // rate is a probability
+      if (alloc < clean)                                 // uncapped ⇒ exact share
+        assert(alloc === idivHA(share * t, 1000000L), lang)
+      else assert(rate === 1000000L, lang)               // capped ⇒ full take
+    }
+    // shares partition the unit (± per-lang rounding)
+    val ssum = rows.map(_._3).sum
+    assert(math.abs(ssum - 1000000L) <= rows.length)
+    // water-filling only ever removes mass relative to take-everything
+    assert(t <= rows.map(_._2).sum)
+    // and the drift it exists to fix is real at test SF: q114's capped
+    // rates leave at least one language short of its share of ITS total
+    val anyCapped = rows.exists { case (_, clean, _, _, alloc) => alloc === clean }
+    if (anyCapped) assert(t < rows.map(_._2).sum)
+  }
 }
