@@ -765,6 +765,62 @@ object SimOps {
   /** Cells probed per query batch against the persisted index. */
   val IdxNProbe = 2
 
+  /** Build the SELF-CONTAINED index artifact at `base`: the encoded
+    * vectors under `vecs/` (partitioned by IVF cell) plus the FROZEN
+    * model — centroid row under `model_cells/`, PQ codebook under
+    * `model_cb/` — beside them. Persisting the model is what makes the
+    * artifact maintainable: append batches and later sessions encode
+    * with the model the index was BUILT with (the IVF maintenance rule
+    * — centroids/codebooks retrain only at rebuild, so an append never
+    * moves an existing vector's cell or code, and probe results over
+    * build+appends are bit-identical to a fresh encode of the union
+    * under the same model; spec-pinned). */
+  private[graft] def annIndexWrite(s: SparkSession, base: java.io.File,
+      corpus: DataFrame): Unit = {
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val cbRow = pqCodebook(corpus)
+    val cellsRow = cellsAsRow(centroidCells(corpus))
+    // model first: a vecs/ write that can see the model is complete
+    cellsRow.coalesce(1).write
+      .parquet(new java.io.File(base, "model_cells").getAbsolutePath)
+    cbRow.coalesce(1).write
+      .parquet(new java.io.File(base, "model_cb").getAbsolutePath)
+    annIndexEncodeInto(s, base, corpus, overwrite = true)
+  }
+
+  /** The frozen model of the artifact at `base`: (cellsRow, cbRow). */
+  private[graft] def annIndexModel(s: SparkSession,
+      base: java.io.File): (DataFrame, DataFrame) =
+    (s.read.parquet(new java.io.File(base, "model_cells").getAbsolutePath),
+      s.read.parquet(new java.io.File(base, "model_cb").getAbsolutePath))
+
+  /** Index MAINTENANCE: encode a new-vectors batch `(vec_id, embedding)`
+    * with the artifact's frozen model and fold it in by partitioned
+    * append — each appended file lands inside its cell's directory, so
+    * partition pruning (the artifact's serving property) is preserved
+    * verbatim. Batch cost ∝ batch size; the existing index is never
+    * read, moved, or re-encoded. */
+  private[graft] def annIndexAppend(s: SparkSession, base: java.io.File,
+      newVecs: DataFrame): Unit =
+    annIndexEncodeInto(s, base, newVecs, overwrite = false)
+
+  private def annIndexEncodeInto(s: SparkSession, base: java.io.File,
+      vecs: DataFrame, overwrite: Boolean): Unit = {
+    val (cellsRow, cbRow) = annIndexModel(s, base)
+    pqEncode(assignToCells(withNorm(vecs), cellsRow), cbRow)
+      .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+        col("cell_id").cast("int").as("cell_id"))
+      .write.partitionBy("cell_id")
+      .mode(if (overwrite) "overwrite" else "append")
+      .parquet(new java.io.File(base, "vecs").getAbsolutePath)
+  }
+
   def q105(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // per-application dir: concurrent JVMs (test forks, Bench beside
@@ -773,21 +829,9 @@ object SimOps {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_annindex-${s.sparkContext.applicationId}")
     graft.TempArtifacts.register(base)
-    if (base.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
-    val cbRow = pqCodebook(e)
-    val cellsRow = cellsAsRow(centroidCells(e))
-    pqEncode(assignToCells(withNorm(e), cellsRow), cbRow)
-      .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
-        col("cell_id").cast("int").as("cell_id"))
-      .write.partitionBy("cell_id").mode("overwrite")
-      .parquet(base.getAbsolutePath)
-    val idx = s.read.parquet(base.getAbsolutePath)
+    annIndexWrite(s, base, e)
+    val (cellsRow, cbRow) = annIndexModel(s, base)
+    val idx = s.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
     annIndexSearch(idx,
       probeCells(withNorm(testQueries(e)), cellsRow, IdxNProbe), cbRow, IdxK)
   }

@@ -342,4 +342,44 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         r.getDouble(2), r.getLong(3))).toList
     assert(recallOf(got) >= recallOf(mem1))
   }
+
+  test("ann index lifecycle: append under the frozen model ≡ fresh union encode, pruning intact") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, SF)
+    val a = e.filter(col("vec_id") % 5 =!= 0)
+    val b = e.filter(col("vec_id") % 5 === 0)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annidx_lc-${spark.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
+    // build on the snapshot (model trained on A only), then append B
+    SimOps.annIndexWrite(spark, base, a)
+    SimOps.annIndexAppend(spark, base, b.select(col("vec_id"), col("embedding")))
+    val (cellsRow, cbRow) = SimOps.annIndexModel(spark, base)
+    val probed = SimOps.probeCells(
+      SimOps.withNorm(SimOps.testQueries(e)), cellsRow, SimOps.IdxNProbe)
+    val idx = spark.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
+    val df = SimOps.annIndexSearch(idx, probed, cbRow, SimOps.IdxK)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toList
+    assert(got.nonEmpty)
+    // frozen-model invariant: build(A) + append(B) answers exactly like
+    // one encode of A∪B under A's model — appends never move cells/codes
+    val mem = SimOps.annIndexSearch(
+      SimOps.pqEncode(SimOps.assignToCells(SimOps.withNorm(e), cellsRow), cbRow)
+        .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+          col("cell_id").cast("int").as("cell_id")),
+      probed, cbRow, SimOps.IdxK)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toList
+    assert(got === mem)
+    // appended rows must be visible: some neighbor comes from batch B
+    assert(got.exists { case (_, n, _, _) => n % 5 == 0 })
+    // and the serving property survives maintenance: the scan of the
+    // appended artifact still prunes to the probed cells' partitions
+    val idxScanLine = df.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("graft_annidx_lc"))
+    assert(idxScanLine.nonEmpty, "index scan not found in the plan")
+    assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
+      s"pruning lost after append:\n${idxScanLine.get}")
+  }
 }
