@@ -1589,23 +1589,38 @@ object DedupOps {
     * (bucketed artifact), island merge keyed (doc_id, osrc) — per-doc
     * state — and a ≤|sources|² final aggregate. Batch cost ∝ arrival
     * rate; the corpus is only touched through its bucketed artifact. */
-  def q119(s: SparkSession, dir: String): DataFrame = {
-    val k = DupSpanK
-    val docs = Tables.documents(s, dir)
+  /** Per-doc attribution of a batch against a source-tagged window
+    * relation — `(doc_id, source, osrc, dup_tokens)`, the batch core
+    * shared by [[q119]] and the streaming
+    * [[graft.streaming.StreamOps.spanAttributeServe]] (docs are
+    * batch-disjoint, so the union of per-batch outputs IS the batch
+    * relation). `newDocs`: (doc_id, source, text). */
+  private[graft] def attributeVsIndex(newDocs: DataFrame, idx: DataFrame,
+      k: Int): DataFrame = {
+    val occ = newDocs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-    q119Write(s, docs.filter(col("doc_id") % IncrSplitMod =!= 0))
-    val occ = docs.filter(col("doc_id") % IncrSplitMod === 0)
       .select(col("doc_id"), col("source"),
         posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
       .select(col("doc_id"), col("source"),
         (col("p0") + 1).cast("long").as("pos"), col("sh"))
-    val hits = occ.join(s.table("g119_spans"), "sh")
+    val hits = occ.join(idx, "sh")
       .select(col("doc_id"), col("source"), col("osrc"),
         col("pos"), (col("pos") + (k - 1)).as("fin"))
     mergeSpansBy(hits, Seq("doc_id", "source", "osrc"))
+      .groupBy(col("doc_id"), col("source"), col("osrc"))
+      .agg(sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+  }
+
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    q119Write(s, docs.filter(col("doc_id") % IncrSplitMod =!= 0)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks")))
+    attributeVsIndex(docs.filter(col("doc_id") % IncrSplitMod === 0),
+        s.table("g119_spans"), DupSpanK)
       .groupBy(col("source"), col("osrc"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+        sum(col("dup_tokens")).cast("long").as("dup_tokens"))
       .orderBy(col("source"), col("osrc"))
   }
 

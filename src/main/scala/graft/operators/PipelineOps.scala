@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Op
 import graft.text.Text
@@ -818,6 +818,92 @@ object PipelineOps {
        |ORDER BY lang""".stripMargin
   }
 
+  // --- 121. DSIR-style importance selection (r5) ---------------------------
+  /** Data selection via importance weighting on HASHED n-gram features
+    * (the DSIR recipe, Xie et al. 2023, arXiv:2302.03169): estimate how
+    * target-like each raw doc is from two bag-of-hashed-ngram models —
+    * the benchmark/eval TARGET set vs the raw corpus — and keep the
+    * top-[[DsirTopN]] scorers. Features are word unigrams+bigrams
+    * hashed into [[DsirBuckets]] buckets (md5 mod m — the engine's
+    * cross-engine draw pattern); per-bucket Laplace-smoothed
+    * log-likelihood ratio ln((cp+1)/(tp+m)) − ln((cq+1)/(tq+m)) is
+    * rounded ONCE to integer micros, so each doc's score
+    * Σ c_b·lr_micros_b accumulates in exact int64 — summation order
+    * cannot move the result, which is what makes the top-N
+    * hash-oracle-checkable (the `ln` itself is the q36-precedented
+    * cross-engine double). The registered entry stands in
+    * doc_id % 97 == 0 as the target set (q85's benchmark split).
+    *
+    * Scale shape: feature explode is corpus-linear with map-side
+    * combine into ≤ m·|docs| (doc, bucket) partial counts; the model is
+    * m = 1024 rows — broadcast both at the scoring join; the target
+    * side is eval-sized by premise; top-N is TakeOrderedAndProject
+    * (spec-pinned), never a global sort. At 100 TB nothing here holds
+    * more than m rows of state outside one corpus-linear pass. */
+  val DsirBuckets = 1024
+  val DsirTopN = 100
+
+  private def dsirBucket(f: Column): Column =
+    conv(substring(md5(concat(lit("dsir:"), f)), 1, 15), 16, 10)
+      .cast("long") % DsirBuckets
+
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    val m = DsirBuckets
+    def feats(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(concat(col("toks"), graft.text.Text.shingles(col("toks"), 2))).as("f"))
+      .select(col("doc_id"), dsirBucket(col("f")).as("b"))
+    val docs = graft.Tables.documents(s, dir)
+    val target = feats(docs.filter(col("doc_id") % 97 === 0))
+    val corpus = feats(docs.filter(col("doc_id") % 97 =!= 0))
+    val cq = corpus.groupBy(col("b")).agg(count(lit(1)).as("cq"))
+    val cp = target.groupBy(col("b")).agg(count(lit(1)).as("cp"))
+    // true totals over ALL features (not just co-occupied buckets)
+    val tq = corpus.count()
+    val tp = target.count()
+    val lr = cq.join(cp, Seq("b"), "left").na.fill(0L, Seq("cp"))
+      .withColumn("lr_micros",
+        round(((log(col("cp") + 1.0) - log(col("cq") + 1.0)) +
+          (log(lit((tq + m).toDouble)) - log(lit((tp + m).toDouble)))) * 1e6)
+          .cast("long"))
+      .select(col("b"), col("lr_micros"))
+    corpus.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lr_micros")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(DsirTopN)
+  }
+
+  lazy val q121Sql: String = {
+    val m = DsirBuckets
+    val sh2 = graft.text.Text.shinglesSql("toks", 2)
+    s"""WITH t AS (SELECT doc_id, ${graft.text.Text.toksSql} AS toks FROM documents),
+       |f AS (SELECT doc_id, unnest(toks || $sh2) AS f FROM t),
+       |bk AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('dsir:' || f), 1, 15)) AS BIGINT) % $m AS b
+       |  FROM f),
+       |tgt AS MATERIALIZED (SELECT b FROM bk WHERE doc_id % 97 = 0),
+       |cor AS MATERIALIZED (SELECT doc_id, b FROM bk WHERE doc_id % 97 <> 0),
+       |cqt AS (SELECT b, COUNT(*) AS cq FROM cor GROUP BY b),
+       |cpt AS (SELECT b, COUNT(*) AS cp FROM tgt GROUP BY b),
+       |lr AS (
+       |  SELECT cqt.b,
+       |    CAST(round(((ln(COALESCE(cp, 0) + 1.0) - ln(cq + 1.0)) +
+       |      (ln(CAST((SELECT COUNT(*) FROM cor) + $m AS DOUBLE)) -
+       |       ln(CAST((SELECT COUNT(*) FROM tgt) + $m AS DOUBLE)))) * 1000000)
+       |      AS BIGINT) AS lr_micros
+       |  FROM cqt LEFT JOIN cpt USING (b)),
+       |c AS (SELECT doc_id, b, COUNT(*) AS c FROM cor GROUP BY doc_id, b)
+       |SELECT doc_id, CAST(SUM(c * lr_micros) AS BIGINT) AS score_micros
+       |FROM c JOIN lr USING (b)
+       |GROUP BY doc_id
+       |ORDER BY score_micros DESC, doc_id
+       |LIMIT $DsirTopN""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -832,5 +918,6 @@ object PipelineOps {
     Op("q116_mix_feedback", q116, Some(q116Sql)),
     Op("q118_training_build_final", q118, Some(q118Sql)),
     Op("q120_mix_fixpoint", q120, Some(q120Sql)),
+    Op("q121_dsir_select", q121, Some(q121Sql)),
   )
 }

@@ -351,6 +351,25 @@ object StreamOps {
       sink(graft.operators.DedupOps.cleanVsIndex(batch, indexShingles, k))
     }
 
+  /** Streaming span-source ATTRIBUTION against the q119 source-tagged
+    * window index — "which existing sources does the arriving stream
+    * overlap, and by how much", per micro-batch. Same doc-atomic
+    * foreachBatch contract as [[spanCleanServe]] (the island merge
+    * needs the whole doc), running the exact batch core
+    * (`DedupOps.attributeVsIndex`); zero stream state, and because
+    * docs are batch-disjoint the union of per-batch per-doc outputs IS
+    * the batch relation — the global (source, osrc) matrix is one
+    * re-aggregation over the sink (spec-pinned ≡ q119's split matrix).
+    *
+    * `newDocs`: streaming (doc_id, source, text). `sink` receives each
+    * batch's (doc_id, source, osrc, dup_tokens). */
+  def spanAttributeServe(newDocs: DataFrame, idx: DataFrame, k: Int)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.DedupOps.attributeVsIndex(batch, idx, k))
+    }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

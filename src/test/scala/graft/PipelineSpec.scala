@@ -378,4 +378,33 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val anyCapped = rows.exists { case (_, clean, _, _, alloc) => alloc === clean }
     if (anyCapped) assert(t < rows.map(_._2).sum)
   }
+
+  test("q121 DSIR selection: ranked take-ordered top-N; cross-split duplicates of the target surface") {
+    import org.apache.spark.sql.functions._
+    val df = PipelineOps.q121(spark, SF)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micros")))
+    assert(got.nonEmpty && got.length <= PipelineOps.DsirTopN)
+    // already ranked best-first with the doc_id tiebreak
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq === got.toSeq)
+    // no target doc leaks into the selection (target is the model, not
+    // a candidate)
+    got.foreach { case (id, _) => assert(id % 97 != 0, s"target doc $id selected") }
+    // scale shape: top-N must plan as a take-ordered, not a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // discrimination: a corpus doc that is an EXACT token-set duplicate
+    // of a target doc is maximally target-like — if the corpus has one,
+    // DSIR must select it
+    val fp = Tables.documents(spark, SF)
+      .select(col("doc_id"), md5(concat_ws(" ",
+        array_sort(array_distinct(graft.text.Text.tokens(col("text")))))).as("fp"))
+    val targetFp = fp.filter(col("doc_id") % 97 === 0).select(col("fp")).distinct()
+    val dupIds = fp.filter(col("doc_id") % 97 =!= 0)
+      .join(targetFp, "fp").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    if (dupIds.nonEmpty)
+      assert(got.exists { case (id, _) => dupIds(id) },
+        s"no cross-split duplicate of the target in the top-${PipelineOps.DsirTopN}")
+  }
 }

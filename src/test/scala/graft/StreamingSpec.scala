@@ -10,6 +10,9 @@ import graft.streaming.StreamOps.Event
 /** Arrival-shaped document for the incremental-dedup stream. */
 case class NewDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
+/** Arrival-shaped document carrying its source tag (attribution stream). */
+case class SrcDoc(doc_id: Long, source: String, text: String)
+
 /** Stream ≡ batch on complete input: each streaming pipeline, fed the
   * events table through MemoryStream, must agree with its batch shape in
   * [[Events]]. */
@@ -339,9 +342,11 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_annindex-${spark.sparkContext.applicationId}")
-    val idx = spark.read.parquet(base.getAbsolutePath)
-    val cellsRow = SimOps.cellsAsRow(SimOps.centroidCells(e)).cache()
-    val cbRow = SimOps.pqCodebook(e).cache()
+    // r5 self-contained layout: vectors under vecs/, frozen model beside
+    val idx = spark.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
+    val (cellsRow0, cbRow0) = SimOps.annIndexModel(spark, base)
+    val cellsRow = cellsRow0.cache()
+    val cbRow = cbRow0.cache()
     val qs = SimOps.testQueries(e).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
     val (h1, h2) = qs.splitAt(qs.length / 2)
@@ -422,6 +427,46 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         s"doc $id cut mass vs detection")
     }
     corpusSh.unpersist()
+  }
+
+  test("streaming span-source attribution ≡ batch core; sink re-aggregates to q119's matrix") {
+    implicit val ctx = spark.sqlContext
+    import graft.text.Text
+    val k = DedupOps.DupSpanK
+    val mod = DedupOps.IncrSplitMod
+    val docs = Tables.documents(spark, SF).select("doc_id", "source", "text")
+    // source-tagged window index from the snapshot split (q119's shape)
+    val idx = docs.filter(col("doc_id") % mod =!= 0)
+      .select(col("source").as("osrc"),
+        explode(Text.shingles(Text.tokens(col("text")), k)).as("sh"))
+      .select("sh", "osrc").distinct().cache()
+    val streamDocs = docs.filter(col("doc_id") % mod === 0)
+    val mk = streamDocs.as[(Long, String, String)].collect()
+      .map { case (id, src, t) => SrcDoc(id, src, t) }.toSeq
+    val (h1, h2) = mk.splitAt(mk.length / 2)
+    val ms = MemoryStream[SrcDoc]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    val q = StreamOps.spanAttributeServe(ms.toDF(), idx, k) { out =>
+      buf ++= out.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3)))
+    }.start()
+    try {
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+    } finally { q.stop() }
+    // docs are batch-disjoint ⇒ union over micro-batches ≡ the batch core
+    val want = DedupOps.attributeVsIndex(streamDocs, idx, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(buf.toSet === want)
+    assert(buf.nonEmpty)
+    // and one re-aggregation over the sink IS the registered matrix
+    val gotMatrix = buf.groupBy(r => (r._2, r._3)).map { case ((src, osrc), rows) =>
+      (src, osrc, rows.map(_._1).distinct.size.toLong, rows.map(_._4).sum) }.toSet
+    val wantMatrix = DedupOps.q119(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("dup_tokens"))).toSet
+    assert(gotMatrix === wantMatrix)
+    idx.unpersist()
   }
 
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
