@@ -1658,6 +1658,139 @@ object DedupOps {
        |ORDER BY source, osrc""".stripMargin
   }
 
+  // --- 122. incremental ADMISSION: the daily-batch triad fused (r5) --------
+  /** The arriving batch's per-doc admission record — what an always-on
+    * corpus pipeline actually decides per doc, in ONE pass over the
+    * three persisted snapshot artifacts: near-dup against the MinHash
+    * band index (q108's id-only probe), duplicated spans CUT against
+    * the window index (q115's cleaning), overlap ATTRIBUTED against the
+    * source-tagged index (q119's relation, reduced to a per-doc count
+    * of sharing sources — no island merge needed for a count). The
+    * decision is integer-exact: admit ⟺ not a near-dup AND the cleaned
+    * doc keeps ≥ half its tokens.
+    *
+    * Scale shape: all three probes are the batch-sized arrival plans of
+    * their parent ops (index sides bucket-aligned/exchange-free,
+    * candidates id-only, cleaning occurrence-linear); the final
+    * assembly is three LEFT joins on doc_id — batch-keyed, never
+    * corpus-keyed. Batch cost ∝ arrival rate, the corpus is only
+    * touched through its artifacts. */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val snap = col("doc_id") % IncrSplitMod =!= 0
+    val batch = col("doc_id") % IncrSplitMod === 0
+    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
+    q108Write(s, docSh.filter(snap))
+    q115Write(s, docs.filter(snap)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    q119Write(s, docs.filter(snap)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks")))
+    val dup = q108Probe(s, docSh.filter(batch))
+      .select(col("doc_id")).distinct().withColumn("near_dup", lit(1))
+    val clean = cleanVsIndex(docs.filter(batch).select(col("doc_id"), col("text")),
+      s.table("g115_spans"), DupSpanK)
+    val attr = docs.filter(batch)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), DupSpanK)).as("sh"))
+      .join(s.table("g119_spans"), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("osrc")).as("n_shared_sources"))
+    clean
+      .join(docs.filter(batch).select(col("doc_id"), col("source")), "doc_id")
+      .join(dup, Seq("doc_id"), "left").na.fill(0, Seq("near_dup"))
+      .join(attr, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared_sources"))
+      .withColumn("admit",
+        (col("near_dup") === 0 && col("n_tokens") > 0 &&
+          col("kept_tokens") * 2 >= col("n_tokens")).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("kept_tokens"),
+        col("kept_fraction"), col("near_dup"), col("n_shared_sources"),
+        col("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q122Sql: String = {
+    val k = DupSpanK
+    val shExpr = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id, toks FROM base WHERE doc_id % $IncrSplitMod = 0),
+       |oldsh AS MATERIALIZED (
+       |  SELECT DISTINCT $shExpr AS sh
+       |  FROM base, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)
+       |  WHERE doc_id % $IncrSplitMod <> 0),
+       |hits AS (
+       |  SELECT o.doc_id, o.pos, o.pos + ${k - 1} AS fin
+       |  FROM (SELECT doc_id, i AS pos, $shExpr AS sh
+       |        FROM d, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)) o
+       |  JOIN oldsh USING (sh)),
+       |marked AS (
+       |  SELECT doc_id, pos, fin,
+       |    CASE WHEN pos > COALESCE(MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, fin,
+       |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM marked),
+       |sp AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(fin) AS e
+       |  FROM isl GROUP BY doc_id, span_id),
+       |$spanCleanCtesSql,
+       |d3 AS ($docShSql),
+       |dnz3 AS (SELECT * FROM d3 WHERE len(shs) > 0),
+       |sh3 AS (SELECT doc_id, unnest(shs) AS sh FROM dnz3),
+       |hashed3 AS (SELECT doc_id, sh,
+       |  CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 1073741824 AS h FROM sh3),
+       |perms(i, a, b) AS (VALUES $permsValuesSql),
+       |sigs AS (
+       |  SELECT doc_id, i, MIN((a * h + b) % ${MinhashP}) AS sig
+       |  FROM hashed3 CROSS JOIN perms GROUP BY doc_id, i),
+       |buckets AS (
+       |  SELECT doc_id, i // $BandSize AS band,
+       |    md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |  FROM sigs GROUP BY doc_id, i // $BandSize),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+       |  FROM buckets n JOIN buckets o
+       |    ON n.band = o.band AND n.bucket = o.bucket
+       |    AND n.doc_id % $IncrSplitMod = 0 AND o.doc_id % $IncrSplitMod <> 0),
+       |dup AS MATERIALIZED (
+       |  SELECT DISTINCT cand.doc_id
+       |  FROM cand
+       |  JOIN dnz3 dn ON cand.doc_id = dn.doc_id
+       |  JOIN dnz3 do_ ON cand.dup_of = do_.doc_id
+       |  WHERE len(list_intersect(dn.shs, do_.shs)) /
+       |    CAST(len(dn.shs) + len(do_.shs) - len(list_intersect(dn.shs, do_.shs))
+       |      AS DOUBLE) >= 0.5),
+       |idxsrc AS MATERIALIZED (
+       |  SELECT DISTINCT $shExpr AS sh, source AS osrc
+       |  FROM (SELECT b.doc_id, b.toks, doc.source
+       |        FROM base b JOIN documents doc USING (doc_id)
+       |        WHERE b.doc_id % $IncrSplitMod <> 0) _s,
+       |    unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)),
+       |ns AS (
+       |  SELECT o.doc_id, COUNT(DISTINCT x.osrc) AS n_shared_sources
+       |  FROM (SELECT doc_id, i AS pos, $shExpr AS sh
+       |        FROM d, unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS u(i)) o
+       |  JOIN idxsrc x USING (sh)
+       |  GROUP BY o.doc_id)
+       |SELECT d.doc_id, doc.source, len(d.toks) AS n_tokens,
+       |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       |  CASE WHEN len(d.toks) > 0
+       |    THEN ${graft.functions.Num.ratio6Sql("COALESCE(a.kept_tokens, 0)", "len(d.toks)")}
+       |    ELSE 0.0 END AS kept_fraction,
+       |  CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       |  COALESCE(ns.n_shared_sources, 0) AS n_shared_sources,
+       |  CASE WHEN dup.doc_id IS NULL AND len(d.toks) > 0
+       |    AND COALESCE(a.kept_tokens, 0) * 2 >= len(d.toks)
+       |    THEN 1 ELSE 0 END AS admit
+       |FROM d
+       |JOIN documents doc USING (doc_id)
+       |LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN dup USING (doc_id)
+       |LEFT JOIN ns USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q48_dedup_exact", q48, Some(q48Sql)),
     Op("q49_dedup_ngram_jaccard", q49, Some(q49Sql)),
@@ -1682,6 +1815,7 @@ object DedupOps {
     Op("q113_span_source_matrix", q113, Some(q113Sql)),
     Op("q115_span_incremental", q115, Some(q115Sql)),
     Op("q119_span_source_incremental", q119, Some(q119Sql)),
+    Op("q122_incremental_admission", q122, Some(q122Sql)),
     Op("q117_decontaminate_spans", q117, Some(q117Sql)),
   )
 }

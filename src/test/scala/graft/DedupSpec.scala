@@ -391,4 +391,52 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(slices.map(_.getAs[Long]("doc_id")).toSet
       .subsetOf(q98Cov.filter(_._2 > 0).keySet))
   }
+
+  test("q122 admission record reconciles with its three parent probes") {
+    import org.apache.spark.sql.functions._
+    val mod = DedupOps.IncrSplitMod
+    val rows = DedupOps.q122(spark, SF).collect().map(r => r.getAs[Long]("doc_id") -> ((
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+      r.getAs[Int]("near_dup"), r.getAs[Long]("n_shared_sources"),
+      r.getAs[Int]("admit")))).toMap
+    assert(rows.nonEmpty)
+    // every batch doc gets a record, admitted or not
+    val batchIds = Tables.documents(spark, SF)
+      .filter(col("doc_id") % mod === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.keySet === batchIds)
+    // cleaning half ≡ q115 (same split, same window index)
+    val clean = DedupOps.q115(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens")))).toMap
+    rows.foreach { case (id, (n, kept, _, _, _)) =>
+      assert((n, kept) === clean(id), s"doc $id cleaning mismatch") }
+    // near-dup half ≡ q108's probe (doc has ≥1 verified indexed partner)
+    val dupDocs = DedupOps.q108(spark, SF).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    rows.foreach { case (id, (_, _, nd, _, _)) =>
+      assert((nd === 1) === dupDocs(id), s"doc $id near_dup flag") }
+    // attribution half ≡ distinct sharing sources over the batch/snapshot split
+    val docs = Tables.documents(spark, SF)
+    val idx = docs.filter(col("doc_id") % mod =!= 0)
+      .select(col("source").as("osrc"),
+        explode(graft.text.Text.shingles(graft.text.Text.tokens(col("text")),
+          DedupOps.DupSpanK)).as("sh"))
+      .select("sh", "osrc").distinct()
+    val ns = docs.filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"),
+        explode(graft.text.Text.shingles(graft.text.Text.tokens(col("text")),
+          DedupOps.DupSpanK)).as("sh"))
+      .join(idx, "sh")
+      .groupBy(col("doc_id")).agg(countDistinct(col("osrc")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach { case (id, (_, _, _, nss, _)) =>
+      assert(nss === ns.getOrElse(id, 0L), s"doc $id shared sources") }
+    // and the decision is exactly its formula
+    rows.foreach { case (id, (n, kept, nd, _, admit)) =>
+      assert((admit === 1) === (nd === 0 && n > 0 && kept * 2 >= n),
+        s"doc $id admit") }
+    // non-vacuous: both decisions occur at this SF
+    assert(rows.values.exists(_._5 === 1) && rows.values.exists(_._5 === 0))
+  }
 }
