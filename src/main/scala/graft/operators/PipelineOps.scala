@@ -764,9 +764,13 @@ object PipelineOps {
     * 100 TB deployment lifts to DECIMAL(38), same as q114.) */
   val MixFixpointRounds = 8
 
-  def q120(s: SparkSession, dir: String): DataFrame = {
+  /** Water-filled per-lang relation (lang, n_docs, raw_tokens,
+    * clean_tokens, share_micros, rate_micros, alloc_tokens) from the
+    * q114 per-lang aggregate — unordered; shared by q120 (readout) and
+    * q123 (the build that samples at these rates). */
+  private def q120PolicyOf(g0: DataFrame): DataFrame = {
     import graft.functions.Num
-    val g = q114PolicyOf(q114Docs(s, dir))
+    val g = g0
       .select(col("lang"), col("n_docs"), col("raw_tokens"),
         col("clean_tokens"), col("eighths"), (col("eighths") * col("raw_tokens")).as("tw"))
       .cache()
@@ -787,36 +791,102 @@ object PipelineOps {
             Num.idivHalfAway(col("alloc_tokens") * 1000000L, col("clean_tokens")))))
       .select(col("lang"), col("n_docs"), col("raw_tokens"), col("clean_tokens"),
         col("share_micros"), col("rate_micros"), col("alloc_tokens"))
-      .orderBy(col("lang"))
   }
 
-  lazy val q120Sql: String = {
+  def q120(s: SparkSession, dir: String): DataFrame =
+    q120PolicyOf(q114PolicyOf(q114Docs(s, dir))).orderBy(col("lang"))
+
+  /** CTE chain ending in `fxp`(lang, n_docs, raw_tokens, clean_tokens,
+    * share_micros, rate_micros, alloc_tokens); shared by q120/q123. */
+  private lazy val q120CtesSql: String = {
     val allocSql = (tRef: String) => "LEAST(clean_tokens, " +
       graft.functions.Num.idivHalfAwaySql(s"share_micros * $tRef", "1000000") + ")"
-    // every tᵢ is referenced ≥2× downstream and DuckDB inlines plain
+    // every fxtᵢ is referenced ≥2× downstream and DuckDB inlines plain
     // CTEs per reference — without MATERIALIZED the whole upstream
-    // pipeline re-expands 2^rounds times
+    // pipeline re-expands 2^rounds times. All names fx-prefixed: the
+    // q114 chain already defines `sh`/`kept`/`d`, and under the one
+    // WITH RECURSIVE scope a duplicate name rebinds earlier consumers.
     val iters = (1 to MixFixpointRounds).map { i =>
-      s"t$i AS MATERIALIZED (SELECT CAST(SUM(${allocSql(s"(SELECT t FROM t${i - 1})")}) AS BIGINT) AS t FROM sh)"
+      s"fxt$i AS MATERIALIZED (SELECT CAST(SUM(${allocSql(s"(SELECT t FROM fxt${i - 1})")}) AS BIGINT) AS t FROM fxsh)"
     }.mkString(",\n")
     s"""$q114CtesSql,
-       |w AS (SELECT lang, n_docs, raw_tokens, clean_tokens,
+       |fxw AS (SELECT lang, n_docs, raw_tokens, clean_tokens,
        |    eighths * raw_tokens AS tw FROM g),
-       |tot AS MATERIALIZED (SELECT CAST(SUM(tw) AS BIGINT) AS tws FROM w),
-       |sh AS MATERIALIZED (SELECT w.*, ${graft.functions.Num.idivHalfAwaySql(
-              "tw * 1000000", "(SELECT tws FROM tot)")} AS share_micros FROM w),
-       |t0 AS MATERIALIZED (SELECT CAST(SUM(clean_tokens) AS BIGINT) AS t FROM sh),
-       |$iters
-       |SELECT lang, n_docs, raw_tokens, clean_tokens, share_micros,
-       |  CASE WHEN clean_tokens = 0 THEN 1000000
-       |    ELSE LEAST(1000000, ${graft.functions.Num.idivHalfAwaySql(
-              s"${allocSql(s"(SELECT t FROM t$MixFixpointRounds)")} * 1000000",
-              "clean_tokens")})
-       |  END AS rate_micros,
-       |  CAST(${allocSql(s"(SELECT t FROM t$MixFixpointRounds)")} AS BIGINT) AS alloc_tokens
-       |FROM sh
-       |ORDER BY lang""".stripMargin
+       |fxtot AS MATERIALIZED (SELECT CAST(SUM(tw) AS BIGINT) AS tws FROM fxw),
+       |fxsh AS MATERIALIZED (SELECT fxw.*, ${graft.functions.Num.idivHalfAwaySql(
+              "tw * 1000000", "(SELECT tws FROM fxtot)")} AS share_micros FROM fxw),
+       |fxt0 AS MATERIALIZED (SELECT CAST(SUM(clean_tokens) AS BIGINT) AS t FROM fxsh),
+       |$iters,
+       |fxp AS MATERIALIZED (
+       |  SELECT lang, n_docs, raw_tokens, clean_tokens, share_micros,
+       |    CASE WHEN clean_tokens = 0 THEN 1000000
+       |      ELSE LEAST(1000000, ${graft.functions.Num.idivHalfAwaySql(
+                s"${allocSql(s"(SELECT t FROM fxt$MixFixpointRounds)")} * 1000000",
+                "clean_tokens")})
+       |    END AS rate_micros,
+       |    CAST(${allocSql(s"(SELECT t FROM fxt$MixFixpointRounds)")} AS BIGINT) AS alloc_tokens
+       |  FROM fxsh)""".stripMargin
   }
+
+  lazy val q120Sql: String =
+    s"""$q120CtesSql
+       |SELECT lang, n_docs, raw_tokens, clean_tokens, share_micros,
+       |  rate_micros, alloc_tokens
+       |FROM fxp
+       |ORDER BY lang""".stripMargin
+
+  // --- 123. fixpoint-corrected training build (r5) -------------------------
+  /** q118 with the cross-language correction applied: sample the
+    * cleaned corpus at q120's water-filled rate_micros (the rates that
+    * PRESERVE the target mixture when some language caps), then pack
+    * into fixed-budget shards by exact cumsum over cleaned counts —
+    * same membership draw, weight rule, and PrefixSum pack as
+    * q116/q118, only the policy table differs (rates are data; the
+    * q110 pattern). q112 → q118 → q123 is uncorrected → per-language
+    * corrected → mixture-preserving. Scale shape: q118's exactly (the
+    * fixpoint adds [[MixFixpointRounds]] scalar reads over the
+    * ≤\|languages\| aggregate). */
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val docs = q114Docs(s, dir).cache() // shared: policy aggregate + sampling join
+    val policy = q120PolicyOf(q114PolicyOf(docs))
+      .select(col("lang"), col("rate_micros"))
+    val sampled = docs
+      .join(broadcast(policy), Seq("lang"))
+      .withColumn("u", mixU)
+      .filter(col("u") < col("rate_micros"))
+      .select(col("doc_id"), col("lang"),
+        Num.ratio6(lit(1000000L), col("rate_micros")).as("weight"),
+        col("ct").as("n_tokens"),
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("bkey"))
+    graft.functions.PrefixSum
+      .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("lang"), col("weight"), col("n_tokens"),
+        col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div ${ShardTokenBudget}L").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q123Sql: String =
+    s"""$q120CtesSql,
+       |sampled AS (
+       |  SELECT t.doc_id, t.lang,
+       |    ${graft.functions.Num.ratio6Sql("CAST(1000000 AS BIGINT)", "p.rate_micros")} AS weight,
+       |    t.ct AS n_tokens,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM t JOIN fxp p USING (lang)
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |c AS (
+       |  SELECT doc_id, lang, weight, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY bkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM sampled)
+       |SELECT doc_id, lang, weight, n_tokens, cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
 
   // --- 121. DSIR-style importance selection (r5) ---------------------------
   /** Data selection via importance weighting on HASHED n-gram features
@@ -919,5 +989,6 @@ object PipelineOps {
     Op("q118_training_build_final", q118, Some(q118Sql)),
     Op("q120_mix_fixpoint", q120, Some(q120Sql)),
     Op("q121_dsir_select", q121, Some(q121Sql)),
+    Op("q123_training_build_fixpoint", q123, Some(q123Sql)),
   )
 }

@@ -379,6 +379,52 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     if (anyCapped) assert(t < rows.map(_._2).sum)
   }
 
+  test("q123 fixpoint build: membership replays q120's rates, pack invariants hold") {
+    val policy = PipelineOps.q120(spark, SF).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("rate_micros")).toMap
+    val b = PipelineOps.q123(spark, SF).collect().map(r => (
+      r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Double]("weight"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("shard")))
+    assert(b.nonEmpty)
+    def u(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 1000000L
+    }
+    // membership = the q120 policy draw, weight = 1/rate (half-away micros)
+    b.foreach { case (id, lang, w, _, _, _) =>
+      val micros = policy(lang)
+      assert(u(id) < micros, s"doc $id sampled against its fixpoint rate")
+      assert(w === ((2 * 1000000L * 1000000L + micros) / (2 * micros)) / 1e6,
+        s"doc $id weight")
+    }
+    // realized clean mass per lang is the fixpoint allocation ± one doc
+    // (the draw is a deterministic u<rate thinning, not exact-count)
+    val pop = PipelineOps.q120(spark, SF).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Long]("clean_tokens")))).toMap
+    val byLang = b.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    byLang.foreach { case (lang, got) =>
+      assert(got <= pop(lang)._2, s"$lang exceeds supply") }
+    // pack invariants: cumsum totals the sample; shard = offset div budget
+    assert(b.map(_._5).max === b.map(_._4).sum)
+    b.foreach { case (_, _, _, n, cum, sh) =>
+      assert(sh === (cum - n) / PipelineOps.ShardTokenBudget) }
+    // capped langs (rate 1e6) contribute EVERY population doc: q118 ⊆ q123
+    // never holds in general, but the q116 sample (q114 rates ≥ q82) and
+    // q123 (fixpoint ≤ q114 per-lang when uncapped) share the same draw —
+    // so q123 membership ⊆ q116 membership per doc
+    val m116 = PipelineOps.q116(spark, SF).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val fixRates = policy
+    val q114Rates = PipelineOps.q114(spark, SF).collect()
+      .map(r => r.getAs[String]("lang") ->
+        math.round(r.getAs[Double]("rate_adj") * 1e6)).toMap
+    b.foreach { case (id, lang, _, _, _, _) =>
+      if (fixRates(lang) <= q114Rates(lang))
+        assert(m116(id), s"doc $id in q123 but not q116 despite lower rate") }
+  }
+
   test("q121 DSIR selection: ranked take-ordered top-N; cross-split duplicates of the target surface") {
     import org.apache.spark.sql.functions._
     val df = PipelineOps.q121(spark, SF)
