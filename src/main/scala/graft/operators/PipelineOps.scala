@@ -974,6 +974,73 @@ object PipelineOps {
        |LIMIT $DsirTopN""".stripMargin
   }
 
+  // --- 124. corpus drift report (r5) ---------------------------------------
+  /** WHAT CHANGED between the corpus snapshot and the arriving batch —
+    * the monitoring readout an always-on pipeline checks before
+    * admitting a batch wholesale: per (source, lang), doc/token masses
+    * on each side and the SHARE SHIFT in integer micros (share of its
+    * own split's token total, so the two sides are comparable even
+    * though the batch is much smaller). A big |delta| flags a source
+    * suddenly over/under-represented — the upstream-ingest drift that
+    * mixture policies (q82/q114/q120) silently bake in if unwatched.
+    * Split = doc_id % [[DedupOps.IncrSplitMod]] (the arrival-model
+    * convention of q108/q115/q119/q122).
+    *
+    * Scale shape: one corpus-linear token count, one ≤|sources×langs|
+    * aggregate with map-side combine, totals as a broadcast 1-row
+    * crossJoin — nothing driver-sized, no window over data rows. */
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val mod = DedupOps.IncrSplitMod
+    val d = graft.Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        (col("doc_id") % mod === 0).cast("int").as("is_new"),
+        size(graft.text.Text.tokens(col("text"))).cast("long").as("nt"))
+    val g = d.groupBy(col("source"), col("lang"))
+      .agg(
+        sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("docs_old"),
+        sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("docs_new"),
+        sum(when(col("is_new") === 0, col("nt")).otherwise(0L)).as("tok_old"),
+        sum(when(col("is_new") === 1, col("nt")).otherwise(0L)).as("tok_new"))
+    val tot = g.agg(sum(col("tok_old")).as("tot_old"),
+      sum(col("tok_new")).as("tot_new"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("share_old_micros",
+        Num.idivHalfAway(col("tok_old") * 1000000L, col("tot_old")))
+      .withColumn("share_new_micros",
+        Num.idivHalfAway(col("tok_new") * 1000000L, col("tot_new")))
+      .withColumn("delta_micros", col("share_new_micros") - col("share_old_micros"))
+      .select(col("source"), col("lang"), col("docs_old"), col("docs_new"),
+        col("tok_old"), col("tok_new"), col("share_old_micros"),
+        col("share_new_micros"), col("delta_micros"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  lazy val q124Sql: String = {
+    val mod = DedupOps.IncrSplitMod
+    s"""WITH d AS (
+       |  SELECT source, lang,
+       |    CASE WHEN doc_id % $mod = 0 THEN 1 ELSE 0 END AS is_new,
+       |    len(${graft.text.Text.toksSql}) AS nt
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, lang,
+       |    CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_old,
+       |    CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_new,
+       |    CAST(SUM(CASE WHEN is_new = 0 THEN nt ELSE 0 END) AS BIGINT) AS tok_old,
+       |    CAST(SUM(CASE WHEN is_new = 1 THEN nt ELSE 0 END) AS BIGINT) AS tok_new
+       |  FROM d GROUP BY source, lang),
+       |tot AS (SELECT CAST(SUM(tok_old) AS BIGINT) AS tot_old,
+       |    CAST(SUM(tok_new) AS BIGINT) AS tot_new FROM g)
+       |SELECT source, lang, docs_old, docs_new, tok_old, tok_new,
+       |  ${graft.functions.Num.idivHalfAwaySql("tok_old * 1000000", "(SELECT tot_old FROM tot)")} AS share_old_micros,
+       |  ${graft.functions.Num.idivHalfAwaySql("tok_new * 1000000", "(SELECT tot_new FROM tot)")} AS share_new_micros,
+       |  ${graft.functions.Num.idivHalfAwaySql("tok_new * 1000000", "(SELECT tot_new FROM tot)")} -
+       |    ${graft.functions.Num.idivHalfAwaySql("tok_old * 1000000", "(SELECT tot_old FROM tot)")} AS delta_micros
+       |FROM g
+       |ORDER BY source, lang""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -990,5 +1057,6 @@ object PipelineOps {
     Op("q120_mix_fixpoint", q120, Some(q120Sql)),
     Op("q121_dsir_select", q121, Some(q121Sql)),
     Op("q123_training_build_fixpoint", q123, Some(q123Sql)),
+    Op("q124_corpus_drift", q124, Some(q124Sql)),
   )
 }

@@ -821,6 +821,48 @@ object SimOps {
       .parquet(new java.io.File(base, "vecs").getAbsolutePath)
   }
 
+  /** Per-cell STALENESS of the frozen model — the WHEN-TO-REBUILD
+    * signal for the maintained artifact: as [[annIndexAppend]] batches
+    * accumulate, the frozen centroids can stop fitting the data. For
+    * each cell, compare the indexed population's mean cosine to its
+    * centroid (embeddings are stored IN the index) against a candidate
+    * batch's mean cosine to the same frozen centroid after assignment.
+    * Means are integer-micros on both sides (per-row cosine rounded to
+    * micros, summed in int64, half-away division) ⇒ the readout is
+    * deterministic. `drift_micros` = indexed mean − batch mean; a large
+    * positive value says the batch fits the cells worse than the data
+    * the model was trained on — retrain/rebuild (the IVF operational
+    * rule that closes the maintenance loop). Cost: one pass over the
+    * artifact + one over the batch, model broadcast, ≤|cells| output. */
+  private[graft] def annIndexDrift(s: SparkSession, base: java.io.File,
+      newVecs: DataFrame): DataFrame = {
+    import graft.functions.Num
+    val (cellsRow, _) = annIndexModel(s, base)
+    val cells = cellsRow.select(explode(col("cells")).as("c"))
+      .select(col("c.cell_id").as("cell_id"),
+        col("c.centroid").as("centroid"), col("c.cn").as("cn"))
+    def perCell(df: DataFrame) = df
+      .join(broadcast(cells), "cell_id")
+      .withColumn("cosm",
+        round(vecDot(col("embedding"), col("centroid")) /
+          (col("nrm") * col("cn")) * 1e6).cast("long"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cosm")).as("sm"))
+    val idx = perCell(s.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
+      .select(col("cell_id"), col("embedding"), col("nrm")))
+      .select(col("cell_id"), col("n").as("n_idx"),
+        Num.idivHalfAway(col("sm"), col("n")).as("mean_idx_micros"))
+    val batch = perCell(assignToCells(withNorm(newVecs), cellsRow)
+      .select(col("cell_id"), col("embedding"), col("nrm")))
+      .select(col("cell_id"), col("n").as("n_new"),
+        Num.idivHalfAway(col("sm"), col("n")).as("mean_new_micros"))
+    idx.join(batch, Seq("cell_id"), "full_outer")
+      .na.fill(0L, Seq("n_idx", "n_new"))
+      .withColumn("drift_micros",
+        col("mean_idx_micros") - col("mean_new_micros")) // null if either side empty
+      .orderBy(col("cell_id"))
+  }
+
   def q105(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // per-application dir: concurrent JVMs (test forks, Bench beside

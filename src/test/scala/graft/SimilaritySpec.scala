@@ -382,4 +382,38 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
       s"pruning lost after append:\n${idxScanLine.get}")
   }
+
+  test("ann index drift: zero against its own build set, non-zero for a shifted batch") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, SF)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annidx_drift-${spark.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
+    SimOps.annIndexWrite(spark, base, e)
+    // self-drift: the index's own vectors re-assigned to the frozen
+    // model land in their own cells with identical per-cell means
+    val self = SimOps.annIndexDrift(spark, base,
+      e.select(col("vec_id"), col("embedding"))).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_idx") === r.getAs[Long]("n_new"), r.toString)
+      assert(r.getAs[Long]("drift_micros") === 0L, s"self-drift: $r")
+    }
+    // a shifted batch (reversed embeddings — same norms, different
+    // directions) must register: some cell's mean fit changes
+    val shifted = SimOps.annIndexDrift(spark, base,
+      e.select(col("vec_id"), reverse(col("embedding")).as("embedding"))).collect()
+    assert(shifted.exists(r => !r.isNullAt(r.fieldIndex("drift_micros")) &&
+      r.getAs[Long]("drift_micros") != 0L), "reversed batch shows no drift")
+    // and the aggregate fit degrades: weighted mean cosine of the
+    // shifted batch is below the indexed population's
+    def wmean(rows: Array[org.apache.spark.sql.Row], nCol: String, mCol: String) = {
+      val withM = rows.filter(r => !r.isNullAt(r.fieldIndex(mCol)))
+      withM.map(r => r.getAs[Long](nCol) * r.getAs[Long](mCol)).sum.toDouble /
+        withM.map(_.getAs[Long](nCol)).sum
+    }
+    assert(wmean(shifted, "n_new", "mean_new_micros") <
+      wmean(shifted, "n_idx", "mean_idx_micros"),
+      "shifted batch should fit the frozen cells worse")
+  }
 }
