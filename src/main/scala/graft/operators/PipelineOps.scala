@@ -926,11 +926,15 @@ object PipelineOps {
       .select(col("doc_id"), dsirBucket(col("f")).as("b"))
     val docs = graft.Tables.documents(s, dir)
     val target = feats(docs.filter(col("doc_id") % 97 === 0))
-    val corpus = feats(docs.filter(col("doc_id") % 97 =!= 0))
-    val cq = corpus.groupBy(col("b")).agg(count(lit(1)).as("cq"))
+    // ONE corpus explode: the per-(doc, bucket) counts are the scoring
+    // relation AND roll up to the model's bucket counts + total
+    val c = feats(docs.filter(col("doc_id") % 97 =!= 0))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .cache()
+    val cq = c.groupBy(col("b")).agg(sum(col("c")).as("cq"))
     val cp = target.groupBy(col("b")).agg(count(lit(1)).as("cp"))
     // true totals over ALL features (not just co-occupied buckets)
-    val tq = corpus.count()
+    val tq = c.agg(sum(col("c"))).head().getLong(0)
     val tp = target.count()
     val lr = cq.join(cp, Seq("b"), "left").na.fill(0L, Seq("cp"))
       .withColumn("lr_micros",
@@ -938,8 +942,7 @@ object PipelineOps {
           (log(lit((tq + m).toDouble)) - log(lit((tp + m).toDouble)))) * 1e6)
           .cast("long"))
       .select(col("b"), col("lr_micros"))
-    corpus.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .join(broadcast(lr), "b")
+    c.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("lr_micros")).as("score_micros"))
       .orderBy(col("score_micros").desc, col("doc_id"))
