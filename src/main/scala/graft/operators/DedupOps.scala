@@ -1661,9 +1661,11 @@ object DedupOps {
   // --- 122. incremental ADMISSION: the daily-batch triad fused (r5) --------
   /** The arriving batch's per-doc admission record — what an always-on
     * corpus pipeline actually decides per doc, in ONE pass over the
-    * three persisted snapshot artifacts: near-dup against the MinHash
-    * band index (q108's id-only probe), duplicated spans CUT against
-    * the window index (q115's cleaning), overlap ATTRIBUTED against the
+    * persisted snapshot artifacts: near-dup against the MinHash band
+    * index (q108's id-only probe), duplicated spans CUT against the
+    * corpus window set (q115's cleaning, consuming the sh projection of
+    * the source-tagged index — g115 = π_sh(g119) by construction, so
+    * only two artifacts are written), overlap ATTRIBUTED against the
     * source-tagged index (q119's relation, reduced to a per-doc count
     * of sharing sources — no island merge needed for a count). The
     * decision is integer-exact: admit ⟺ not a near-dup AND the cleaned
@@ -1681,14 +1683,16 @@ object DedupOps {
     val batch = col("doc_id") % IncrSplitMod === 0
     val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
     q108Write(s, docSh.filter(snap))
-    q115Write(s, docs.filter(snap)
-      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    // TWO artifacts, not three: the cleaning probe's window index is
+    // exactly the sh projection of the source-tagged index
+    // (g115 = π_sh(g119) by construction), and projection preserves the
+    // bucket layout on sh — so g119 serves both probes exchange-free
     q119Write(s, docs.filter(snap)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks")))
     val dup = q108Probe(s, docSh.filter(batch))
       .select(col("doc_id")).distinct().withColumn("near_dup", lit(1))
     val clean = cleanVsIndex(docs.filter(batch).select(col("doc_id"), col("text")),
-      s.table("g115_spans"), DupSpanK)
+      s.table("g119_spans"), DupSpanK)
     val attr = docs.filter(batch)
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), DupSpanK)).as("sh"))

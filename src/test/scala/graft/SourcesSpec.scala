@@ -113,6 +113,32 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     zos.close()
   }
 
+  test("parquet schema evolution: mergeSchema unions generations, old rows null-fill, pushdown intact") {
+    // the 100 TB ingest reality: a long-lived table accretes columns
+    // across writer generations; readers must see the union schema
+    // without rewriting history
+    val path = tmp("evolve")
+    val docs = Tables.documents(spark, SF)
+    docs.select(col("doc_id"), col("lang"))
+      .write.parquet(s"$path/gen=1")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.parquet(s"$path/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet === Set("doc_id", "lang", "n_chars", "gen"))
+    assert(merged.count() === 2 * docs.count())
+    // pre-evolution rows surface the new column as null, new rows carry it
+    assert(merged.filter(col("gen") === 1 && col("n_chars").isNotNull).count() === 0)
+    assert(merged.filter(col("gen") === 2 && col("n_chars").isNull).count() === 0)
+    // evolution must not break pushdown: a filter on a shared column
+    // still reaches the scan, and the partition column prunes
+    val q = merged.filter(col("gen") === 2 && col("doc_id") < 100)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), scan)
+    assert(scan.matches("(?s).*PartitionFilters: \\[.*gen.* = 2.*"), scan)
+    val expected = docs.filter(col("doc_id") < 100).count()
+    assert(q.count() === expected)
+  }
+
   test("xlsx ingest: executor-side parse into the documents schema") {
     val dir = new java.io.File(tmp("xlsx"))
     writeWorkbook(new java.io.File(dir, "export_a.xlsx"), Seq(
