@@ -1677,30 +1677,41 @@ object DedupOps {
     * assembly is three LEFT joins on doc_id — batch-keyed, never
     * corpus-keyed. Batch cost ∝ arrival rate, the corpus is only
     * touched through its artifacts. */
-  def q122(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Write half of [[q122]]: the snapshot's band index + source-tagged
+    * window index (TWO artifacts, not three — the cleaning probe's
+    * window set is exactly the sh projection of the source-tagged
+    * index, g115 = π_sh(g119) by construction, and projection preserves
+    * the bucket layout on sh, so g119 serves both probes
+    * exchange-free). */
+  private[graft] def q122Write(s: SparkSession, dir: String): Unit = {
     val snap = col("doc_id") % IncrSplitMod =!= 0
-    val batch = col("doc_id") % IncrSplitMod === 0
-    val docSh = docShingles(s, dir).filter(size(col("shs")) > 0)
-    q108Write(s, docSh.filter(snap))
-    // TWO artifacts, not three: the cleaning probe's window index is
-    // exactly the sh projection of the source-tagged index
-    // (g115 = π_sh(g119) by construction), and projection preserves the
-    // bucket layout on sh — so g119 serves both probes exchange-free
-    q119Write(s, docs.filter(snap)
+    q108Write(s, docShingles(s, dir).filter(size(col("shs")) > 0).filter(snap))
+    q119Write(s, Tables.documents(s, dir).filter(snap)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks")))
-    val dup = q108Probe(s, docSh.filter(batch))
+  }
+
+  /** Probe half of [[q122]] — the per-doc admission record of ONE
+    * arriving batch `(doc_id, source, text)` against the artifacts
+    * [[q122Write]] (or the production snapshot build) left behind.
+    * Batch-sized work only; also the micro-batch body of the streaming
+    * [[graft.streaming.StreamOps.admitServe]] (docs are batch-disjoint,
+    * so the union of per-batch records IS the batch relation). */
+  private[graft] def q122Probe(s: SparkSession, batchDocs: DataFrame): DataFrame = {
+    val batchSh = batchDocs
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val dup = q108Probe(s, batchSh)
       .select(col("doc_id")).distinct().withColumn("near_dup", lit(1))
-    val clean = cleanVsIndex(docs.filter(batch).select(col("doc_id"), col("text")),
+    val clean = cleanVsIndex(batchDocs.select(col("doc_id"), col("text")),
       s.table("g119_spans"), DupSpanK)
-    val attr = docs.filter(batch)
+    val attr = batchDocs
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), DupSpanK)).as("sh"))
       .join(s.table("g119_spans"), "sh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("osrc")).as("n_shared_sources"))
     clean
-      .join(docs.filter(batch).select(col("doc_id"), col("source")), "doc_id")
+      .join(batchDocs.select(col("doc_id"), col("source")), "doc_id")
       .join(dup, Seq("doc_id"), "left").na.fill(0, Seq("near_dup"))
       .join(attr, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared_sources"))
       .withColumn("admit",
@@ -1709,6 +1720,13 @@ object DedupOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("kept_tokens"),
         col("kept_fraction"), col("near_dup"), col("n_shared_sources"),
         col("admit"))
+  }
+
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    q122Write(s, dir)
+    q122Probe(s, Tables.documents(s, dir)
+        .filter(col("doc_id") % IncrSplitMod === 0)
+        .select(col("doc_id"), col("source"), col("text")))
       .orderBy(col("doc_id"))
   }
 

@@ -370,6 +370,24 @@ object StreamOps {
       sink(graft.operators.DedupOps.attributeVsIndex(batch, idx, k))
     }
 
+  /** Streaming ADMISSION — the q122 capstone served per micro-batch:
+    * each arriving doc gets its near-dup / cleaned / attribution /
+    * admit record against the persisted snapshot artifacts
+    * (`DedupOps.q122Write` or the production snapshot build), running
+    * the exact batch probe (`DedupOps.q122Probe`). Same doc-atomic
+    * foreachBatch contract as [[spanCleanServe]]; zero stream state —
+    * all persistence lives in the artifacts, so the decision stream is
+    * idempotent per doc and the union over micro-batches ≡ the batch
+    * admission relation (spec-pinned ≡ q122 on the split).
+    *
+    * `newDocs`: streaming (doc_id, source, text). `sink` receives each
+    * batch's q122-shaped records. */
+  def admitServe(newDocs: DataFrame)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.DedupOps.q122Probe(batch.sparkSession, batch))
+    }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events
