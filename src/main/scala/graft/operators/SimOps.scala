@@ -810,6 +810,29 @@ object SimOps {
       newVecs: DataFrame): Unit =
     annIndexEncodeInto(s, base, newVecs, overwrite = false)
 
+  private val annCompactGen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Index COMPACTION: [[annIndexAppend]] lands one file set per batch
+    * inside each cell directory; periodically rewrite to ONE file per
+    * cell at a fresh generation path and swap it in. `repartition` on
+    * cell_id puts each cell wholly in one task, and `partitionBy`
+    * splits that task's output per value ⇒ exactly one file per cell.
+    * Rows, model, and probe results are bit-identical (spec-pinned);
+    * cost is one read + write of the vectors — no joins, no wide agg. */
+  private[graft] def annIndexCompact(s: SparkSession, base: java.io.File): Unit = {
+    val vecs = new java.io.File(base, "vecs")
+    val tmp = new java.io.File(base, s"vecs_c${annCompactGen.incrementAndGet()}")
+    s.read.parquet(vecs.getAbsolutePath)
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").parquet(tmp.getAbsolutePath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(vecs)
+    require(tmp.renameTo(vecs), s"compaction swap failed: $tmp -> $vecs")
+  }
+
   private def annIndexEncodeInto(s: SparkSession, base: java.io.File,
       vecs: DataFrame, overwrite: Boolean): Unit = {
     val (cellsRow, cbRow) = annIndexModel(s, base)

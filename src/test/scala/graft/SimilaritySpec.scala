@@ -381,6 +381,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(idxScanLine.nonEmpty, "index scan not found in the plan")
     assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
       s"pruning lost after append:\n${idxScanLine.get}")
+    // COMPACTION: collapse the per-batch file sets to one file per cell,
+    // bit-identical serving, pruning intact
+    val vecsDir = new java.io.File(base, "vecs")
+    def cellFiles() = vecsDir.listFiles().filter(_.getName.startsWith("cell_id="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(cellFiles().values.exists(_ > 1), "append left one file — test vacuous")
+    SimOps.annIndexCompact(spark, base)
+    assert(cellFiles().values.forall(_ === 1), s"files per cell: ${cellFiles()}")
+    val df2 = SimOps.annIndexSearch(
+      spark.read.parquet(vecsDir.getAbsolutePath), probed, cbRow, SimOps.IdxK)
+    assert(df2.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toList === got)
+    val scan2 = df2.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("graft_annidx_lc"))
+    assert(scan2.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
+      s"pruning lost after compaction:\n${scan2.get}")
   }
 
   test("ann index drift: zero against its own build set, non-zero for a shifted batch") {
