@@ -57,4 +57,24 @@ object CheckpointRegistry {
     live.valuesIterator.foreach(_.foreach(_.unpersist(blocking = false)))
     live.clear()
   }
+
+  /** Run `f`, then release every registration made DURING it — the
+    * per-micro-batch scope for serving loops ([[graft.streaming
+    * .StreamOps.admitServe]]): each batch's probe checkpoints its
+    * candidate set, the sink materializes the results, and the blocks
+    * die with the batch instead of accumulating for the stream's
+    * lifetime. Same single-threaded-caller constraint as
+    * [[releaseAll]]: a concurrent operator registering inside the
+    * window would be swept with it. */
+  def scoped[T](f: => T): T = {
+    val before = synchronized(nextId)
+    try f
+    finally synchronized {
+      live.keys.filter(_ >= before).toSeq.foreach(id =>
+        live.remove(id).foreach(_.foreach(_.unpersist(blocking = false))))
+    }
+  }
+
+  /** Number of live registrations (leak assertions in specs). */
+  private[graft] def liveCount: Int = synchronized(live.size)
 }

@@ -385,7 +385,12 @@ object StreamOps {
   def admitServe(newDocs: DataFrame)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      sink(graft.operators.DedupOps.q122Probe(batch.sparkSession, batch))
+      // the probe localCheckpoints its candidate set; scope those blocks
+      // to the batch (sink materializes before release) or an always-on
+      // stream accumulates one candidate snapshot per micro-batch
+      graft.CheckpointRegistry.scoped {
+        sink(graft.operators.DedupOps.q122Probe(batch.sparkSession, batch))
+      }
     }
 
   def sessionCounts(events: Dataset[Event]): DataFrame = {

@@ -483,6 +483,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     val (h1, h2) = mk.splitAt(mk.length / 2)
     val ms = MemoryStream[SrcDoc]
     val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Double, Int, Long, Int)]()
+    val ckBefore = CheckpointRegistry.liveCount
     val q = StreamOps.admitServe(ms.toDF()) { out =>
       buf ++= out.collect().map(r => (r.getLong(0), r.getString(1),
         r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5),
@@ -495,6 +496,10 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       // chunk emits the identical records (idempotent per doc)
       ms.addData(h1); q.processAllAvailable()
     } finally { q.stop() }
+    // each batch's candidate checkpoint died with its batch — an
+    // always-on stream must not accumulate blocks
+    assert(CheckpointRegistry.liveCount === ckBefore,
+      "streaming admission leaked checkpoint registrations")
     assert(buf.nonEmpty)
     // union over micro-batches (with the re-delivered chunk collapsing
     // by set semantics) ≡ the batch capstone
