@@ -144,4 +144,44 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("water-filling fixpoint map: monotone, non-increasing from T0, caps honored, shares exact when uncapped") {
+    // driver-side mirror of q120's integer-micros iteration (the same
+    // idivHalfAway formula the Spark plan and the DuckDB oracle run)
+    def idivHA(p: Long, q: Long) = (2 * p + q) / (2 * q) // nonneg args
+    val langGen = Gen.listOfN(6,
+      Gen.zip(Gen.chooseNum(0L, 2000000L), Gen.chooseNum(1L, 8L)))
+    samples(langGen, 40).foreach { langs0 =>
+      // (clean_tokens, weight) per lang; raw implied = clean * wobble
+      val langs = langs0.filter(_ => true)
+      val tw = langs.map { case (c, w) => c * w + w } // >0 weights
+      val tws = tw.sum
+      if (tws > 0) {
+        val shares = tw.map(t => idivHA(t * 1000000L, tws))
+        val clean = langs.map(_._1)
+        def step(t: Long): Long =
+          clean.zip(shares).map { case (c, s) =>
+            math.min(c, idivHA(s * t, 1000000L)) }.sum
+        val t0 = clean.sum
+        val ts = Iterator.iterate(t0)(step).take(12).toList
+        // T1 ≤ T0 (allocations never exceed supply) and the map is
+        // monotone ⇒ the whole sequence is non-increasing — the
+        // invariant that makes a FIXED iteration count well-defined
+        // (stability itself is data-dependent; q120's spec pins it on
+        // the shipped corpus, not universally)
+        assert(ts.zip(ts.tail).forall { case (a, b) => b <= a },
+          s"not monotone: $ts")
+        assert(ts.forall(t => t >= 0 && t <= t0))
+        val tFin = ts.last
+        val alloc = clean.zip(shares).map { case (c, s) =>
+          math.min(c, idivHA(s * tFin, 1000000L)) }
+        // caps honored, and an uncapped language gets EXACTLY its share
+        alloc.zip(clean).foreach { case (a, c) => assert(a <= c) }
+        alloc.lazyZip(clean).lazyZip(shares).foreach { case (a, c, s) =>
+          if (a < c) assert(a === idivHA(s * tFin, 1000000L)) }
+        // one more application from the final T never increases it
+        assert(step(tFin) <= tFin)
+      }
+    }
+  }
 }
