@@ -35,12 +35,21 @@ object CheckpointRegistry {
     scala.collection.mutable.LinkedHashMap.empty[Long, Seq[RDD[_]]]
   private var nextId = 0L
 
+  private val scopeStack =
+    new ThreadLocal[scala.collection.mutable.Buffer[Handle]]
+
   /** Track `rdds` as one invocation's block set; the returned handle
-    * releases them independently of every other registration. */
-  def register(rdds: RDD[_]*): Handle = synchronized {
-    val h = new Handle(nextId)
-    nextId += 1
-    live(h.id) = rdds.toSeq
+    * releases them independently of every other registration. Inside a
+    * [[scoped]] block on the SAME thread, the handle is also captured
+    * by that scope. */
+  def register(rdds: RDD[_]*): Handle = {
+    val h = synchronized {
+      val h = new Handle(nextId)
+      nextId += 1
+      live(h.id) = rdds.toSeq
+      h
+    }
+    Option(scopeStack.get()).foreach(_ += h)
     h
   }
 
@@ -58,20 +67,23 @@ object CheckpointRegistry {
     live.clear()
   }
 
-  /** Run `f`, then release every registration made DURING it — the
-    * per-micro-batch scope for serving loops ([[graft.streaming
-    * .StreamOps.admitServe]]): each batch's probe checkpoints its
-    * candidate set, the sink materializes the results, and the blocks
-    * die with the batch instead of accumulating for the stream's
-    * lifetime. Same single-threaded-caller constraint as
-    * [[releaseAll]]: a concurrent operator registering inside the
-    * window would be swept with it. */
+  /** Run `f`, then release every registration made during it ON THIS
+    * THREAD — the per-micro-batch scope for serving loops
+    * ([[graft.streaming.StreamOps.admitServe]]): each batch's probe
+    * checkpoints its candidate set, the sink materializes the results,
+    * and the blocks die with the batch instead of accumulating for the
+    * stream's lifetime. Thread-local capture means a CONCURRENT
+    * operator (another serving stream in the same JVM) registering
+    * inside the window is untouched; nests, restoring the outer scope
+    * on exit. */
   def scoped[T](f: => T): T = {
-    val before = synchronized(nextId)
+    val buf = scala.collection.mutable.Buffer.empty[Handle]
+    val prev = scopeStack.get()
+    scopeStack.set(buf)
     try f
-    finally synchronized {
-      live.keys.filter(_ >= before).toSeq.foreach(id =>
-        live.remove(id).foreach(_.foreach(_.unpersist(blocking = false))))
+    finally {
+      scopeStack.set(prev)
+      buf.foreach(_.release())
     }
   }
 

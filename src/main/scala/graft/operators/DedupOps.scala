@@ -891,8 +891,17 @@ object DedupOps {
     * kept_fraction, cleaned_text). Batch-plan core of the streaming
     * [[graft.streaming.StreamOps.spanCleanServe]]. */
   private[graft] def cleanVsIndex(newDocs: DataFrame, indexShingles: DataFrame,
-      k: Int): DataFrame = {
-    val docs = newDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      k: Int): DataFrame =
+    cleanVsIndexToks(
+      newDocs.select(col("doc_id"), tokens(col("text")).as("toks")),
+      indexShingles, k)
+
+  /** [[cleanVsIndex]] over an already-tokenized relation (doc_id, toks,
+    * extra cols allowed) — lets batch probes that need the token stream
+    * several ways ([[q122Probe]]) pay tokenization once. */
+  private[graft] def cleanVsIndexToks(docsToks: DataFrame,
+      indexShingles: DataFrame, k: Int): DataFrame = {
+    val docs = docsToks.select(col("doc_id"), col("toks"))
     cutSpans(docs, indexSpans(docs, indexShingles, k))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -1310,8 +1319,9 @@ object DedupOps {
   /** Window-index MAINTENANCE: fold a new batch's distinct windows in
     * by bucketed append. Duplicates against the existing set are
     * harmless — the probe is a semi-join — and [[q115Compact]]'s
-    * dedup-compaction collapses them back to the exact set, one sorted
-    * file per bucket. `addDocs`: (doc_id, toks). */
+    * dedup-compaction collapses them back to the exact set, one
+    * (unsorted — the semi-join probe never relies on order) file per
+    * bucket. `addDocs`: (doc_id, toks). */
   private[graft] def q115Append(s: SparkSession, addDocs: DataFrame): Unit =
     spanOcc(addDocs, DupSpanK).select(col("sh")).distinct()
       .write.bucketBy(IndexBuckets, "sh").mode("append").saveAsTable("g115_spans")
@@ -1696,22 +1706,29 @@ object DedupOps {
     * Batch-sized work only; also the micro-batch body of the streaming
     * [[graft.streaming.StreamOps.admitServe]] (docs are batch-disjoint,
     * so the union of per-batch records IS the batch relation). */
-  private[graft] def q122Probe(s: SparkSession, batchDocs: DataFrame): DataFrame = {
-    val batchSh = batchDocs
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("shs"))
+  private[graft] def q122Probe(s: SparkSession, batchDocs: DataFrame): DataFrame =
+    q122ProbeToks(s, batchDocs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("toks")).cache())
+
+  /** [[q122Probe]] over a tokenized batch (doc_id, source, toks) — the
+    * three probes consume the token stream three different ways, so the
+    * caller caches it (batch: released at the family boundary;
+    * streaming: [[graft.streaming.StreamOps.admitServe]] owns the
+    * cache per micro-batch). */
+  private[graft] def q122ProbeToks(s: SparkSession, t: DataFrame): DataFrame = {
+    val batchSh = t
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("shs"))
       .filter(size(col("shs")) > 0)
     val dup = q108Probe(s, batchSh)
       .select(col("doc_id")).distinct().withColumn("near_dup", lit(1))
-    val clean = cleanVsIndex(batchDocs.select(col("doc_id"), col("text")),
-      s.table("g119_spans"), DupSpanK)
-    val attr = batchDocs
-      .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), DupSpanK)).as("sh"))
+    val clean = cleanVsIndexToks(t, s.table("g119_spans"), DupSpanK)
+    val attr = t
+      .select(col("doc_id"), explode(shingles(col("toks"), DupSpanK)).as("sh"))
       .join(s.table("g119_spans"), "sh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("osrc")).as("n_shared_sources"))
     clean
-      .join(batchDocs.select(col("doc_id"), col("source")), "doc_id")
+      .join(t.select(col("doc_id"), col("source")), "doc_id")
       .join(dup, Seq("doc_id"), "left").na.fill(0, Seq("near_dup"))
       .join(attr, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared_sources"))
       .withColumn("admit",

@@ -698,10 +698,13 @@ object PipelineOps {
     * after q114 measures the drift. Everything upstream is shared
     * relations; the pack is [[graft.functions.PrefixSum]] (binned
     * two-level cumsum — no global single-task window). */
-  def q118(s: SparkSession, dir: String): DataFrame = {
+  /** Sample the population docs at `policy`(lang, rate_micros) and pack
+    * into fixed-budget shards — the shared build tail of [[q118]] and
+    * [[q123]] (draw, weight rule, bkey, PrefixSum cumsum, shard
+    * formula live HERE once; the builds differ only in the policy
+    * table). */
+  private def buildAt(docs: DataFrame, policy: DataFrame): DataFrame = {
     import graft.functions.Num
-    val docs = q114Docs(s, dir).cache() // shared: policy aggregate + sampling join
-    val policy = q114PolicyOf(docs).select(col("lang"), col("rate_micros"))
     val sampled = docs
       .join(broadcast(policy), Seq("lang"))
       .withColumn("u", mixU)
@@ -719,14 +722,16 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
-  lazy val q118Sql: String =
-    s"""$q114CtesSql,
+  /** SQL form of [[buildAt]], appended to a CTE chain whose
+    * `policyCte` exposes (lang, rate_micros) and `t` the doc masses. */
+  private def buildAtSql(policyCte: String): String =
+    s""",
        |sampled AS (
        |  SELECT t.doc_id, t.lang,
        |    ${graft.functions.Num.ratio6Sql("CAST(1000000 AS BIGINT)", "p.rate_micros")} AS weight,
        |    t.ct AS n_tokens,
        |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
-       |  FROM t JOIN policy p USING (lang)
+       |  FROM t JOIN $policyCte p USING (lang)
        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |    % 1000000 < p.rate_micros),
        |c AS (
@@ -738,6 +743,13 @@ object PipelineOps {
        |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard
        |FROM c
        |ORDER BY doc_id""".stripMargin
+
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = q114Docs(s, dir).cache() // shared: policy aggregate + sampling join
+    buildAt(docs, q114PolicyOf(docs).select(col("lang"), col("rate_micros")))
+  }
+
+  lazy val q118Sql: String = q114CtesSql + buildAtSql("policy")
 
   // --- 120. mixture-rate FIXPOINT: capped water-filling (r5) ---------------
   /** q114's correction closed over LANGUAGES, not just within one: when
@@ -847,46 +859,12 @@ object PipelineOps {
     * fixpoint adds [[MixFixpointRounds]] scalar reads over the
     * ≤\|languages\| aggregate). */
   def q123(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Num
     val docs = q114Docs(s, dir).cache() // shared: policy aggregate + sampling join
-    val policy = q120PolicyOf(q114PolicyOf(docs))
-      .select(col("lang"), col("rate_micros"))
-    val sampled = docs
-      .join(broadcast(policy), Seq("lang"))
-      .withColumn("u", mixU)
-      .filter(col("u") < col("rate_micros"))
-      .select(col("doc_id"), col("lang"),
-        Num.ratio6(lit(1000000L), col("rate_micros")).as("weight"),
-        col("ct").as("n_tokens"),
-        conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long").as("bkey"))
-    graft.functions.PrefixSum
-      .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_tokens", "cum_tokens")
-      .select(col("doc_id"), col("lang"), col("weight"), col("n_tokens"),
-        col("cum_tokens"),
-        expr(s"(cum_tokens - n_tokens) div ${ShardTokenBudget}L").as("shard"))
-      .orderBy(col("doc_id"))
+    buildAt(docs, q120PolicyOf(q114PolicyOf(docs))
+      .select(col("lang"), col("rate_micros")))
   }
 
-  lazy val q123Sql: String =
-    s"""$q120CtesSql,
-       |sampled AS (
-       |  SELECT t.doc_id, t.lang,
-       |    ${graft.functions.Num.ratio6Sql("CAST(1000000 AS BIGINT)", "p.rate_micros")} AS weight,
-       |    t.ct AS n_tokens,
-       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
-       |  FROM t JOIN fxp p USING (lang)
-       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-       |    % 1000000 < p.rate_micros),
-       |c AS (
-       |  SELECT doc_id, lang, weight, n_tokens,
-       |    CAST(SUM(n_tokens) OVER (ORDER BY bkey, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM sampled)
-       |SELECT doc_id, lang, weight, n_tokens, cum_tokens,
-       |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard
-       |FROM c
-       |ORDER BY doc_id""".stripMargin
+  lazy val q123Sql: String = q120CtesSql + buildAtSql("fxp")
 
   // --- 121. DSIR-style importance selection (r5) ---------------------------
   /** Data selection via importance weighting on HASHED n-gram features
@@ -932,10 +910,13 @@ object PipelineOps {
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .cache()
     val cq = c.groupBy(col("b")).agg(sum(col("c")).as("cq"))
-    val cp = target.groupBy(col("b")).agg(count(lit(1)).as("cp"))
-    // true totals over ALL features (not just co-occupied buckets)
+    // ≤ m rows, consumed twice (model join + total) — cache kills the
+    // second target explode, mirroring the corpus-side single pass
+    val cp = target.groupBy(col("b")).agg(count(lit(1)).as("cp")).cache()
+    // true totals over ALL features: every feature lands in some
+    // bucket, so the bucket-count sums ARE the totals
     val tq = c.agg(sum(col("c"))).head().getLong(0)
-    val tp = target.count()
+    val tp = cp.agg(sum(col("cp"))).head().getLong(0)
     val lr = cq.join(cp, Seq("b"), "left").na.fill(0L, Seq("cp"))
       .withColumn("lr_micros",
         round(((log(col("cp") + 1.0) - log(col("cq") + 1.0)) +

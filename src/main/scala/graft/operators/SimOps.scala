@@ -820,17 +820,26 @@ object SimOps {
     * Rows, model, and probe results are bit-identical (spec-pinned);
     * cost is one read + write of the vectors — no joins, no wide agg. */
   private[graft] def annIndexCompact(s: SparkSession, base: java.io.File): Unit = {
+    val gen = annCompactGen.incrementAndGet()
     val vecs = new java.io.File(base, "vecs")
-    val tmp = new java.io.File(base, s"vecs_c${annCompactGen.incrementAndGet()}")
+    val tmp = new java.io.File(base, s"vecs_c$gen")
     s.read.parquet(vecs.getAbsolutePath)
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id").parquet(tmp.getAbsolutePath)
+    // swap with no destructive window: retire the live dir FIRST (a
+    // crash here leaves vecs_old* + the complete new generation, both
+    // recoverable), promote the new one, delete the retired copy LAST
+    val old = new java.io.File(base, s"vecs_old$gen")
+    require(vecs.renameTo(old), s"compaction retire failed: $vecs -> $old")
+    if (!tmp.renameTo(vecs)) {
+      old.renameTo(vecs) // roll back to the intact previous generation
+      throw new IllegalStateException(s"compaction swap failed: $tmp -> $vecs")
+    }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    rm(vecs)
-    require(tmp.renameTo(vecs), s"compaction swap failed: $tmp -> $vecs")
+    rm(old)
   }
 
   private def annIndexEncodeInto(s: SparkSession, base: java.io.File,

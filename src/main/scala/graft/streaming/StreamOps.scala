@@ -385,12 +385,15 @@ object StreamOps {
   def admitServe(newDocs: DataFrame)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      // the probe localCheckpoints its candidate set; scope those blocks
-      // to the batch (sink materializes before release) or an always-on
-      // stream accumulates one candidate snapshot per micro-batch
-      graft.CheckpointRegistry.scoped {
-        sink(graft.operators.DedupOps.q122Probe(batch.sparkSession, batch))
-      }
+      // one tokenization per batch, cached for the three probes and
+      // released with the batch; the probe's candidate localCheckpoint
+      // likewise scopes to the batch (sink materializes before release)
+      // — an always-on stream must not accumulate either
+      val t = batch.select(col("doc_id"), col("source"),
+        graft.text.Text.tokens(col("text")).as("toks")).cache()
+      try graft.CheckpointRegistry.scoped {
+        sink(graft.operators.DedupOps.q122ProbeToks(batch.sparkSession, t))
+      } finally t.unpersist(blocking = false)
     }
 
   def sessionCounts(events: Dataset[Event]): DataFrame = {

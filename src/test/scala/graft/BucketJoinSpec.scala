@@ -9,6 +9,31 @@ import org.scalatest.funsuite.AnyFunSuite
   * plain parquet, so this lives as a spec over bucketed copies rather
   * than a `queries` entry. */
 class BucketJoinSpec extends AnyFunSuite with SharedSpark {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+  /** Every plan node with AQE/cache wrappers unwrapped, so collect{}
+    * sees the executed tree (shared by all exchange-free assertions —
+    * fix plan-walk rules HERE once). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case x => x }.flatMap {
+      case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case x => Seq(x)
+    }
+
+  /** Row-stream shuffle exchanges under `p`. Broadcast BUILD sides are
+    * skipped by design: the id-sized relation aggregating before its
+    * broadcast legitimately shuffles. */
+  private def rowExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+    case _: BroadcastExchangeLike => Seq.empty
+    case e: ShuffleExchangeLike => e +: p.children.flatMap(rowExchanges)
+    case s: InMemoryTableScanExec => rowExchanges(s.relation.cachedPlan)
+    case a: AdaptiveSparkPlanExec => rowExchanges(a.executedPlan)
+    case _ => p.children.flatMap(rowExchanges)
+  }
 
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.orders(spark, SF)
@@ -80,25 +105,8 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
         .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
       assert(metaB.contains(s"Num Buckets: ${DedupOps.IndexBuckets}"), metaB)
       assert(metaB.contains("Bucket Columns: [`band`, `bucket`]"), metaB)
-      def flatten(p: SparkPlan): Seq[SparkPlan] =
-        p.collect { case x => x }.flatMap {
-          case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
-          case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-          case x => Seq(x)
-        }
       // any join side that reads an artifact must be exchange-free: the
       // write paid the shuffle once; probes never re-shuffle the corpus.
-      // (Do not descend into broadcast BUILD sides — the candidate-id
-      // set aggregating before its broadcast is id-sized by design.)
-      import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
-      def rowExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
-        case _: BroadcastExchangeLike => Seq.empty
-        case e: ShuffleExchangeLike =>
-          e +: p.children.flatMap(rowExchanges)
-        case s: InMemoryTableScanExec => rowExchanges(s.relation.cachedPlan)
-        case a: AdaptiveSparkPlanExec => rowExchanges(a.executedPlan)
-        case _ => p.children.flatMap(rowExchanges)
-      }
       def assertIndexSidesClean(plan: SparkPlan, table: String): Unit = {
         val joins = flatten(plan).collect { case j: BaseJoinExec => j }
         val sides = joins.flatMap(j => Seq(j.left, j.right))
@@ -245,19 +253,6 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
         .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
       assert(meta.contains(s"Num Buckets: ${DedupOps.IndexBuckets}"), meta)
       assert(meta.contains("Bucket Columns: [`sh`]"), meta)
-      def rowExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
-        case _: BroadcastExchangeLike => Seq.empty
-        case e: ShuffleExchangeLike => e +: p.children.flatMap(rowExchanges)
-        case s: InMemoryTableScanExec => rowExchanges(s.relation.cachedPlan)
-        case a: AdaptiveSparkPlanExec => rowExchanges(a.executedPlan)
-        case _ => p.children.flatMap(rowExchanges)
-      }
-      def flatten(p: SparkPlan): Seq[SparkPlan] =
-        p.collect { case x => x }.flatMap {
-          case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
-          case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-          case x => Seq(x)
-        }
       val plan = df.queryExecution.executedPlan
       // the INNERMOST join side that reads the artifact (downstream
       // joins transitively contain the index scan plus the probe side's
@@ -344,19 +339,6 @@ class BucketJoinSpec extends AnyFunSuite with SharedSpark {
         .map(r => s"${r.getString(0)}: ${r.getString(1)}").mkString("\n")
       assert(meta.contains(s"Num Buckets: ${DedupOps.IndexBuckets}"), meta)
       assert(meta.contains("Bucket Columns: [`sh`]"), meta)
-      def rowExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
-        case _: BroadcastExchangeLike => Seq.empty
-        case e: ShuffleExchangeLike => e +: p.children.flatMap(rowExchanges)
-        case s: InMemoryTableScanExec => rowExchanges(s.relation.cachedPlan)
-        case a: AdaptiveSparkPlanExec => rowExchanges(a.executedPlan)
-        case _ => p.children.flatMap(rowExchanges)
-      }
-      def flatten(p: SparkPlan): Seq[SparkPlan] =
-        p.collect { case x => x }.flatMap {
-          case s: InMemoryTableScanExec => s +: flatten(s.relation.cachedPlan)
-          case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-          case x => Seq(x)
-        }
       val plan = df.queryExecution.executedPlan
       val sides = flatten(plan).collect { case j: BaseJoinExec => j }
         .flatMap(j => Seq(j.left, j.right))

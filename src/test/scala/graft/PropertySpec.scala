@@ -151,9 +151,8 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     def idivHA(p: Long, q: Long) = (2 * p + q) / (2 * q) // nonneg args
     val langGen = Gen.listOfN(6,
       Gen.zip(Gen.chooseNum(0L, 2000000L), Gen.chooseNum(1L, 8L)))
-    samples(langGen, 40).foreach { langs0 =>
+    samples(langGen, 40).foreach { langs =>
       // (clean_tokens, weight) per lang; raw implied = clean * wobble
-      val langs = langs0.filter(_ => true)
       val tw = langs.map { case (c, w) => c * w + w } // >0 weights
       val tws = tw.sum
       if (tws > 0) {
