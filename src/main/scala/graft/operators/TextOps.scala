@@ -915,6 +915,48 @@ object TextOps {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  // --- 125. quantile-gated screening selection (r5) ------------------------
+  /** "Screen the top quartile": keep every doc whose q38 model score is
+    * ≥ the score at ascending rank ⌈0.75·n⌉ — the reviewer-budget gate
+    * a prioritized-screening workflow (the reference's WSS framing)
+    * applies to the ranked list, as a standalone relational op. The
+    * threshold is an EXACT order statistic via
+    * [[graft.functions.OrderStats.keysAtRanks]] — aggregate-only
+    * refinement passes, so no global sort ever materializes the corpus
+    * — resolved to a VALUE gate: ties at the cut are all kept
+    * (deterministic and oracle-replayable; the kept count can exceed
+    * n/4 only under score ties, by construction).
+    *
+    * Scale shape: scoring is q36/q38's own plans; the order statistic
+    * is O(log range) aggregate passes over (score, id); the gate is one
+    * corpus-linear filter against a scalar. Nothing driver-sized but
+    * the threshold itself. */
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = q38(s, dir).select(col("doc_id"), col("score")).cache()
+    val n = scored.count()
+    val k = math.max(1L, (3 * n + 3) / 4) // ceil(0.75·n), ascending rank
+    val thr = graft.functions.OrderStats.keysAtRanks(
+        scored.select(col("score").as("v"), col("doc_id").as("id")),
+        Seq((0L, k)).toDF("idx", "t"))
+      .select(col("v")).head().getDouble(0)
+    scored.filter(col("score") >= lit(thr))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q125Sql: String =
+    s"""WITH scored AS ($q38SqlNoOrder),
+       |ranked AS (
+       |  SELECT score, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn
+       |  FROM scored),
+       |nn AS (SELECT COUNT(*) AS c FROM scored),
+       |thr AS (SELECT score AS s FROM ranked, nn
+       |  WHERE rn = GREATEST(1, (3 * c + 3) // 4))
+       |SELECT doc_id, score
+       |FROM scored
+       |WHERE score >= (SELECT s FROM thr)
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -938,5 +980,6 @@ object TextOps {
     Op("q101_heavy_hitters", q101, Some(q101Sql)),
     Op("q102_heavy_hitters_grouped", q102, Some(q102Sql)),
     Op("q103_bm25", q103, Some(q103Sql)),
+    Op("q125_quantile_gate", q125, Some(q125Sql)),
   )
 }

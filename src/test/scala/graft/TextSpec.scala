@@ -155,4 +155,25 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     assert(TextOps.q103(spark, SF).queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
   }
+
+  test("q125 quantile gate: threshold is the exact rank statistic, kept/dropped partition cleanly") {
+    val kept = TextOps.q125(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(kept.nonEmpty)
+    val all = TextOps.q38(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // driver replay of the rank statistic: ascending (score, doc_id),
+    // threshold = score at rank ceil(0.75 n)
+    val n = all.size
+    val k = math.max(1, (3 * n + 3) / 4)
+    val thr = all.toSeq.sortBy { case (id, v) => (v, id) }.apply(k - 1)._2
+    assert(kept === all.filter { case (_, v) => v >= thr },
+      "gate must keep exactly the >= threshold set")
+    // the quartile survives: at least n - k + 1 docs (ties only add)
+    assert(kept.size >= n - k + 1)
+    // every kept score dominates every dropped score
+    val dropped = all.keySet -- kept.keySet
+    if (dropped.nonEmpty && kept.nonEmpty)
+      assert(kept.values.min >= dropped.map(all).max)
+  }
 }
