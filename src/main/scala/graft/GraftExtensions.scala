@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.expressions.{FloatVecDot, FreqItemsAgg, SimHashAgg}
+import graft.expressions.{FloatVecDot, FreqItemsAgg, SimHashAgg, TokensOf}
 
 /** Spark session extension registering graft's native expressions with the
   * SQL function registry, so `spark.sql("... vec_dot(a, b) ...")` works
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.freqItemsDescriptor)
     ext.injectFunction(GraftExtensions.simHashDescriptor)
+    ext.injectFunction(GraftExtensions.tokensDescriptor)
   }
 }
 
@@ -32,6 +33,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "vec_dot(a, b) takes exactly two arguments")
       FloatVecDot(children.head, children(1))
+    })
+
+  /** `graft_tokens(text)` — the native [a-z0-9]+ tokenizer. */
+  val tokensDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_tokens"),
+    new ExpressionInfo(classOf[TokensOf].getName, "graft_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_tokens(text) takes one argument")
+      TokensOf(children.head)
     })
 
   /** `freq_items_agg(col, k)` — the Misra–Gries summary as a SQL

@@ -16,8 +16,12 @@ object Text {
   val StopwordsSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Tokenize: lowercase, alnum runs. `[a-z0-9]+` on lowered text. */
+  /** Native byte-scan tokenizer ([[graft.expressions.TokensOf]]) —
+    * provably ≡ `regexp_extract_all(lower(text), "[a-z0-9]+")` (the
+    * form the DuckDB oracle replays, [[toksSql]]) without the regex
+    * engine on the library's hottest primitive. */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    graft.expressions.TokensOf.tokens(text)
 
   val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 

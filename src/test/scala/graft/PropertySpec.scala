@@ -145,6 +145,39 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("native tokenizer ≡ regexp_extract_all(lower, '[a-z0-9]+') on mixed ASCII/Unicode inputs") {
+    // charset mixes token runs, ASCII delimiters, multi-byte scripts,
+    // and case-folding edge cases (Turkish İ lowers to i + combining
+    // dot via String.toLowerCase — both paths must agree because both
+    // lowercase FIRST with the same method)
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', ',', '.', '-', '_', '!', '№'),
+      1 -> Gen.oneOf('Ä', 'ß', 'İ', 'Σ', 'ς', 'д', '中'),
+      1 -> Gen.choose(0, 0xFFFF).map(_.toChar).filter(c =>
+        !Character.isSurrogate(c)))
+    val strGen = Gen.listOfN(40, charGen).map(_.mkString)
+    val cases = samples(Gen.listOfN(25, strGen), 4).flatten :+
+      "" :+ "   " :+ "a" :+ "É9z" :+ "İİİ abc İ9"
+    val df = cases.toDF("text")
+    val got = df.select(graft.text.Text.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    val want = df.select(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g === w, s"tokenizer divergence on ${c.take(60)}") }
+    // and the interpreted (non-codegen) path agrees too
+    cases.foreach { c =>
+      val ev = graft.expressions.TokensOf.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(c))
+      val evList = (0 until ev.numElements())
+        .map(i => ev.getUTF8String(i).toString).toList
+      val re = "[a-z0-9]+".r.findAllIn(c.toLowerCase).toList
+      assert(evList === re, s"eval divergence on ${c.take(60)}")
+    }
+  }
+
   test("water-filling fixpoint map: monotone, non-increasing from T0, caps honored, shares exact when uncapped") {
     // driver-side mirror of q120's integer-micros iteration (the same
     // idivHalfAway formula the Spark plan and the DuckDB oracle run)

@@ -243,5 +243,12 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       spark.sql("SELECT freq_items_agg(token, doc_id) FROM (SELECT CAST(doc_id AS STRING) AS token, CAST(doc_id AS INT) AS doc_id FROM docs_ext_test) _t").collect()
     }
     assert(ex.getMessage != null)
+    // and the native tokenizer: SQL form ≡ the regex form it replaces
+    val tokRows = spark.sql(
+      """SELECT graft_tokens(text) AS a,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS b
+        |FROM docs_ext_test WHERE doc_id < 50""".stripMargin).collect()
+    assert(tokRows.nonEmpty)
+    tokRows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 }
