@@ -149,7 +149,11 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     Seq("q98" -> operators.DedupOps.q98(spark, SF),
         "q107" -> operators.DedupOps.q107(spark, SF),
         "q109" -> operators.DedupOps.q109(spark, SF),
-        "q113" -> operators.DedupOps.q113(spark, SF)).foreach { case (n, df) =>
+        "q113" -> operators.DedupOps.q113(spark, SF),
+        // r5 arrival-model span ops: island merges stay doc-keyed too
+        "q115" -> operators.DedupOps.q115(spark, SF),
+        "q119" -> operators.DedupOps.q119(spark, SF),
+        "q122" -> operators.DedupOps.q122(spark, SF)).foreach { case (n, df) =>
       val p = df.queryExecution.optimizedPlan
       assert(p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
         s"$n must never run an unpartitioned window")
