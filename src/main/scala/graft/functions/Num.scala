@@ -69,6 +69,45 @@ object Num {
   def ratio6Sql(p: String, q: String): String =
     s"${idivHalfAwaySql(s"($p) * 1000000", q)} / 1000000.0"
 
+  // --- DECIMAL(38,0) lattice for corpus-token-scaled products (r6) -------
+  //
+  // The int64 helpers above hold only while 2·p·10⁶ fits in int64 —
+  // |p| ≲ 4.6×10¹²: fine for doc counts and per-doc ratios, NOT for
+  // corpus TOKEN masses at the 100 TB design point (~2.5×10¹³ tokens ⇒
+  // eighths·raw·10⁶ ≈ 2×10²⁰). These variants run the SAME half-away
+  // formula on DECIMAL(38,0) — exact to 38 digits, order-independent,
+  // bit-identical to the int64 form wherever both are in range
+  // (MixDecimalSpec pins both properties, feeding ≥10¹³-token masses
+  // against a BigInt driver replay). The DuckDB replays already promote
+  // through HUGEINT (int128), so the oracle side needs no change.
+
+  val Big: DecimalType = DecimalType(38, 0)
+
+  /** Column widened to DECIMAL(38,0) — widen BEFORE multiplying, or the
+    * int64 product overflows ahead of the division. */
+  def big(c: Column): Column = c.cast(Big)
+
+  /** Exact truncating division on DECIMAL(38,0): (a − a mod b) is
+    * divisible by b, so the quotient is an integer Spark's decimal
+    * divide represents exactly (≤32 integer digits at scale 6). */
+  private def idivPosBig(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast(Big)
+
+  /** ⌊p/q⌉ half-away-from-zero on DECIMAL(38,0); q > 0, p any sign.
+    * [[idivHalfAway]] past the int64 bound. */
+  def idivHalfAwayBig(p: Column, q: Column): Column = {
+    val pb = big(p)
+    val qb = big(q)
+    val den = qb * lit(2)
+    when(pb >= 0, idivPosBig(pb * lit(2) + qb, den))
+      .otherwise(-idivPosBig(-pb * lit(2) + qb, den))
+  }
+
+  /** round(p/q, 6) via decimal micros — [[ratio6]] for numerators past
+    * ~4.6×10¹² (e.g. corpus-wide token-occurrence counts). */
+  def ratio6Big(p: Column, q: Column): Column =
+    idivHalfAwayBig(big(p) * lit(1000000L), q).cast("double") / 1000000.0
+
   /** Half-away 6-decimal average of values already ON the 1e-6 lattice
     * (e.g. [[ratio6]] outputs): recover the integer micros, average in
     * int64. `micros` must be a pre-aggregated SUM of
