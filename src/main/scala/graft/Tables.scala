@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Typed loaders for the driver's star schema + corpus tables.
   *
@@ -24,11 +24,14 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = ld(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = ld(s, dir, "embeddings")
 
-  /** events.parquet stores `ts` as INT64(TIMESTAMP(NANOS)); with
-    * `spark.sql.legacy.parquet.nanosAsLong` Spark surfaces it as a raw
-    * nano count. Normalize to a proper timestamp (µs precision, like
-    * DuckDB's comparison view of the same file) so downstream operators
-    * are schema-stable either way.
+  /** The driver has shipped events.parquet with different physical `ts`
+    * types across rounds: INT64(TIMESTAMP(NANOS)) (surfaced as a raw nano
+    * count under `spark.sql.legacy.parquet.nanosAsLong`) and plain
+    * `timestamp[us]` with no timezone (surfaced as TIMESTAMP_NTZ, which
+    * Spark won't cast to BIGINT). Normalize every variant to a session-tz
+    * TimestampType — the session runs UTC and DuckDB reads the same file
+    * as a naive timestamp, so all paths agree to the microsecond — keeping
+    * downstream operators schema-stable regardless of the writer.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = ld(s, dir, "events")
@@ -38,6 +41,10 @@ object Tables {
         // epochs (~1.7e18) exceed 2^53, so the rounded quotient can be off
         // by 1 µs vs DuckDB's truncation — `div` stays in int64
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // NTZ → TimestampType reinterprets the wall-clock in the session
+        // zone (UTC) — the same instant DuckDB computes from the file
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

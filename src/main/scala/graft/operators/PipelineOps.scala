@@ -544,11 +544,15 @@ object PipelineOps {
     *
     * Exactness: token masses are exact int64 sums; rates are eighths
     * (the [[MixRates]] lattice), so rate·raw/clean is computed as ONE
-    * half-away integer division in micros ([[graft.functions.Num]]) —
-    * no double product, both engines see identical values. (The micros
-    * numerator is eighths·raw·10⁶ ≤ 8·10⁶·Σtokens — int64-safe to
-    * ~10¹² corpus tokens per language; a 100 TB deployment lifts the
-    * same formula to DECIMAL(38).)
+    * half-away division in micros ([[graft.functions.Num]]) — no double
+    * product, both engines see identical values. The micros numerator
+    * eighths·raw·10⁶ is formed on DECIMAL(38,0) ([[graft.functions.Num.idivHalfAwayBig]]),
+    * exact past the int64 bound — safe to ~10³¹ tokens per language,
+    * i.e. the arithmetic now out-ranges any storable corpus (the int64
+    * form died at ~10¹², below the 100 TB ≈ 2.5×10¹³-token design
+    * point). The capped result ≤ 10⁶ is cast back to long, so the
+    * schema and every test-SF hash are unchanged; MixDecimalSpec pins
+    * ≥10¹³-token masses against a BigInt driver replay.
     *
     * Scale shape: q112's own relations (span pipeline corpus-linear,
     * selection joins id-sized) + one ≤|languages| aggregate. */
@@ -577,7 +581,7 @@ object PipelineOps {
   private def q114Policy(s: SparkSession, dir: String): DataFrame =
     q114PolicyOf(q114Docs(s, dir))
 
-  private def q114PolicyOf(docs: DataFrame): DataFrame = {
+  private[graft] def q114PolicyOf(docs: DataFrame): DataFrame = {
     import graft.functions.Num
     docs
       .groupBy(col("lang"))
@@ -587,9 +591,12 @@ object PipelineOps {
       .withColumn("eighths", eighthsCol)
       .withColumn("rate_micros",
         when(col("clean_tokens") === 0, lit(1000000L))
-          .otherwise(least(lit(1000000L),
-            Num.idivHalfAway(col("eighths") * col("raw_tokens") * 1000000L,
-              lit(8L) * col("clean_tokens")))))
+          // eighths·raw·10⁶ on DECIMAL(38,0): the uncapped quotient can
+          // itself exceed int64 (clean ≪ raw), so the cap is taken in
+          // decimal and only the ≤10⁶ result is narrowed back to long.
+          .otherwise(least(lit(1000000L).cast(Num.Big),
+            Num.idivHalfAwayBig(Num.big(col("eighths")) * col("raw_tokens") * lit(1000000L),
+              lit(8L) * col("clean_tokens"))).cast("long")))
   }
 
   def q114(s: SparkSession, dir: String): DataFrame =
@@ -772,15 +779,17 @@ object PipelineOps {
     * fixpoint runs on the ≤|languages| aggregate — per iteration ONE
     * scalar (the new T) leaves the cluster, eight times. Per-lang math
     * stays a DataFrame; nothing driver-sized beyond the catalog-bounded
-    * language table. (int64 micros hold to ~10¹² corpus tokens; a
-    * 100 TB deployment lifts to DECIMAL(38), same as q114.) */
+    * language table. Token-mass-scaled products (tw·10⁶, share·T,
+    * alloc·10⁶) run on DECIMAL(38,0) — same as q114 — so the fixpoint
+    * is exact far past the 100 TB design point; the masses themselves
+    * (tws ≤ 8·Σtokens, T ≤ Σtokens) stay comfortably int64. */
   val MixFixpointRounds = 8
 
   /** Water-filled per-lang relation (lang, n_docs, raw_tokens,
     * clean_tokens, share_micros, rate_micros, alloc_tokens) from the
     * q114 per-lang aggregate — unordered; shared by q120 (readout) and
     * q123 (the build that samples at these rates). */
-  private def q120PolicyOf(g0: DataFrame): DataFrame = {
+  private[graft] def q120PolicyOf(g0: DataFrame): DataFrame = {
     import graft.functions.Num
     val g = g0
       .select(col("lang"), col("n_docs"), col("raw_tokens"),
@@ -788,10 +797,14 @@ object PipelineOps {
       .cache()
     val tot = g.agg(sum(col("tw")).as("tws"), sum(col("clean_tokens")).as("t0")).head()
     val (tws, t0) = (tot.getAs[Long]("tws"), tot.getAs[Long]("t0"))
+    // tw·10⁶ and share·T exceed int64 at ≳10¹² corpus tokens — both
+    // divisions run on DECIMAL(38,0); the quotients (≤10⁶ micros resp.
+    // ≤ clean_tokens) narrow back to long losslessly.
     val shared = g.withColumn("share_micros",
-      Num.idivHalfAway(col("tw") * 1000000L, lit(tws)))
+      Num.idivHalfAwayBig(Num.big(col("tw")) * lit(1000000L), lit(tws)).cast("long"))
     def alloc(t: Long) = least(col("clean_tokens"),
-      Num.idivHalfAway(col("share_micros") * lit(t), lit(1000000L)))
+      Num.idivHalfAwayBig(Num.big(col("share_micros")) * lit(t), lit(1000000L))
+        .cast("long"))
     var t = t0
     for (_ <- 1 to MixFixpointRounds)
       t = shared.agg(sum(alloc(t))).head().getLong(0)
@@ -799,8 +812,9 @@ object PipelineOps {
       .withColumn("alloc_tokens", alloc(t).cast("long"))
       .withColumn("rate_micros",
         when(col("clean_tokens") === 0, lit(1000000L))
-          .otherwise(least(lit(1000000L),
-            Num.idivHalfAway(col("alloc_tokens") * 1000000L, col("clean_tokens")))))
+          .otherwise(least(lit(1000000L).cast(Num.Big),
+            Num.idivHalfAwayBig(Num.big(col("alloc_tokens")) * lit(1000000L),
+              col("clean_tokens"))).cast("long")))
       .select(col("lang"), col("n_docs"), col("raw_tokens"), col("clean_tokens"),
         col("share_micros"), col("rate_micros"), col("alloc_tokens"))
   }
