@@ -29,16 +29,19 @@ object Bucketed {
 
   private[operators] def reset(s: SparkSession, base: java.io.File, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
+    // retired/in-flight generation tables from a previous build of the
+    // same artifact (graft.GenManifest catalog) go with it
+    import scala.jdk.CollectionConverters._
+    s.catalog.listTables().collectAsList().asScala.map(_.name)
+      .filter(n => n.startsWith(s"${table}_r") || n.startsWith(s"${table}_c"))
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    graft.GenManifest.reset(base, table)
     // the in-memory catalog is fresh per JVM: orphaned file locations
     // from a previous run survive DROP TABLE, so clear them on disk too
-    val d = new java.io.File(base, table)
-    if (d.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(d)
-    }
+    // (generation payload dirs `{table}_g*` included)
+    val stale = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == table || f.getName.startsWith(s"${table}_g"))
+    stale.foreach(graft.GenManifest.rmTree)
   }
 
   def q93(s: SparkSession, dir: String): DataFrame = {

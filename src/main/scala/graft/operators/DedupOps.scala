@@ -1036,6 +1036,8 @@ object DedupOps {
     oldSh.write.bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
       .option("path", new java.io.File(base, "g108_shingles").getAbsolutePath)
       .mode("overwrite").saveAsTable("g108_shingles")
+    Seq("g108_buckets", "g108_shingles")
+      .foreach(graft.GenManifest.publish(base, _, 0L))
   }
 
   /** Index MAINTENANCE: fold an accepted batch into the artifacts by
@@ -1054,61 +1056,100 @@ object DedupOps {
       .mode("append").saveAsTable("g108_shingles")
   }
 
-  private val compactGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Stable on-disk home of one bucketed artifact family (tables +
+    * generation manifests) for this application. */
+  private def bucketedBase(s: SparkSession, dirPrefix: String): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"$dirPrefix-${s.sparkContext.applicationId}")
 
   /** Index COMPACTION — the maintenance companion of [[q108Append]]:
     * each append folds delta files into the buckets, and once a bucket
     * holds several files Spark drops the sorted-scan shortcut and
-    * re-sorts per task; compaction rewrites each artifact as ONE sorted
-    * file per bucket and swaps it in UNDER THE SAME TABLE NAME, so
-    * probe code (and its exchange-free plan contract) never changes.
+    * re-sorts per task; compaction rewrites the artifact as ONE sorted
+    * file per bucket at a FRESH GENERATION and promotes it UNDER THE
+    * SAME TABLE NAME, so probe code (and its exchange-free plan
+    * contract) never changes.
     *
-    * The rewrite streams table → `repartition(numBuckets, bucketCols)`
+    * The rewrite streams files → `repartition(numBuckets, bucketCols)`
     * — the same murmur3-pmod hash bucketing assigns file buckets with,
     * so every write task holds exactly its own bucket's rows and emits
-    * exactly one file — → bucketed write at a fresh generation path.
-    * The catalog swap is DROP + RENAME and the superseded generation's
-    * files are deleted. Single-writer contract (as Append): no
-    * concurrent probe or maintenance during the swap.
+    * exactly one file — → bucketed write at the new generation's path.
+    * (Files, not the table: a bucketed-table scan satisfies the
+    * repartition's distribution, so Catalyst elides the exchange — and
+    * then DisableUnnecessaryBucketedScan downgrades to a packed plain
+    * scan, leaving the write on arbitrary splits. The plain read keeps
+    * the aligning repartition in the plan.)
     *
-    * Corpus cost: one read + write of the artifacts, no joins, no
-    * wide aggregation — the periodic price that keeps probe plans both
-    * exchange-free and sort-free at any append count. */
-  /** Rewrite one bucketed artifact as ONE file per bucket under the
-    * same table name, at a fresh generation path; `dedupe` collapses
+    * The swap is generation-cataloged ([[graft.GenManifest]]) with no
+    * destructive window: retire the live name FIRST (rename to
+    * `{table}_r{gen}` — external tables keep their location, so any
+    * probe plan already resolved keeps its exact file list), promote
+    * the new generation, ROLL BACK the retire if the promote throws,
+    * publish the manifest atomically, and only then GC generations that
+    * aged past `retain` (default current + previous). A probe pinned at
+    * a retained generation ([[bucketedGenOf]]) reads the same bucketed
+    * table it always did — bit-identical results while the next
+    * generation is being written and after the publish (spec-pinned).
+    * Contract: ONE maintainer at a time; any number of readers.
+    *
+    * Corpus cost: one read + write of the artifact, no joins, no wide
+    * aggregation — the periodic price that keeps probe plans both
+    * exchange-free and sort-free at any append count. `dedupe` collapses
     * duplicate rows first (for SET-valued artifacts like g115, where
     * appends re-add windows the index already holds). */
   private[graft] def compactBucketed(s: SparkSession, dirPrefix: String,
       table: String, bucketCols: Seq[String], sortCols: Seq[String],
-      dedupe: Boolean = false): Unit = {
-    val gen = compactGen.incrementAndGet()
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"$dirPrefix-${s.sparkContext.applicationId}-c$gen")
+      dedupe: Boolean = false,
+      retain: Int = graft.GenManifest.DefaultRetain): Unit = {
+    val base = bucketedBase(s, dirPrefix)
     graft.TempArtifacts.register(base)
+    val cur = graft.GenManifest.current(base, table)
+    val next = cur + 1
     val oldLoc = new java.io.File(s.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
-    val tmp = s"${table}_c$gen"
-    // read the FILES, not the table: a bucketed-table scan satisfies
-    // the repartition's distribution, so Catalyst elides the exchange
-    // — and then DisableUnnecessaryBucketedScan (no join/agg consumer)
-    // downgrades to a packed plain scan, leaving the write running on
-    // arbitrary file splits (observed: 2 files per bucket). The plain
-    // read keeps the aligning repartition in the plan.
+    val tmp = s"${table}_c$next"
     val src0 = s.read.parquet(oldLoc.getAbsolutePath)
     val src = if (dedupe) src0.distinct() else src0
     val w = src.repartition(IndexBuckets, bucketCols.map(col): _*)
       .write.bucketBy(IndexBuckets, bucketCols.head, bucketCols.tail: _*)
-      .option("path", new java.io.File(base, tmp).getAbsolutePath)
+      .option("path", new java.io.File(base, s"${table}_g$next").getAbsolutePath)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(tmp)
-    s.sql(s"DROP TABLE $table")
-    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    s.sql(s"ALTER TABLE $table RENAME TO ${table}_r$cur") // retire first
+    try s.sql(s"ALTER TABLE $tmp RENAME TO $table") // promote
+    catch { case e: Throwable =>
+      s.sql(s"ALTER TABLE ${table}_r$cur RENAME TO $table") // roll back
+      throw e
     }
-    rm(oldLoc)
+    graft.GenManifest.publish(base, table, next, retain).foreach(dropGen(s, table, _))
   }
+
+  /** Drop a retired generation's table + storage (post-publish GC). */
+  private def dropGen(s: SparkSession, table: String, gen: Long): Unit = {
+    val rt = s"${table}_r$gen"
+    if (s.catalog.tableExists(rt)) {
+      val loc = new java.io.File(s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(rt)).location)
+      s.sql(s"DROP TABLE $rt")
+      graft.GenManifest.rmTree(loc)
+    }
+  }
+
+  /** The artifact pinned at generation `gen` — the live table if `gen`
+    * is current, else the retained retired table. Still a bucketed
+    * catalog table, so pinned probes keep the exchange-free plan. */
+  private[graft] def bucketedGenOf(s: SparkSession, dirPrefix: String,
+      table: String, gen: Long): DataFrame = {
+    val st = graft.GenManifest.read(bucketedBase(s, dirPrefix), table)
+      .getOrElse(sys.error(s"artifact $table not built"))
+    require(st.retained.contains(gen),
+      s"generation $gen of $table not retained (have ${st.retained.mkString(",")})")
+    s.table(if (gen == st.current) table else s"${table}_r$gen")
+  }
+
+  private[graft] def bucketedGen(s: SparkSession, dirPrefix: String,
+      table: String): Long =
+    graft.GenManifest.current(bucketedBase(s, dirPrefix), table)
 
   private[graft] def q108Compact(s: SparkSession): Unit = {
     compactBucketed(s, "graft_dedupindex", "g108_buckets",
@@ -1314,6 +1355,7 @@ object DedupOps {
       .write.bucketBy(IndexBuckets, "sh")
       .option("path", new java.io.File(base, "g115_spans").getAbsolutePath)
       .mode("overwrite").saveAsTable("g115_spans")
+    graft.GenManifest.publish(base, "g115_spans", 0L)
   }
 
   /** Window-index MAINTENANCE: fold a new batch's distinct windows in
@@ -1581,6 +1623,7 @@ object DedupOps {
       .write.bucketBy(IndexBuckets, "sh")
       .option("path", new java.io.File(base, "g119_spans").getAbsolutePath)
       .mode("overwrite").saveAsTable("g119_spans")
+    graft.GenManifest.publish(base, "g119_spans", 0L)
   }
 
   /** Span-source attribution of a new-docs batch against the persisted

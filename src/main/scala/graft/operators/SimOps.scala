@@ -777,22 +777,37 @@ object SimOps {
     * under the same model; spec-pinned). */
   private[graft] def annIndexWrite(s: SparkSession, base: java.io.File,
       corpus: DataFrame): Unit = {
-    if (base.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
+    if (base.exists()) graft.GenManifest.rmTree(base)
     val cbRow = pqCodebook(corpus)
     val cellsRow = cellsAsRow(centroidCells(corpus))
-    // model first: a vecs/ write that can see the model is complete
+    // model first: a vecs write that can see the model is complete
     cellsRow.coalesce(1).write
       .parquet(new java.io.File(base, "model_cells").getAbsolutePath)
     cbRow.coalesce(1).write
       .parquet(new java.io.File(base, "model_cb").getAbsolutePath)
-    annIndexEncodeInto(s, base, corpus, overwrite = true)
+    annIndexEncodeInto(s, base, 1L, corpus, overwrite = true)
+    graft.GenManifest.publish(base, "vecs", 1L)
   }
+
+  /** Current generation of the artifact at `base` (manifest read). */
+  private[graft] def annIndexGen(base: java.io.File): Long =
+    graft.GenManifest.current(base, "vecs")
+
+  /** The vector payload of one GENERATION of the artifact — `vecs_g{N}`
+    * beside the generation-independent frozen model. A DataFrame opened
+    * at a pinned generation keeps reading exactly those files across
+    * concurrent appends/compactions (new generations land in their own
+    * directory; retired ones are retained to the manifest's depth). */
+  private[graft] def annIndexVecsDir(base: java.io.File, gen: Long): java.io.File =
+    new java.io.File(base, s"vecs_g$gen")
+
+  /** The artifact's vectors at the CURRENT generation. */
+  private[graft] def annIndexVecs(s: SparkSession, base: java.io.File): DataFrame =
+    annIndexVecsOf(s, base, annIndexGen(base))
+
+  private[graft] def annIndexVecsOf(s: SparkSession, base: java.io.File,
+      gen: Long): DataFrame =
+    s.read.parquet(annIndexVecsDir(base, gen).getAbsolutePath)
 
   /** The frozen model of the artifact at `base`: (cellsRow, cbRow). */
   private[graft] def annIndexModel(s: SparkSession,
@@ -808,49 +823,40 @@ object SimOps {
     * read, moved, or re-encoded. */
   private[graft] def annIndexAppend(s: SparkSession, base: java.io.File,
       newVecs: DataFrame): Unit =
-    annIndexEncodeInto(s, base, newVecs, overwrite = false)
-
-  private val annCompactGen = new java.util.concurrent.atomic.AtomicLong(0)
+    annIndexEncodeInto(s, base, annIndexGen(base), newVecs, overwrite = false)
 
   /** Index COMPACTION: [[annIndexAppend]] lands one file set per batch
     * inside each cell directory; periodically rewrite to ONE file per
-    * cell at a fresh generation path and swap it in. `repartition` on
-    * cell_id puts each cell wholly in one task, and `partitionBy`
-    * splits that task's output per value ⇒ exactly one file per cell.
-    * Rows, model, and probe results are bit-identical (spec-pinned);
-    * cost is one read + write of the vectors — no joins, no wide agg. */
-  private[graft] def annIndexCompact(s: SparkSession, base: java.io.File): Unit = {
-    val gen = annCompactGen.incrementAndGet()
-    val vecs = new java.io.File(base, "vecs")
-    val tmp = new java.io.File(base, s"vecs_c$gen")
-    s.read.parquet(vecs.getAbsolutePath)
+    * cell at a FRESH GENERATION and publish it via [[graft.GenManifest]].
+    * `repartition` on cell_id puts each cell wholly in one task, and
+    * `partitionBy` splits that task's output per value ⇒ exactly one
+    * file per cell. Rows, model, and probe results are bit-identical
+    * (spec-pinned); cost is one read + write of the vectors — no joins,
+    * no wide agg. A reader pinned at the old generation is undisturbed:
+    * the new generation is a sibling directory, the publish is an atomic
+    * manifest rename, and the old directory survives until it ages past
+    * the retain depth — only then is its storage GC'd. */
+  private[graft] def annIndexCompact(s: SparkSession, base: java.io.File,
+      retain: Int = graft.GenManifest.DefaultRetain): Unit = {
+    val cur = annIndexGen(base)
+    val next = cur + 1
+    annIndexVecsOf(s, base, cur)
       .repartition(col("cell_id"))
-      .write.partitionBy("cell_id").parquet(tmp.getAbsolutePath)
-    // swap with no destructive window: retire the live dir FIRST (a
-    // crash here leaves vecs_old* + the complete new generation, both
-    // recoverable), promote the new one, delete the retired copy LAST
-    val old = new java.io.File(base, s"vecs_old$gen")
-    require(vecs.renameTo(old), s"compaction retire failed: $vecs -> $old")
-    if (!tmp.renameTo(vecs)) {
-      old.renameTo(vecs) // roll back to the intact previous generation
-      throw new IllegalStateException(s"compaction swap failed: $tmp -> $vecs")
-    }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(old)
+      .write.partitionBy("cell_id")
+      .parquet(annIndexVecsDir(base, next).getAbsolutePath)
+    graft.GenManifest.publish(base, "vecs", next, retain)
+      .foreach(g => graft.GenManifest.rmTree(annIndexVecsDir(base, g)))
   }
 
   private def annIndexEncodeInto(s: SparkSession, base: java.io.File,
-      vecs: DataFrame, overwrite: Boolean): Unit = {
+      gen: Long, vecs: DataFrame, overwrite: Boolean): Unit = {
     val (cellsRow, cbRow) = annIndexModel(s, base)
     pqEncode(assignToCells(withNorm(vecs), cellsRow), cbRow)
       .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
         col("cell_id").cast("int").as("cell_id"))
       .write.partitionBy("cell_id")
       .mode(if (overwrite) "overwrite" else "append")
-      .parquet(new java.io.File(base, "vecs").getAbsolutePath)
+      .parquet(annIndexVecsDir(base, gen).getAbsolutePath)
   }
 
   /** Per-cell STALENESS of the frozen model — the WHEN-TO-REBUILD
@@ -880,7 +886,7 @@ object SimOps {
           (col("nrm") * col("cn")) * 1e6).cast("long"))
       .groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n"), sum(col("cosm")).as("sm"))
-    val idx = perCell(s.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
+    val idx = perCell(annIndexVecs(s, base)
       .select(col("cell_id"), col("embedding"), col("nrm")))
       .select(col("cell_id"), col("n").as("n_idx"),
         Num.idivHalfAway(col("sm"), col("n")).as("mean_idx_micros"))
@@ -905,7 +911,7 @@ object SimOps {
     graft.TempArtifacts.register(base)
     annIndexWrite(s, base, e)
     val (cellsRow, cbRow) = annIndexModel(s, base)
-    val idx = s.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
+    val idx = annIndexVecs(s, base)
     annIndexSearch(idx,
       probeCells(withNorm(testQueries(e)), cellsRow, IdxNProbe), cbRow, IdxK)
   }

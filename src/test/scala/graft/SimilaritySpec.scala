@@ -357,7 +357,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val (cellsRow, cbRow) = SimOps.annIndexModel(spark, base)
     val probed = SimOps.probeCells(
       SimOps.withNorm(SimOps.testQueries(e)), cellsRow, SimOps.IdxNProbe)
-    val idx = spark.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
+    val idx = SimOps.annIndexVecs(spark, base)
     val df = SimOps.annIndexSearch(idx, probed, cbRow, SimOps.IdxK)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getDouble(2), r.getLong(3))).toList
@@ -382,15 +382,18 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
       s"pruning lost after append:\n${idxScanLine.get}")
     // COMPACTION: collapse the per-batch file sets to one file per cell,
-    // bit-identical serving, pruning intact
-    val vecsDir = new java.io.File(base, "vecs")
-    def cellFiles() = vecsDir.listFiles().filter(_.getName.startsWith("cell_id="))
-      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    // bit-identical serving, pruning intact (the compacted payload lands
+    // at a NEW generation directory — resolve via the manifest)
+    def cellFiles() = {
+      val d = SimOps.annIndexVecsDir(base, SimOps.annIndexGen(base))
+      d.listFiles().filter(_.getName.startsWith("cell_id="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
     assert(cellFiles().values.exists(_ > 1), "append left one file — test vacuous")
     SimOps.annIndexCompact(spark, base)
     assert(cellFiles().values.forall(_ === 1), s"files per cell: ${cellFiles()}")
     val df2 = SimOps.annIndexSearch(
-      spark.read.parquet(vecsDir.getAbsolutePath), probed, cbRow, SimOps.IdxK)
+      SimOps.annIndexVecs(spark, base), probed, cbRow, SimOps.IdxK)
     assert(df2.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getDouble(2), r.getLong(3))).toList === got)
     val scan2 = df2.queryExecution.executedPlan.toString

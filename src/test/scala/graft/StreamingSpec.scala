@@ -342,8 +342,9 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_annindex-${spark.sparkContext.applicationId}")
-    // r5 self-contained layout: vectors under vecs/, frozen model beside
-    val idx = spark.read.parquet(new java.io.File(base, "vecs").getAbsolutePath)
+    // r6 self-contained layout: generationed vectors (manifest-resolved)
+    // under vecs_g{N}/, frozen model beside
+    val idx = SimOps.annIndexVecs(spark, base)
     val (cellsRow0, cbRow0) = SimOps.annIndexModel(spark, base)
     val cellsRow = cellsRow0.cache()
     val cbRow = cbRow0.cache()
