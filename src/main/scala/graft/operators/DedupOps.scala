@@ -1626,6 +1626,34 @@ object DedupOps {
     graft.GenManifest.publish(base, "g119_spans", 0L)
   }
 
+  /** Source-tagged-window-index MAINTENANCE — [[q115Append]] with the
+    * attribution tag kept: fold a batch's distinct (sh, osrc) in by
+    * bucketed append (duplicates vs the existing set are harmless for
+    * the semi/equi-join probes; [[q119Compact]] collapses them).
+    * `addDocs`: (source, toks). */
+  private[graft] def q119Append(s: SparkSession, addDocs: DataFrame): Unit =
+    addDocs
+      .select(col("source").as("osrc"),
+        explode(shingles(col("toks"), DupSpanK)).as("sh"))
+      .select(col("sh"), col("osrc")).distinct()
+      .write.bucketBy(IndexBuckets, "sh").mode("append").saveAsTable("g119_spans")
+
+  private[graft] def q119Compact(s: SparkSession): Unit =
+    compactBucketed(s, "graft_srcspanindex", "g119_spans", Seq("sh"), Nil,
+      dedupe = true)
+
+  /** Data files currently backing a bucketed artifact — the compaction
+    * trigger for scheduled maintenance (appends land one file set per
+    * batch; past a threshold, compacting restores one file per bucket). */
+  private[graft] def artifactFileCount(s: SparkSession, table: String): Int = {
+    val loc = new java.io.File(s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(loc)
+  }
+
   /** Span-source attribution of a new-docs batch against the persisted
     * index — q113's matrix in the q108/q115 arrival model: WHICH
     * EXISTING sources does the arriving batch overlap, and by how many
@@ -1780,6 +1808,32 @@ object DedupOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("kept_tokens"),
         col("kept_fraction"), col("near_dup"), col("n_shared_sources"),
         col("admit"))
+  }
+
+  /** Scheduled MAINTENANCE of the admission artifacts — the fold that
+    * closes [[q122Probe]] into an always-on loop: the batch's ADMITTED
+    * docs join the corpus, so their shingles enter the band index
+    * ([[q108Append]]) and their source-tagged windows the window index
+    * ([[q119Append]]); once either artifact's file count passes
+    * `compactAtFiles`, its compaction runs (each append lands one file
+    * set per bucket — the threshold is the knob that amortizes the
+    * rewrite over many arrival batches). Appends are arrival-sized;
+    * nothing here buffers across batches — deferring appends would mean
+    * holding admitted docs as stream state, exactly what the zero-state
+    * serving design rejects. `t`: the batch tokenized (doc_id, source,
+    * toks), cached by the caller; `admitted`: the admitted doc_ids. */
+  private[graft] def admissionMaintain(s: SparkSession, t: DataFrame,
+      admitted: DataFrame, compactAtFiles: Int): Unit = {
+    val at = t.join(admitted, "doc_id")
+    q108Append(s, at
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("shs"))
+      .filter(size(col("shs")) > 0))
+    q119Append(s, at.select(col("source"), col("toks")))
+    if (artifactFileCount(s, "g108_shingles") > compactAtFiles ||
+        artifactFileCount(s, "g108_buckets") > compactAtFiles)
+      q108Compact(s)
+    if (artifactFileCount(s, "g119_spans") > compactAtFiles)
+      q119Compact(s)
   }
 
   def q122(s: SparkSession, dir: String): DataFrame = {

@@ -396,6 +396,47 @@ object StreamOps {
       } finally t.unpersist(blocking = false)
     }
 
+  /** [[admitServe]] WITH SCHEDULED MAINTENANCE — the always-on pipeline
+    * wired shut: after each micro-batch's admission records are frozen
+    * and delivered, the batch's ADMITTED docs are folded into the
+    * snapshot artifacts (band index via q108Append, source-tagged
+    * window index via q119Append), and whichever artifact's file count
+    * has passed `compactAtFiles` is compacted (generation-cataloged —
+    * concurrent pinned readers are undisturbed). So later arrivals
+    * near-dup/clean/attribute against snapshot ∪ everything admitted
+    * before them — the sequential semantics a daily batch pipeline has,
+    * at micro-batch granularity.
+    *
+    * The decision records are localCheckpointed (materialized) BEFORE
+    * the appends: a batch's decisions are made against the artifacts as
+    * of its arrival, never against its own admissions — and the blocks
+    * die with the batch ([[graft.CheckpointRegistry.scoped]]). Appends
+    * are arrival-sized and every probe keeps its exchange-free index
+    * side; maintenance adds no stream state (re-delivery of a chunk
+    * re-appends already-present rows — harmless for the set-semantics
+    * band/window artifacts, and the compaction's dedupe collapses
+    * them).
+    *
+    * `newDocs`: streaming (doc_id, source, text). `sink` receives each
+    * batch's q122-shaped records. */
+  def admitServeMaintained(newDocs: DataFrame, compactAtFiles: Int = 64)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val t = batch.select(col("doc_id"), col("source"),
+        graft.text.Text.tokens(col("text")).as("toks")).cache()
+      try graft.CheckpointRegistry.scoped {
+        val rec = graft.operators.DedupOps.q122ProbeToks(s, t).localCheckpoint()
+        rec.queryExecution.analyzed
+          .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+          .foreach(r => graft.CheckpointRegistry.register(r))
+        sink(rec)
+        graft.operators.DedupOps.admissionMaintain(s, t,
+          rec.filter(col("admit") === 1).select(col("doc_id")), compactAtFiles)
+      } finally t.unpersist(blocking = false)
+    }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

@@ -509,6 +509,99 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(buf.groupBy(_._1).forall { case (_, rs) => rs.toSet.size === 1 })
   }
 
+  test("admission serving with scheduled maintenance ≡ sequential batch lifecycle") {
+    implicit val ctx = spark.sqlContext
+    val mod = DedupOps.IncrSplitMod
+    type Rec = (Long, String, Long, Long, Double, Int, Long, Int)
+    def shot(df: org.apache.spark.sql.DataFrame): Set[Rec] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5), r.getLong(6), r.getInt(7))).toSet
+    val compactAt = DedupOps.IndexBuckets + 1 // first append trips it
+    def maintain(recs: Set[Rec], chunk: Seq[SrcDoc]): Unit = {
+      import spark.implicits._
+      val admitted = recs.filter(_._8 == 1).map(_._1).toSeq
+      val t = chunk.toDF("doc_id", "source", "text")
+        .select(col("doc_id"), col("source"),
+          graft.text.Text.tokens(col("text")).as("toks")).cache()
+      try DedupOps.admissionMaintain(spark, t,
+        admitted.toDF("doc_id"), compactAt)
+      finally t.unpersist(blocking = false)
+    }
+    val mk = Tables.documents(spark, SF)
+      .filter(col("doc_id") % mod === 0)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+      .map { case (id, src, t) => SrcDoc(id, src, t) }.toSeq
+    val (h1, rest) = mk.splitAt(mk.length / 3)
+    val (h2base, h3) = rest.splitAt(rest.length / 2)
+
+    // ---- sequential batch lifecycle: probe, then fold admissions in ----
+    DedupOps.q122Write(spark, SF)
+    val rec1 = CheckpointRegistry.scoped { shot(DedupOps.q122Probe(spark,
+      spark.createDataFrame(h1).toDF("doc_id", "source", "text"))) }
+    // an exact copy of an ADMITTED h1 doc arrives later: maintained
+    // serving must catch it as a near-dup of the h1 admission — the
+    // cross-batch effect plain admitServe cannot produce
+    val donor = h1.find(d => rec1.exists(r => r._1 == d.doc_id && r._8 == 1)).get
+    val synth = SrcDoc(10000000L, donor.source, donor.text)
+    val h2 = h2base :+ synth
+    maintain(rec1, h1)
+    val rec2 = CheckpointRegistry.scoped { shot(DedupOps.q122Probe(spark,
+      spark.createDataFrame(h2).toDF("doc_id", "source", "text"))) }
+    maintain(rec2, h2)
+    val rec3 = CheckpointRegistry.scoped { shot(DedupOps.q122Probe(spark,
+      spark.createDataFrame(h3).toDF("doc_id", "source", "text"))) }
+    maintain(rec3, h3)
+    val synthRec = rec2.find(_._1 == synth.doc_id).get
+    assert(synthRec._6 === 1, s"synthetic copy not flagged near-dup: $synthRec")
+    assert(synthRec._8 === 0, "near-dup must not be admitted")
+    // the lifecycle compacted at least once ⇒ generations advanced
+    assert(DedupOps.bucketedGen(spark, "graft_dedupindex", "g108_shingles") >= 1L)
+
+    // ---- the maintained stream over the same chunks ----
+    DedupOps.q122Write(spark, SF) // fresh snapshot artifacts
+    val ms = MemoryStream[SrcDoc]
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Rec]]()
+    val ckBefore = CheckpointRegistry.liveCount
+    val q = StreamOps.admitServeMaintained(ms.toDF(), compactAt) { out =>
+      batches += shot(out)
+    }.start()
+    try {
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      ms.addData(h3); q.processAllAvailable()
+    } finally { q.stop() }
+    assert(CheckpointRegistry.liveCount === ckBefore,
+      "maintained serving leaked checkpoint registrations")
+    assert(batches.length === 3)
+    assert(batches(0) === rec1)
+    assert(batches(1) === rec2)
+    assert(batches(2) === rec3)
+
+    // ---- index-content equivalence: maintained artifact ≡ fresh build
+    // over snapshot ∪ admitted (probes bit-identical, post-compaction) ----
+    val probeBatch = DedupOps.docShingles(spark, SF)
+      .filter(size(col("shs")) > 0)
+      .filter(col("doc_id") % mod === 0).limit(50).cache()
+    val maintained = CheckpointRegistry.scoped {
+      DedupOps.q108Probe(spark, probeBatch).collect().toList }
+    val admittedIds = (rec1 ++ rec2 ++ rec3).filter(_._8 == 1).map(_._1)
+    import spark.implicits._
+    val union = DedupOps.docShingles(spark, SF)
+      .filter(size(col("shs")) > 0)
+      .filter(col("doc_id") % mod =!= 0)
+      .unionByName(
+        spark.createDataFrame(h1 ++ h2 ++ h3).toDF("doc_id", "source", "text")
+          .join(admittedIds.toSeq.toDF("doc_id"), "doc_id")
+          .select(col("doc_id"), array_distinct(
+            graft.text.Text.shingles(graft.text.Text.tokens(col("text")), 3)).as("shs"))
+          .filter(size(col("shs")) > 0))
+    DedupOps.q108Write(spark, union)
+    val fresh = CheckpointRegistry.scoped {
+      DedupOps.q108Probe(spark, probeBatch).collect().toList }
+    assert(maintained === fresh)
+    probeBatch.unpersist()
+  }
+
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
