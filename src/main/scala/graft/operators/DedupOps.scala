@@ -1021,6 +1021,30 @@ object DedupOps {
         coalesce(col("new_root"), col("root")).as("root"))
   }
 
+  // --- 127. incremental connected components as a REGISTERED query (r6) --
+  /** [[ccDelta]] under the driver's oracle: the MinHash near-dup edge
+    * set splits deterministically (same knob as the PageRank delta,
+    * GraphOps.DeltaSplitMod) into a base graph and a delta batch; full
+    * CC labels the base, then the quotient-graph delta update folds the
+    * batch in. The ORACLE replays full CC over ALL edges ([[q74Sql]]'s
+    * recursive CTE on the same pair set) — the hash compare IS the
+    * delta ≡ full-recompute equivalence, guarded round-over-round.
+    * Output is q74-shaped (doc_id, root, is_keeper). */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairs50(s, dir).select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val isDelta = (col("id_a") + col("id_b")) % GraphOps.DeltaSplitMod === 0
+    val base = connectedComponents(pairs.filter(!isDelta), docs)
+      .select(col("doc_id"), col("root"))
+    ccDelta(base, pairs.filter(isDelta), docs)
+      .select(col("doc_id"), col("root"),
+        when(col("doc_id") === col("root"), 1).otherwise(0).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full-recompute replay over the merged edge set — delta ≡ full. */
+  lazy val q127Sql: String = q74Sql
+
   /** Corpus-snapshot build: both artifacts bucketed on their probe key. */
   private[graft] def q108Write(s: SparkSession, oldSh: DataFrame): Unit = {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -1953,5 +1977,6 @@ object DedupOps {
     Op("q119_span_source_incremental", q119, Some(q119Sql)),
     Op("q122_incremental_admission", q122, Some(q122Sql)),
     Op("q117_decontaminate_spans", q117, Some(q117Sql)),
+    Op("q127_cc_delta", q127, Some(q127Sql)),
   )
 }

@@ -556,11 +556,41 @@ object GraphOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- 126. incremental PageRank as a REGISTERED query (r6) --------------
+  /** Fraction knob for the registered delta split: edges with
+    * (id_a+id_b) % mod == 0 form the "daily batch". */
+  val DeltaSplitMod = 5
+
+  /** [[pagerankDelta]] under the driver's oracle: the near-dup edge set
+    * splits deterministically into a base graph and a delta batch; a
+    * full per-round history is computed over the base, then the delta
+    * update runs against it. The ORACLE replays the full `Iters`-round
+    * PageRank over ALL edges ([[q95Sql]]'s CTE chain on the same pair
+    * set) — so the driver's hash compare IS the delta ≡ full-recompute
+    * equivalence, guarded round-over-round instead of spec-only.
+    *
+    * Scale shape: history build is the q95 plan over the base graph
+    * (each round one join + agg, checkpoint-truncated); the delta
+    * update touches only the delta's t-hop merged-graph ball per round
+    * (see [[pagerankDelta]]) — a daily batch against a 100 TB graph
+    * costs ∝ ball, not ∝ graph. */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val isDelta = (col("id_a") + col("id_b")) % DeltaSplitMod === 0
+    val hist = pagerankHistory(pairs.filter(!isDelta), docs)
+    pagerankDelta(hist, pairs.filter(!isDelta), pairs.filter(isDelta), docs)
+  }
+
+  /** Full-recompute replay over the merged edge set — delta ≡ full. */
+  lazy val q126Sql: String = q95Sql
+
   val ops: Seq[Op] = Seq(
     Op("q95_pagerank", q95, Some(q95Sql)),
     Op("q97_keeper_by_rank", q97, Some(q97Sql)),
     Op("q106_keeper_policy", q106, Some(q106Sql)),
     Op("q110_keeper_weighted", q110, Some(q110Sql)),
     Op("q111_pagerank_personalized", q111, Some(q111Sql)),
+    Op("q126_pagerank_delta", q126, Some(q126Sql)),
   )
 }
