@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Second-engine wall-clock baseline (dev tool only — the shipped library
+is pure Scala/Spark). Times a HEADLINE subset of the oracle SQL in DuckDB
+over the same parquet tables Bench reads, best-of-2 per query, and writes
+BASELINE_DUCKDB.json. graft.Bench picks that file up and emits the
+spark/duckdb wall-clock ratio on its JSON line, making `bench_vs_baseline`
+a measured number instead of a convention.
+
+The headline set spans the engine's families (relational agg/join/window,
+sessionization, TF-IDF, eval metrics, inverted-index + MinHash dedup,
+BM25, DSIR selection, order-statistics gate) while staying inside what
+DuckDB expresses efficiently — the recursive-CTE graph replays and the
+persisted-artifact probes are correctness oracles, not fair timing
+baselines (DuckDB re-materializes the whole index per run).
+
+Usage: python3 scripts/baseline_duckdb.py <sfDir> <oracle_sql.json> [out]
+  oracle_sql.json: as dumped by graft.Verify (any SF's dump works — the
+  SQL is SF-independent; tables come from <sfDir>).
+"""
+import sys, os, json, time
+import duckdb
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_join_agg", "q9_topk", "q28_sessionize",
+    "q36_tfidf", "q40_wss95", "q49_dedup_ngram_jaccard",
+    "q50_dedup_minhash", "q103_bm25", "q121_dsir_select",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(oracle_json))
+    res = {}
+    for q in HEADLINE:
+        sql = oracle[q]
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            ts.append(time.perf_counter() - t0)
+        res[q] = round(min(ts), 3)
+        print(f"{q}: {res[q]}s", file=sys.stderr)
+    out = {"engine": "duckdb", "version": duckdb.__version__,
+           "sf": os.path.basename(os.path.normpath(sf_dir)),
+           "queries": res, "total": round(sum(res.values()), 3)}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -86,7 +86,32 @@ object Bench {
         s""","spread":{"n2x":${noisy.size},"worst":"${k.takeWhile(_ != '_')}","delta":${d3(hi - lo)}}"""
       case None => ""","spread":{"n2x":0}"""
     }
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$spread}""")
+    // Second-engine wall clock (r5 VERDICT #7): scripts/baseline_duckdb.py
+    // times a 10-query headline subset of the oracle SQL in DuckDB on the
+    // same parquet/host and commits BASELINE_DUCKDB.json; when that file's
+    // SF matches this run, emit spark-total / duckdb-total over exactly
+    // those queries — bench_vs_baseline as a measured ratio (<1 = Spark
+    // faster). Absent/mismatched file ⇒ the field is simply omitted.
+    val baseline = try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_DUCKDB.json")
+      val f = new java.io.File(path)
+      if (!f.isFile) ""
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(m => sfDir.endsWith(m.group(1)))
+        val duckQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap -- Seq("total")
+        val mine = results.collect {
+          case (k, v, _) if v >= 0 && duckQ.contains(k) => v }
+        if (!sfOk || mine.size != duckQ.size) ""
+        else {
+          val duckTotal = duckQ.values.sum
+          s""","baseline":{"engine":"duckdb","n":${duckQ.size},"duck_sec":${d3(duckTotal)},"spark_sec":${d3(mine.sum)},"ratio":${d3(mine.sum / duckTotal)}}"""
+        }
+      }
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$spread$baseline}""")
     spark.stop()
   }
 }
