@@ -559,6 +559,13 @@ object PipelineOps {
   /** Doc-level raw/cleaned token masses over the q112 population —
     * (doc_id, lang, rt, ct); shared by q114 (per-lang aggregate) and
     * q116 (re-sampling membership). */
+  /** [[q114Docs]] through the [[graft.SharedRelations]] memo — the
+    * consumers (q116/q118/q123) share one materialization with a real
+    * release lifecycle; q114 itself builds fresh so its bench entry
+    * times the actual span pipeline (the q50/q70 convention). */
+  private def q114DocsShared(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("q114docs", dir)(q114Docs(s, dir))
+
   private def q114Docs(s: SparkSession, dir: String): DataFrame = {
     val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
     val cleaned = DedupOps.cleanedDocs(s, dir)
@@ -672,8 +679,12 @@ object PipelineOps {
   def q116(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Num
     // one span-pipeline build feeds both the policy aggregate and the
-    // sampling join — the doc relation is 4 scalars per population doc
-    val docs = q114Docs(s, dir).cache()
+    // sampling join — and q116/q118/q123 all start from the same
+    // relation (4 scalars per population doc), so it lives in the
+    // SharedRelations memo: one materialization per (relation, dir),
+    // released at the family boundary / by a library caller's clear()
+    // instead of leaking per-invocation caches (r5 ADVICE)
+    val docs = q114DocsShared(s, dir)
     val policy = q114PolicyOf(docs).select(col("lang"), col("rate_micros"))
     docs
       .join(broadcast(policy), Seq("lang"))
@@ -752,7 +763,7 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
 
   def q118(s: SparkSession, dir: String): DataFrame = {
-    val docs = q114Docs(s, dir).cache() // shared: policy aggregate + sampling join
+    val docs = q114DocsShared(s, dir) // policy aggregate + sampling join
     buildAt(docs, q114PolicyOf(docs).select(col("lang"), col("rate_micros")))
   }
 
@@ -791,10 +802,17 @@ object PipelineOps {
     * q123 (the build that samples at these rates). */
   private[graft] def q120PolicyOf(g0: DataFrame): DataFrame = {
     import graft.functions.Num
+    // localCheckpoint, not cache: this ≤|languages| aggregate backs the
+    // MixFixpointRounds scalar reads AND the returned plan; registered
+    // blocks are released per-op by the harness or a caller's scoped{}
+    // where a bare cache leaked until somebody's clearCache (r5 ADVICE)
     val g = g0
       .select(col("lang"), col("n_docs"), col("raw_tokens"),
         col("clean_tokens"), col("eighths"), (col("eighths") * col("raw_tokens")).as("tw"))
-      .cache()
+      .localCheckpoint()
+    g.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
     val tot = g.agg(sum(col("tw")).as("tws"), sum(col("clean_tokens")).as("t0")).head()
     val (tws, t0) = (tot.getAs[Long]("tws"), tot.getAs[Long]("t0"))
     // tw·10⁶ and share·T exceed int64 at ≳10¹² corpus tokens — both
@@ -873,7 +891,7 @@ object PipelineOps {
     * fixpoint adds [[MixFixpointRounds]] scalar reads over the
     * ≤\|languages\| aggregate). */
   def q123(s: SparkSession, dir: String): DataFrame = {
-    val docs = q114Docs(s, dir).cache() // shared: policy aggregate + sampling join
+    val docs = q114DocsShared(s, dir) // policy aggregate + sampling join
     buildAt(docs, q120PolicyOf(q114PolicyOf(docs))
       .select(col("lang"), col("rate_micros")))
   }
@@ -902,21 +920,35 @@ object PipelineOps {
     * side is eval-sized by premise; top-N is TakeOrderedAndProject
     * (spec-pinned), never a global sort. At 100 TB nothing here holds
     * more than m rows of state outside one corpus-linear pass. */
+  /** Feature-hash width m. 1024 is the registered default; the width is
+    * the collision/selectivity knob: at m buckets the expected fraction
+    * of feature mass sharing a bucket with an unrelated feature is
+    * ≈ 1 − (1 − 1/m)^(V−1) for vocabulary V — at V ≈ 10⁶ (a realistic
+    * web-corpus n-gram vocab), m = 1024 aliases essentially everything
+    * (coarse topical resolution, tiny model), while m = 2²⁰ keeps
+    * expected collisions ≈ V/m ≈ 1 per bucket (near-exact ratios). The
+    * model stays broadcast either way: m int64 pairs is 16 KB at the
+    * default and ~17 MB at 2²⁰ — still a map-side table (Spark's
+    * broadcast ceiling is 8 GB; DsirWidthSpec pins the broadcast plan
+    * at 2²⁰ on real data). Width changes scores, so the registered
+    * width is part of the operator's contract (oracle replays it). */
   val DsirBuckets = 1024
   val DsirTopN = 100
 
-  private def dsirBucket(f: Column): Column =
+  private def dsirBucket(f: Column, m: Int): Column =
     conv(substring(md5(concat(lit("dsir:"), f)), 1, 15), 16, 10)
-      .cast("long") % DsirBuckets
+      .cast("long") % m
 
-  def q121(s: SparkSession, dir: String): DataFrame = {
-    val m = DsirBuckets
+  def q121(s: SparkSession, dir: String): DataFrame =
+    q121Of(graft.Tables.documents(s, dir), DsirBuckets, DsirTopN)
+
+  /** [[q121]] at an arbitrary feature width (the scale knob above). */
+  private[graft] def q121Of(docs: DataFrame, m: Int, topN: Int): DataFrame = {
     def feats(df: DataFrame): DataFrame = df
       .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(concat(col("toks"), graft.text.Text.shingles(col("toks"), 2))).as("f"))
-      .select(col("doc_id"), dsirBucket(col("f")).as("b"))
-    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), dsirBucket(col("f"), m).as("b"))
     val target = feats(docs.filter(col("doc_id") % 97 === 0))
     // ONE corpus explode: the per-(doc, bucket) counts are the scoring
     // relation AND roll up to the model's bucket counts + total
@@ -941,7 +973,7 @@ object PipelineOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("lr_micros")).as("score_micros"))
       .orderBy(col("score_micros").desc, col("doc_id"))
-      .limit(DsirTopN)
+      .limit(topN)
   }
 
   lazy val q121Sql: String = {

@@ -453,4 +453,51 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       assert(got.exists { case (id, _) => dupIds(id) },
         s"no cross-split duplicate of the target in the top-${PipelineOps.DsirTopN}")
   }
+
+  test("q121 DSIR at 2^20 buckets: model stays a broadcast map-side table") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SF)
+    // the registered width, via the parameterized form — one path
+    val narrow = PipelineOps.q121Of(docs, PipelineOps.DsirBuckets, PipelineOps.DsirTopN)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(narrow === PipelineOps.q121(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList)
+    // realistic width: 2^20 buckets ≈ one expected collision per bucket
+    // at web-scale n-gram vocabularies (~17 MB of model — far under any
+    // broadcast ceiling)
+    val wide = PipelineOps.q121Of(docs, 1 << 20, PipelineOps.DsirTopN)
+    val plan = wide.queryExecution.executedPlan.toString
+    // the lr model must reach the scoring join as a BROADCAST — a width
+    // that demoted it to a shuffle join would put an m-row exchange on
+    // the corpus-linear scoring path
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"lr model not broadcast at 2^20 buckets:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val wideRows = wide.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(wideRows.nonEmpty && wideRows.length <= PipelineOps.DsirTopN)
+    assert(wideRows.sortBy(t => (-t._2, t._1)) === wideRows)
+    wideRows.foreach { case (id, _) => assert(id % 97 != 0) }
+    // finer buckets = fewer aliased features: widening can only grow the
+    // number of distinct populated buckets (collisions merge, never
+    // split), approaching the true vocabulary size from below — the
+    // collision/selectivity trade the width doc describes
+    def populated(m: Int) = docs
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+      .select(explode(concat(col("toks"),
+        graft.text.Text.shingles(col("toks"), 2))).as("f"))
+      .select((conv(substring(md5(concat(lit("dsir:"), col("f"))), 1, 15), 16, 10)
+        .cast("long") % m).as("b"))
+      .distinct().count()
+    val vocab = docs
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+      .select(explode(concat(col("toks"),
+        graft.text.Text.shingles(col("toks"), 2))).as("f"))
+      .select(col("f")).distinct().count()
+    val popNarrow = populated(PipelineOps.DsirBuckets)
+    val popWide = populated(1 << 20)
+    assert(popNarrow <= popWide && popWide <= vocab,
+      s"bucket population not monotone in width: $popNarrow / $popWide / vocab $vocab")
+    assert(popWide > popNarrow,
+      s"widening resolved no collisions at vocab $vocab — test vacuous")
+  }
 }
