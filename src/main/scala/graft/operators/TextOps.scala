@@ -924,8 +924,9 @@ object TextOps {
     * [[graft.functions.OrderStats.keysAtRanks]] — aggregate-only
     * refinement passes, so no global sort ever materializes the corpus
     * — resolved to a VALUE gate: ties at the cut are all kept
-    * (deterministic and oracle-replayable; the kept count can exceed
-    * n/4 only under score ties, by construction).
+    * (deterministic and oracle-replayable; ascending rank ⌈0.75n⌉ keeps
+    * n − ⌈0.75n⌉ + 1 = ⌊n/4⌋ + 1 docs tie-free — one past a strict
+    * quartile — plus whatever ties share the cut score; r5 ADVICE).
     *
     * Scale shape: scoring is q36/q38's own plans; the order statistic
     * is O(log range) aggregate passes over (score, id); the gate is one
@@ -933,7 +934,17 @@ object TextOps {
     * the threshold itself. */
   def q125(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = q38(s, dir).select(col("doc_id"), col("score")).cache()
+    // localCheckpoint, not cache: the snapshot backs the count, the
+    // OrderStats refinement passes AND the returned plan, and its blocks
+    // are OWNED ([[graft.CheckpointRegistry]]) — released per-op by the
+    // harness or by a library caller's `scoped {}` — where a bare cache
+    // leaked until somebody's clearCache (r5 ADVICE). Two int64-class
+    // columns per doc, the documented snapshot size class.
+    val scored = q38(s, dir).select(col("doc_id"), col("score"))
+      .localCheckpoint()
+    scored.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
     val n = scored.count()
     val k = math.max(1L, (3 * n + 3) / 4) // ceil(0.75·n), ascending rank
     val thr = graft.functions.OrderStats.keysAtRanks(

@@ -17,6 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Single source of truth for [[spanDedupVsIndex]]'s state-eviction
+    * delay: the watermark string and the per-doc timeout timestamp are
+    * both derived from it — editing one without the other would either
+    * let state outlive the watermark or make setTimeoutTimestamp throw
+    * for late-but-admitted rows (r5 ADVICE). */
+  private val SpanStateDelaySec = 3600L
+  private val SpanStateDelayStr = s"$SpanStateDelaySec seconds"
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
@@ -258,7 +266,7 @@ object StreamOps {
         posexplode(Text.shingles(Text.tokens(col("text")), k)).as(Seq("p0", "sh")))
       .join(indexShingles.select(col("sh")), Seq("sh"), "left_semi")
       .select(col("doc_id"), col("ts"), (col("p0") + 1).cast("long").as("pos"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", SpanStateDelayStr)
       .as[SpanHit]
     hits
       .groupByKey(_.doc_id)
@@ -286,7 +294,7 @@ object StreamOps {
               // + delay (NOT currentWatermark + delay: that is 0-based on
               // the first batch and would expire live state immediately)
               state.setTimeoutTimestamp(
-                rows.map(_.ts.getTime).max + 3600L * 1000)
+                rows.map(_.ts.getTime).max + SpanStateDelaySec * 1000)
               Iterator(SpanUpd(docId, ns.seq, merged.size.toLong,
                 merged.map { case (s, e) => e - s + 1 }.sum,
                 merged.map { case (s, e) => s"$s-$e" }.mkString(",")))
