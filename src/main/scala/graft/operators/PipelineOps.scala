@@ -1071,6 +1071,58 @@ object PipelineOps {
        |ORDER BY source, lang""".stripMargin
   }
 
+  // --- 129. context-window chunking (r6) ----------------------------------
+  /** Fixed-width STRIDED sequence chunking — the pass that turns cleaned
+    * documents into pretraining sequences: each doc's token stream is
+    * cut into windows of [[ChunkW]] tokens starting every [[ChunkStride]]
+    * positions (overlap = W − S tokens, the continuity standard
+    * pretraining loaders keep across chunk boundaries), the final
+    * partial window included so no token is dropped. Emits (doc_id,
+    * chunk_id, start, fin, n_tokens, text_chunk).
+    *
+    * Scale shape: pure per-doc map — `sequence` generates the ≤ ⌈n/S⌉
+    * start positions, `posexplode` + codegen'd `slice`/`concat_ws` cut
+    * the windows; no join, no aggregation, the only shuffle is the
+    * deterministic-readout sort (which a production pipeline drops —
+    * chunks feed the shard-pack shuffle downstream, q83's job). Output
+    * rows ≈ tokens/S: corpus-linear with a 1/S constant. */
+  val ChunkW = 32
+  val ChunkStride = 24
+
+  def q129(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1L), col("n"), lit(ChunkStride.toLong)))
+          .as(Seq("i0", "start")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("chunk_id"),
+        col("start"),
+        least(col("start") + (ChunkW - 1), col("n")).as("fin"),
+        col("toks"))
+      .withColumn("n_tokens", col("fin") - col("start") + 1)
+      .withColumn("text_chunk",
+        concat_ws(" ", slice(col("toks"), col("start"), col("n_tokens"))))
+      .select(col("doc_id"), col("chunk_id"), col("start"), col("fin"),
+        col("n_tokens"), col("text_chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  lazy val q129Sql: String =
+    s"""WITH t AS (SELECT doc_id, ${graft.text.Text.toksSql} AS toks FROM documents),
+       |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+       |  WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, toks, n, CAST(start AS BIGINT) AS start,
+       |    least(CAST(start AS BIGINT) + ${ChunkW - 1}, n) AS fin
+       |  FROM tt, unnest(generate_series(1, n, $ChunkStride)) AS u(start))
+       |SELECT doc_id,
+       |  (start - 1) // $ChunkStride + 1 AS chunk_id,
+       |  start, fin, fin - start + 1 AS n_tokens,
+       |  array_to_string(toks[start:fin], ' ') AS text_chunk
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -1088,5 +1140,6 @@ object PipelineOps {
     Op("q121_dsir_select", q121, Some(q121Sql)),
     Op("q123_training_build_fixpoint", q123, Some(q123Sql)),
     Op("q124_corpus_drift", q124, Some(q124Sql)),
+    Op("q129_context_chunks", q129, Some(q129Sql)),
   )
 }

@@ -968,6 +968,76 @@ object TextOps {
        |WHERE score >= (SELECT s FROM thr)
        |ORDER BY doc_id""".stripMargin
 
+  // --- 128. vocabulary truncation: the ACTION behind q92's readout (r6) ---
+  /** Rewrite every doc's token stream onto a fixed top-K vocabulary,
+    * replacing out-of-vocabulary tokens with [[UnkToken]] — the
+    * vocabulary-truncation pass a tokenizer-training / embedding-table
+    * pipeline runs after q92 has MEASURED coverage: emit per doc the
+    * token count, OOV count, OOV rate (half-away micros lattice) and
+    * the rewritten text.
+    *
+    * The vocabulary is top-[[VocabTruncK]] by (count DESC, token ASC) —
+    * a deterministic total order, so both engines pick the identical
+    * set. K is a CONSTANT: the collected vocabulary is driver-sized by
+    * construction (the q105 probed-cell class), and inlining it as a
+    * literal array turns the rewrite into a per-row array transform
+    * against a 16-element literal — no join, no second shuffle, corpus
+    * cost = one count aggregate + one linear rewrite pass. (`toks` is
+    * projected to an attribute BEFORE the lambdas so the higher-order
+    * functions reference the materialized array, not the tokenizer
+    * expression — the [[graft.text.Text.shingles]] re-evaluation trap.)
+    * At 100 TB a realistic K (50k–250k) broadcasts instead of inlining;
+    * the shape is otherwise unchanged. */
+  val VocabTruncK = 16
+  val UnkToken = "<unk>"
+
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+    val vocab = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(VocabTruncK)
+      .collect().map(_.getString(0)).sorted
+    val vlit = array(vocab.map(lit(_)): _*)
+    toks
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), t => !array_contains(vlit, t)).as("oov"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("oov")).cast("long").as("n_oov"),
+        concat_ws(" ", transform(col("toks"),
+          t => when(array_contains(vlit, t), t).otherwise(lit(UnkToken))))
+          .as("text_trunc"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(Num.ratio6(col("n_oov"), col("n_tokens"))))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"),
+        col("text_trunc"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q128Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |vc AS (SELECT token, COUNT(*) AS c
+       |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token
+       |  ORDER BY c DESC, token LIMIT $VocabTruncK),
+       |vl AS (SELECT list(token) AS vs FROM vc),
+       |r AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> NOT list_contains(vs, x))) AS n_oov,
+       |    array_to_string(list_transform(toks,
+       |      x -> CASE WHEN list_contains(vs, x) THEN x ELSE '$UnkToken' END),
+       |      ' ') AS text_trunc
+       |  FROM t, vl)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CASE WHEN n_tokens = 0 THEN 0.0
+       |    ELSE ${graft.functions.Num.idivHalfAwaySql(
+                  "n_oov * 1000000", "n_tokens")} / 1000000.0 END AS oov_rate,
+       |  text_trunc
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
@@ -992,5 +1062,6 @@ object TextOps {
     Op("q102_heavy_hitters_grouped", q102, Some(q102Sql)),
     Op("q103_bm25", q103, Some(q103Sql)),
     Op("q125_quantile_gate", q125, Some(q125Sql)),
+    Op("q128_vocab_truncate", q128, Some(q128Sql)),
   )
 }

@@ -176,4 +176,82 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     if (dropped.nonEmpty && kept.nonEmpty)
       assert(kept.values.min >= dropped.map(all).max)
   }
+
+  test("q128 vocab truncation: joinless literal rewrite, exact OOV accounting") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val df = TextOps.q128(spark, SF)
+    // the vocabulary is a driver-sized literal: the rewrite plan has NO
+    // join operator (a per-token vocab join would shuffle the corpus
+    // twice) — match operator names, not the substring "join": the
+    // corpus vocabulary itself contains the token "join", which shows
+    // up inside the plan's literal array
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(op =>
+      assert(!plan.contains(op), s"vocab rewrite plans a $op:\n$plan"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    // the rewrite is length-preserving and the unk count IS n_oov
+    rows.foreach { case (id, n, oov, rate, txt) =>
+      val toks = if (txt.isEmpty) Array.empty[String] else txt.split(" ")
+      assert(toks.length.toLong === n, s"doc $id length changed")
+      assert(toks.count(_ == TextOps.UnkToken).toLong === oov, s"doc $id unk count")
+      assert(oov <= n)
+      if (n > 0) assert(math.abs(rate - oov.toDouble / n) < 1e-6)
+    }
+    // truncation engaged both ways: some token survived, some was cut
+    assert(rows.exists(_._3 > 0), "no OOV token — widen the corpus or shrink K")
+    assert(rows.exists(r => r._2 > r._3), "everything OOV — vocabulary broken")
+    // surviving vocabulary is exactly top-K: every non-unk token of the
+    // rewrite is among the K most frequent corpus tokens
+    val topK = Tables.documents(spark, SF)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(TextOps.VocabTruncK)
+      .collect().map(_.getString(0)).toSet
+    rows.flatMap(_._5.split(" ")).filter(t => t.nonEmpty && t != TextOps.UnkToken)
+      .foreach(t => assert(topK(t), s"non-vocab token '$t' survived"))
+  }
+
+  test("q129 context chunking: lossless strided coverage, map-only plan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.PipelineOps
+    val df = PipelineOps.q129(spark, SF)
+    // single map stage: the ONLY exchange is the deterministic-readout
+    // sort (production drops it) — no aggregation, no join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val chunks = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5)))
+    val toks = Tables.documents(spark, SF)
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val t = toks(id)
+      val sorted = cs.sortBy(_._2)
+      // strided starts, W-bounded windows, last window reaches the end
+      sorted.zipWithIndex.foreach { case ((_, cid, start, fin, n, txt), i) =>
+        assert(cid === i + 1L)
+        assert(start === i * PipelineOps.ChunkStride + 1L)
+        assert(fin === math.min(start + PipelineOps.ChunkW - 1, t.length.toLong))
+        assert(n === fin - start + 1)
+        // exact reconstruction of the original slice
+        assert(txt === t.slice(start.toInt - 1, fin.toInt).mkString(" "))
+      }
+      assert(sorted.last._4 === t.length.toLong, s"doc $id tail dropped")
+      // consecutive chunks overlap by W−S (except a short tail)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (_, _, s1, f1, _, _) = pair(0)
+        val (_, _, s2, _, _, _) = pair(1)
+        assert(s2 - s1 === PipelineOps.ChunkStride.toLong)
+        if (f1 - s1 + 1 == PipelineOps.ChunkW)
+          assert(f1 - s2 + 1 === (PipelineOps.ChunkW - PipelineOps.ChunkStride).toLong)
+      }
+    }
+    // every non-empty doc is covered
+    assert(chunks.map(_._1).toSet === toks.filter(_._2.nonEmpty).keySet)
+  }
 }
