@@ -848,6 +848,16 @@ object SimOps {
       .foreach(g => graft.GenManifest.rmTree(annIndexVecsDir(base, g)))
   }
 
+  /** Data files in the CURRENT generation's payload — the compaction
+    * trigger for scheduled maintenance (each append lands one file set
+    * per cell directory). */
+  private[graft] def annIndexFileCount(base: java.io.File): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(annIndexVecsDir(base, annIndexGen(base)))
+  }
+
   private def annIndexEncodeInto(s: SparkSession, base: java.io.File,
       gen: Long, vecs: DataFrame, overwrite: Boolean): Unit = {
     val (cellsRow, cbRow) = annIndexModel(s, base)

@@ -335,6 +335,57 @@ object StreamOps {
     }
   }
 
+  /** [[annServe]] WITH SCHEDULED MAINTENANCE — the q122 treatment for
+    * vectors: each arriving micro-batch `(vec_id, embedding)` is FIRST
+    * answered against the index as of its arrival (the exact q105
+    * serving path — map-side cell probe, partition-pruned scan, ADC
+    * shortlist, exact rerank), THEN encoded with the artifact's FROZEN
+    * model and folded in by partitioned append; once the current
+    * generation's file count passes `compactAtFiles`, compaction
+    * rewrites it at a new generation (manifest-published — readers
+    * pinned at an old generation are undisturbed). Later batches
+    * therefore search snapshot ∪ everything that arrived before them —
+    * sequential daily-batch semantics at micro-batch granularity.
+    *
+    * Zero stream state: the artifact owns all persistence (appends
+    * never move an existing vector's cell or code — the frozen-model
+    * invariant — so batch results are independent of file layout and
+    * re-delivery just re-appends rows an id-keyed consumer dedups).
+    * The model row/codebook are read once at wiring and broadcast per
+    * batch; per-batch IO stays |probed cells| / |cells| of the index
+    * plus one arrival-sized encode. [[graft.operators.SimOps.annIndexDrift]]
+    * remains the when-to-rebuild signal as appends accumulate.
+    *
+    * `arrivals`: streaming (vec_id, embedding). `sink` receives each
+    * batch's ranked results BEFORE the batch joins the index. Caller
+    * starts/stops the query. */
+  def annServeMaintained(arrivals: DataFrame, base: java.io.File, k: Int,
+      compactAtFiles: Int = 64)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.SimOps
+    arrivals.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val (cellsRow, cbRow) = SimOps.annIndexModel(s, base)
+      val b = batch.cache()
+      try graft.CheckpointRegistry.scoped {
+        // decisions frozen BEFORE the append lands files in the same
+        // generation directory — a batch answers against the index as
+        // of its arrival, never against itself; blocks die with the
+        // batch (the admitServeMaintained contract)
+        val res = SimOps.annIndexSearch(SimOps.annIndexVecs(s, base),
+          SimOps.probeCells(SimOps.withNorm(b), cellsRow, SimOps.IdxNProbe),
+          cbRow, k).localCheckpoint()
+        res.queryExecution.analyzed
+          .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+          .foreach(r => graft.CheckpointRegistry.register(r))
+        sink(res)
+        SimOps.annIndexAppend(s, base, b.select(col("vec_id"), col("embedding")))
+        if (SimOps.annIndexFileCount(base) > compactAtFiles)
+          SimOps.annIndexCompact(s, base)
+      } finally b.unpersist(blocking = false)
+    }
+  }
+
   /** Streaming span CLEANING against a static corpus shingle set — the
     * action to [[spanDedupVsIndex]]'s readout: every k-window of an
     * arriving doc that already exists in the corpus is cut before the

@@ -381,6 +381,79 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     cellsRow.unpersist(); cbRow.unpersist()
   }
 
+  test("streaming ANN serving with maintenance ≡ sequential search-then-append lifecycle") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.SimOps
+    val e = Tables.embeddings(spark, SF)
+    val snapshot = e.filter(col("vec_id") % 4 =!= 0)
+    val arriving = e.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    def shot(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+
+    // ---- sequential batch lifecycle: search as-of arrival, then append ----
+    val refBase = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annserve_ref-${spark.sparkContext.applicationId}")
+    TempArtifacts.register(refBase)
+    SimOps.annIndexWrite(spark, refBase, snapshot)
+    val (cells, cb) = SimOps.annIndexModel(spark, refBase)
+    def searchRef(vs: Seq[(Long, Array[Float])]) = shot(SimOps.annIndexSearch(
+      SimOps.annIndexVecs(spark, refBase),
+      SimOps.probeCells(SimOps.withNorm(
+        spark.createDataFrame(vs).toDF("vec_id", "embedding")), cells, SimOps.IdxNProbe),
+      cb, SimOps.IdxK))
+    def appendRef(vs: Seq[(Long, Array[Float])]) = SimOps.annIndexAppend(spark,
+      refBase, spark.createDataFrame(vs).toDF("vec_id", "embedding"))
+    val want1 = searchRef(b1.toSeq); appendRef(b1.toSeq)
+    val want2 = searchRef(b2.toSeq); appendRef(b2.toSeq)
+
+    // ---- the maintained stream over the same batches ----
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annserve_m-${spark.sparkContext.applicationId}")
+    TempArtifacts.register(base)
+    SimOps.annIndexWrite(spark, base, snapshot)
+    val gen0 = SimOps.annIndexGen(base)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val batches = scala.collection.mutable.ArrayBuffer[List[(Long, Long, Double, Long)]]()
+    val ckBefore = CheckpointRegistry.liveCount
+    // threshold low enough that the b1 append trips a compaction before
+    // b2 is served — the mid-run maintenance case
+    val q = StreamOps.annServeMaintained(ms.toDF().toDF("vec_id", "embedding"),
+        base, SimOps.IdxK, compactAtFiles = 1) { out => batches += shot(out) }.start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally { q.stop() }
+    assert(CheckpointRegistry.liveCount === ckBefore,
+      "maintained ANN serving leaked checkpoint registrations")
+    assert(batches.length === 2)
+    assert(batches(0) === want1)
+    assert(batches(1) === want2)
+    // cross-batch effect: some b2 arrival ranked a b1 arrival among its
+    // neighbors — impossible against the static snapshot
+    assert(want2.exists { case (_, n, _, _) => n % 4 == 0 },
+      "no cross-batch neighbor — split too coarse to exercise maintenance")
+    // maintenance really ran: at least one compaction advanced the
+    // generation, and the final artifact ≡ fresh encode of the union
+    // under the frozen model (probes bit-identical)
+    assert(SimOps.annIndexGen(base) > gen0, "no compaction fired")
+    val probeAll = SimOps.probeCells(SimOps.withNorm(SimOps.testQueries(e)),
+      cells, SimOps.IdxNProbe)
+    val got = shot(SimOps.annIndexSearch(SimOps.annIndexVecs(spark, base),
+      probeAll, cb, SimOps.IdxK))
+    val fresh = shot(SimOps.annIndexSearch(
+      SimOps.pqEncode(SimOps.assignToCells(SimOps.withNorm(
+        snapshot.unionByName(spark.createDataFrame(arriving.toSeq)
+          .toDF("vec_id", "embedding"), allowMissingColumns = true)
+          .select(col("vec_id"), col("embedding"))), cells), cb)
+        .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+          col("cell_id").cast("int").as("cell_id")),
+      probeAll, cb, SimOps.IdxK))
+    assert(got === fresh)
+  }
+
   test("streaming span cleaning ≡ batch clean-vs-index; cut tokens ≡ detection spans") {
     implicit val ctx = spark.sqlContext
     import graft.text.Text
