@@ -915,6 +915,123 @@ object TextOps {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  // --- 130. incremental BM25 vs a persisted term-stats artifact (r6) -------
+  /** The arrival model for RETRIEVAL: q103 scores a query against the
+    * corpus by rescanning it; q130 persists the corpus-side statistics
+    * ONCE — a vocabulary-sized per-term document-frequency table
+    * (bucketed on `tok`, the q108 artifact pattern) plus a totals row
+    * (n_docs, sum_len ⇒ avgdl) — and then scores each ARRIVING batch
+    * against the standing query with those frozen stats: route new docs
+    * to standing queries without touching the corpus again.
+    *
+    * Stats are PARTIAL-ROW additive (docs are batch-disjoint, so df and
+    * the totals just sum): [[q130Append]] folds a batch in by appending
+    * its per-term partials and one totals row; probes aggregate the ≤
+    * (batches) partials per probed term — an aggregating compaction is
+    * the obvious [[graft.operators.DedupOps.compactBucketed]] extension
+    * if partial counts ever matter. A term unseen in the snapshot
+    * scores with df = 0 (the standard BM25 idf still well-defined).
+    *
+    * Scale shape: write = one distinct-token explode + groupBy over the
+    * snapshot (paid once); probe = arrival-sized explode filtered to
+    * the query terms, the df side pruned to ≤|query| rows (bucket/
+    * filter pushdown on the artifact scan — spec-pinned, the corpus is
+    * NEVER rescanned) and broadcast; same integer-micros scoring
+    * lattice as q103. Top-K is TakeOrderedAndProject. */
+  private def bm25Base(s: SparkSession): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25index-${s.sparkContext.applicationId}")
+
+  private[graft] def q130Write(s: SparkSession, snap: DataFrame): Unit = {
+    val base = bm25Base(s)
+    graft.TempArtifacts.register(base)
+    Seq("g130_df", "g130_totals").foreach(Bucketed.reset(s, base, _))
+    snap.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.bucketBy(DedupOps.IndexBuckets, "tok")
+      .option("path", new java.io.File(base, "g130_df").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g130_df")
+    snap.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_len"))
+      .coalesce(1).write
+      .option("path", new java.io.File(base, "g130_totals").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g130_totals")
+    graft.GenManifest.publish(base, "g130_df", 0L)
+  }
+
+  /** Fold an accepted batch into the stats artifact (partial rows). */
+  private[graft] def q130Append(s: SparkSession, batch: DataFrame): Unit = {
+    batch.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.bucketBy(DedupOps.IndexBuckets, "tok")
+      .mode("append").saveAsTable("g130_df")
+    batch.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_len"))
+      .coalesce(1).write.mode("append").saveAsTable("g130_totals")
+  }
+
+  /** Score an arriving batch `(doc_id, toks)` for `query` against the
+    * persisted stats — batch-sized work, corpus untouched. */
+  private[graft] def q130Probe(s: SparkSession, arrivals: DataFrame,
+      query: Seq[String]): DataFrame = {
+    val tot = s.table("g130_totals")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_len")).as("sum_len"))
+    val dft = s.table("g130_df").filter(col("tok").isin(query: _*))
+      .groupBy(col("tok")).agg(sum(col("df")).as("dft"))
+    val tf = arrivals
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(dft), Seq("tok"), "left").na.fill(0L, Seq("dft"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))))
+      .withColumn("norm", lit(0.25) +
+        lit(0.75) * (col("dl") * col("n_docs")) / col("sum_len"))
+      .withColumn("sm",
+        round((col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * col("norm")))) * lit(1000000L), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sm")).as("s"))
+      .select(col("doc_id"), col("n_terms"), (col("s") / 1000000.0).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val mod = DedupOps.IncrSplitMod
+    val d = docsWithToks(s, dir).select(col("doc_id"), col("toks"))
+    q130Write(s, d.filter(col("doc_id") % mod =!= 0))
+    q130Probe(s, d.filter(col("doc_id") % mod === 0), Bm25Query)
+  }
+
+  lazy val q130Sql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val mod = DedupOps.IncrSplitMod
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |snap AS (SELECT * FROM d WHERE doc_id % $mod <> 0),
+       |arr AS (SELECT * FROM d WHERE doc_id % $mod = 0),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_len FROM snap),
+       |dft AS (SELECT tok, COUNT(*) AS dft
+       |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM snap)
+       |  WHERE tok IN ($terms) GROUP BY tok),
+       |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM arr)
+       |  WHERE tok IN ($terms) GROUP BY doc_id, dl, tok),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(round((ln(1.0 + (n_docs - COALESCE(dft, 0) + 0.5) / (COALESCE(dft, 0) + 0.5)) *
+       |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * n_docs) / sum_len))))
+       |      * 1000000, 0) AS BIGINT) AS sm
+       |  FROM tf t LEFT JOIN dft USING (tok) CROSS JOIN stats)
+       |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sm) AS BIGINT) / 1000000.0 AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   // --- 125. quantile-gated screening selection (r5) ------------------------
   /** "Screen the top quartile": keep every doc whose q38 model score is
     * ≥ the score at ascending rank ⌈0.75·n⌉ — the reviewer-budget gate
@@ -1063,5 +1180,6 @@ object TextOps {
     Op("q103_bm25", q103, Some(q103Sql)),
     Op("q125_quantile_gate", q125, Some(q125Sql)),
     Op("q128_vocab_truncate", q128, Some(q128Sql)),
+    Op("q130_bm25_incremental", q130, Some(q130Sql)),
   )
 }

@@ -215,6 +215,44 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       .foreach(t => assert(topK(t), s"non-vocab token '$t' survived"))
   }
 
+  test("q130 incremental BM25: frozen-stats probe, corpus never rescanned, appends additive") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DedupOps, TextOps}
+    val mod = DedupOps.IncrSplitMod
+    val toks = Tables.documents(spark, SF)
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+    val snap = toks.filter(col("doc_id") % mod =!= 0)
+    val arr = toks.filter(col("doc_id") % mod === 0)
+    TextOps.q130Write(spark, snap)
+    val probe = TextOps.q130Probe(spark, arr, TextOps.Bm25Query)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the stats side reads the ARTIFACT with the query-term restriction
+    // pushed into the scan; the only documents.parquet scan is the
+    // arriving batch itself — the corpus is never rescanned at probe time
+    val dfScan = plan.split("\n").find(_.contains("g130_df"))
+    assert(dfScan.nonEmpty, s"df artifact not read:\n$plan")
+    assert(dfScan.get.contains("PushedFilters: [In(tok"),
+      s"query-term filter not pushed into the artifact scan:\n${dfScan.get}")
+    assert(plan.split("documents\\.parquet").length - 1 === 1,
+      s"probe rescans the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    def shot(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val got = shot(probe)
+    assert(got.nonEmpty)
+    // additivity: snapshot built as write(half) + append(other half)
+    // answers the identical probe — df partials and totals just sum
+    TextOps.q130Write(spark, snap.filter(col("doc_id") % 2 === 1))
+    TextOps.q130Append(spark, snap.filter(col("doc_id") % 2 === 0))
+    assert(shot(TextOps.q130Probe(spark, arr, TextOps.Bm25Query)) === got)
+    // and with the full corpus as snapshot, scoring the corpus itself
+    // for the same query reproduces q103's own stats regime: every
+    // arriving term is known, dft > 0 (left-join fill never fires)
+    TextOps.q130Write(spark, toks)
+    val full = TextOps.q130Probe(spark, arr, TextOps.Bm25Query)
+    assert(shot(full).forall(_._2 > 0))
+  }
+
   test("q129 context chunking: lossless strided coverage, map-only plan") {
     import org.apache.spark.sql.functions._
     import graft.operators.PipelineOps
