@@ -496,6 +496,37 @@ object StreamOps {
       } finally t.unpersist(blocking = false)
     }
 
+  /** Streaming RETRIEVAL against the q130 term-stats artifact: each
+    * arriving micro-batch of docs is scored for the standing query with
+    * the persisted frozen statistics (`TextOps.q130Probe` — batch-sized
+    * explode, artifact-pruned broadcast df side, corpus never
+    * rescanned), and, when `maintain` is set, folded into the stats by
+    * partial-row append AFTER its scores are frozen — so later arrivals
+    * are scored under statistics that include everything admitted
+    * before them (df/avgdl drift tracked live, the q122/annServe
+    * sequential semantics for retrieval). Zero stream state either way;
+    * the decision snapshot is localCheckpointed before the append and
+    * its blocks die with the batch.
+    *
+    * `newDocs`: streaming (doc_id, text). `sink` receives each batch's
+    * (doc_id, n_terms, bm25) top-K as of the batch's arrival. */
+  def bm25Serve(newDocs: DataFrame, query: Seq[String], maintain: Boolean = false)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val t = batch.select(col("doc_id"),
+        graft.text.Text.tokens(col("text")).as("toks")).cache()
+      try graft.CheckpointRegistry.scoped {
+        val res = graft.operators.TextOps.q130Probe(s, t, query).localCheckpoint()
+        res.queryExecution.analyzed
+          .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+          .foreach(r => graft.CheckpointRegistry.register(r))
+        sink(res)
+        if (maintain) graft.operators.TextOps.q130Append(s, t)
+      } finally t.unpersist(blocking = false)
+    }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

@@ -675,6 +675,54 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     probeBatch.unpersist()
   }
 
+  test("streaming BM25 serving ≡ batch probe; maintained stats follow the arrivals") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{DedupOps, TextOps}
+    val mod = DedupOps.IncrSplitMod
+    val toks = Tables.documents(spark, SF)
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+    TextOps.q130Write(spark, toks.filter(col("doc_id") % mod =!= 0))
+    val arr = Tables.documents(spark, SF).filter(col("doc_id") % mod === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t) }.toSeq
+    val (b1, b2) = arr.splitAt(arr.length / 2)
+    def shot(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    def toksOf(vs: Seq[(Long, String)]) = spark.createDataFrame(vs)
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+
+    // sequential reference: probe as-of arrival, then fold the batch in
+    val want1 = shot(TextOps.q130Probe(spark, toksOf(b1), TextOps.Bm25Query))
+    TextOps.q130Append(spark, toksOf(b1))
+    val want2 = shot(TextOps.q130Probe(spark, toksOf(b2), TextOps.Bm25Query))
+
+    // maintained stream over the same batches (fresh artifact)
+    TextOps.q130Write(spark, toks.filter(col("doc_id") % mod =!= 0))
+    val ms = MemoryStream[(Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer[List[(Long, Long, Double)]]()
+    val ckBefore = CheckpointRegistry.liveCount
+    val q = StreamOps.bm25Serve(ms.toDF().toDF("doc_id", "text"),
+        TextOps.Bm25Query, maintain = true) { out => batches += shot(out) }.start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally { q.stop() }
+    assert(CheckpointRegistry.liveCount === ckBefore,
+      "bm25 serving leaked checkpoint registrations")
+    assert(batches.length === 2)
+    assert(batches(0) === want1)
+    assert(batches(1) === want2)
+    // maintenance is visible: b1's arrival moved the stats b2 was
+    // scored under (df/avgdl drift), so scoring b2 against the ORIGINAL
+    // snapshot differs somewhere — if it didn't, the maintained flag
+    // was a no-op and the test is vacuous
+    TextOps.q130Write(spark, toks.filter(col("doc_id") % mod =!= 0))
+    val unmaintained = shot(TextOps.q130Probe(spark, toksOf(b2), TextOps.Bm25Query))
+    assert(unmaintained !== want2,
+      "maintained and frozen stats scored b2 identically — split too coarse")
+  }
+
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
