@@ -1124,7 +1124,8 @@ object DedupOps {
   private[graft] def compactBucketed(s: SparkSession, dirPrefix: String,
       table: String, bucketCols: Seq[String], sortCols: Seq[String],
       dedupe: Boolean = false,
-      retain: Int = graft.GenManifest.DefaultRetain): Unit = {
+      retain: Int = graft.GenManifest.DefaultRetain,
+      merge: DataFrame => DataFrame = identity): Unit = {
     val base = bucketedBase(s, dirPrefix)
     graft.TempArtifacts.register(base)
     val cur = graft.GenManifest.current(base, table)
@@ -1133,7 +1134,11 @@ object DedupOps {
       org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
     val tmp = s"${table}_c$next"
     val src0 = s.read.parquet(oldLoc.getAbsolutePath)
-    val src = if (dedupe) src0.distinct() else src0
+    // `merge` is the AGGREGATING-compaction hook (schema-preserving;
+    // e.g. q130's per-term partial-count rows sum to one row per term):
+    // probes that aggregate over partials are invariant under it, so
+    // compaction may apply it for free while rewriting
+    val src = merge(if (dedupe) src0.distinct() else src0)
     val w = src.repartition(IndexBuckets, bucketCols.map(col): _*)
       .write.bucketBy(IndexBuckets, bucketCols.head, bucketCols.tail: _*)
       .option("path", new java.io.File(base, s"${table}_g$next").getAbsolutePath)

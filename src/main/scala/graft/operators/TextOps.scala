@@ -970,6 +970,18 @@ object TextOps {
       .coalesce(1).write.mode("append").saveAsTable("g130_totals")
   }
 
+  /** AGGREGATING compaction of the df artifact: the per-term partial
+    * rows appended per batch sum back to ONE row per term while the
+    * rewrite lands one file per bucket — probes aggregate over
+    * partials, so results are bit-identical pre/post (spec-pinned);
+    * generation-cataloged like every other compaction. The totals
+    * table stays append-only: one row per batch is bounded by batch
+    * COUNT, not data, and its reader is already a 2-column sum. */
+  private[graft] def q130Compact(s: SparkSession): Unit =
+    DedupOps.compactBucketed(s, "graft_bm25index", "g130_df",
+      Seq("tok"), Nil,
+      merge = _.groupBy(col("tok")).agg(sum(col("df")).as("df")))
+
   /** Score an arriving batch `(doc_id, toks)` for `query` against the
     * persisted stats — batch-sized work, corpus untouched. */
   private[graft] def q130Probe(s: SparkSession, arrivals: DataFrame,

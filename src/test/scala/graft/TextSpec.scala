@@ -245,6 +245,17 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     TextOps.q130Write(spark, snap.filter(col("doc_id") % 2 === 1))
     TextOps.q130Append(spark, snap.filter(col("doc_id") % 2 === 0))
     assert(shot(TextOps.q130Probe(spark, arr, TextOps.Bm25Query)) === got)
+    // aggregating compaction: partial rows merge to ONE row per term at
+    // a new generation; the probe is invariant
+    val partials = spark.table("g130_df").groupBy(col("tok")).count()
+      .filter(col("count") > 1).count()
+    assert(partials > 0, "no term has >1 partial — append split vacuous")
+    TextOps.q130Compact(spark)
+    assert(DedupOps.bucketedGen(spark, "graft_bm25index", "g130_df") === 1L)
+    val collapsed = spark.table("g130_df").groupBy(col("tok")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(collapsed === 1L, s"compaction left $collapsed partials for some term")
+    assert(shot(TextOps.q130Probe(spark, arr, TextOps.Bm25Query)) === got)
     // and with the full corpus as snapshot, scoring the corpus itself
     // for the same query reproduces q103's own stats regime: every
     // arriving term is known, dft > 0 (left-join fill never fires)
