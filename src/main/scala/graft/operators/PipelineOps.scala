@@ -1090,7 +1090,12 @@ object PipelineOps {
   val ChunkStride = 24
 
   def q129(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.documents(s, dir)
+    q129Of(graft.Tables.documents(s, dir))
+
+  /** [[q129]] over any `(doc_id, text)` relation (PropertySpec fuzzes
+    * arbitrary token streams through it). */
+  private[graft] def q129Of(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .filter(col("n") > 0)

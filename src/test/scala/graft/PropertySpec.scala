@@ -216,4 +216,42 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("q129 chunking on arbitrary token streams: lossless, strided, W-bounded") {
+    import graft.operators.PipelineOps.{ChunkW, ChunkStride}
+    val word = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val docGen = Gen.chooseNum(0, 3 * ChunkW + 5)
+      .flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val got = graft.operators.PipelineOps.q129Of(
+        docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = if (text.isEmpty) Array.empty[String] else text.split(" ")
+      val cs = got.getOrElse(id, Array.empty).sortBy(_._2)
+      if (toks.isEmpty) assert(cs.isEmpty, s"doc $id: chunks from empty doc")
+      else {
+        // model: starts at 1, 1+S, ... while ≤ n; width min(W, remaining)
+        val starts = (1 to toks.length by ChunkStride).toList
+        assert(cs.map(_._3).toList === starts.map(_.toLong), s"doc $id starts")
+        cs.foreach { case (_, cid, st, fin, n, txt) =>
+          assert(fin === math.min(st + ChunkW - 1, toks.length.toLong))
+          assert(n === fin - st + 1 && n <= ChunkW)
+          assert(txt === toks.slice(st.toInt - 1, fin.toInt).mkString(" "),
+            s"doc $id chunk $cid")
+        }
+        // lossless: concatenating the non-overlapped prefixes rebuilds
+        // the doc exactly (stride-S prefix of every chunk + full tail)
+        val rebuilt = cs.zipWithIndex.flatMap { case ((_, _, _, _, _, txt), i) =>
+          val take = if (i == cs.length - 1) Int.MaxValue else ChunkStride
+          txt.split(" ").take(take)
+        }
+        assert(rebuilt.toList === toks.toList, s"doc $id not lossless")
+      }
+    }
+  }
 }
