@@ -185,8 +185,13 @@ object GraphOps {
       .localCheckpoint()
     var prevBlocks = Seq(blocks(affected), blocks(changed)).flatten
     for (t <- 1 to iters) {
+      // the ball is NOT separately checkpointed (r6): `next` below is,
+      // and its doc_ids ARE the ball, so the next round reads affected
+      // ids from next's blocks — one materialization job per round
+      // instead of two. The ball plan is evaluated twice within the
+      // round (semi-join prune + rank base), both delta-ball-sized and
+      // rooted in checkpointed/cached inputs — shallow lineage.
       val ball = affected.unionAll(neighbors(affected)).distinct()
-        .localCheckpoint()
       // contributions INTO the ball only; contributor round-(t−1) ranks
       // = history overlaid with the previous round's recomputed set
       val inEdges = edges.join(ball.select(col("doc_id").as("id_a")),
@@ -211,8 +216,8 @@ object GraphOps {
             expr(s"($Damping * cin0) div 100")).as("r"))
         .localCheckpoint()
       prevBlocks.foreach(_.unpersist(blocking = false))
-      prevBlocks = Seq(blocks(ball), blocks(next)).flatten
-      affected = ball
+      prevBlocks = Seq(blocks(next)).flatten
+      affected = next.select(col("doc_id"))
       changed = next
     }
     edges.unpersist()
