@@ -1128,6 +1128,45 @@ object PipelineOps {
        |FROM c
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --- 131. shard MANIFEST over the fixpoint build (r6) --------------------
+  /** The loader-facing readout of the shippable build: one row per
+    * shard of [[q123]]'s mixture-preserving pack — doc count, distinct
+    * languages, token mass, the shard's END OFFSET in the global
+    * token stream (max cum_tokens — the byte-range analog a data
+    * loader seeks by), and an ORDER-INDEPENDENT content fingerprint
+    * (sum of a 40-bit per-doc hash; shards are token-budgeted, so
+    * docs-per-shard is bounded by budget/min-doc-len and the int64 sum
+    * is safe to ~2²³ docs per shard — far above any real shard). A
+    * re-build that silently changed membership, ordering boundaries,
+    * or token accounting flips a manifest row; comparing manifests is
+    * how a pipeline validates a re-run without diffing corpora.
+    *
+    * Scale shape: q123's own plans + one groupBy(shard) with map-side
+    * combine; output rows = shard count = Σtokens / budget. */
+  def q131(s: SparkSession, dir: String): DataFrame =
+    q123(s, dir)
+      .withColumn("sid",
+        conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long") % 1099511627776L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("cum_tokens")).as("end_offset"),
+        sum(col("sid")).as("ids_sum"))
+      .orderBy(col("shard"))
+
+  lazy val q131Sql: String =
+    s"""SELECT shard, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MAX(cum_tokens) AS end_offset,
+       |  CAST(SUM(CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1099511627776) AS BIGINT) AS ids_sum
+       |FROM ($q123Sql) b
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -1146,5 +1185,6 @@ object PipelineOps {
     Op("q123_training_build_fixpoint", q123, Some(q123Sql)),
     Op("q124_corpus_drift", q124, Some(q124Sql)),
     Op("q129_context_chunks", q129, Some(q129Sql)),
+    Op("q131_shard_manifest", q131, Some(q131Sql)),
   )
 }

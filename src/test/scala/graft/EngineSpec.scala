@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 130) // r6: +q126..q130
+    assert(SparkEntry.queries.size === 131) // r6: +q126..q131
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 121) // r6: +q126..q130
+    assert(SparkEntry.oracleSql.size === 122) // r6: +q126..q131
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -454,6 +454,35 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
         s"no cross-split duplicate of the target in the top-${PipelineOps.DsirTopN}")
   }
 
+  test("q131 shard manifest ≡ driver replay over the q123 build") {
+    import org.apache.spark.sql.functions._
+    val build = PipelineOps.q123(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("shard")))
+    def sid(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sid:$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1099511627776L
+    }
+    val want = build.groupBy(_._5).map { case (shard, rs) =>
+      shard -> ((rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(_._3).sum, rs.map(_._4).max, rs.map(r => sid(r._1)).sum))
+    }
+    val got = PipelineOps.q131(spark, SF).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the fingerprint is membership-sensitive: removing any one doc
+    // from a shard moves ids_sum (sid is 40-bit, collisions with the
+    // REMOVAL of a single term are impossible — the sum strictly drops
+    // unless the doc hashed to 0, excluded below)
+    val probe = build.find(r => sid(r._1) != 0L).get
+    assert(want(probe._5)._5 - sid(probe._1) !== want(probe._5)._5)
+  }
+
   test("q121 DSIR at 2^20 buckets: model stays a broadcast map-side table") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, SF)
