@@ -53,11 +53,26 @@ object GenManifest {
     * Atomic: readers see either the old manifest or the new one, never a
     * partial write. Returns the generations that aged out — the caller
     * GCs their storage (tables/directories) AFTER the publish, so no
-    * retained generation ever has missing files. */
+    * retained generation ever has missing files.
+    *
+    * `expectCurrent` is the compare-and-publish guard for compactions:
+    * a maintainer that read generation N, built N+1, and finds the
+    * manifest no longer at N lost the single-maintainer race — publish
+    * throws instead of splicing a conflicting lineage over someone
+    * else's generation (their N+1 and ours have different contents). */
   def publish(base: File, name: String, gen: Long,
-      retain: Int = DefaultRetain): Seq[Long] = {
+      retain: Int = DefaultRetain,
+      expectCurrent: Option[Long] = None): Seq[Long] = {
     base.mkdirs()
-    val prev = read(base, name).map(_.retained).getOrElse(Nil)
+    val st = read(base, name)
+    expectCurrent.foreach { want =>
+      val cur = st.map(_.current)
+      if (!cur.contains(want)) throw new IllegalStateException(
+        s"stale maintainer for '$name': built from generation $want but " +
+          s"the manifest is now at ${cur.getOrElse("<absent>")} — concurrent " +
+          "maintenance is not supported; rebuild from the current generation")
+    }
+    val prev = st.map(_.retained).getOrElse(Nil)
     val all = (prev :+ gen).distinct.sorted
     val (gone, kept) = all.splitAt(math.max(0, all.length - math.max(1, retain)))
     val f = manifest(base, name)

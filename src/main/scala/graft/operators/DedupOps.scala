@@ -1150,7 +1150,8 @@ object DedupOps {
       s.sql(s"ALTER TABLE ${table}_r$cur RENAME TO $table") // roll back
       throw e
     }
-    graft.GenManifest.publish(base, table, next, retain).foreach(dropGen(s, table, _))
+    graft.GenManifest.publish(base, table, next, retain, Some(cur))
+      .foreach(dropGen(s, table, _))
   }
 
   /** Drop a retired generation's table + storage (post-publish GC). */

@@ -844,7 +844,7 @@ object SimOps {
       .repartition(col("cell_id"))
       .write.partitionBy("cell_id")
       .parquet(annIndexVecsDir(base, next).getAbsolutePath)
-    graft.GenManifest.publish(base, "vecs", next, retain)
+    graft.GenManifest.publish(base, "vecs", next, retain, Some(cur))
       .foreach(g => graft.GenManifest.rmTree(annIndexVecsDir(base, g)))
   }
 

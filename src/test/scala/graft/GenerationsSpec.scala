@@ -40,6 +40,13 @@ class GenerationsSpec extends AnyFunSuite with SharedSpark {
     assert(GenManifest.publish(base, "t", 2L) === Seq(0L)) // 0 ages out
     assert(GenManifest.read(base, "t").get === GenManifest.State(2L, Seq(1L, 2L)))
     assert(GenManifest.current(base, "t") === 2L)
+    // compare-and-publish: a maintainer that built from a generation the
+    // manifest has moved past must fail loudly, leaving the manifest as-is
+    intercept[IllegalStateException] {
+      GenManifest.publish(base, "t", 3L, expectCurrent = Some(1L))
+    }
+    assert(GenManifest.read(base, "t").get === GenManifest.State(2L, Seq(1L, 2L)))
+    assert(GenManifest.publish(base, "t", 3L, expectCurrent = Some(2L)) === Seq(1L))
   }
 
   test("ann index: probe pinned at gen N is bit-identical across compaction; aged gens GC") {
