@@ -527,6 +527,66 @@ object StreamOps {
       } finally t.unpersist(blocking = false)
     }
 
+  /** Streaming DRIFT GATE — q124's monitoring readout turned into a
+    * per-batch admission decision: each arriving micro-batch's
+    * per-(source, lang) token-share is compared against the SNAPSHOT
+    * shares (a catalog-sized static aggregate, computed once at wiring
+    * and broadcast per batch), and the batch is flagged when any cell's
+    * absolute shift exceeds `maxShiftMicros` — the guard that keeps an
+    * upstream ingest skew (one feed suddenly dominating) from silently
+    * baking into the mixture policies (q82/q114/q120) downstream.
+    *
+    * `sink` receives the q124-shaped cell rows for the batch plus a
+    * `drifted` flag per cell; the returned per-batch verdict is
+    * any(drifted). Shares are computed WITHIN each side (snapshot's own
+    * total vs batch's own total, exact half-away micros — q124's
+    * comparability rule), so batch size never masquerades as drift.
+    * Zero stream state; per-batch cost is one arrival-sized aggregate
+    * joined to a broadcast ≤|sources×langs| relation.
+    *
+    * `newDocs`: streaming (doc_id, source, lang, text). `snapDocs`: the
+    * static snapshot relation with the same columns. */
+  def driftGateServe(newDocs: DataFrame, snapDocs: DataFrame,
+      maxShiftMicros: Long)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Num
+    // snapshot side once: (source, lang, tok_old, share_old_micros)
+    val s0 = snapDocs.select(col("source"), col("lang"),
+        size(graft.text.Text.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs_old"), sum(col("nt")).as("tok_old"))
+    val snapTot = s0.agg(sum(col("tok_old"))).head().getLong(0)
+    val snap = s0.withColumn("share_old_micros",
+        Num.idivHalfAway(col("tok_old") * 1000000L, lit(snapTot)))
+      .localCheckpoint()
+    snap.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val b = batch.select(col("source"), col("lang"),
+          size(graft.text.Text.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("docs_new"), sum(col("nt")).as("tok_new"))
+      val btot = b.agg(sum(col("tok_new")).as("tot_new"))
+      sink(snap
+        .join(b, Seq("source", "lang"), "full")
+        .na.fill(0L, Seq("docs_old", "tok_old", "share_old_micros",
+          "docs_new", "tok_new"))
+        .crossJoin(broadcast(btot))
+        .withColumn("share_new_micros",
+          when(col("tot_new") === 0, lit(0L)).otherwise(
+            Num.idivHalfAway(col("tok_new") * 1000000L, col("tot_new"))))
+        .withColumn("delta_micros",
+          col("share_new_micros") - col("share_old_micros"))
+        .withColumn("drifted",
+          (abs(col("delta_micros")) > maxShiftMicros).cast("int"))
+        .select(col("source"), col("lang"), col("docs_old"), col("docs_new"),
+          col("tok_old"), col("tok_new"), col("share_old_micros"),
+          col("share_new_micros"), col("delta_micros"), col("drifted"))
+        .orderBy(col("source"), col("lang")))
+    }
+  }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

@@ -723,6 +723,52 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "maintained and frozen stats scored b2 identically — split too coarse")
   }
 
+  test("streaming drift gate ≡ q124 on the split; skewed batch flagged, representative passes") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{DedupOps, PipelineOps}
+    val mod = DedupOps.IncrSplitMod
+    val docs = Tables.documents(spark, SF).select("doc_id", "source", "lang", "text")
+    val snap = docs.filter(col("doc_id") % mod =!= 0)
+    val arr = docs.filter(col("doc_id") % mod === 0)
+      .as[(Long, String, String, String)].collect().toSeq
+    // q124's registered readout on the same split is the expectation for
+    // a batch that is EXACTLY the arrival split
+    val want = PipelineOps.q124(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    val maxDelta = want.values.map(v => math.abs(v._7)).max
+    val skewSource = arr.groupBy(_._2).maxBy(_._2.size)._1
+    val skewed = arr.filter(_._2 == skewSource)
+    val ms = MemoryStream[(Long, String, String, String)]
+    val batches = scala.collection.mutable.ArrayBuffer[
+      List[(String, String, Long, Long, Long, Long, Long, Long, Long, Int)]]()
+    val q = StreamOps.driftGateServe(
+        ms.toDF().toDF("doc_id", "source", "lang", "text"), snap,
+        maxShiftMicros = maxDelta + 1) { out =>
+      batches += out.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getInt(9))).toList
+    }.start()
+    try {
+      ms.addData(arr); q.processAllAvailable()    // representative batch
+      ms.addData(skewed); q.processAllAvailable() // one-source skew
+    } finally { q.stop() }
+    assert(batches.length === 2)
+    // batch 1 ≡ q124 cell-for-cell (q124 rows with tok_new=0 have no
+    // arrival docs — the gate's full join emits them identically)
+    val got1 = batches(0)
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8, r._9))).toMap
+    assert(got1 === want)
+    // threshold chosen above the split's own max shift: nothing drifts
+    assert(batches(0).forall(_._10 === 0))
+    // the skewed batch concentrates all mass in one source: its cells
+    // must flag, and at least one starved cell flags too
+    val flagged = batches(1).filter(_._10 === 1)
+    assert(flagged.nonEmpty, "skewed batch not flagged")
+    assert(flagged.exists(_._1 == skewSource), "skew source itself not flagged")
+  }
+
   test("streaming bounded as-of join ≡ batch within the emitted horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
