@@ -15,6 +15,15 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Coalesce by SIZE, not back to defaultParallelism: with the default
+    // (parallelismFirst=true) a 600 KB shuffle still fans out to 32
+    // post-shuffle tasks, and per-task scheduling overhead dominates the
+    // small-SF relational set (r6 VERDICT #5 — q3 spent 0.7s moving 600k
+    // rows). size-first coalescing folds those to ~1 task here while the
+    // 64 MB advisory target keeps 100 TB shuffles at full width — this is
+    // also the Spark tuning guide's recommended production setting.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_PFIRST", "false"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // events.parquet carries INT64(TIMESTAMP(NANOS)) which vanilla Spark
     // refuses; read as long and convert explicitly (Tables.events).

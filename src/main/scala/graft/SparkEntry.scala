@@ -20,7 +20,11 @@ object SparkEntry {
     operators.SimOps.ops,
     operators.MLOps.ops,
     Seq(Op("q56_binary_meta", multimodal.MultiModal.mediaFeatures, None),
-      Op("q72_compression_quality", multimodal.MultiModal.compressionRatio, None)),
+      // r7: the registered compressibility signal is the oracle-
+      // replayable distinct-4-gram ratio; the Deflater form remains a
+      // spec-only component (PropertySpec/EngineSpec)
+      Op("q72_compression_quality", multimodal.MultiModal.ngramRatio,
+        Some(multimodal.MultiModal.ngramRatioSql))),
     operators.Relational2.ops ++ operators.Bucketed.ops)
 
   /** All operators, flattened in SURVEY §2 order. */

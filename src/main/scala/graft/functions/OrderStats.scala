@@ -78,10 +78,18 @@ object OrderStats {
     *                [1, count(df)] are dropped (inner-join semantics)
     * @param leafCap override of [[LeafCap]] (tests exercise refinement
     *                with a tiny cap)
+    * @param preGlob precomputed global stats of `df` — (count, min v,
+    *                max v, min id, max id) — letting a caller that
+    *                already aggregates over the ranked relation FUSE
+    *                this helper's global pass into its own (one fewer
+    *                job over an expensive derived relation; see
+    *                TextOps.screeningStatsOf). Must describe `df`
+    *                exactly — a stale count mislocates ranks.
     * @return one row per located target: (idx, t, v, id)
     */
   def keysAtRanks(df: DataFrame, targets: DataFrame,
-      leafCap: Long = LeafCap): DataFrame = {
+      leafCap: Long = LeafCap,
+      preGlob: Option[(Long, Double, Double, Long, Long)] = None): DataFrame = {
     require(leafCap >= 1, s"leafCap must be ≥ 1, got $leafCap")
     val spark = df.sparkSession
     val base = df.select(col("v"), col("id"))
@@ -89,8 +97,11 @@ object OrderStats {
       targets.schema("idx") +: StructField("t", LongType, nullable = false) +:
         Seq(StructField("v", DoubleType), StructField("id", LongType)))
 
-    val glob = base.agg(count(lit(1)), min(col("v")), max(col("v")),
-      min(col("id")), max(col("id"))).head()
+    val glob: Row = preGlob match {
+      case Some((n0, vlo, vhi, idlo, idhi)) => Row(n0, vlo, vhi, idlo, idhi)
+      case None => base.agg(count(lit(1)), min(col("v")), max(col("v")),
+        min(col("id")), max(col("id"))).head()
+    }
     val n = glob.getLong(0)
     val wanted = targets.select(col("idx"), col("t").cast("long")).collect()
       .map(r => (r.get(0), r.getLong(1)))

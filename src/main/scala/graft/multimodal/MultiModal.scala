@@ -89,6 +89,52 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
+  /** Compressibility proxy the ORACLE can replay (r6 VERDICT #6): the
+    * distinct/total character-4-gram ratio. Repetitive or templated text
+    * re-uses the same few 4-grams (low ratio ⇒ highly compressible ⇒
+    * low quality), natural text keeps the ratio high — the same signal
+    * [[compressionRatio]]'s Deflater reads, in a form both engines
+    * compute exactly: integer gram counts + the 6-decimal integer-micros
+    * ratio. The Deflater form stays as the spec-only component (a real
+    * pipeline may prefer the true codec; it just can't be hash-checked
+    * cross-engine).
+    *
+    * Plan shape: per-row-local expression work only (slice/zip/distinct
+    * over the char array — the [[graft.text.Text.shingles]] pattern, no
+    * per-element re-evaluation of the lowering), no shuffle at all
+    * before the output sort. */
+  def ngramRatio(s: SparkSession, dir: String): DataFrame = {
+    val lt = lower(col("text"))
+    // trailing-empty-safe char array: slice to exactly len entries
+    val chars = slice(split(lt, ""), lit(1), length(lt))
+    // char 4-grams, space-joined (single chars ⇒ injective, so DISTINCT
+    // counts equal the substring-gram counts the oracle computes)
+    val grams = graft.text.Text.shingles(chars, 4)
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") === 0, 1.0)
+          .otherwise(graft.functions.Num.ratio6(col("n_distinct"), col("n_grams")))
+          .as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramRatioSql: String =
+    s"""WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+       |p AS (SELECT doc_id, lt, unnest(range(1, greatest(len(lt) - 2, 1))) AS i FROM d),
+       |g AS (SELECT doc_id, substr(lt, CAST(i AS INT), 4) AS gram FROM p),
+       |a AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_distinct FROM g GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(greatest(len(d.lt) - 3, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       |  CASE WHEN len(d.lt) < 4 THEN 1.0
+       |    ELSE ${graft.functions.Num.ratio6Sql(
+                "COALESCE(a.n_distinct, 0)", "len(d.lt) - 3")} END AS ratio
+       |FROM d LEFT JOIN a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Frame-sampling pipeline: binary payloads → sampled frame arrays →
     * per-frame features, exploded back to rows. Partitioned the same way
     * a video corpus would be (by payload row, frames stay local). */

@@ -567,25 +567,60 @@ object GraphOps {
   val DeltaSplitMod = 5
 
   /** [[pagerankDelta]] under the driver's oracle: the near-dup edge set
-    * splits deterministically into a base graph and a delta batch; a
-    * full per-round history is computed over the base, then the delta
-    * update runs against it. The ORACLE replays the full `Iters`-round
-    * PageRank over ALL edges ([[q95Sql]]'s CTE chain on the same pair
-    * set) — so the driver's hash compare IS the delta ≡ full-recompute
-    * equivalence, guarded round-over-round instead of spec-only.
+    * splits deterministically into a base graph and a delta batch; the
+    * full per-round history over the base is PERSISTED ONCE per
+    * (session, corpus) as a t-partitioned parquet artifact (r6 VERDICT
+    * #4 — the production path amortizes the history build across daily
+    * batches, so the registered op should measure probe-the-artifact,
+    * not rebuild-the-history), and the delta update runs against it.
+    * The ORACLE replays the full `Iters`-round PageRank over ALL edges
+    * ([[q95Sql]]'s CTE chain on the same pair set) — so the driver's
+    * hash compare IS the delta ≡ full-recompute equivalence, guarded
+    * round-over-round instead of spec-only.
     *
     * Scale shape: history build is the q95 plan over the base graph
-    * (each round one join + agg, checkpoint-truncated); the delta
-    * update touches only the delta's t-hop merged-graph ball per round
-    * (see [[pagerankDelta]]) — a daily batch against a 100 TB graph
-    * costs ∝ ball, not ∝ graph. */
+    * (each round one join + agg, checkpoint-truncated), paid once per
+    * corpus snapshot; each per-round readback is ONE pruned `t`
+    * partition of the artifact; the delta update touches only the
+    * delta's t-hop merged-graph ball per round (see [[pagerankDelta]])
+    * — a daily batch against a 100 TB graph costs ∝ ball, not ∝ graph. */
   def q126(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b"))
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val isDelta = (col("id_a") + col("id_b")) % DeltaSplitMod === 0
-    val hist = pagerankHistory(pairs.filter(!isDelta), docs)
-    pagerankDelta(hist, pairs.filter(!isDelta), pairs.filter(isDelta), docs)
+    q126Ensure(s, dir, pairs.filter(!isDelta), docs)
+    pagerankDelta(q126Hist(s), pairs.filter(!isDelta), pairs.filter(isDelta), docs)
   }
+
+  /** The persisted base history, column-normalized for [[pagerankDelta]]
+    * (partition column `t` comes back last from the catalog). */
+  private[graft] def q126Hist(s: SparkSession): DataFrame =
+    s.table("g126_hist").select(col("doc_id"), col("t").cast("int").as("t"), col("r"))
+
+  // session-lifetime guard: which corpus the persisted history describes
+  private var histDir: Option[String] = None
+
+  /** Build + persist the base-graph rank history for `dir` unless the
+    * live artifact already describes it. Partitioned by round `t`, so a
+    * delta round's readback is one pruned partition. */
+  private[graft] def q126Ensure(s: SparkSession, dir: String,
+      basePairs: DataFrame, docs: DataFrame): Unit =
+    if (!histDir.contains(dir) || !s.catalog.tableExists("g126_hist")) {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_prhist-${s.sparkContext.applicationId}")
+      graft.TempArtifacts.register(base)
+      Bucketed.reset(s, base, "g126_hist")
+      // scoped: the history build's per-round checkpoint blocks are dead
+      // once the write materializes them into the artifact
+      graft.CheckpointRegistry.scoped {
+        pagerankHistory(basePairs, docs)
+          .write.partitionBy("t")
+          .option("path", new java.io.File(base, "g126_hist").getAbsolutePath)
+          .mode("overwrite").saveAsTable("g126_hist")
+      }
+      graft.GenManifest.publish(base, "g126_hist", 0L)
+      histDir = Some(dir)
+    }
 
   /** Full-recompute replay over the merged edge set — delta ≡ full. */
   lazy val q126Sql: String = q95Sql

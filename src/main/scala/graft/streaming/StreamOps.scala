@@ -556,12 +556,16 @@ object StreamOps {
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("docs_old"), sum(col("nt")).as("tok_old"))
     val snapTot = s0.agg(sum(col("tok_old"))).head().getLong(0)
-    val snap = s0.withColumn("share_old_micros",
-        Num.idivHalfAway(col("tok_old") * 1000000L, lit(snapTot)))
-      .localCheckpoint()
-    snap.queryExecution.analyzed
-      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-      .foreach(r => graft.CheckpointRegistry.register(r))
+    // The snapshot is catalog-sized (≤ |sources×langs| rows) by premise,
+    // so materialize it as a DRIVER-LOCAL relation: no checkpoint blocks
+    // to own, so a harness-level CheckpointRegistry.releaseAll() while
+    // the stream is live cannot strand later micro-batches (r6 ADVICE),
+    // and every batch's join side is a plain LocalRelation broadcast.
+    val sess = snapDocs.sparkSession
+    val withShare = s0.withColumn("share_old_micros",
+      Num.idivHalfAway(col("tok_old") * 1000000L, lit(snapTot)))
+    val snap = sess.createDataFrame(
+      java.util.Arrays.asList(withShare.collect(): _*), withShare.schema)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val b = batch.select(col("source"), col("lang"),
           size(graft.text.Text.tokens(col("text"))).cast("long").as("nt"))

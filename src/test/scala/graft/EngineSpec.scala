@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 131) // r6: +q126..q131
+    assert(SparkEntry.queries.size === 132) // r7: +q132_auc
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 122) // r6: +q126..q131
+    assert(SparkEntry.oracleSql.size === 124) // r7: +q132, q72 oracle upgrade
   }
 
   test("entry flagship runs on sf0.001 with rows") {
@@ -46,6 +46,33 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
       .collect()(0).getAs[String]("text").getBytes("UTF-8").length
     val chunks = (textLen + 31) / 32
     assert(n === (chunks + 1) / 2)
+  }
+
+  test("q72 registered form: distinct-4-gram ratio matches a local sliding-window recompute") {
+    import spark.implicits._
+    val df = MultiModal.ngramRatio(spark, SF)
+    assert(df.columns.toSeq === Seq("doc_id", "n_grams", "n_distinct", "ratio"))
+    assert(df.count() === Tables.documents(spark, SF).count())
+    val byId = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Tables.documents(spark, SF).select("doc_id", "text").collect().take(20)
+      .foreach { r =>
+        val lt = r.getString(1).toLowerCase
+        val grams = if (lt.length < 4) Seq.empty[String] else lt.sliding(4).toSeq
+        val n = grams.size.toLong
+        val nd = grams.distinct.size.toLong
+        // Num.ratio6 half-away micros replay
+        val ratio = if (n == 0) 1.0 else ((2 * nd * 1000000L + n) / (2 * n)) / 1e6
+        assert(byId(r.getLong(0)) === ((n, nd, ratio)), s"doc ${r.getLong(0)}")
+      }
+    // repetitive text sits far below the corpus median
+    val repRatio = {
+      val lt = ("spam " * 200).toLowerCase
+      val g = lt.sliding(4).toSeq
+      g.distinct.size.toDouble / g.size
+    }
+    val med = byId.values.map(_._3).toSeq.sorted.apply(byId.size / 2)
+    assert(repRatio < med)
   }
 
   test("compression-ratio quality signal separates repetitive from varied text") {

@@ -160,6 +160,36 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(gotC.removed(12L) === want.removed(12L))
   }
 
+  test("q126/q127 probe a persisted artifact: fresh-build bit-identity, no rebuild on re-run") {
+    import spark.implicits._
+    val a126 = GraphOps.q126(spark, SF).collect().toList
+    val a127 = DedupOps.q127(spark, SF).collect().toList
+    // bit-identity vs the pre-artifact in-memory formulation
+    val pairs = DedupOps.pairs50(spark, SF).select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(spark, SF).select(col("doc_id"))
+    val isDelta = (col("id_a") + col("id_b")) % GraphOps.DeltaSplitMod === 0
+    val fresh126 = GraphOps.pagerankDelta(
+      GraphOps.pagerankHistory(pairs.filter(!isDelta), docs),
+      pairs.filter(!isDelta), pairs.filter(isDelta), docs).collect().toList
+    assert(a126 === fresh126)
+    val fresh127 = DedupOps.ccDelta(
+        DedupOps.connectedComponents(pairs.filter(!isDelta), docs)
+          .select(col("doc_id"), col("root")),
+        pairs.filter(isDelta), docs)
+      .select(col("doc_id"), col("root"),
+        when(col("doc_id") === col("root"), 1).otherwise(0).as("is_keeper"))
+      .orderBy(col("doc_id")).collect().toList
+    assert(a127 === fresh127)
+    // the session guard must SKIP the base build on re-ensure: a poisoned
+    // base relation proves the artifact, not the build, answers
+    val poison = spark.range(1)
+      .select(assert_true(lit(false)).as("x"), lit(0L).as("doc_id"))
+    GraphOps.q126Ensure(spark, SF, poison, poison)
+    DedupOps.q127Ensure(spark, SF, poison, poison)
+    assert(GraphOps.q126(spark, SF).collect().toList === a126)
+    assert(DedupOps.q127(spark, SF).collect().toList === a127)
+  }
+
   test("q110 weighted policy: score argmax with priors, reduces to q97 under a zero policy") {
     // zero policy (no priors, no quality boost, rank at face value)
     // must reproduce q97's centrality argmax exactly

@@ -21,6 +21,27 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     assert(df.collect()(1) === Seq("a b c", "b c d"))
   }
 
+  test("q132 AUC: ties get the half credit — matches brute-force pair counting") {
+    // heavy ties on both classes, plus clean extremes
+    val data = Seq(
+      (0.5, 1), (0.5, 0), (0.5, 1), (0.3, 0), (0.3, 1),
+      (0.9, 1), (0.1, 0), (0.1, 0), (0.9, 0), (0.2, 1))
+    val got = TextOps.aucOf(data.toDF("score", "y")).collect()(0)
+    val pos = data.collect { case (s, 1) => s }
+    val neg = data.collect { case (s, 0) => s }
+    val u = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    assert(got.getAs[Long]("n_pos") === pos.size)
+    assert(got.getAs[Long]("n_neg") === neg.size)
+    assert(math.abs(got.getAs[Double]("auc") - u / (pos.size * neg.size)) < 5.1e-7)
+    // perfect ranking ⇒ 1.0; anti-ranking ⇒ 0.0; all-tied ⇒ 0.5
+    def auc(d: Seq[(Double, Int)]): Double =
+      TextOps.aucOf(d.toDF("score", "y")).collect()(0).getAs[Double]("auc")
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))) === 1.0)
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))) === 0.0)
+    assert(auc(Seq((0.4, 1), (0.4, 0), (0.4, 1), (0.4, 0))) === 0.5)
+  }
+
   test("q36 tf-idf matches the smoothed-idf formula for a sampled token") {
     val row = TextOps.q36(spark, SF).limit(1).collect()(0)
     val n = Tables.documents(spark, SF).count()
