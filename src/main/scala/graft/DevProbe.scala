@@ -17,34 +17,38 @@ object DevProbe {
       val r = f
       println(f"PROBE $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f  ($r)")
     }
-    import graft.operators.TextOps
-    // warm JIT
-    TextOps.q40(spark, "/root/testdata/sf0.001").count()
+    import graft.operators.DedupOps
+    DedupOps.q49(spark, "/root/testdata/sf0.001").count() // warm JIT
     spark.catalog.clearCache(); SharedRelations.clear()
 
-    val docs = Tables.documents(spark, sfDir)
-    t("raw text scan+len") { docs.agg(sum(length(col("text")))).head().getLong(0) }
-    t("tokenize+count toks (no cache)") {
-      docs.select(size(graft.text.Text.tokens(col("text"))).as("n"))
-        .agg(sum(col("n"))).head().getLong(0)
+    val kept = DedupOps.keptShingles(spark, sfDir)
+    t("kept materialize+count") { kept.count() }
+    val dfk = kept.groupBy(col("sh")).agg(count(lit(1)).as("dfk"))
+    val keptSets = kept.join(dfk, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dfk"), col("sh")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), o => o.getField("sh")).as("shs"))
+      .withColumn("sz", size(col("shs")).cast("long"))
+      .cache()
+    t("keptSets build") { keptSets.count() }
+    val pre = keptSets.select(col("doc_id"),
+      explode(slice(col("shs"), lit(1), (col("sz") / 2 + 1).cast("int"))).as("sh"))
+    t("prefix occurrences") { pre.count() }
+    val preC = pre.cache()
+    t("prefix cached") { preC.count() }
+    t("cand join count") {
+      preC.select(col("doc_id").as("id_a"), col("sh"))
+        .join(preC.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b")).count()
     }
-    val d = docs.repartition(32)
-      .withColumn("toks", graft.text.Text.tokens(col("text"))).cache()
-    t("tok cache build") { d.count() }
-    t("explode+tf groupBy (from cache)") {
-      d.select(col("doc_id"), explode(col("toks")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1))).count()
+    t("cand distinct") {
+      preC.select(col("doc_id").as("id_a"), col("sh"))
+        .join(preC.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().count()
     }
-    t("dfreq countDistinct (from cache)") {
-      d.select(col("doc_id"), explode(col("toks")).as("token"))
-        .groupBy(col("token")).agg(countDistinct(col("doc_id"))).count()
-    }
-    t("q36 build#1 (materialize its cache)") { TextOps.q36(spark, sfDir).count() }
-    t("q36 cached#2") { TextOps.q36(spark, sfDir).count() }
-    t("q38 #1 (q36 cached)") { TextOps.q38(spark, sfDir).count() }
-    t("q38 #2") { TextOps.q38(spark, sfDir).count() }
-    for (i <- 1 to 3) t(s"q40 full #$i") { TextOps.q40(spark, sfDir).count() }
-    for (i <- 1 to 2) t(s"q63 full #$i") { TextOps.q63(spark, sfDir).count() }
+    for (i <- 1 to 4) t(s"q49 full #$i") { DedupOps.q49(spark, sfDir).count() }
     spark.stop()
   }
 }
