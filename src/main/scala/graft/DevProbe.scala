@@ -9,7 +9,8 @@ object DevProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.configure(SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(label: String)(f: => Any): Unit = {
@@ -17,38 +18,29 @@ object DevProbe {
       val r = f
       println(f"PROBE $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f  ($r)")
     }
-    import graft.operators.DedupOps
-    DedupOps.q49(spark, "/root/testdata/sf0.001").count() // warm JIT
-    spark.catalog.clearCache(); SharedRelations.clear()
+    import graft.operators.{DedupOps, GraphOps}
+    GraphOps.q126(spark, "/root/testdata/sf0.001").count() // warm + artifact(sf0.001)
+    spark.catalog.clearCache(); SharedRelations.clear(); CheckpointRegistry.releaseAll()
 
-    val kept = DedupOps.keptShingles(spark, sfDir)
-    t("kept materialize+count") { kept.count() }
-    val dfk = kept.groupBy(col("sh")).agg(count(lit(1)).as("dfk"))
-    val keptSets = kept.join(dfk, "sh")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("dfk"), col("sh")))).as("ord"))
-      .select(col("doc_id"),
-        transform(col("ord"), o => o.getField("sh")).as("shs"))
-      .withColumn("sz", size(col("shs")).cast("long"))
-      .cache()
-    t("keptSets build") { keptSets.count() }
-    val pre = keptSets.select(col("doc_id"),
-      explode(slice(col("shs"), lit(1), (col("sz") / 2 + 1).cast("int"))).as("sh"))
-    t("prefix occurrences") { pre.count() }
-    val preC = pre.cache()
-    t("prefix cached") { preC.count() }
-    t("cand join count") {
-      preC.select(col("doc_id").as("id_a"), col("sh"))
-        .join(preC.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
-        .filter(col("id_a") < col("id_b")).count()
+    t("pairs50 build") { DedupOps.pairs50(spark, sfDir).count() }
+    t("q126 #1 (artifact build + probe)") { GraphOps.q126(spark, sfDir).count() }
+    CheckpointRegistry.releaseAll()
+    val pairs = DedupOps.pairs50(spark, sfDir).select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val isDelta = (col("id_a") + col("id_b")) % GraphOps.DeltaSplitMod === 0
+    val hist = GraphOps.q126Hist(spark)
+    t("artifact t=3 partition read") { hist.filter(col("t") === 3).count() }
+    t("artifact t=0 anti join") {
+      docs.join(hist.filter(col("t") === 0).select(col("doc_id")),
+        Seq("doc_id"), "left_anti").count()
     }
-    t("cand distinct") {
-      preC.select(col("doc_id").as("id_a"), col("sh"))
-        .join(preC.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct().count()
+    for (it <- Seq(0, 1, 2, 4, 8)) {
+      t(s"pagerankDelta iters=$it") {
+        GraphOps.pagerankDelta(hist, pairs.filter(!isDelta),
+          pairs.filter(isDelta), docs, iters = it).count()
+      }
+      CheckpointRegistry.releaseAll()
     }
-    for (i <- 1 to 4) t(s"q49 full #$i") { DedupOps.q49(spark, sfDir).count() }
     spark.stop()
   }
 }

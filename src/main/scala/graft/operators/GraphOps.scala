@@ -154,22 +154,30 @@ object GraphOps {
     * is READ from history, never recomputed (GraphSpec corrupts an
     * out-of-ball history row to prove the readout path).
     *
-    * Scale shape: the affected set is delta-ball-sized, so every
-    * per-round join is keyed on it — Catalyst broadcasts it against
-    * the cached edge/degree relations while small (map-side prune; no
-    * graph-sized shuffle). A daily delta batch against a 100 TB graph
-    * costs ∝ |ball|·deg per round, not ∝ |graph|, and near-dup
-    * components are small by construction so the ball saturates the
-    * touched components after a few rounds. */
+    * Scale shape (r7 rework): the ball-side state — the iters-hop ball,
+    * its in-edges, the contributors' degrees and per-round history
+    * ranks — is delta-ball-sized BY THE OPERATOR'S CONTRACT (a daily
+    * batch against a huge graph; a delta too large for that bound
+    * should run the full recompute instead). Everything graph-sized
+    * stays distributed and is touched exactly once each: one BFS prune
+    * of the cached edge relation (broadcast semi-joins per hop), one
+    * degree aggregation, one contributor-sliced scan of the history
+    * artifact, and the final overlay join against history's last round.
+    * The 8-round integer recurrence itself then runs driver-side over
+    * the collected ball state — the [[graft.functions.OrderStats]] /
+    * q121 adaptive-driver pattern: per-round DISTRIBUTED jobs would pay
+    * ~10 stages of scheduling per round to move a few thousand rows
+    * (measured ~0.7 s/round of pure overhead at test SF), while the
+    * arithmetic is exact int64 either way (`div` ≡ Scala `/` on
+    * non-negative longs), so the results are bit-identical. A daily
+    * delta batch against a 100 TB graph costs ∝ \|ball\|·deg once, not
+    * ∝ \|graph\| — and not 8 × scheduler latency either. */
   def pagerankDelta(history: DataFrame, oldPairs: DataFrame,
       newPairs: DataFrame, docs: DataFrame, iters: Int = Iters): DataFrame = {
-    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
     val merged = oldPairs.unionAll(newPairs)
     val edges = merged
       .unionAll(merged.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
-    val deg = edges.groupBy(col("id_b")).agg(count(lit(1)).as("deg")).cache()
     // seeds: endpoints of the delta edges + docs absent from history
     val newDocs = docs.select(col("doc_id"))
       .join(history.filter(col("t") === 0).select(col("doc_id")),
@@ -177,59 +185,77 @@ object GraphOps {
     val seed = newPairs.select(col("id_a").as("doc_id"))
       .unionAll(newPairs.select(col("id_b").as("doc_id")))
       .unionAll(newDocs)
-    def neighbors(ids: DataFrame): DataFrame =
-      edges.join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-        .select(col("id_a").as("doc_id"))
-    var affected = seed.distinct().localCheckpoint()
-    var changed = newDocs.select(col("doc_id"), lit(RankScale).as("r"))
-      .localCheckpoint()
-    var prevBlocks = Seq(blocks(affected), blocks(changed)).flatten
-    for (t <- 1 to iters) {
-      // the ball is NOT separately checkpointed (r6): `next` below is,
-      // and its doc_ids ARE the ball, so the next round reads affected
-      // ids from next's blocks — one materialization job per round
-      // instead of two. The ball plan is evaluated twice within the
-      // round (semi-join prune + rank base), both delta-ball-sized and
-      // rooted in checkpointed/cached inputs — shallow lineage.
-      val ball = affected.unionAll(neighbors(affected)).distinct()
-      // contributions INTO the ball only; contributor round-(t−1) ranks
-      // = history overlaid with the previous round's recomputed set
-      val inEdges = edges.join(ball.select(col("doc_id").as("id_a")),
-        Seq("id_a"), "left_semi")
-      val contribIds = inEdges.select(col("id_b").as("doc_id")).distinct()
-      val prevHist = history.filter(col("t") === t - 1)
-        .join(contribIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("r"))
-      val prev = prevHist
-        .join(changed.select(col("doc_id"), col("r").as("cr")),
-          Seq("doc_id"), "full")
-        .select(col("doc_id"), coalesce(col("cr"), col("r")).as("r"))
-      val shares = prev.join(deg, prev("doc_id") === deg("id_b"))
-        .select(col("id_b"), expr("r div deg").as("share"))
-      val contrib = inEdges.join(shares, "id_b")
-        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
-      val next = ball
-        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
+    try {
+      // iters-hop ball via frontier BFS over the cached edge relation —
+      // broadcast semi-joins keyed on the (small) frontier; one job
+      val newIds = newDocs.collect().map(_.getLong(0))
+      var ballIds = (seed.collect().map(_.getLong(0)).toSet ++ newIds)
+      var frontier = ballIds
+      for (_ <- 1 to iters if frontier.nonEmpty) {
+        import org.apache.spark.sql.Row
+        val s = edges.sparkSession
+        val fDf = s.createDataFrame(
+          java.util.Arrays.asList(frontier.toSeq.sorted.map(Row(_)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_b",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val nbrs = edges.join(broadcast(fDf), Seq("id_b"), "left_semi")
+          .select(col("id_a")).distinct().collect().map(_.getLong(0)).toSet
+        frontier = nbrs -- ballIds
+        ballIds = ballIds ++ nbrs
+      }
+      val ballDf = {
+        val s = edges.sparkSession
+        import s.implicits._
+        ballIds.toSeq.sorted.toDF("doc_id")
+      }
+      // graph-sized inputs, each touched once: in-edges of the ball and
+      // contributor degrees (one aggregation over the pruned edge set)
+      val inE = edges.join(broadcast(ballDf.withColumnRenamed("doc_id", "id_a")),
+          Seq("id_a"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val contribIds = inE.map(_._2).distinct
+      val degC = {
+        val s = edges.sparkSession
+        import s.implicits._
+        edges.join(broadcast(contribIds.sorted.toSeq.toDF("id_b")), Seq("id_b"), "left_semi")
+          .groupBy(col("id_b")).agg(count(lit(1)).as("deg"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      // contributors' per-round history ranks: ONE sliced artifact scan
+      val histC: Map[(Long, Int), Long] = {
+        val s = edges.sparkSession
+        import s.implicits._
+        history.join(broadcast(contribIds.sorted.toSeq.toDF("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("t").cast("int"), col("r"))
+          .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      }
+      // the exact integer recurrence, driver-side over the ball state
+      val base = (100 - Damping) * RankScale / 100
+      var changed: Map[Long, Long] = newIds.map(_ -> RankScale).toMap
+      for (t <- 1 to iters) {
+        val cin = scala.collection.mutable.HashMap.empty[Long, Long]
+        inE.foreach { case (a, b) =>
+          val prev = changed.getOrElse(b,
+            histC.getOrElse((b, t - 1), sys.error(
+              s"pagerankDelta: contributor $b has no round-${t - 1} rank")))
+          cin(a) = cin.getOrElse(a, 0L) + prev / degC(b)
+        }
+        changed = ballIds.iterator
+          .map(id => id -> (base + Damping * cin.getOrElse(id, 0L) / 100)).toMap
+      }
+      // out-of-ball docs read their final rank straight from history;
+      // the recomputed ball overlays as a broadcast local relation
+      val s = edges.sparkSession
+      import s.implicits._
+      val changedDf = changed.toSeq.sorted.toDF("doc_id", "cr")
+      history.filter(col("t") === iters).select(col("doc_id"), col("r"))
+        .join(changedDf, Seq("doc_id"), "full")
         .select(col("doc_id"),
-          (lit((100 - Damping) * RankScale / 100) +
-            expr(s"($Damping * cin0) div 100")).as("r"))
-        .localCheckpoint()
-      prevBlocks.foreach(_.unpersist(blocking = false))
-      prevBlocks = Seq(blocks(next)).flatten
-      affected = next.select(col("doc_id"))
-      changed = next
-    }
-    edges.unpersist()
-    deg.unpersist()
-    // out-of-ball docs read their final rank straight from history
-    prevBlocks.foreach(r => graft.CheckpointRegistry.register(r))
-    history.filter(col("t") === iters).select(col("doc_id"), col("r"))
-      .join(changed.select(col("doc_id"), col("r").as("cr")),
-        Seq("doc_id"), "full")
-      .select(col("doc_id"),
-        (coalesce(col("cr"), col("r")) / 1000000.0).as("rank"))
-      .orderBy(col("doc_id"))
+          (coalesce(col("cr"), col("r")) / 1000000.0).as("rank"))
+        .orderBy(col("doc_id"))
+    } finally edges.unpersist(blocking = false)
   }
 
   /** The `prdeg, pr0..pr$Iters` CTE chain replaying [[pagerank]] over an
