@@ -37,7 +37,15 @@ object PrefixSum {
     * @param v        long value column to accumulate
     */
   def withRunningSum(df: DataFrame, bkey: String, tiebreak: Seq[String],
-      v: String, outCol: String): DataFrame = {
+      v: String, outCol: String): DataFrame =
+    withRunningSums(df, bkey, tiebreak, Seq(v -> outCol))
+
+  /** [[withRunningSum]] for SEVERAL value columns in ONE two-level scan
+    * (one binning pass, one bin-offset window, one partitioned local
+    * window) — a caller needing rank AND a cumulative flag count (q133)
+    * pays the scan once instead of per column. */
+  def withRunningSums(df: DataFrame, bkey: String, tiebreak: Seq[String],
+      vs: Seq[(String, String)]): DataFrame = {
     val rng = df.agg(min(col(bkey)).as("lo"), max(col(bkey)).as("hi"))
     // exact integer bin: (bkey - lo) div width, width ≥ span/NumBins.
     // `hi - lo` overflows when the span exceeds Long.MaxValue (hi > 0,
@@ -55,17 +63,20 @@ object PrefixSum {
     val binned = df.crossJoin(broadcast(rng))
       .withColumn("__bin", binExpr).drop("lo", "hi")
     val offsets = binned.groupBy(col("__bin"))
-      .agg(sum(col(v)).as("__bsum"))
-      .withColumn("__off",
-        sum(col("__bsum")).over(Window.orderBy(col("__bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("__bsum"))
-      .select(col("__bin"), col("__off"))
+      .agg(vs.map { case (v, _) => sum(col(v)).as(s"__bsum_$v") }.head,
+        vs.tail.map { case (v, _) => sum(col(v)).as(s"__bsum_$v") }: _*)
+    val cum = Window.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = vs.foldLeft(offsets) { case (d, (v, _)) =>
+      d.withColumn(s"__off_$v",
+        sum(col(s"__bsum_$v")).over(cum) - col(s"__bsum_$v"))
+    }.select(col("__bin") +: vs.map { case (v, _) => col(s"__off_$v") }: _*)
     val local = Window.partitionBy(col("__bin"))
       .orderBy((col(bkey) +: tiebreak.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    binned.join(broadcast(offsets), "__bin")
-      .withColumn(outCol, sum(col(v)).over(local) + col("__off"))
-      .drop("__bin", "__off")
+    vs.foldLeft(binned.join(broadcast(offs), "__bin")) {
+      case (d, (v, outCol)) =>
+        d.withColumn(outCol, sum(col(v)).over(local) + col(s"__off_$v"))
+    }.drop("__bin" +: vs.map { case (v, _) => s"__off_$v" }: _*)
   }
 }

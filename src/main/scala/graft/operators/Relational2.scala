@@ -129,15 +129,21 @@ object Relational2 {
           .cast("long").cast("double")
       case _ => col("o_totalprice").cast("double")
     }
-    val targets = o.agg(count(lit(1)).as("n"))
-      .select(explode(array((1 to 3).map(i => struct(lit(i).as("idx"),
-        expr(s"$i * (n div 4) + least($i, n % 4)").cast("long").as("t"))): _*))
-        .as("x"))
-      .select(col("x.idx").as("idx"), col("x.t").as("t"))
     val ranked = o.select(unscaled.as("v"), col("o_orderkey").as("id"))
+    // one fused pass: the NTILE boundary ranks need n, the rank search
+    // needs (count, min/max v, min/max id) — same aggregate (r7)
+    val g = ranked.agg(count(lit(1)), min(col("v")), max(col("v")),
+      min(col("id")), max(col("id"))).head()
+    val n = g.getLong(0)
+    import s.implicits._
+    val targets = (1 to 3).map(i => (i, i * (n / 4) + math.min(i, n % 4)))
+      .toDF("idx", "t")
+    val preGlob = if (n == 0) None
+      else Some((n, g.getDouble(1), g.getDouble(2), g.getLong(3), g.getLong(4)))
     val bCols = (1 to 3).map(i =>
       min(when(col("idx") === i, struct(col("v"), col("id")))).as(s"b$i"))
-    val brow = graft.functions.OrderStats.keysAtRanks(ranked, targets)
+    val brow = graft.functions.OrderStats.keysAtRanks(ranked, targets,
+        preGlob = preGlob)
       .agg(bCols.head, bCols.tail: _*)
     o.crossJoin(broadcast(brow))
       .withColumn("key",
@@ -246,7 +252,11 @@ object Relational2 {
   def q89(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).filter(col("value").isNotNull)
       .select(col("value").cast("double").as("v"), col("event_id").cast("long").as("id"))
-    val n = ev.count()
+    // one fused pass: n for the rank positions + the rank search's
+    // global stats (r7)
+    val g = ev.agg(count(lit(1)), min(col("v")), max(col("v")),
+      min(col("id")), max(col("id"))).head()
+    val n = g.getLong(0)
     val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
     val metaRows = ps.zipWithIndex.map { case (p, i) =>
       val pos = (n - 1) * p + 1.0
@@ -261,7 +271,9 @@ object Relational2 {
       .toDF("idx", "t")
     val meta = metaRows.map { case (i, p, frac, _, _) => (i, p, frac) }
       .toDF("idx", "p", "frac")
-    val keys = graft.functions.OrderStats.keysAtRanks(ev, targets)
+    val keys = graft.functions.OrderStats.keysAtRanks(ev, targets,
+        preGlob = if (n == 0) None
+          else Some((n, g.getDouble(1), g.getDouble(2), g.getLong(3), g.getLong(4))))
       .groupBy(col("idx"))
       .agg(min(struct(col("t"), col("v"))).getField("v").as("vlo"),
         max(struct(col("t"), col("v"))).getField("v").as("vhi"))

@@ -568,6 +568,58 @@ object TextOps {
             "2 * CAST(SUM(p) AS HUGEINT) * CAST(SUM(q) AS HUGEINT)")} AS auc
        |FROM w""".stripMargin
 
+  // --- 133. average precision (r7) ----------------------------------------
+  /** Average precision of the q38 ranking against the lang='en' truth —
+    * the prioritized-screening companion of [[q132]]: AP = (1/n⁺) ·
+    * Σ_{positives} Precision@rank, under the engine's canonical ranked
+    * order (score desc, doc_id asc — q40's tie convention, which makes
+    * AP well-defined under ties). No corpus-wide sort or window: both
+    * running totals (rank = prefix row count, cum_pos = prefix positive
+    * count) come from ONE [[graft.functions.PrefixSum]] two-level scan
+    * keyed on the negated score lattice with doc_id tiebreak, each
+    * positive's Precision@rank rounds ONCE to integer micros
+    * (half-away — exact in both engines), and the micro terms sum in
+    * exact int64, so the final division is one IEEE op from identical
+    * integers. */
+  private[graft] def apOf(scored: DataFrame): DataFrame = {
+    import graft.functions.Num
+    val r = scored
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+        round(negate(col("score")) * 1e6).cast("long").as("bkey"),
+        lit(1L).as("one"))
+    val rr = graft.functions.PrefixSum.withRunningSums(
+      r, "bkey", Seq("doc_id"), Seq("one" -> "rnk", "y" -> "cum_pos"))
+    rr.agg(
+        sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1,
+          Num.idivHalfAway(col("cum_pos") * 1000000L, col("rnk")))
+          .otherwise(0L)).as("s_micros"))
+      .select(col("n_pos"),
+        (col("s_micros").cast("double") / (col("n_pos") * 1000000.0)).as("ap"))
+  }
+
+  def q133(s: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    apOf(q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .select(col("doc_id"), col("score"), col("y")))
+  }
+
+  lazy val q133Sql: String =
+    s"""WITH preds AS ($q38SqlNoOrder),
+       |sc AS (SELECT p.doc_id, p.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM preds p JOIN documents d USING (doc_id)),
+       |rk AS (SELECT y,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
+       |    SUM(y) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+       |  FROM sc)
+       |SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  CAST(CAST(SUM(CASE WHEN y = 1 THEN ${graft.functions.Num
+              .idivHalfAwaySql("cum_pos * 1000000", "rnk")} ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / (CAST(SUM(y) AS BIGINT) * 1000000.0) AS ap
+       |FROM rk""".stripMargin
+
   // --- 71. suffix-stripping stemmer --------------------------------------
   /** Porter-lite stemming (the reference pipeline's normalization step):
     * one anchored alternation, first-alternative-wins — identical
@@ -1193,11 +1245,17 @@ object TextOps {
     scored.queryExecution.analyzed
       .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
       .foreach(r => graft.CheckpointRegistry.register(r))
-    val n = scored.count()
+    // one fused pass over the snapshot: n for the rank position + the
+    // rank search's global stats (r7)
+    val g = scored.agg(count(lit(1)), min(col("score")), max(col("score")),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    val n = g.getLong(0)
     val k = math.max(1L, (3 * n + 3) / 4) // ceil(0.75·n), ascending rank
     val thr = graft.functions.OrderStats.keysAtRanks(
         scored.select(col("score").as("v"), col("doc_id").as("id")),
-        Seq((0L, k)).toDF("idx", "t"))
+        Seq((0L, k)).toDF("idx", "t"),
+        preGlob = if (n == 0) None
+          else Some((n, g.getDouble(1), g.getDouble(2), g.getLong(3), g.getLong(4))))
       .select(col("v")).head().getDouble(0)
     scored.filter(col("score") >= lit(thr))
       .orderBy(col("doc_id"))
@@ -1302,6 +1360,7 @@ object TextOps {
     Op("q47_fingerprint", q47, Some(q47Sql)),
     Op("q63_threshold_tune", q63, Some(q63Sql)),
     Op("q132_auc", q132, Some(q132Sql)),
+    Op("q133_avg_precision", q133, Some(q133Sql)),
     Op("q71_stemming", q71, Some(q71Sql)),
     Op("q76_multiclass_metrics", q76, Some(q76Sql)),
     Op("q80_repetition_ratio", q80, Some(q80Sql)),

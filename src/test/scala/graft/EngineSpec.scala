@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 132) // r7: +q132_auc
+    assert(SparkEntry.queries.size === 133) // r7: +q132_auc, +q133_avg_precision
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 124) // r7: +q132, q72 oracle upgrade
+    assert(SparkEntry.oracleSql.size === 125) // r7: +q132/q133, q72 oracle upgrade
   }
 
   test("entry flagship runs on sf0.001 with rows") {

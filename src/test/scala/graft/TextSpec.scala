@@ -42,6 +42,31 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     assert(auc(Seq((0.4, 1), (0.4, 0), (0.4, 1), (0.4, 0))) === 0.5)
   }
 
+  test("q133 average precision matches the driver-side ranked replay, ties included") {
+    val data = Seq( // (doc_id, score, y) with score ties across classes
+      (1L, 0.9, 1), (2L, 0.9, 0), (3L, 0.5, 1), (4L, 0.5, 1),
+      (5L, 0.5, 0), (6L, 0.3, 0), (7L, 0.3, 1), (8L, 0.1, 0))
+    val got = TextOps.apOf(data.toDF("doc_id", "score", "y")).collect()(0)
+    // canonical order: score desc, doc_id asc
+    val ranked = data.sortBy { case (id, s, _) => (-s, id) }
+    var cum = 0L
+    var sMicros = 0L
+    ranked.zipWithIndex.foreach { case ((_, _, y), i) =>
+      if (y == 1) {
+        cum += 1
+        val rnk = i + 1L
+        sMicros += (2 * (cum * 1000000L) + rnk) / (2 * rnk) // half-away, positives
+      }
+    }
+    val nPos = ranked.count(_._3 == 1)
+    assert(got.getAs[Long]("n_pos") === nPos)
+    assert(got.getAs[Double]("ap") === sMicros.toDouble / (nPos * 1000000.0))
+    // perfect ranking ⇒ AP = 1.0
+    val perfect = Seq((1L, 0.9, 1), (2L, 0.8, 1), (3L, 0.2, 0), (4L, 0.1, 0))
+    assert(TextOps.apOf(perfect.toDF("doc_id", "score", "y"))
+      .collect()(0).getAs[Double]("ap") === 1.0)
+  }
+
   test("q36 tf-idf matches the smoothed-idf formula for a sampled token") {
     val row = TextOps.q36(spark, SF).limit(1).collect()(0)
     val n = Tables.documents(spark, SF).count()
