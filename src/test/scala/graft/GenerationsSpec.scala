@@ -135,4 +135,37 @@ class GenerationsSpec extends AnyFunSuite with SharedSpark {
       .count() > 0L)
     newSh.unpersist()
   }
+
+  test("compaction heals crash states: dead tmp, retire-without-promote, promote-without-publish") {
+    import graft.operators.DedupOps.IncrSplitMod
+    val docSh = DedupOps.docShingles(spark, SF).filter(size(col("shs")) > 0)
+    DedupOps.q108Write(spark, docSh.filter(col("doc_id") % IncrSplitMod =!= 0))
+    val rows = spark.table("g108_shingles").count()
+    assert(rows > 0)
+    // STATE 1: a dead `{table}_c{next}` tmp from a crashed attempt — a
+    // naive retry would die on the ErrorIfExists write
+    spark.range(1).selectExpr("id AS doc_id", "array('x') AS shs")
+      .write.saveAsTable("g108_shingles_c1")
+    DedupOps.q108Compact(spark)
+    assert(DedupOps.bucketedGen(spark, "graft_dedupindex", "g108_shingles") === 1L)
+    assert(spark.table("g108_shingles").count() === rows)
+    // STATE 3: crash between promote and publish — the live table is
+    // already the next generation, only the manifest is stale. Simulate
+    // by rewinding the manifest one generation; the next attempt must
+    // heal FORWARD (re-publish) and then compact normally on top.
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dedupindex-${spark.sparkContext.applicationId}")
+    val mf = new java.io.File(base, "MANIFEST_g108_shingles")
+    java.nio.file.Files.writeString(mf.toPath, "current=0;retained=0\n")
+    DedupOps.q108Compact(spark)
+    assert(DedupOps.bucketedGen(spark, "graft_dedupindex", "g108_shingles") === 2L)
+    assert(spark.table("g108_shingles").count() === rows)
+    // STATE 2: crash between retire and promote — the live name is gone,
+    // the retired current generation holds the data. The next attempt
+    // must restore the live name and proceed.
+    spark.sql("ALTER TABLE g108_shingles RENAME TO g108_shingles_r2")
+    DedupOps.q108Compact(spark)
+    assert(DedupOps.bucketedGen(spark, "graft_dedupindex", "g108_shingles") === 3L)
+    assert(spark.table("g108_shingles").count() === rows)
+  }
 }
