@@ -620,6 +620,76 @@ object TextOps {
        |    AS DOUBLE) / (CAST(SUM(y) AS BIGINT) * 1000000.0) AS ap
        |FROM rk""".stripMargin
 
+  // --- 134. score calibration by decile (r7) ------------------------------
+  /** Reliability table of the q38 score against the lang='en' truth —
+    * the calibration readout that accompanies q132/q133 in a model
+    * evaluation: decile buckets under the canonical ascending
+    * (score, doc_id) order (NTILE(10) semantics — first n mod 10
+    * buckets one heavier, q65's boundary formula), per bucket the doc
+    * count, positive count, positive RATE (half-away micros) and mean
+    * score (scores sit on the 1e-6 lattice, so the mean is an exact
+    * int64 sum divided on the same lattice). A well-calibrated score
+    * shows pos_rate rising with mean_score; flat tails flag a
+    * threshold, not a ranking.
+    *
+    * No corpus sort/window: the nine boundary ranks resolve to exact
+    * keys via [[graft.functions.OrderStats.keysAtRanks]] (globals fused
+    * into the same first pass), each row's decile is a codegen'd
+    * struct-compare CASE against the broadcast boundaries, and the
+    * readout is one ≤10-row aggregate. */
+  private[graft] def calibrationOf(scored: DataFrame): DataFrame = {
+    import graft.functions.Num
+    val s = scored.sparkSession
+    import s.implicits._
+    val NB = 10
+    val ranked = scored.select(col("score").as("v"), col("doc_id").as("id"))
+    val g = ranked.agg(count(lit(1)), min(col("v")), max(col("v")),
+      min(col("id")), max(col("id"))).head()
+    val n = g.getLong(0)
+    val targets = (1 until NB)
+      .map(i => (i, i * (n / NB) + math.min(i.toLong, n % NB)))
+      .toDF("idx", "t")
+    val preGlob = if (n == 0) None
+      else Some((n, g.getDouble(1), g.getDouble(2), g.getLong(3), g.getLong(4)))
+    val bCols = (1 until NB).map(i =>
+      min(when(col("idx") === i, struct(col("v"), col("id")))).as(s"b$i"))
+    val brow = graft.functions.OrderStats
+      .keysAtRanks(ranked, targets, preGlob = preGlob)
+      .agg(bCols.head, bCols.tail: _*)
+    scored.crossJoin(broadcast(brow))
+      .withColumn("key", struct(col("score").as("v"), col("doc_id").as("id")))
+      .withColumn("decile", (lit(1) + (1 until NB)
+        .map(i => when(col("key") > col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+        sum(round(col("score") * 1e6).cast("long")).as("sm"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        Num.ratio6(col("n_pos"), col("n")).as("pos_rate"),
+        Num.latticeAvg6(col("sm"), col("n")).as("mean_score"))
+      .orderBy(col("decile"))
+  }
+
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.documents(s, dir)
+      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+    calibrationOf(q38(s, dir).join(truth, col("doc_id") === col("d2"))
+      .select(col("doc_id"), col("score"), col("y")))
+  }
+
+  lazy val q134Sql: String =
+    s"""WITH preds AS ($q38SqlNoOrder),
+       |sc AS (SELECT p.doc_id, p.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM preds p JOIN documents d USING (doc_id)),
+       |t AS (SELECT score, y,
+       |    NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM sc)
+       |SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  ${graft.functions.Num.ratio6Sql("SUM(y)", "COUNT(*)")} AS pos_rate,
+       |  ${graft.functions.Num.latticeAvg6Sql(
+            "SUM(CAST(round(score * 1000000) AS BIGINT))", "COUNT(*)")} AS mean_score
+       |FROM t GROUP BY decile
+       |ORDER BY decile""".stripMargin
+
   // --- 71. suffix-stripping stemmer --------------------------------------
   /** Porter-lite stemming (the reference pipeline's normalization step):
     * one anchored alternation, first-alternative-wins — identical
@@ -1361,6 +1431,7 @@ object TextOps {
     Op("q63_threshold_tune", q63, Some(q63Sql)),
     Op("q132_auc", q132, Some(q132Sql)),
     Op("q133_avg_precision", q133, Some(q133Sql)),
+    Op("q134_calibration", q134, Some(q134Sql)),
     Op("q71_stemming", q71, Some(q71Sql)),
     Op("q76_multiclass_metrics", q76, Some(q76Sql)),
     Op("q80_repetition_ratio", q80, Some(q80Sql)),

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 133) // r7: +q132_auc, +q133_avg_precision
+    assert(SparkEntry.queries.size === 134) // r7: +q132/q133/q134
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 125) // r7: +q132/q133, q72 oracle upgrade
+    assert(SparkEntry.oracleSql.size === 126) // r7: +q132/q133/q134, q72 oracle upgrade
   }
 
   test("entry flagship runs on sf0.001 with rows") {

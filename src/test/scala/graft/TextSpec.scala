@@ -67,6 +67,30 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       .collect()(0).getAs[Double]("ap") === 1.0)
   }
 
+  test("q134 calibration deciles equal the NTILE window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // 23 rows (non-divisible by 10) with score ties spanning boundaries
+    val data = (1L to 23L).map(i => (i, (i % 7).toDouble / 7.0, (i % 3 == 0)))
+    val df = data.toDF("doc_id", "score", "yb")
+      .select(col("doc_id"), round(col("score"), 6).as("score"),
+        col("yb").cast("int").as("y"))
+    val got = TextOps.calibrationOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val want = df
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+      .orderBy(col("decile")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got === want)
+    // rates sit on the exact micros lattice
+    TextOps.calibrationOf(df).collect().foreach { r =>
+      val rate = r.getAs[Double]("pos_rate")
+      assert((rate * 1e6).round / 1e6 === rate)
+    }
+  }
+
   test("q36 tf-idf matches the smoothed-idf formula for a sampled token") {
     val row = TextOps.q36(spark, SF).limit(1).collect()(0)
     val n = Tables.documents(spark, SF).count()
