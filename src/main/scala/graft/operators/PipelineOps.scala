@@ -801,44 +801,49 @@ object PipelineOps {
     * q114 per-lang aggregate — unordered; shared by q120 (readout) and
     * q123 (the build that samples at these rates). */
   private[graft] def q120PolicyOf(g0: DataFrame): DataFrame = {
-    import graft.functions.Num
-    // localCheckpoint, not cache: this ≤|languages| aggregate backs the
-    // MixFixpointRounds scalar reads AND the returned plan; registered
-    // blocks are released per-op by the harness or a caller's scoped{}
-    // where a bare cache leaked until somebody's clearCache (r5 ADVICE)
-    val g = g0
+    // ONE collect of the ≤|languages| aggregate — catalog-bounded by the
+    // operator's own contract — then the 8-round fixpoint folds
+    // driver-side in exact BigInt (bit-identical to the DECIMAL(38,0)
+    // lattice: both are exact integer half-away arithmetic, the regime
+    // MixDecimalSpec pins at ≥10¹³-token masses). The previous form paid
+    // one cluster job PER ROUND to move a single scalar (r7 — the q126
+    // treatment; 8 scheduler round-trips over 5 rows was the op's
+    // entire cost at test SF).
+    val s = g0.sparkSession
+    import s.implicits._
+    val M = BigInt(1000000L)
+    def halfAway(p: BigInt, q: BigInt): BigInt =
+      if (p >= 0) (p * 2 + q) / (q * 2) else -(((-p) * 2 + q) / (q * 2))
+    val rows = g0
       .select(col("lang"), col("n_docs"), col("raw_tokens"),
-        col("clean_tokens"), col("eighths"), (col("eighths") * col("raw_tokens")).as("tw"))
-      .localCheckpoint()
-    g.queryExecution.analyzed
-      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-      .foreach(r => graft.CheckpointRegistry.register(r))
-    val tot = g.agg(sum(col("tw")).as("tws"), sum(col("clean_tokens")).as("t0")).head()
-    val (tws, t0) = (tot.getAs[Long]("tws"), tot.getAs[Long]("t0"))
-    // tw·10⁶ and share·T exceed int64 at ≳10¹² corpus tokens — both
-    // divisions run on DECIMAL(38,0); the quotients (≤10⁶ micros resp.
-    // ≤ clean_tokens) narrow back to long losslessly.
-    val shared = g.withColumn("share_micros",
-      Num.idivHalfAwayBig(Num.big(col("tw")) * lit(1000000L), lit(tws)).cast("long"))
-    def alloc(t: Long) = least(col("clean_tokens"),
-      Num.idivHalfAwayBig(Num.big(col("share_micros")) * lit(t), lit(1000000L))
-        .cast("long"))
-    var t = t0
+        col("clean_tokens"), col("eighths"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val tw = rows.map { case (_, _, raw, _, e) => BigInt(e) * BigInt(raw) }
+    val tws = tw.sum
+    val share = tw.map(w => halfAway(w * M, tws))
+    val clean = rows.map(r => BigInt(r._4))
+    def alloc(i: Int, t: BigInt): BigInt = clean(i).min(halfAway(share(i) * t, M))
+    var t = clean.sum
     for (_ <- 1 to MixFixpointRounds)
-      t = shared.agg(sum(alloc(t))).head().getLong(0)
-    shared
-      .withColumn("alloc_tokens", alloc(t).cast("long"))
-      .withColumn("rate_micros",
-        when(col("clean_tokens") === 0, lit(1000000L))
-          .otherwise(least(lit(1000000L).cast(Num.Big),
-            Num.idivHalfAwayBig(Num.big(col("alloc_tokens")) * lit(1000000L),
-              col("clean_tokens"))).cast("long")))
-      .select(col("lang"), col("n_docs"), col("raw_tokens"), col("clean_tokens"),
-        col("share_micros"), col("rate_micros"), col("alloc_tokens"))
+      t = rows.indices.map(alloc(_, t)).sum
+    val tF = t
+    rows.indices.map { i =>
+      val (lang, nDocs, raw, cl, _) = rows(i)
+      val a = alloc(i, tF)
+      val rate = if (cl == 0) 1000000L
+        else M.min(halfAway(a * M, BigInt(cl))).toLong
+      (lang, nDocs, raw, cl, share(i).toLong, rate, a.toLong)
+    }.toSeq.toDF("lang", "n_docs", "raw_tokens", "clean_tokens",
+      "share_micros", "rate_micros", "alloc_tokens")
   }
 
   def q120(s: SparkSession, dir: String): DataFrame =
-    q120PolicyOf(q114PolicyOf(q114Docs(s, dir))).orderBy(col("lang"))
+    // SharedRelations memo like the other q114-policy consumers
+    // (q116/q118/q123): q114's own entry times the span pipeline; q120
+    // measures what it adds — the water-filling fixpoint
+    q120PolicyOf(q114PolicyOf(q114DocsShared(s, dir))).orderBy(col("lang"))
 
   /** CTE chain ending in `fxp`(lang, n_docs, raw_tokens, clean_tokens,
     * share_micros, rate_micros, alloc_tokens); shared by q120/q123. */
