@@ -24,7 +24,10 @@ object SparkEntry {
       // replayable distinct-4-gram ratio; the Deflater form remains a
       // spec-only component (PropertySpec/EngineSpec)
       Op("q72_compression_quality", multimodal.MultiModal.ngramRatio,
-        Some(multimodal.MultiModal.ngramRatioSql))),
+        Some(multimodal.MultiModal.ngramRatioSql)),
+      // r7: REAL image codec round-trip (pure-JDK ImageIO) — a codec is
+      // not ANSI-SQL-expressible, so rows-checked + spec-pinned
+      Op("q135_image_decode", multimodal.MultiModal.imageFeatures, None)),
     operators.Relational2.ops ++ operators.Bucketed.ops)
 
   /** All operators, flattened in SURVEY §2 order. */

@@ -7,7 +7,7 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 134) // r7: +q132/q133/q134
+    assert(SparkEntry.queries.size === 135) // r7: +q132..q135
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.oracleSql.size === 126) // r7: +q132/q133/q134, q72 oracle upgrade
   }
@@ -46,6 +46,39 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
       .collect()(0).getAs[String]("text").getBytes("UTF-8").length
     val chunks = (textLen + 31) / 32
     assert(n === (chunks + 1) / 2)
+  }
+
+  test("q135 image pipeline: genuine PNG payloads, lossless decode, exact features") {
+    // the payload really is a PNG (codec, not a stub): signature bytes
+    val sample = "The quick brown fox — 42! éü".getBytes("UTF-8")
+    val png = MultiModal.pngEncode(sample)
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P' && png(2) === 'N' && png(3) === 'G')
+    // ImageIO round-trip is bit-exact pixel for pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    sample.indices.foreach { i =>
+      assert(img.getRaster.getSample(i % MultiModal.ImgWidth,
+        i / MultiModal.ImgWidth, 0) === (sample(i) & 0xff), s"pixel $i")
+    }
+    // full pipeline over the corpus: features equal a direct byte-level
+    // recompute (possible only because the codec is lossless)
+    val df = MultiModal.imageFeatures(spark, SF)
+    assert(df.columns.toSeq === Seq("doc_id", "width", "height",
+      "n_bytes", "png_bytes", "mean_px_micros"))
+    assert(df.count() === Tables.documents(spark, SF).count())
+    val byId = df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(5)))).toMap
+    Tables.documents(spark, SF).select("doc_id", "text").collect().take(20)
+      .foreach { r =>
+        val b = r.getString(1).getBytes("UTF-8")
+        val n = b.length
+        val h = math.max(1, (n + MultiModal.ImgWidth - 1) / MultiModal.ImgWidth)
+        val sum = b.map(_ & 0xff).map(_.toLong).sum
+        val mean = if (n == 0) 0L else (2L * sum * 1000000L + n) / (2L * n)
+        assert(byId(r.getLong(0)) === ((MultiModal.ImgWidth, h, n, mean)),
+          s"doc ${r.getLong(0)}")
+      }
+    // determinism (PNG encode is deterministic for a fixed JDK)
+    assert(df.collect() === MultiModal.imageFeatures(spark, SF).collect())
   }
 
   test("q72 registered form: distinct-4-gram ratio matches a local sliding-window recompute") {
