@@ -46,6 +46,13 @@ object PrefixSum {
     * pays the scan once instead of per column. */
   def withRunningSums(df: DataFrame, bkey: String, tiebreak: Seq[String],
       vs: Seq[(String, String)]): DataFrame = {
+    // intermediates (__bsum_$v/__off_$v) are keyed by SOURCE column name,
+    // so the same source listed twice would collide into ambiguous
+    // columns mid-plan — fail at the API boundary with the real cause
+    require(vs.map(_._1).distinct.size == vs.size,
+      s"PrefixSum.withRunningSums: duplicate source value columns in " +
+        s"${vs.map(_._1).mkString("[", ", ", "]")}; alias the column and " +
+        "list each source once")
     val rng = df.agg(min(col(bkey)).as("lo"), max(col(bkey)).as("hi"))
     // exact integer bin: (bkey - lo) div width, width ≥ span/NumBins.
     // `hi - lo` overflows when the span exceeds Long.MaxValue (hi > 0,

@@ -1226,6 +1226,21 @@ object DedupOps {
           graft.GenManifest.publish(base, table, curM + 1, retain, Some(curM))
             .foreach(dropGen(s, table, _)) // state 3
       }
+      // state 4 (r7 ADVICE): a crash AFTER publish but BEFORE the GC
+      // loop leaves aged-out `{table}_r{old}` tables no later pass
+      // removed (states 1–3 only inspect _c* and _r{current}). Re-read
+      // the now-consistent manifest and drop every retired-generation
+      // table whose gen fell out of the retained set — they are
+      // unreachable by contract (readers pin via bucketedGenOf only
+      // within retain depth).
+      val retained = graft.GenManifest.read(base, table)
+        .map(_.retained.toSet).getOrElse(Set.empty[Long])
+      val rPat = (java.util.regex.Pattern.quote(table) + "_r(\\d+)").r
+      s.catalog.listTables().collectAsList().asScala.map(_.name).foreach {
+        case rPat(g) if !retained.contains(g.toLong) =>
+          dropTableAndFiles(s, s"${table}_r$g")
+        case _ => ()
+      }
     }
     val cur = graft.GenManifest.current(base, table)
     val next = cur + 1

@@ -40,6 +40,13 @@ object GraphOps {
   val Iters = 8
   /** Rank unit: integer micros. */
   val RankScale = 1000000L
+  /** Driver-state bound for [[pagerankDelta]]'s incremental path: the
+    * BFS ball (ids) and its in-edge relation (rows) must each fit this
+    * many rows of driver memory (~2 M longs/pairs ≈ tens of MB — the
+    * same order as q50's exact-semi-join prune bound). A delta whose
+    * ball exceeds it is not "a daily batch against a huge graph" and
+    * runs the full distributed recompute instead. */
+  val DeltaBallCap = 2000000L
 
   /** q95: PageRank over the verified MinHash near-dup pairs (q50),
     * isolates included via the document universe. */
@@ -157,8 +164,13 @@ object GraphOps {
     * Scale shape (r7 rework): the ball-side state — the iters-hop ball,
     * its in-edges, the contributors' degrees and per-round history
     * ranks — is delta-ball-sized BY THE OPERATOR'S CONTRACT (a daily
-    * batch against a huge graph; a delta too large for that bound
-    * should run the full recompute instead). Everything graph-sized
+    * batch against a huge graph). The contract is ENFORCED, not assumed
+    * (r8): the BFS stops the moment the ball exceeds `ballCap` ids, and
+    * the in-edge relation is COUNTED before it is collected — a
+    * hub-dense delta whose ball approaches the whole graph falls back
+    * to the full distributed [[pagerank]] over the merged edges
+    * (bit-identical by GraphSpec's equality pin) instead of OOMing the
+    * driver. Everything graph-sized
     * stays distributed and is touched exactly once each: one BFS prune
     * of the cached edge relation (broadcast semi-joins per hop), one
     * degree aggregation, one contributor-sliced scan of the history
@@ -173,7 +185,8 @@ object GraphOps {
     * delta batch against a 100 TB graph costs ∝ \|ball\|·deg once, not
     * ∝ \|graph\| — and not 8 × scheduler latency either. */
   def pagerankDelta(history: DataFrame, oldPairs: DataFrame,
-      newPairs: DataFrame, docs: DataFrame, iters: Int = Iters): DataFrame = {
+      newPairs: DataFrame, docs: DataFrame, iters: Int = Iters,
+      ballCap: Long = DeltaBallCap): DataFrame = {
     val merged = oldPairs.unionAll(newPairs)
     val edges = merged
       .unionAll(merged.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -187,11 +200,18 @@ object GraphOps {
       .unionAll(newDocs)
     try {
       // iters-hop ball via frontier BFS over the cached edge relation —
-      // broadcast semi-joins keyed on the (small) frontier; one job
+      // broadcast semi-joins keyed on the (small) frontier; one job.
+      // Every driver-bound set below is size-checked against `ballCap`
+      // BEFORE (or as) it lands: the BFS aborts mid-expansion, so even
+      // its per-hop collects never exceed cap + one hop's fan-in of
+      // DISTINCT ids (each hop's neighbor set is itself ≤ |ball ∪
+      // frontier·deg| distinct ids of the next ball, re-checked
+      // immediately).
       val newIds = newDocs.collect().map(_.getLong(0))
       var ballIds = (seed.collect().map(_.getLong(0)).toSet ++ newIds)
       var frontier = ballIds
-      for (_ <- 1 to iters if frontier.nonEmpty) {
+      var oversized = ballIds.size > ballCap
+      for (_ <- 1 to iters if frontier.nonEmpty && !oversized) {
         import org.apache.spark.sql.Row
         val s = edges.sparkSession
         val fDf = s.createDataFrame(
@@ -203,7 +223,28 @@ object GraphOps {
           .select(col("id_a")).distinct().collect().map(_.getLong(0)).toSet
         frontier = nbrs -- ballIds
         ballIds = ballIds ++ nbrs
+        oversized = ballIds.size > ballCap
       }
+      if (oversized) {
+        // the "daily batch" contract does not hold for this delta: the
+        // ball approaches the graph, so the incremental fold would cost
+        // ≥ the full recompute AND collect graph-sized state. Degrade to
+        // the fully distributed recompute over the merged edges —
+        // bit-identical output by the round-purity argument GraphSpec
+        // pins (fallback equality is spec-exercised with a tiny cap).
+        pagerank(merged, docs)
+      } else pagerankDeltaFold(history, merged, edges, docs, iters,
+        ballCap, newIds, ballIds)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** The driver-side ball fold of [[pagerankDelta]], reached only when
+    * the BFS ball fit `ballCap`; the in-edge relation gets its own
+    * count-before-collect guard here (ball·deg can exceed the id cap),
+    * falling back to the distributed recompute the same way. */
+  private def pagerankDeltaFold(history: DataFrame, merged: DataFrame,
+      edges: DataFrame, docs: DataFrame, iters: Int, ballCap: Long,
+      newIds: Array[Long], ballIds: Set[Long]): DataFrame = {
       val ballDf = {
         val s = edges.sparkSession
         import s.implicits._
@@ -211,9 +252,14 @@ object GraphOps {
       }
       // graph-sized inputs, each touched once: in-edges of the ball and
       // contributor degrees (one aggregation over the pruned edge set)
-      val inE = edges.join(broadcast(ballDf.withColumnRenamed("doc_id", "id_a")),
+      val inERel = edges
+        .join(broadcast(ballDf.withColumnRenamed("doc_id", "id_a")),
           Seq("id_a"), "left_semi")
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // count BEFORE collect — one cheap aggregate job over the pruned
+      // join; the cap is rows of driver state, same budget as the ball
+      if (inERel.count() > ballCap)
+        return pagerank(merged, docs)
+      val inE = inERel.collect().map(r => (r.getLong(0), r.getLong(1)))
       val contribIds = inE.map(_._2).distinct
       val degC = {
         val s = edges.sparkSession
@@ -255,7 +301,6 @@ object GraphOps {
         .select(col("doc_id"),
           (coalesce(col("cr"), col("r")) / 1000000.0).as("rank"))
         .orderBy(col("doc_id"))
-    } finally edges.unpersist(blocking = false)
   }
 
   /** The `prdeg, pr0..pr$Iters` CTE chain replaying [[pagerank]] over an

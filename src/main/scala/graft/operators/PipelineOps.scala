@@ -822,7 +822,11 @@ object PipelineOps {
         r.getLong(3), r.getLong(4)))
     val tw = rows.map { case (_, _, raw, _, e) => BigInt(e) * BigInt(raw) }
     val tws = tw.sum
-    val share = tw.map(w => halfAway(w * M, tws))
+    // tws == 0 (every lang's eighths·raw mass is zero but groups exist)
+    // would divide by zero below; the defined degenerate policy is zero
+    // shares → zero allocs (rate falls out of the existing cl==0 rule)
+    val share = if (tws == 0) tw.map(_ => BigInt(0))
+                else tw.map(w => halfAway(w * M, tws))
     val clean = rows.map(r => BigInt(r._4))
     def alloc(i: Int, t: BigInt): BigInt = clean(i).min(halfAway(share(i) * t, M))
     var t = clean.sum

@@ -911,15 +911,38 @@ object SimOps {
       .orderBy(col("cell_id"))
   }
 
+  // session-lifetime guard: which corpus the persisted index describes
+  private var annDir: Option[String] = None
+
+  /** The per-application artifact dir q105 serves from: concurrent JVMs
+    * (test forks, Bench beside sbt test) must not delete each other's
+    * index mid-query; cleanup at JVM exit via the artifact registry
+    * (r4 ADVICE). */
+  private[graft] def q105Base(s: SparkSession): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annindex-${s.sparkContext.applicationId}")
+
+  /** Build + persist the IVF+PQ index artifact for `dir` unless the
+    * live artifact already describes it — the q122/q126 standing-
+    * snapshot pattern (r7 VERDICT #4): in production the index is built
+    * once per corpus snapshot and serves MANY query batches, so the
+    * registered q105 entry measures the amortized probe, not
+    * build+query. Reuse is spec-pinned (a second q105 call must not
+    * touch the manifest). */
+  private[graft] def q105Ensure(s: SparkSession, dir: String): java.io.File = {
+    val base = q105Base(s)
+    if (!annDir.contains(dir) ||
+        graft.GenManifest.read(base, "vecs").isEmpty) {
+      graft.TempArtifacts.register(base)
+      annIndexWrite(s, base, Tables.embeddings(s, dir))
+      annDir = Some(dir)
+    }
+    base
+  }
+
   def q105(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    // per-application dir: concurrent JVMs (test forks, Bench beside
-    // sbt test) must not delete each other's index mid-query; cleanup
-    // at JVM exit via the artifact registry (r4 ADVICE)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_annindex-${s.sparkContext.applicationId}")
-    graft.TempArtifacts.register(base)
-    annIndexWrite(s, base, e)
+    val base = q105Ensure(s, dir)
     val (cellsRow, cbRow) = annIndexModel(s, base)
     val idx = annIndexVecs(s, base)
     annIndexSearch(idx,

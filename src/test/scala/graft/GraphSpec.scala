@@ -160,6 +160,38 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(gotC.removed(12L) === want.removed(12L))
   }
 
+  test("pagerankDelta enforces the ball cap: oversized deltas run the full distributed recompute") {
+    import spark.implicits._
+    val oldPairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val oldDocs = (1L to 12L).toDF("doc_id")
+    val newPairs = Seq((1L, 100L)).toDF("id_a", "id_b")
+    val docs = ((1L to 12L) ++ Seq(100L, 200L)).toDF("doc_id")
+    val hist = GraphOps.pagerankHistory(oldPairs, oldDocs).localCheckpoint()
+    val want = GraphOps.pagerank(oldPairs.unionAll(newPairs), docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // cap below the seed set: the BFS aborts before its first expansion
+    val gotBfs = GraphOps
+      .pagerankDelta(hist, oldPairs, newPairs, docs, ballCap = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotBfs === want)
+    // cap the ball's 11 ids fit but the 19-row in-edge relation blows:
+    // the count-before-collect guard takes the same fallback
+    val gotInE = GraphOps
+      .pagerankDelta(hist, oldPairs, newPairs, docs, ballCap = 12L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotInE === want)
+    // the fallback really is the full recompute: a corrupted history
+    // rank is INVISIBLE (the incremental path would surface it — the
+    // locality test above proves exactly that)
+    val corrupt = hist.withColumn("r",
+      when(col("doc_id") === 12L && col("t") === GraphOps.Iters,
+        lit(999999999L)).otherwise(col("r")))
+    val gotC = GraphOps
+      .pagerankDelta(corrupt, oldPairs, newPairs, docs, ballCap = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotC === want)
+  }
+
   test("q126/q127 probe a persisted artifact: fresh-build bit-identity, no rebuild on re-run") {
     import spark.implicits._
     val a126 = GraphOps.q126(spark, SF).collect().toList

@@ -343,6 +343,25 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recallOf(got) >= recallOf(mem1))
   }
 
+  test("q105 standing artifact: a re-run probes the existing index and never rebuilds") {
+    val r1 = SimOps.q105(spark, SF).collect().toList
+    val base = SimOps.q105Base(spark)
+    def listing(f: java.io.File): Set[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(listing).toSet
+      else Set(s"${f.getAbsolutePath}@${f.lastModified()}:${f.length()}")
+    val manifest = new java.io.File(base, "MANIFEST_vecs")
+    assert(manifest.isFile, "q105 must leave a generationed artifact behind")
+    val before = listing(base)
+    // second call: same results, and the artifact — every file path,
+    // mtime, and size, manifest included — is untouched (a rebuild
+    // rmTree's the base, so any rewrite would show here)
+    val r2 = SimOps.q105(spark, SF).collect().toList
+    assert(r2 === r1)
+    assert(listing(base) === before,
+      "re-running q105 must not rewrite the standing index artifact")
+  }
+
   test("ann index lifecycle: append under the frozen model ≡ fresh union encode, pruning intact") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, SF)
