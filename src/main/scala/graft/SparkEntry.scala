@@ -27,7 +27,10 @@ object SparkEntry {
         Some(multimodal.MultiModal.ngramRatioSql)),
       // r7: REAL image codec round-trip (pure-JDK ImageIO) — a codec is
       // not ANSI-SQL-expressible, so rows-checked + spec-pinned
-      Op("q135_image_decode", multimodal.MultiModal.imageFeatures, None)),
+      Op("q135_image_decode", multimodal.MultiModal.imageFeatures, None),
+      // r8: REAL audio codec round-trip (pure-JDK javax.sound.sampled
+      // WAV/PCM) — same rows-checked + spec-pinned closure as q135
+      Op("q136_audio_decode", multimodal.MultiModal.audioFeatures, None)),
     operators.Relational2.ops ++ operators.Bucketed.ops)
 
   /** All operators, flattened in SURVEY §2 order. */

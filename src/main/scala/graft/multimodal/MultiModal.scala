@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * columns next to typed metadata; decode/feature-extraction runs as a
   * partition-local batch transform (the Scala analogue of `mapInPandas`)
   * so the decoder amortizes per-partition setup and never touches the
-  * driver. The decode step itself is STUBBED (no media libs in this
-  * environment) with a deterministic byte-level fake — the Spark-side
-  * contract (schema, encoders, partition batching) is real and tested.
+  * driver. Image (PNG via ImageIO, r7) and audio (WAV via
+  * javax.sound.sampled, r8) decode are REAL pure-JDK codecs end to end;
+  * only the video container path keeps a deterministic byte-level stub
+  * (no JDK codec) — its Spark-side contract (schema, encoders,
+  * partition batching) is real and tested.
   */
 object MultiModal {
 
@@ -100,8 +102,9 @@ object MultiModal {
     * codec reuse, nothing driver-sized. PNG is lossless, so the
     * round-trip is bit-exact and the features are deterministic
     * integers (spec-pinned against a direct byte-level recompute).
-    * Audio/video CONTAINER decode stays stubbed ([[frameSampleStub]]) —
-    * the JDK carries no codec for those. */
+    * Audio followed in r8 via `javax.sound.sampled` ([[wavEncode]] /
+    * [[wavDecodeFeatures]]); only VIDEO container decode stays stubbed
+    * ([[frameSampleStub]]) — the JDK carries no codec for it. */
   val ImgWidth = 32
 
   /** Render bytes as a [[ImgWidth]]-wide gray8 image, PNG-encoded. */
@@ -158,6 +161,99 @@ object MultiModal {
           pngDecodeFeatures(id, bytes.length, pngEncode(bytes))
         }
       }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // --- REAL audio codec pipeline (r8) --------------------------------------
+  /** The audio half of the decode gap, closed the same way as q135:
+    * `javax.sound.sampled` ships with the JDK (WAV/AU/AIFF container +
+    * linear-PCM codec in java.desktop, pure stream I/O — no audio
+    * device, headless-safe). Each doc's bytes synthesize to a genuine
+    * 16-bit signed little-endian mono PCM WAV payload column (what an
+    * audio corpus ships as), and the feature stage parses that payload
+    * back through AudioSystem and reads samples — both stages
+    * partition-local, features exact integers (spec-pinned against a
+    * direct byte-level recompute; the round-trip is lossless because
+    * linear PCM in a WAV container is). Only VIDEO container decode
+    * remains stubbed ([[frameSampleStub]]) — the JDK carries no codec
+    * for it (declared §6). */
+  val AudioRate = 8000f
+
+  /** Synthesize bytes as a [[AudioRate]] Hz 16-bit mono WAV: byte i
+    * becomes the centered sample ((b−128) << 8) — injective, so the
+    * decode side can recover the exact byte stream. */
+  def wavEncode(bytes: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      AudioRate, 16, 1, 2, AudioRate, false)
+    val pcm = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val s = ((bytes(i) & 0xff) - 128) << 8
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Typed record from a REAL decode of a WAV payload. Every feature is
+    * a deterministic integer: peak and mean-abs amplitude (half-away
+    * integer micros) and the zero-crossing count — the standard cheap
+    * audio quality/energy signals. */
+  final case class AudioFeature(doc_id: Long, sample_rate: Int, bits: Int,
+      n_samples: Long, wav_bytes: Int, peak_abs: Long, mean_abs_micros: Long,
+      zero_crossings: Long)
+
+  /** Parse `wav` with AudioSystem (header + PCM payload) and extract
+    * exact integer features over the decoded samples. */
+  def wavDecodeFeatures(id: Long, wav: Array[Byte]): AudioFeature = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    ais.close()
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"expected 16-bit little-endian PCM, got $fmt")
+    val n = pcm.length / 2
+    var sumAbs = 0L; var peak = 0L; var zc = 0L
+    var prevNonNeg = true
+    var i = 0
+    while (i < n) {
+      val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff) // signed high byte
+      val a = math.abs(s.toLong)
+      sumAbs += a
+      if (a > peak) peak = a
+      val nonNeg = s >= 0
+      if (i > 0 && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      i += 1
+    }
+    AudioFeature(id, fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+      n.toLong, wav.length, peak,
+      if (n == 0) 0L else (2L * sumAbs * 1000000L + n) / (2L * n), zc)
+  }
+
+  /** documents → REAL WAV payload column → REAL AudioSystem decode →
+    * per-clip features. Both codec stages run partition-local
+    * (`mapPartitions`), the batch shape a 100 TB audio corpus needs;
+    * rows-checked + spec'd (a codec isn't ANSI-SQL-expressible — the
+    * spec pins the lossless sample round-trip and the exact feature
+    * values against a direct byte recompute). */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        wavDecodeFeatures(id, wavEncode(bytes))
+      })
       .toDF()
       .orderBy(col("doc_id"))
   }

@@ -826,6 +826,38 @@ object TextOps {
        |  ${graft.functions.Num.ratio6Sql("correct", "n")} FROM tot
        |ORDER BY cls""".stripMargin
 
+  // --- 137. explicit confusion matrix (r8) -------------------------------
+  /** The raw (truth, pred) count matrix behind q76's per-class metrics —
+    * the paper's other evaluation table as a registered, oracle-checked
+    * op (r7 VERDICT missing #3). One map-side-combined groupBy over the
+    * joined predictions (output ≤ |langs|² cells), then a broadcast
+    * row-total join for the exact row-share micros. Zero-count cells are
+    * omitted (the sparse form is the 100 TB-safe shape — a dense pivot
+    * over a catalog-sized class set is a presentation step, not a scan
+    * shape). */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val j = q44(s, dir).join(
+      Tables.documents(s, dir).select(col("doc_id").as("d2"), col("lang").as("y")),
+      col("doc_id") === col("d2"))
+      .select(col("y").as("truth"), col("pred_lang").as("pred"))
+    val cm = j.groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy(col("truth")).agg(sum(col("n")).as("support"))
+    cm.join(broadcast(tot), "truth")
+      .select(col("truth"), col("pred"), col("n"),
+        graft.functions.Num.ratio6(col("n"), col("support")).as("row_share"))
+      .orderBy(col("truth"), col("pred"))
+  }
+
+  val q137Sql: String =
+    s"""WITH j AS (
+       |  SELECT lang AS truth, $predLangSql AS pred
+       |  FROM (SELECT lang, $toksSql AS toks FROM documents) t),
+       |cm AS (SELECT truth, pred, COUNT(*) AS n FROM j GROUP BY truth, pred),
+       |tot AS (SELECT truth, CAST(SUM(n) AS BIGINT) AS support FROM cm GROUP BY truth)
+       |SELECT truth, pred, n, ${graft.functions.Num.ratio6Sql("n", "support")} AS row_share
+       |FROM cm JOIN tot USING (truth)
+       |ORDER BY truth, pred""".stripMargin
+
   // --- 80. intra-document repetition ratio -------------------------------
   /** The classic LLM-corpus quality signal: fraction of duplicated word
     * 3-grams inside each document (boilerplate / template spam scores
@@ -1434,6 +1466,7 @@ object TextOps {
     Op("q134_calibration", q134, Some(q134Sql)),
     Op("q71_stemming", q71, Some(q71Sql)),
     Op("q76_multiclass_metrics", q76, Some(q76Sql)),
+    Op("q137_confusion_matrix", q137, Some(q137Sql)),
     Op("q80_repetition_ratio", q80, Some(q80Sql)),
     Op("q90_lm_quality", q90, Some(q90Sql)),
     Op("q92_vocab_coverage", q92, Some(q92Sql)),

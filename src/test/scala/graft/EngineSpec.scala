@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 135) // r7: +q132..q135
+    assert(SparkEntry.queries.size === 137) // r8: +q136 audio, +q137 confusion matrix
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 126) // r7: +q132/q133/q134, q72 oracle upgrade
+    assert(SparkEntry.oracleSql.size === 127) // r8: +q137
   }
 
   test("entry flagship runs on sf0.001 with rows") {
@@ -79,6 +79,74 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
       }
     // determinism (PNG encode is deterministic for a fixed JDK)
     assert(df.collect() === MultiModal.imageFeatures(spark, SF).collect())
+  }
+
+  test("q136 audio pipeline: genuine WAV payloads, lossless decode, exact features") {
+    // the payload really is a RIFF/WAVE container (codec, not a stub)
+    val sample = "The quick brown fox — 42! éü".getBytes("UTF-8")
+    val wav = MultiModal.wavEncode(sample)
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") === "WAVE")
+    // AudioSystem round-trip recovers the exact sample (and byte) stream
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val pcm = ais.readAllBytes(); ais.close()
+    assert(pcm.length === sample.length * 2)
+    sample.indices.foreach { i =>
+      val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+      assert(s === (((sample(i) & 0xff) - 128) << 8), s"sample $i")
+    }
+    // full pipeline over the corpus: features equal a direct byte-level
+    // recompute (possible only because linear PCM in WAV is lossless)
+    val df = MultiModal.audioFeatures(spark, SF)
+    assert(df.columns.toSeq === Seq("doc_id", "sample_rate", "bits",
+      "n_samples", "wav_bytes", "peak_abs", "mean_abs_micros", "zero_crossings"))
+    assert(df.count() === Tables.documents(spark, SF).count())
+    val byId = df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    Tables.documents(spark, SF).select("doc_id", "text").collect().take(20)
+      .foreach { r =>
+        val b = r.getString(1).getBytes("UTF-8")
+        val ss = b.map(x => ((x & 0xff) - 128) << 8)
+        val n = ss.length
+        val sumAbs = ss.map(s => math.abs(s.toLong)).sum
+        val mean = if (n == 0) 0L else (2L * sumAbs * 1000000L + n) / (2L * n)
+        val peak = if (n == 0) 0L else ss.map(s => math.abs(s.toLong)).max
+        val zc = ss.toSeq.sliding(2).count {
+          case Seq(a2, b2) => (a2 >= 0) != (b2 >= 0); case _ => false }
+        assert(byId(r.getLong(0)) ===
+          ((MultiModal.AudioRate.toInt, 16, n.toLong, peak, mean, zc.toLong)),
+          s"doc ${r.getLong(0)}")
+      }
+    // determinism (WAV encode is deterministic for a fixed JDK)
+    assert(df.collect() === MultiModal.audioFeatures(spark, SF).collect())
+  }
+
+  test("q137 confusion matrix reconciles with q76's per-class metrics") {
+    import graft.operators.TextOps
+    val cm = TextOps.q137(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(cm.nonEmpty)
+    // row shares are exact micros summing to ~1 per truth row
+    cm.keys.map(_._1).toSet.foreach { (t: String) =>
+      val shares = cm.collect { case ((`t`, _), (_, sh)) => sh }.sum
+      assert(math.abs(shares - 1.0) < 1e-5, s"row $t shares: $shares")
+    }
+    // marginals: support (row sums) and n_pred (col sums) match q76;
+    // the diagonal is q76's tp
+    val per = TextOps.q76(spark, SF).collect()
+      .filter(r => r.getString(0) != "macro_avg" && r.getString(0) != "micro_avg")
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    per.foreach { case (cls, (support, nPred, tp)) =>
+      val row = cm.collect { case ((`cls`, _), (n, _)) => n }.sum
+      val colSum = cm.collect { case ((_, `cls`), (n, _)) => n }.sum
+      assert(row === support, s"support $cls")
+      assert(colSum === nPred, s"n_pred $cls")
+      assert(cm.get((cls, cls)).map(_._1).getOrElse(0L) === tp, s"tp $cls")
+    }
   }
 
   test("q72 registered form: distinct-4-gram ratio matches a local sliding-window recompute") {
