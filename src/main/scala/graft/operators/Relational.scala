@@ -75,12 +75,18 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > lit("1996-01-01").cast("date"))
+    // group on the RAW date and format after the aggregation: the
+    // shuffle key stays (long, date-int) instead of (long, string) and
+    // date_format runs once per GROUP, not per joined row (r8; output
+    // bit-identical — the date↔string map is injective)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
         .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
   }
