@@ -44,8 +44,14 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
             ts.append(time.perf_counter() - t0)
         res[q] = round(min(ts), 3)
         print(f"{q}: {res[q]}s", file=sys.stderr)
+    # host + date markers (r7 ADVICE): Bench warns when the committed
+    # baseline was timed on a different host than the bench run — a
+    # cross-host wall-clock ratio is not comparable.
+    import socket, datetime
     out = {"engine": "duckdb", "version": duckdb.__version__,
            "sf": os.path.basename(os.path.normpath(sf_dir)),
+           "host": socket.gethostname(),
+           "date": datetime.date.today().isoformat(),
            "queries": res, "total": round(sum(res.values()), 3)}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -167,5 +167,20 @@ class GenerationsSpec extends AnyFunSuite with SharedSpark {
     DedupOps.q108Compact(spark)
     assert(DedupOps.bucketedGen(spark, "graft_dedupindex", "g108_shingles") === 3L)
     assert(spark.table("g108_shingles").count() === rows)
+    // STATE 4 (r7 ADVICE): crash AFTER publish but BEFORE the GC loop —
+    // an aged-out retired generation's table+files survive and nothing
+    // used to remove them. Simulate the leak with a retired-generation
+    // table whose gen is far outside the retained set; the next
+    // compaction's pre-clean must drop it (and must KEEP the retained
+    // predecessor).
+    spark.range(1).selectExpr("id AS doc_id", "array('leak') AS shs")
+      .write.saveAsTable("g108_shingles_r0")
+    assert(spark.catalog.tableExists("g108_shingles_r0"))
+    DedupOps.q108Compact(spark)
+    assert(!spark.catalog.tableExists("g108_shingles_r0"),
+      "aged-out retired generation must be GC'd by the pre-clean")
+    assert(spark.catalog.tableExists("g108_shingles_r3"),
+      "the retained predecessor generation must survive the pre-clean")
+    assert(spark.table("g108_shingles").count() === rows)
   }
 }
