@@ -7,53 +7,52 @@ import org.apache.spark.sql.functions._
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.warehouse.dir", "target/spark-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    case class J(id: Int, sub: Long, var end: Long = 0L,
+        var stages: String = "", var tasks: Int = 0)
+    val log = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val rec = J(j.jobId, j.time)
+        rec.stages = j.stageInfos.map(s => s.name.split("\n")(0).take(40)).mkString("|")
+        rec.tasks = j.stageInfos.map(_.numTasks).sum
+        log.put(j.jobId, rec)
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val rec = log.get(j.jobId); if (rec != null) rec.end = j.time
+      }
     })
-    def t(label: String)(f: => Any): Unit = {
-      val j0 = jobs.get()
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"PROBE $label%-30s ${(System.nanoTime() - t0) / 1e9}%.3f  jobs=${jobs.get() - j0}  ($r)")
-    }
-    def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
-    def v0(dir: String): DataFrame = graft.operators.Relational.q3(spark, dir)
-    // C: group on the raw date, format after the aggregation
-    def vC(dir: String): DataFrame = {
-      val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
-      val ord = Tables.orders(spark, dir)
-        .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
-      val li = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") > lit("1996-01-01").cast("date"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast("double").as("revenue"))
-        .select(col("l_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-          col("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(20)
-    }
-    val variants: Seq[(String, String => DataFrame)] =
-      Seq("v0-cur" -> v0 _, "vC-datekey" -> vC _)
-    variants.foreach { case (_, f) =>
-      (1 to 2).foreach(_ => f("/root/testdata/sf0.001").count()) }
+    val ops = Seq(
+      "q121" -> ((d: String) => graft.operators.PipelineOps.q121(spark, d)),
+      "q103" -> ((d: String) => graft.operators.TextOps.q103(spark, d)))
+    ops.foreach { case (_, f) => (1 to 2).foreach(_ => f("/root/testdata/sf0.001").count()) }
     spark.catalog.clearCache(); SharedRelations.clear()
-    (1 to 6).foreach { i =>
-      variants.foreach { case (n, f) => t(s"$n $i") { f(sfDir).count() } }
+    ops.foreach { case (name, f) =>
+      (1 to 3).foreach { i =>
+        log.clear()
+        val t0 = System.nanoTime()
+        f(sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"RUN $name $i wall=$wall%.3f")
+        if (i == 3) {
+          import scala.jdk.CollectionConverters._
+          val js = log.values.asScala.toSeq.sortBy(_.sub)
+          var prevEnd = 0L
+          js.foreach { j =>
+            val gap = if (prevEnd == 0) 0 else j.sub - prevEnd
+            prevEnd = math.max(prevEnd, j.end)
+            println(f"  job ${j.id}%3d dur=${(j.end - j.sub) / 1e3}%6.3f gap=${gap / 1e3}%6.3f tasks=${j.tasks} [${j.stages.take(90)}]")
+          }
+        }
+      }
+      spark.catalog.clearCache(); SharedRelations.clear()
     }
-    val h0 = v0(sfDir).collect().map(_.toString).toList
-    println("same C: " + (vC(sfDir).collect().map(_.toString).toList == h0))
     spark.stop()
   }
 }

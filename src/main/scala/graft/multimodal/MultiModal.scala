@@ -107,8 +107,43 @@ object MultiModal {
     * ([[frameSampleStub]]) — the JDK carries no codec for it. */
   val ImgWidth = 32
 
-  /** Render bytes as a [[ImgWidth]]-wide gray8 image, PNG-encoded. */
-  def pngEncode(bytes: Array[Byte], w: Int = ImgWidth): Array[Byte] = {
+  /** Per-partition PNG codec handles (the [[WavCodec]] rationale):
+    * `ImageIO.read`/`write` consult the IIORegistry per call AND wrap
+    * the stream in a DISK-cached ImageInputStream/OutputStream by
+    * default — a temp file created and deleted per image, which both
+    * serializes on the filesystem and wastes IO. Resolving the PNG
+    * reader/writer once per partition and using memory-cached streams
+    * keeps the whole codec stage allocation-only and parallel.
+    * (ImageReader/Writer instances are not thread-safe — one per
+    * partition, never shared.) */
+  final class PngCodec {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+      writer.setOutput(null)
+      bos.toByteArray
+    }
+
+    def decode(png: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      reader.setInput(iis)
+      val img = reader.read(0)
+      reader.setInput(null)
+      img
+    }
+  }
+
+  /** Render bytes as a [[ImgWidth]]-wide gray8 image. */
+  private def grayImageOf(bytes: Array[Byte], w: Int): java.awt.image.BufferedImage = {
     val h = math.max(1, (bytes.length + w - 1) / w)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -119,20 +154,25 @@ object MultiModal {
         if (i < bytes.length) bytes(i) & 0xff else 0)
       i += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
+
+  /** Render bytes as a [[ImgWidth]]-wide gray8 image, PNG-encoded.
+    * (One-shot convenience over [[PngCodec]]; the pipeline resolves
+    * the codec per partition instead.) */
+  def pngEncode(bytes: Array[Byte], w: Int = ImgWidth): Array[Byte] =
+    new PngCodec().encode(grayImageOf(bytes, w))
 
   /** Typed record from a REAL decode of a PNG payload. */
   final case class ImageFeature(doc_id: Long, width: Int, height: Int,
       n_bytes: Int, png_bytes: Int, mean_px_micros: Long)
 
-  /** Decode `png` with ImageIO and extract features over the first `n`
-    * pixels (the payload bytes; the tail of the last row is padding).
-    * mean is an exact half-away integer-micros ratio. */
-  def pngDecodeFeatures(id: Long, n: Int, png: Array[Byte]): ImageFeature = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+  /** Decode `png` and extract features over the first `n` pixels (the
+    * payload bytes; the tail of the last row is padding). mean is an
+    * exact half-away integer-micros ratio. */
+  def pngDecodeFeatures(id: Long, n: Int, png: Array[Byte],
+      codec: PngCodec = new PngCodec()): ImageFeature = {
+    val img = codec.decode(png)
     val raster = img.getRaster
     val w = img.getWidth
     var sum = 0L
@@ -152,13 +192,18 @@ object MultiModal {
     import s.implicits._
     graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      // the test corpus is ONE parquet row group ⇒ one scan task would
+      // run the whole codec stage single-threaded; spread the per-row-
+      // heavy compute across the cluster first (PLANS §5 — a no-op cost
+      // at real file counts, a ~5× win here: 1.5 s → ~0.3 s at sf0.1)
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
-        // per-partition codec warm-up happens implicitly (ImageIO's
-        // plugin registry is JVM-global; buffers are per-call)
+        val codec = new PngCodec() // per-partition setup — see PngCodec
         it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
-          pngDecodeFeatures(id, bytes.length, pngEncode(bytes))
+          pngDecodeFeatures(id, bytes.length,
+            codec.encode(grayImageOf(bytes, ImgWidth)), codec)
         }
       }
       .toDF()
@@ -180,27 +225,62 @@ object MultiModal {
     * for it (declared §6). */
   val AudioRate = 8000f
 
+  /** Per-partition codec handles, resolved ONCE via ServiceLoader.
+    *
+    * `AudioSystem.getAudioInputStream`/`write` re-resolve their SPI
+    * provider lists on EVERY call through a synchronized JVM-global
+    * registry (JDK13Services) — measured here: spreading the audio
+    * stage over 32 tasks made it 2.5× SLOWER than one task because
+    * every row serialized on that lock. Resolving the WAVE
+    * reader/writer once per partition is exactly what the
+    * mapPartitions batch pattern exists for (per-partition codec
+    * setup), and the row path then runs lock-free and parallel. */
+  final class WavCodec {
+    import javax.sound.sampled._
+    import scala.jdk.CollectionConverters._
+    private val writer = java.util.ServiceLoader
+      .load(classOf[spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider in this JDK"))
+    private val readers = java.util.ServiceLoader
+      .load(classOf[spi.AudioFileReader]).asScala.toList
+
+    def encode(bytes: Array[Byte]): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        AudioRate, 16, 1, 2, AudioRate, false)
+      val pcm = new Array[Byte](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        val s = ((bytes(i) & 0xff) - 128) << 8
+        pcm(2 * i) = (s & 0xff).toByte // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def open(wav: Array[Byte]): AudioInputStream = {
+      val it = readers.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        catch { case _: UnsupportedAudioFileException => () }
+      }
+      sys.error("no AudioFileReader provider accepted the WAV payload")
+    }
+  }
+
   /** Synthesize bytes as a [[AudioRate]] Hz 16-bit mono WAV: byte i
     * becomes the centered sample ((b−128) << 8) — injective, so the
-    * decode side can recover the exact byte stream. */
-  def wavEncode(bytes: Array[Byte]): Array[Byte] = {
-    import javax.sound.sampled._
-    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-      AudioRate, 16, 1, 2, AudioRate, false)
-    val pcm = new Array[Byte](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      val s = ((bytes(i) & 0xff) - 128) << 8
-      pcm(2 * i) = (s & 0xff).toByte // little-endian
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    val ais = new AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+    * decode side can recover the exact byte stream. (One-shot
+    * convenience over [[WavCodec]]; the pipeline resolves the codec
+    * per partition instead.) */
+  def wavEncode(bytes: Array[Byte]): Array[Byte] =
+    new WavCodec().encode(bytes)
 
   /** Typed record from a REAL decode of a WAV payload. Every feature is
     * a deterministic integer: peak and mean-abs amplitude (half-away
@@ -210,11 +290,11 @@ object MultiModal {
       n_samples: Long, wav_bytes: Int, peak_abs: Long, mean_abs_micros: Long,
       zero_crossings: Long)
 
-  /** Parse `wav` with AudioSystem (header + PCM payload) and extract
-    * exact integer features over the decoded samples. */
-  def wavDecodeFeatures(id: Long, wav: Array[Byte]): AudioFeature = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(wav))
+  /** Parse `wav` (header + PCM payload) and extract exact integer
+    * features over the decoded samples. */
+  def wavDecodeFeatures(id: Long, wav: Array[Byte],
+      codec: WavCodec = new WavCodec()): AudioFeature = {
+    val ais = codec.open(wav)
     val fmt = ais.getFormat
     val pcm = ais.readAllBytes()
     ais.close()
@@ -249,11 +329,21 @@ object MultiModal {
     import s.implicits._
     graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      // NO spreading repartition here, deliberately (contrast
+      // imageFeatures): WAV linear PCM has no compression stage, so the
+      // per-row cost is a short byte loop — measured, the repartition's
+      // shuffle + 32-task scheduling costs MORE than it buys at test SF
+      // (0.47 s single-task vs 0.85 s spread). At real file counts the
+      // scan is already many partitions and the same per-partition
+      // codec runs wide.
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        wavDecodeFeatures(id, wavEncode(bytes))
-      })
+      .mapPartitions { it =>
+        val codec = new WavCodec() // per-partition setup — see WavCodec
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          wavDecodeFeatures(id, codec.encode(bytes), codec)
+        }
+      }
       .toDF()
       .orderBy(col("doc_id"))
   }
