@@ -183,4 +183,32 @@ class GenerationsSpec extends AnyFunSuite with SharedSpark {
       "the retained predecessor generation must survive the pre-clean")
     assert(spark.table("g108_shingles").count() === rows)
   }
+
+  test("q108/q115/q119 standing snapshots: a re-run probes the artifacts, never rewrites") {
+    // r8: the registered incremental entries reuse the session's
+    // pristine snapshot (the q105/q122/q126 pattern). First call builds
+    // (the crash test above left a stale marker, so this exercises the
+    // rebuild path too); the second must leave every artifact file —
+    // path, mtime, size — untouched and return identical rows.
+    def listing(f: java.io.File): Set[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(listing).toSet
+      else Set(s"${f.getAbsolutePath}@${f.lastModified()}:${f.length()}")
+    val appId = spark.sparkContext.applicationId
+    def base(p: String) =
+      new java.io.File(System.getProperty("java.io.tmpdir"), s"$p-$appId")
+    Seq(
+      ("q108", () => DedupOps.q108(spark, SF), "graft_dedupindex"),
+      ("q115", () => DedupOps.q115(spark, SF), "graft_spanindex"),
+      ("q119", () => DedupOps.q119(spark, SF), "graft_srcspanindex")
+    ).foreach { case (name, run, prefix) =>
+      val r1 = run().collect().toList
+      val before = listing(base(prefix))
+      assert(before.nonEmpty, s"$name left no artifact files")
+      val r2 = run().collect().toList
+      assert(r2 === r1, name)
+      assert(listing(base(prefix)) === before,
+        s"$name re-run must not rewrite its standing snapshot")
+    }
+  }
 }
