@@ -184,7 +184,7 @@ class GenerationsSpec extends AnyFunSuite with SharedSpark {
     assert(spark.table("g108_shingles").count() === rows)
   }
 
-  test("q108/q115/q119 standing snapshots: a re-run probes the artifacts, never rewrites") {
+  test("q108/q115/q119/q130 standing snapshots: a re-run probes the artifacts, never rewrites") {
     // r8: the registered incremental entries reuse the session's
     // pristine snapshot (the q105/q122/q126 pattern). First call builds
     // (the crash test above left a stale marker, so this exercises the
@@ -200,7 +200,8 @@ class GenerationsSpec extends AnyFunSuite with SharedSpark {
     Seq(
       ("q108", () => DedupOps.q108(spark, SF), "graft_dedupindex"),
       ("q115", () => DedupOps.q115(spark, SF), "graft_spanindex"),
-      ("q119", () => DedupOps.q119(spark, SF), "graft_srcspanindex")
+      ("q119", () => DedupOps.q119(spark, SF), "graft_srcspanindex"),
+      ("q130", () => graft.operators.TextOps.q130(spark, SF), "graft_bm25index")
     ).foreach { case (name, run, prefix) =>
       val r1 = run().collect().toList
       val before = listing(base(prefix))
