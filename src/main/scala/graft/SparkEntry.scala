@@ -13,7 +13,9 @@ object SparkEntry {
   def opGroups: Seq[Seq[Op]] = Seq(
     operators.Relational.ops,
     operators.Events.ops,
-    operators.TextOps.ops,
+    // EvalOps rides TextOps' family caches (docsWithToks, q38's scored
+    // relation) — same cache group so the evaluation readouts reuse them
+    operators.TextOps.ops ++ operators.EvalOps.ops,
     // PipelineOps shares the dedup family's cached subplans (shingle
     // index, verified pairs) — same cache group so q77 reuses them
     operators.DedupOps.ops ++ operators.PipelineOps.ops ++ operators.GraphOps.ops,
@@ -30,7 +32,10 @@ object SparkEntry {
       Op("q135_image_decode", multimodal.MultiModal.imageFeatures, None),
       // r8: REAL audio codec round-trip (pure-JDK javax.sound.sampled
       // WAV/PCM) — same rows-checked + spec-pinned closure as q135
-      Op("q136_audio_decode", multimodal.MultiModal.audioFeatures, None)),
+      Op("q136_audio_decode", multimodal.MultiModal.audioFeatures, None),
+      // r8: REAL video container demux (YUV4MPEG2 — uncompressed, so
+      // the demuxer IS the decode); rows-checked + spec-pinned
+      Op("q143_video_decode", multimodal.MultiModal.videoFeatures, None)),
     operators.Relational2.ops ++ operators.Bucketed.ops)
 
   /** All operators, flattened in SURVEY §2 order. */

@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * columns next to typed metadata; decode/feature-extraction runs as a
   * partition-local batch transform (the Scala analogue of `mapInPandas`)
   * so the decoder amortizes per-partition setup and never touches the
-  * driver. Image (PNG via ImageIO, r7) and audio (WAV via
-  * javax.sound.sampled, r8) decode are REAL pure-JDK codecs end to end;
-  * only the video container path keeps a deterministic byte-level stub
-  * (no JDK codec) — its Spark-side contract (schema, encoders,
-  * partition batching) is real and tested.
+  * driver. Image (PNG via ImageIO, r7), audio (WAV via
+  * javax.sound.sampled, r8) and video container (YUV4MPEG2 demux, r8)
+  * decode are REAL pure-JDK pipelines end to end; the only declared
+  * residue is COMPRESSED video essence (H.264/VP9 — no JDK codec),
+  * whose batch plumbing [[frameSampleStub]] keeps exercised.
   */
 object MultiModal {
 
@@ -220,9 +220,9 @@ object MultiModal {
     * back through AudioSystem and reads samples — both stages
     * partition-local, features exact integers (spec-pinned against a
     * direct byte-level recompute; the round-trip is lossless because
-    * linear PCM in a WAV container is). Only VIDEO container decode
-    * remains stubbed ([[frameSampleStub]]) — the JDK carries no codec
-    * for it (declared §6). */
+    * linear PCM in a WAV container is). The video container followed in
+    * late r8 ([[videoFeatures]], Y4M demux); only compressed video
+    * essence remains declared out (no JDK codec, §6). */
   val AudioRate = 8000f
 
   /** Per-partition codec handles, resolved ONCE via ServiceLoader.
@@ -393,6 +393,173 @@ object MultiModal {
                 "COALESCE(a.n_distinct, 0)", "len(d.lt) - 3")} END AS ratio
        |FROM d LEFT JOIN a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // --- REAL video container pipeline (r8) ----------------------------------
+  /** The video third of the decode gap, closed with a REAL container:
+    * YUV4MPEG2 ("Y4M" — the uncompressed interchange format
+    * ffmpeg/mjpegtools read and write; plain-ASCII stream header +
+    * `FRAME` markers + raw planar frames, spec public since mjpegtools).
+    * Uncompressed is the point: a Y4M demuxer IS the whole decode — the
+    * format carries no codec — so pure-JDK byte parsing covers it end to
+    * end the way ImageIO covered PNG (q135) and javax.sound covered WAV
+    * (q136). What remains out of scope is COMPRESSED video essence
+    * (H.264/VP9 — no JDK codec), declared in §6.
+    *
+    * Each doc's bytes synthesize to a genuine mono Y4M clip (byte i is
+    * the luma of pixel i, row-major across [[VidW]]×[[VidH]] frames;
+    * zero-padded tail, exact length carried in an `Xgraftlen` header
+    * extension — X-parameters are part of the Y4M grammar, so the
+    * payload stays a conforming stream and the round-trip stays
+    * injective). The decode stage parses the header (W/H/F/C tokens),
+    * walks the FRAME markers, SAMPLES every [[VidEvery]]-th frame (the
+    * 100 TB shape: featurize a stride, never every frame), and emits
+    * exact integer features per sampled frame. Both stages
+    * partition-local; no SPI registry is involved (contrast
+    * [[WavCodec]]) so there is nothing to resolve per partition. */
+  val VidW = 16
+  val VidH = 8
+  val VidEvery = 2
+
+  /** Synthesize `bytes` as a conforming YUV4MPEG2 mono stream. */
+  def y4mEncode(bytes: Array[Byte], w: Int = VidW, h: Int = VidH): Array[Byte] = {
+    val fsz = w * h
+    val nFrames = math.max(1, (bytes.length + fsz - 1) / fsz)
+    val bos = new java.io.ByteArrayOutputStream(
+      64 + nFrames * (6 + fsz))
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono Xgraftlen=${bytes.length}\n"
+      .getBytes("US-ASCII"))
+    val frame = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < nFrames) {
+      bos.write(frame)
+      val base = f * fsz
+      var i = 0
+      while (i < fsz) {
+        val p = base + i
+        bos.write(if (p < bytes.length) bytes(p) & 0xff else 0)
+        i += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Typed record from a REAL parse of a Y4M payload: header fields,
+    * frame inventory, and per-SAMPLED-frame exact integer features
+    * (checksum + half-away integer-micros mean luma), plus the global
+    * peak luma over sampled frames. */
+  final case class VideoFeature(doc_id: Long, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, n_frames: Int, n_sampled: Int,
+      payload_bytes: Int, orig_len: Int, peak_luma: Int,
+      frame_checksums: Seq[Long], frame_mean_micros: Seq[Long])
+
+  /** Parse a YUV4MPEG2 stream: validate the signature, read the header
+    * parameters, demux frames, and featurize every `every`-th frame.
+    * Strict by contract — a malformed stream throws rather than
+    * degrades (a corrupt corpus shard should fail loudly). */
+  def y4mDecodeFeatures(id: Long, y4m: Array[Byte],
+      every: Int = VidEvery): VideoFeature = {
+    val Magic = "YUV4MPEG2"
+    var nl = 0
+    while (nl < y4m.length && y4m(nl) != '\n') nl += 1
+    require(nl < y4m.length, "y4m: unterminated stream header")
+    val header = new String(y4m, 0, nl, "US-ASCII")
+    val toks = header.split(' ')
+    require(toks.head == Magic, s"y4m: bad signature '${toks.head}'")
+    var (w, h, fn, fd, glen) = (-1, -1, -1, -1, -1)
+    var mono = false
+    toks.tail.foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.tail.toInt
+        case 'H' => h = t.tail.toInt
+        case 'F' =>
+          val Array(a, b) = t.tail.split(':'); fn = a.toInt; fd = b.toInt
+        case 'C' => mono = t.tail == "mono"
+        case 'X' => if (t.startsWith("Xgraftlen=")) glen = t.drop(10).toInt
+        case _ => () // I/A and future parameters: tolerated, unused
+      }
+    }
+    require(w > 0 && h > 0, s"y4m: missing frame geometry in '$header'")
+    require(mono, "y4m: this demuxer handles Cmono planar streams")
+    val fsz = w * h
+    val frameMark = "FRAME".getBytes("US-ASCII")
+    var pos = nl + 1
+    var nFrames = 0; var nSampled = 0; var peak = 0
+    val sums = Seq.newBuilder[Long]
+    val means = Seq.newBuilder[Long]
+    while (pos < y4m.length) {
+      require(pos + frameMark.length <= y4m.length &&
+        frameMark.indices.forall(i => y4m(pos + i) == frameMark(i)),
+        s"y4m: expected FRAME marker at byte $pos")
+      pos += frameMark.length
+      while (pos < y4m.length && y4m(pos) != '\n') pos += 1 // frame params
+      require(pos < y4m.length, "y4m: unterminated FRAME header")
+      pos += 1
+      require(pos + fsz <= y4m.length, s"y4m: truncated frame $nFrames")
+      if (nFrames % every == 0) {
+        var sum = 0L; var lum = 0L
+        var i = 0
+        while (i < fsz) {
+          val v = y4m(pos + i) & 0xff
+          sum = (sum * 31 + v) & 0xffffffffL
+          lum += v
+          if (v > peak) peak = v
+          i += 1
+        }
+        sums += sum
+        means += (2L * lum * 1000000L + fsz) / (2L * fsz)
+        nSampled += 1
+      }
+      pos += fsz
+      nFrames += 1
+    }
+    require(nFrames > 0, "y4m: stream carries no frames")
+    VideoFeature(id, w, h, fn, fd, nFrames, nSampled, y4m.length,
+      glen, peak, sums.result(), means.result())
+  }
+
+  /** Recover the original byte stream from a Y4M clip ([[y4mEncode]]'s
+    * inverse): concatenated frame luma truncated to the `Xgraftlen`
+    * header value. Spec uses this to pin the lossless round-trip. */
+  def y4mDecodeBytes(y4m: Array[Byte]): Array[Byte] = {
+    var nl = 0
+    while (nl < y4m.length && y4m(nl) != '\n') nl += 1
+    val header = new String(y4m, 0, nl, "US-ASCII").split(' ')
+    val w = header.find(_.startsWith("W")).get.tail.toInt
+    val h = header.find(_.startsWith("H")).get.tail.toInt
+    val glen = header.find(_.startsWith("Xgraftlen=")).get.drop(10).toInt
+    val fsz = w * h
+    val out = new java.io.ByteArrayOutputStream(glen)
+    var pos = nl + 1
+    while (pos < y4m.length && out.size < glen) {
+      while (pos < y4m.length && y4m(pos) != '\n') pos += 1 // FRAME line
+      pos += 1
+      val take = math.min(fsz, glen - out.size)
+      out.write(y4m, pos, take)
+      pos += fsz
+    }
+    out.toByteArray
+  }
+
+  /** documents → REAL Y4M payload column → REAL container demux →
+    * stride-sampled per-frame features. Both stages partition-local
+    * (`mapPartitions`); rows-checked + spec'd (a container demux isn't
+    * ANSI-SQL-expressible — the spec pins the lossless byte round-trip,
+    * header fields, frame inventory, and features against a direct
+    * recompute). Unspread like [[audioFeatures]] (pure byte loops, no
+    * compression stage — the repartition costs more than it buys at
+    * test SF; real file counts arrive already wide). */
+  def videoFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        y4mDecodeFeatures(id, y4mEncode(text.getBytes("UTF-8")))
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
 
   /** Frame-sampling pipeline: binary payloads → sampled frame arrays →
     * per-frame features, exploded back to rows. Partitioned the same way

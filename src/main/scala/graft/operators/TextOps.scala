@@ -33,7 +33,7 @@ object TextOps {
     * lifetime and structural-match reuses it across all ~25 consumers,
     * exactly the [[DedupOps.docShingles]] pattern (MEMORY_AND_DISK,
     * executor-local, evicted at the family boundary). */
-  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
+  private[operators] def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", tokens(col("text")))
@@ -185,7 +185,7 @@ object TextOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
-  private lazy val q38SqlNoOrder: String = q38Sql.split("\nORDER BY")(0)
+  private[operators] lazy val q38SqlNoOrder: String = q38Sql.split("\nORDER BY")(0)
 
   // --- 39. classifier evaluation: precision / recall / F1 ---------------
   /** Ground truth: lang = 'en'; predictions from q38. One confusion-matrix
@@ -546,12 +546,24 @@ object TextOps {
           Num.big(col("n_pos")) * Num.big(col("n_neg")) * lit(2)).as("auc"))
   }
 
-  def q132(s: SparkSession, dir: String): DataFrame = {
-    val truth = Tables.documents(s, dir)
-      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
-    aucOf(q38(s, dir).join(truth, col("doc_id") === col("d2"))
-      .select(col("score"), col("y")))
-  }
+  /** The (doc_id, score, y) scored-vs-truth relation all four ranked-
+    * evaluation readouts (q132/q133/q134/q139) start from. Family-
+    * memoized via [[graft.SharedRelations]]: each readout previously
+    * re-ran the TF-IDF scoring join — four corpus passes where one
+    * suffices (at 100 TB an evaluation report runs the scorer once per
+    * snapshot, not once per metric). The memo materializes through
+    * localCheckpoint, so values — and the oracle hashes — are
+    * unchanged. */
+  private[operators] def scoredEn(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("scored38en", dir) {
+      val truth = Tables.documents(s, dir)
+        .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
+      q38(s, dir).join(truth, col("doc_id") === col("d2"))
+        .select(col("doc_id"), col("score"), col("y"))
+    }
+
+  def q132(s: SparkSession, dir: String): DataFrame =
+    aucOf(scoredEn(s, dir).select(col("score"), col("y")))
 
   lazy val q132Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder),
@@ -598,12 +610,8 @@ object TextOps {
         (col("s_micros").cast("double") / (col("n_pos") * 1000000.0)).as("ap"))
   }
 
-  def q133(s: SparkSession, dir: String): DataFrame = {
-    val truth = Tables.documents(s, dir)
-      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
-    apOf(q38(s, dir).join(truth, col("doc_id") === col("d2"))
-      .select(col("doc_id"), col("score"), col("y")))
-  }
+  def q133(s: SparkSession, dir: String): DataFrame =
+    apOf(scoredEn(s, dir))
 
   lazy val q133Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder),
@@ -670,12 +678,8 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
-  def q134(s: SparkSession, dir: String): DataFrame = {
-    val truth = Tables.documents(s, dir)
-      .select(col("doc_id").as("d2"), (col("lang") === "en").cast("int").as("y"))
-    calibrationOf(q38(s, dir).join(truth, col("doc_id") === col("d2"))
-      .select(col("doc_id"), col("score"), col("y")))
-  }
+  def q134(s: SparkSession, dir: String): DataFrame =
+    calibrationOf(scoredEn(s, dir))
 
   lazy val q134Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder),
@@ -776,7 +780,7 @@ object TextOps {
     per.unionAll(macroRow).unionAll(microRow).orderBy(col("cls"))
   }
 
-  private val predLangSql: String =
+  private[operators] val predLangSql: String =
     """CASE WHEN list_contains(toks, 'the') THEN 'en'
       |    WHEN list_contains(toks, 'der') OR list_contains(toks, 'und') THEN 'de'
       |    WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') THEN 'es'

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 137) // r8: +q136 audio, +q137 confusion matrix
+    assert(SparkEntry.queries.size === 143) // r8: +q136–q137, +q138–q142, +q143
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 127) // r8: +q137
+    assert(SparkEntry.oracleSql.size === 132) // r8: +q137, +q138–q142
   }
 
   test("entry flagship runs on sf0.001 with rows") {
@@ -121,6 +121,50 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
       }
     // determinism (WAV encode is deterministic for a fixed JDK)
     assert(df.collect() === MultiModal.audioFeatures(spark, SF).collect())
+  }
+
+  test("q143 video pipeline: conforming Y4M streams, lossless demux, exact features") {
+    // the payload really is a YUV4MPEG2 stream (container, not a stub)
+    val sample = "The quick brown fox — 42! éü".getBytes("UTF-8")
+    val y4m = MultiModal.y4mEncode(sample)
+    val hdr = new String(y4m, 0, y4m.indexOf('\n'), "US-ASCII")
+    assert(hdr.startsWith("YUV4MPEG2 "))
+    assert(hdr.contains(s"W${MultiModal.VidW}") && hdr.contains(s"H${MultiModal.VidH}"))
+    // the demux recovers the exact byte stream (uncompressed frames +
+    // the Xgraftlen header extension make the encode injective)
+    assert(MultiModal.y4mDecodeBytes(y4m).toSeq === sample.toSeq)
+    // strict parser: corrupt signature and truncated frames both throw
+    val bad = y4m.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException](MultiModal.y4mDecodeFeatures(1L, bad))
+    intercept[IllegalArgumentException](
+      MultiModal.y4mDecodeFeatures(1L, y4m.dropRight(1)))
+    // full pipeline over the corpus: features equal a direct recompute
+    val df = MultiModal.videoFeatures(spark, SF)
+    assert(df.columns.toSeq === Seq("doc_id", "width", "height", "fps_num",
+      "fps_den", "n_frames", "n_sampled", "payload_bytes", "orig_len",
+      "peak_luma", "frame_checksums", "frame_mean_micros"))
+    assert(df.count() === Tables.documents(spark, SF).count())
+    val byId = df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(8), r.getAs[Seq[Long]]("frame_mean_micros")))).toMap
+    val fsz = MultiModal.VidW * MultiModal.VidH
+    Tables.documents(spark, SF).select("doc_id", "text").collect().take(20)
+      .foreach { r =>
+        val b = r.getString(1).getBytes("UTF-8")
+        val nf = math.max(1, (b.length + fsz - 1) / fsz)
+        val ns = (nf + MultiModal.VidEvery - 1) / MultiModal.VidEvery
+        val means = (0 until nf by MultiModal.VidEvery).map { f =>
+          val lum = (0 until fsz).map { i =>
+            val p = f * fsz + i
+            if (p < b.length) (b(p) & 0xff).toLong else 0L
+          }.sum
+          (2L * lum * 1000000L + fsz) / (2L * fsz)
+        }
+        assert(byId(r.getLong(0)) === ((MultiModal.VidW, MultiModal.VidH,
+          25, 1, nf, ns, b.length, means)), s"doc ${r.getLong(0)}")
+      }
+    // determinism (the synthesis and demux are pure byte arithmetic)
+    assert(df.collect() === MultiModal.videoFeatures(spark, SF).collect())
   }
 
   test("q137 confusion matrix reconciles with q76's per-class metrics") {
