@@ -469,6 +469,10 @@ object MultiModal {
     var (w, h, fn, fd, glen) = (-1, -1, -1, -1, -1)
     var mono = false
     toks.tail.foreach { t =>
+      // consecutive spaces yield an empty token; fail it through the same
+      // require-based contract as every other malformed-stream path (a
+      // bare charAt would throw StringIndexOutOfBounds instead)
+      require(t.nonEmpty, s"y4m: empty header token (consecutive spaces) in '$header'")
       t.charAt(0) match {
         case 'W' => w = t.tail.toInt
         case 'H' => h = t.tail.toInt
@@ -541,24 +545,44 @@ object MultiModal {
     out.toByteArray
   }
 
+  /** One SAMPLED frame of a decoded clip — the registered, driver-checkable
+    * row shape (all scalar columns: the driver's comparator sorts rows
+    * through pandas, which cannot sort array cells — r8's one red entry).
+    * `frame_idx` is the ORIGINAL frame number (0, every, 2·every, …), so
+    * the row is self-describing without the sampled-order context. */
+  final case class VideoFrameFeature(doc_id: Long, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, n_frames: Int, n_sampled: Int,
+      payload_bytes: Int, orig_len: Int, peak_luma: Int,
+      frame_idx: Int, checksum: Long, mean_micros: Long)
+
   /** documents → REAL Y4M payload column → REAL container demux →
-    * stride-sampled per-frame features. Both stages partition-local
-    * (`mapPartitions`); rows-checked + spec'd (a container demux isn't
-    * ANSI-SQL-expressible — the spec pins the lossless byte round-trip,
-    * header fields, frame inventory, and features against a direct
-    * recompute). Unspread like [[audioFeatures]] (pure byte loops, no
-    * compression stage — the repartition costs more than it buys at
+    * stride-sampled per-frame features, EXPLODED to one row per sampled
+    * frame (r9: the r8 form carried two `array<bigint>` columns, which the
+    * driver's rows-check cannot sort — the typed per-frame row is both
+    * checkable and more informative; the array form stays available via
+    * [[y4mDecodeFeatures]] for the round-trip spec). Both stages
+    * partition-local (`mapPartitions`); rows-checked + spec'd (a container
+    * demux isn't ANSI-SQL-expressible — the spec pins the lossless byte
+    * round-trip, header fields, frame inventory, and features against a
+    * direct recompute). Unspread like [[audioFeatures]] (pure byte loops,
+    * no compression stage — the repartition costs more than it buys at
     * test SF; real file counts arrive already wide). */
   def videoFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        y4mDecodeFeatures(id, y4mEncode(text.getBytes("UTF-8")))
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val v = y4mDecodeFeatures(id, y4mEncode(text.getBytes("UTF-8")))
+        v.frame_checksums.indices.iterator.map { k =>
+          VideoFrameFeature(v.doc_id, v.width, v.height, v.fps_num,
+            v.fps_den, v.n_frames, v.n_sampled, v.payload_bytes, v.orig_len,
+            v.peak_luma, k * VidEvery, v.frame_checksums(k),
+            v.frame_mean_micros(k))
+        }
       })
       .toDF()
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Frame-sampling pipeline: binary payloads → sampled frame arrays →

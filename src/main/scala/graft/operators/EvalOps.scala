@@ -39,7 +39,10 @@ object EvalOps {
     * q120/q126 ≤catalog-fold pattern) on the SAME half-away 1e-6 lattice
     * as [[Num.ratio6]] — exact at any corpus size (n² overflows int64
     * past ~3e9 docs; BigInt does not care), hash-identical to the DuckDB
-    * replay. */
+    * replay, whose n²-mass terms (chance mass s, pe/kappa numerators and
+    * denominators) are cast through HUGEINT so the replay holds to the
+    * same bound (r8 ADVICE: the plain-BIGINT form left int64 at ~2×10⁶
+    * docs while this doc claimed ~3e9). */
   def q138(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val j = TextOps.q44(s, dir).join(
@@ -86,11 +89,12 @@ object EvalOps {
        |  FROM cells),
        |rt AS (SELECT truth AS cls, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY truth),
        |ct AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY pred),
-       |ch AS (SELECT CAST(SUM(r * c) AS BIGINT) AS s FROM rt JOIN ct USING (cls))
+       |ch AS (SELECT SUM(CAST(r AS HUGEINT) * c) AS s FROM rt JOIN ct USING (cls))
        |SELECT n_docs, n_agree,
-       |  ${Num.ratio6Sql("n_agree", "n_docs")} AS po,
-       |  ${Num.ratio6Sql("s", "n_docs * n_docs")} AS pe,
-       |  ${Num.ratio6Sql("n_docs * n_agree - s", "n_docs * n_docs - s")} AS kappa
+       |  ${Num.ratio6Sql("CAST(n_agree AS HUGEINT)", "n_docs")} AS po,
+       |  ${Num.ratio6Sql("s", "CAST(n_docs AS HUGEINT) * n_docs")} AS pe,
+       |  ${Num.ratio6Sql("CAST(n_docs AS HUGEINT) * n_agree - s",
+            "CAST(n_docs AS HUGEINT) * n_docs - s")} AS kappa
        |FROM tot CROSS JOIN ch""".stripMargin
 
   // --- 139. ROC curve points ----------------------------------------------
@@ -167,6 +171,7 @@ object EvalOps {
     * has 31 distinct tokens and fits near-flat (slope ≈ −0.18): it IS
     * the templated-corpus case this gate exists to flag. */
   def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val K = 256
     val top = TextOps.docsWithToks(s, dir)
       .select(explode(col("toks")).as("token"))
@@ -178,24 +183,36 @@ object EvalOps {
       .select(
         round(log(col("rank").cast("double")) * 1000000L, 0).cast("long").as("x"),
         round(log(col("n").cast("double")) * 1000000L, 0).cast("long").as("y"))
+    // the normal equations collapse to ONE row; fold it driver-side (the
+    // q138 convention) so the degenerate single-distinct-token vocabulary
+    // (K = 1 ⇒ x ≡ 0 ⇒ den = 0) fails through a NAMED require instead of
+    // an unguarded division (r8 ADVICE)
     val a = lat.agg(
       count(lit(1)).as("k"),
       sum(Num.big(col("x"))).as("sx"),
       sum(Num.big(col("y"))).as("sy"),
       sum(Num.big(col("x")) * Num.big(col("y"))).as("sxy"),
-      sum(Num.big(col("x")) * Num.big(col("x"))).as("sxx"))
-    val num = Num.big(col("k")) * col("sxy") - col("sx") * col("sy")
-    val den = Num.big(col("k")) * col("sxx") - col("sx") * col("sx")
-    a.select(col("k"),
-      (Num.idivHalfAwayBig(num * lit(1000000L), den).cast("double") / 1000000.0)
-        .as("slope"),
-      // sy/sx are already micros, so the quotient is integer micros of
-      // ln-frequency — no extra 1e6 scaling (slope's operands are both
-      // micro-scaled, so IT needs the multiplier; this one does not)
-      (Num.idivHalfAwayBig(
-          col("sy") * den - num * col("sx"),
-          Num.big(col("k")) * den).cast("double") / 1000000.0)
-        .as("intercept"))
+      sum(Num.big(col("x")) * Num.big(col("x"))).as("sxx")).head()
+    val k = a.getLong(0)
+    require(k >= 2, s"q140: vocabulary has $k distinct token(s) — the Zipf " +
+      "OLS needs at least two ranks")
+    def bi(i: Int): BigInt =
+      if (a.isNullAt(i)) BigInt(0) else BigInt(a.getDecimal(i).toBigInteger)
+    val (sx, sy, sxy, sxx) = (bi(1), bi(2), bi(3), bi(4))
+    val num = k * sxy - sx * sy
+    val den = k * sxx - sx * sx
+    require(den != 0,
+      "q140: degenerate rank lattice (all top-K ranks collapse) — OLS undefined")
+    // ⌊p/q⌉ half-away-from-zero, q > 0 (den > 0 by Cauchy–Schwarz once
+    // non-degenerate) — the BigInt replay of Num.idivHalfAwayBig
+    def halfAway(p: BigInt, q: BigInt): BigInt =
+      if (p >= 0) (p * 2 + q) / (q * 2) else -(((-p) * 2 + q) / (q * 2))
+    val slope = halfAway(num * 1000000L, den).toDouble / 1e6
+    // sy/sx are already micros, so the quotient is integer micros of
+    // ln-frequency — no extra 1e6 scaling (slope's operands are both
+    // micro-scaled, so IT needs the multiplier; this one does not)
+    val intercept = halfAway(sy * den - num * sx, BigInt(k) * den).toDouble / 1e6
+    Seq((k, slope, intercept)).toDF("k", "slope", "intercept")
   }
 
   val q140Sql: String =

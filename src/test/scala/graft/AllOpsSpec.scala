@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Catch-all net: every registered operator must at least execute —
@@ -8,9 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class AllOpsSpec extends AnyFunSuite with SharedSpark {
 
   SparkEntry.allOps.foreach { op =>
-    test(s"${op.name} executes at sf0.001") {
-      val n = op.fn(spark, SF).count()
-      assert(n >= 0)
+    test(s"${op.name} executes at sf0.001 with a flat scalar schema") {
+      val df = op.fn(spark, SF)
+      // Driver-comparator contract (learned from r8's q143 red entry):
+      // the rows-check sorts every output through pandas, which cannot
+      // sort array/map/struct cells — a nested column silently voids the
+      // op's correctness row. Registered outputs must be flat scalars;
+      // nested shapes stay internal APIs for the specs.
+      df.schema.fields.foreach { f =>
+        val nested = f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType]
+        assert(!nested,
+          s"${op.name}: column '${f.name}' is ${f.dataType.simpleString} — " +
+            "registered outputs must be flat (explode or digest it)")
+      }
+      assert(df.count() >= 0)
     }
   }
 }

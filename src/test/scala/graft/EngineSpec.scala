@@ -138,33 +138,46 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException](MultiModal.y4mDecodeFeatures(1L, bad))
     intercept[IllegalArgumentException](
       MultiModal.y4mDecodeFeatures(1L, y4m.dropRight(1)))
-    // full pipeline over the corpus: features equal a direct recompute
+    // malformed header token (consecutive spaces) fails through the same
+    // require contract as every other corrupt-stream path
+    val dbl = new String(y4m.takeWhile(_ != '\n'), "US-ASCII")
+      .replaceFirst(" ", "  ").getBytes("US-ASCII") ++ y4m.dropWhile(_ != '\n')
+    intercept[IllegalArgumentException](MultiModal.y4mDecodeFeatures(1L, dbl))
+    // full pipeline over the corpus: one SCALAR row per sampled frame
+    // (r9 — the registered shape the driver's rows-check can sort),
+    // features equal a direct recompute
     val df = MultiModal.videoFeatures(spark, SF)
     assert(df.columns.toSeq === Seq("doc_id", "width", "height", "fps_num",
       "fps_den", "n_frames", "n_sampled", "payload_bytes", "orig_len",
-      "peak_luma", "frame_checksums", "frame_mean_micros"))
-    assert(df.count() === Tables.documents(spark, SF).count())
-    val byId = df.collect().map(r => r.getLong(0) ->
+      "peak_luma", "frame_idx", "checksum", "mean_micros"))
+    val rows = df.collect()
+    val byFrame = rows.map(r => (r.getLong(0), r.getInt(10)) ->
       ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
-        r.getInt(6), r.getInt(8), r.getAs[Seq[Long]]("frame_mean_micros")))).toMap
+        r.getInt(6), r.getInt(8), r.getLong(12)))).toMap
+    assert(byFrame.size === rows.length) // (doc, frame) rows are unique
     val fsz = MultiModal.VidW * MultiModal.VidH
-    Tables.documents(spark, SF).select("doc_id", "text").collect().take(20)
+    var expectTotal = 0L
+    Tables.documents(spark, SF).select("doc_id", "text").collect()
       .foreach { r =>
         val b = r.getString(1).getBytes("UTF-8")
         val nf = math.max(1, (b.length + fsz - 1) / fsz)
         val ns = (nf + MultiModal.VidEvery - 1) / MultiModal.VidEvery
-        val means = (0 until nf by MultiModal.VidEvery).map { f =>
-          val lum = (0 until fsz).map { i =>
-            val p = f * fsz + i
-            if (p < b.length) (b(p) & 0xff).toLong else 0L
-          }.sum
-          (2L * lum * 1000000L + fsz) / (2L * fsz)
-        }
-        assert(byId(r.getLong(0)) === ((MultiModal.VidW, MultiModal.VidH,
-          25, 1, nf, ns, b.length, means)), s"doc ${r.getLong(0)}")
+        expectTotal += ns
+        if (r.getLong(0) % 17 == 0) // sampled doc subset: full recompute
+          (0 until nf by MultiModal.VidEvery).foreach { f =>
+            val lum = (0 until fsz).map { i =>
+              val p = f * fsz + i
+              if (p < b.length) (b(p) & 0xff).toLong else 0L
+            }.sum
+            val mean = (2L * lum * 1000000L + fsz) / (2L * fsz)
+            assert(byFrame((r.getLong(0), f)) === ((MultiModal.VidW,
+              MultiModal.VidH, 25, 1, nf, ns, b.length, mean)),
+              s"doc ${r.getLong(0)} frame $f")
+          }
       }
+    assert(rows.length.toLong === expectTotal) // inventory: Σ n_sampled
     // determinism (the synthesis and demux are pure byte arithmetic)
-    assert(df.collect() === MultiModal.videoFeatures(spark, SF).collect())
+    assert(rows === MultiModal.videoFeatures(spark, SF).collect())
   }
 
   test("q137 confusion matrix reconciles with q76's per-class metrics") {
