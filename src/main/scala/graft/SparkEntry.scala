@@ -13,9 +13,10 @@ object SparkEntry {
   def opGroups: Seq[Seq[Op]] = Seq(
     operators.Relational.ops,
     operators.Events.ops,
-    // EvalOps rides TextOps' family caches (docsWithToks, q38's scored
-    // relation) — same cache group so the evaluation readouts reuse them
-    operators.TextOps.ops ++ operators.EvalOps.ops,
+    // EvalOps/BpeOps ride TextOps' family caches (docsWithToks, q38's
+    // scored relation) — same cache group so the evaluation readouts and
+    // the subword trainer reuse them
+    operators.TextOps.ops ++ operators.EvalOps.ops ++ operators.BpeOps.ops,
     // PipelineOps shares the dedup family's cached subplans (shingle
     // index, verified pairs) — same cache group so q77 reuses them
     operators.DedupOps.ops ++ operators.PipelineOps.ops ++ operators.GraphOps.ops,

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.BpeOps
+import graft.operators.BpeOps.BpeMerge
+
+/** q144 BPE merge-table training: the engine's distributed training run
+  * must equal an independent local replay of the documented semantics
+  * (leftmost-non-overlapping literal merge, count-desc/pair-asc tie
+  * order), and the learned merges must re-tokenize the corpus to exactly
+  * the engine's final vocabulary. */
+class BpeSpec extends AnyFunSuite with SharedSpark {
+
+  /** Independent local trainer — same contract, different code path
+    * (Java String.replace instead of Spark/DuckDB replace). */
+  private def localTrain(wordCounts: Seq[(String, Long)], rounds: Int)
+      : (Seq[BpeMerge], Seq[(String, Long)]) = {
+    var vocab = wordCounts.map { case (t, f) => t.toCharArray.mkString(" ") -> f }
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (w, f) =>
+        w.split(" ").sliding(2).filter(_.length == 2)
+          .foreach(p => counts.updateWith(p.mkString(" ")) {
+            c => Some(c.getOrElse(0L) + f) })
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace(" ", "")
+        merges += BpeMerge(r, pair, merged, n)
+        vocab = vocab.map { case (w, f) =>
+          (" " + w + " ").replace(" " + pair + " ", " " + merged + " ").trim -> f
+        }
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  private def corpusWordCounts: Seq[(String, Long)] = {
+    val re = "[a-z0-9]+".r
+    Tables.documents(spark, SF).select("text").collect()
+      .flatMap(r => re.findAllIn(r.getString(0).toLowerCase))
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }.toSeq
+  }
+
+  test("q144 merge table equals the independent local replay") {
+    val (engineMerges, engineVocab) = BpeOps.train(spark, SF)
+    val (localMerges, localVocab) = localTrain(corpusWordCounts, BpeOps.Rounds)
+    assert(engineMerges === localMerges)
+    assert(engineMerges.nonEmpty)
+    // merge counts are non-increasing round over round EXCEPT when a
+    // blocked adjacent occurrence re-enters the pool — so only pin that
+    // every count is positive and the merged symbol is the pair fused
+    engineMerges.foreach { m =>
+      assert(m.n > 0)
+      assert(m.merged === m.pair.replace(" ", ""))
+      assert(m.pair.count(_ == ' ') === 1)
+    }
+    // final vocab: engine relation == local replay (same words, same f)
+    val ev = engineVocab.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(ev.sorted === localVocab.sorted)
+  }
+
+  test("learned merges re-tokenize tokens to the engine's final vocab") {
+    val (merges, engineVocab) = BpeOps.train(spark, SF)
+    val byWord = engineVocab.collect()
+      .map(r => r.getString(0).replace(" ", "") -> r.getString(0)).toMap
+    corpusWordCounts.take(200).foreach { case (tok, _) =>
+      val syms = BpeOps.applyMerges(tok, merges)
+      assert(syms.mkString("") === tok, s"lossless: $tok")
+      assert(syms.mkString(" ") === byWord(tok), s"re-tokenization: $tok")
+      // merging never increases the symbol count
+      assert(syms.length <= tok.length)
+    }
+  }
+}

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 143) // r8: +q136–q137, +q138–q142, +q143
+    assert(SparkEntry.queries.size === 144) // r9: +q144
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 132) // r8: +q137, +q138–q142
+    assert(SparkEntry.oracleSql.size === 133) // r9: +q144
   }
 
   test("entry flagship runs on sf0.001 with rows") {
