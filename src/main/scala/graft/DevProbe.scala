@@ -29,8 +29,8 @@ object DevProbe {
       }
     })
     val ops = Seq(
-      "q121" -> ((d: String) => graft.operators.PipelineOps.q121(spark, d)),
-      "q103" -> ((d: String) => graft.operators.TextOps.q103(spark, d)))
+      "q100" -> ((d: String) => graft.operators.DedupOps.q100(spark, d)),
+      "q113" -> ((d: String) => graft.operators.DedupOps.q113(spark, d)))
     ops.foreach { case (_, f) => (1 to 2).foreach(_ => f("/root/testdata/sf0.001").count()) }
     spark.catalog.clearCache(); SharedRelations.clear()
     ops.foreach { case (name, f) =>

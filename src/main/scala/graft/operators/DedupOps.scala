@@ -1467,21 +1467,37 @@ object DedupOps {
       .crossJoin(broadcast(nDocs))
       .select(col("sh"), round(idf(col("n_docs"), col("dfc")) * 1000000L).cast("long").as("m"))
     // cache: three consumers (norms + both self-join sides) would each
-    // recompute the weight join — and the join leaves wk hash-partitioned
-    // by sh, which the pair self-join below reuses without re-shuffling.
-    // Group-scoped lifecycle (cleared with the dedup family), the q36
-    // pattern; sized like the already-cached kept index + one long.
+    // recompute the weight join. Group-scoped lifecycle (cleared with the
+    // dedup family), the q36 pattern; sized like the already-cached kept
+    // index + one long.
     val wk = kept.join(w, "sh").cache()
     val norms = wk.groupBy(col("doc_id"))
       .agg(sum((col("m") * col("m")).cast(DecimalType(38, 0))).cast("double").as("n2"))
-    val dot = wk.select(col("doc_id").as("id_a"), col("sh"), col("m").as("ma"))
-      .join(wk.select(col("doc_id").as("id_b"), col("sh"), col("m").as("mb")), Seq("sh"))
+    // r9: the norm rides each INDEX row into the self-join instead of
+    // joining the PAIR relation twice afterwards. The index is ~|corpus
+    // shingles| rows; the candidate-pair relation is the join's square-
+    // ish blow-up (measured 260 k index rows → 1.13 M pairs at sf0.1, of
+    // which 256 survive cos ≥ 0.5) — so the two post-agg norm joins were
+    // the plan's largest exchanges, moving 2× pair-sized rows to attach
+    // 16 bytes and then discard 99.98 % of them. Attaching n2 up front
+    // costs ONE index-sized doc_id-aligned join (norms and wkn share the
+    // groupBy's partitioning) and lets the cos filter fire directly on
+    // the aggregate's output. na2/nb2 in the grouping key are
+    // functionally dependent on the ids — same groups, same values,
+    // hashes unchanged (verified at sf0.01). The norms join leaves wkn
+    // doc_id-partitioned, so it is repartitioned BACK onto sh before the
+    // cache: the self-join then reads one sh-aligned cached relation on
+    // both sides, exchange-free — three index-sized exchanges at build
+    // (groupBy, join, repartition), zero pair-sized ones per probe.
+    val wkn = wk.join(norms, "doc_id").repartition(col("sh")).cache()
+    wkn
+      .select(col("doc_id").as("id_a"), col("sh"), col("m").as("ma"),
+        col("n2").as("na2"))
+      .join(wkn.select(col("doc_id").as("id_b"), col("sh"),
+        col("m").as("mb"), col("n2").as("nb2")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na2"), col("nb2"))
       .agg(sum((col("ma") * col("mb")).cast(DecimalType(38, 0))).cast("double").as("dot"))
-    dot
-      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na2")), "id_a")
-      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb2")), "id_b")
       .withColumn("cos", col("dot") / sqrt(col("na2") * col("nb2")))
       .filter(col("cos") >= 0.5)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -1688,12 +1704,29 @@ object DedupOps {
   private[graft] def q113PerDoc(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = DupSpanK
+    // cache + sh-partitioning (r9): occ (the k-window explode — per-
+    // occurrence string concat, the expensive construction) feeds BOTH
+    // the (sh, source) attribution aggregate and the hits join; uncached
+    // it was built twice per run. Caching it PARTITIONED ON sh makes
+    // both consumers exchange-free — snd's groupBy(sh, source) keys are
+    // a superset of the partitioning, and the hits join is sh-aligned on
+    // both sides — so the only remaining shuffle is the island window's
+    // (doc_id, osrc). Hot boilerplate windows skew an sh partition, but
+    // the join probe is occ × the AGGREGATED snd (≤ |windows|·|sources|
+    // rows) — per-row work, no pair blow-up — so the skew cost is the
+    // hot window's own occurrence count, the same rows the previous
+    // AQE-split exchange also had to move. Same family-group lifecycle
+    // and size class as docShingles — corpus-occurrence-sized,
+    // MEMORY_AND_DISK, evicted at the family boundary. Measured
+    // 2.5 → 1.5 s for the pair.
     val occ = spanDocs(s, dir)
       .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("source"),
         posexplode(shingles(col("toks"), k)).as(Seq("p0", "sh")))
       .select(col("doc_id"), col("source"),
         (col("p0") + 1).cast("long").as("pos"), col("sh"))
+      .repartition(col("sh"))
+      .cache()
     // attribution relation: distinct docs per (window, source). Joining
     // occurrences 1:1 against THIS (never doc-to-doc) keeps the whole
     // pipeline occurrence-linear: a window in k docs over m sources
