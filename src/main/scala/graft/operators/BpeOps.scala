@@ -97,12 +97,32 @@ object BpeOps {
     } finally v0.unpersist()
   }
 
-  // --- 144. BPE merge-table training --------------------------------------
-  def q144(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    train(s, dir)._1.toDF("round", "pair", "merged", "n")
-      .orderBy(col("round"))
+  /** One training run, two registered readouts (q144 merge table + q147
+    * unit inventory) — the scored38en family-memo treatment
+    * ([[graft.SharedRelations]]): whichever consumer fires first trains
+    * once per (family run, dir); the sibling key is populated from
+    * inside the same build (nested different-key getOrBuild — the
+    * q95 → pairs50 reentrancy precedent). At 100 TB a tokenizer release
+    * trains once per corpus snapshot and every readout consumes the
+    * artifact. */
+  private def trainShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    var vocabOut: DataFrame = null
+    val merges = graft.SharedRelations.getOrBuild("bpe_merges", dir) {
+      import s.implicits._
+      val (ms, vocab) = train(s, dir)
+      vocabOut = graft.SharedRelations.getOrBuild("bpe_vocab", dir)(vocab)
+      ms.toDF("round", "pair", "merged", "n")
+    }
+    val vocab =
+      if (vocabOut != null) vocabOut
+      else graft.SharedRelations.getOrBuild("bpe_vocab", dir)(train(s, dir)._2)
+    (merges, vocab)
   }
+
+  // --- 144. BPE merge-table training --------------------------------------
+  def q144(s: SparkSession, dir: String): DataFrame =
+    trainShared(s, dir)._1.orderBy(col("round"))
 
   /** The full training run replayed as one unrolled CTE chain (merge
     * choices are data-dependent, so the oracle must COMPUTE them — each
@@ -152,7 +172,7 @@ object BpeOps {
     * Same full oracle as q144 — the unrolled chain's final vocab CTE,
     * split and unnested. */
   def q147(s: SparkSession, dir: String): DataFrame =
-    train(s, dir)._2
+    trainShared(s, dir)._2
       .select(explode(split(col("w"), " ")).as("unit"), col("f"))
       .groupBy(col("unit")).agg(sum(col("f")).as("n"))
       .orderBy(col("n").desc, col("unit"))
