@@ -80,6 +80,38 @@ object EmbedOps {
         f => f.getField("value").cast("float")).as("embedding"))
       .select(col("doc_id").as("vec_id"), col("embedding"))
 
+  // --- 148. semantic embedding trainer (seeded MLlib Word2Vec) ------------
+  /** The SEMANTIC companion of q145's lexical hash projection: skip-gram
+    * Word2Vec (Mikolov et al. 2013; `org.apache.spark.ml.feature
+    * .Word2Vec`) trained on the tokenized corpus, document vector = the
+    * model's token-vector average. Trained — float-order sensitive —
+    * so rows-checked + spec-pinned like the MLlib classifiers (q41/q42).
+    * `numPartitions = 1` pins the skip-gram update order, making the fit
+    * bit-deterministic for a fixed seed (spec-asserted); production
+    * raises it and trades exact replay for scale — the documented knob,
+    * analogous to CrossValidator parallelism. Output exploded to the
+    * driver-checkable flat shape (doc_id, dim, micro-rounded component);
+    * the same `trainedVectors`-style pivot feeds the ANN consumers. */
+  val W2vDim = 8
+
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.Word2Vec
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = TextOps.docsWithToks(s, dir).select(col("doc_id"), col("toks"))
+    val model = new Word2Vec()
+      .setInputCol("toks").setOutputCol("vec")
+      .setVectorSize(W2vDim).setMinCount(1).setMaxIter(1)
+      .setNumPartitions(1).setSeed(42L)
+      .fit(docs)
+    model.transform(docs)
+      .select(col("doc_id"),
+        posexplode(vector_to_array(col("vec"))).as(Seq("dim", "v")))
+      .select(col("doc_id"), col("dim"),
+        round(col("v"), 6).as("value"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
   def ops: Seq[Op] = Seq(
-    Op("q145_embed_train", q145, Some(q145Sql)))
+    Op("q145_embed_train", q145, Some(q145Sql)),
+    Op("q148_embed_word2vec", q148, None))
 }

@@ -35,6 +35,18 @@ class EmbedSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q148 word2vec: deterministic seeded fit, Dim components per doc") {
+    val a = EmbedOps.q148(spark, SF).collect()
+    assert(a.length === Tables.documents(spark, SF).count() * EmbedOps.W2vDim)
+    // numPartitions=1 + fixed seed ⇒ bit-deterministic fit (the contract
+    // the scaladoc documents; production raises partitions and trades it)
+    val b = EmbedOps.q148(spark, SF).collect()
+    assert(a === b)
+    // vectors are non-degenerate: some component differs across docs
+    val byDim0 = a.filter(_.getInt(1) == 0).map(_.getDouble(2)).distinct
+    assert(byDim0.length > 1)
+  }
+
   test("trained vectors drive the kNN consumer: MinHash dup pairs land at rank 1") {
     val vecs = EmbedOps.trainedVectors(spark, SF).cache()
     try {
