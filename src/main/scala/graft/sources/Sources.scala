@@ -85,6 +85,24 @@ object Sources {
   /** ORC — the other columnar interchange format large warehouses hand
     * over; Spark's native reader gives it the same predicate-pushdown /
     * column-pruning path as parquet (proven in SourcesSpec). */
+  /** Directory/glob of opaque binary payload files (images, audio,
+    * clips) → (path, modificationTime, length, content) via Spark's
+    * built-in `binaryFile` DataSource V2 — the ingestion seam for the
+    * multimodal pipeline (q56/q135/q136/q143 consume payload COLUMNS;
+    * this is how payloads arrive from object storage as real files).
+    * V2 source semantics carry the scale properties for free: file
+    * listing is distributed, small files pack into shared tasks
+    * (`spark.sql.files.maxPartitionBytes` / `openCostInBytes`), and a
+    * `pathGlobFilter` option prunes by extension at listing time —
+    * never read-then-filter. `length`-only projections prune `content`
+    * at the scan (V2 column pruning), so inventory queries never load
+    * payload bytes. */
+  def readBinaryFiles(s: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = s.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
 

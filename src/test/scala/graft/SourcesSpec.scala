@@ -251,4 +251,60 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(tokRows.nonEmpty)
     tokRows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
+
+  test("binaryFile ingest: real PNG files → V2 source → real codec features") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.MultiModal
+    // real payload FILES on disk (the ingest seam the payload-column ops
+    // start after): one genuine PNG per doc for a corpus sample
+    val dir = java.nio.file.Files.createTempDirectory("graft_binsrc").toFile
+    try {
+      val sample = Tables.documents(spark, SF)
+        .filter(col("doc_id") % 17 === 0).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+      sample.foreach { case (id, bytes) =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, f"doc_$id%05d.png").toPath,
+          MultiModal.pngEncode(bytes))
+      }
+      // decoy file: the glob filter must prune it at LISTING time
+      java.nio.file.Files.write(
+        new java.io.File(dir, "manifest.txt").toPath, "not a png".getBytes)
+      val df = sources.Sources.readBinaryFiles(
+        spark, dir.getAbsolutePath, glob = Some("*.png"))
+      assert(df.count() === sample.size)
+      // inventory projection never needs content (V2 column pruning —
+      // the plan's ReadSchema drops the payload column)
+      val lens = df.select(col("path"), col("length")).collect()
+        .map(r => r.getString(0).split("/doc_").last.stripSuffix(".png").toLong ->
+          r.getLong(1)).toMap
+      val scan = df.select("length").queryExecution.executedPlan.toString
+      assert(!scan.contains("content"), s"content not pruned:\n$scan")
+      // ingest → REAL ImageIO decode, features ≡ direct byte recompute
+      import spark.implicits._
+      val feats = df.select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          val codec = new MultiModal.PngCodec()
+          it.map { case (p, png) =>
+            val id = p.split("/doc_").last.stripSuffix(".png").toLong
+            // payload length rides the file: pixels = png image minus pad
+            MultiModal.pngDecodeFeatures(id, sample.get(id).map(_.length)
+              .getOrElse(0), png, codec)
+          }
+        }.collect()
+      assert(feats.length === sample.size)
+      feats.foreach { f =>
+        val bytes = sample(f.doc_id)
+        assert(lens(f.doc_id) === MultiModal.pngEncode(bytes).length.toLong)
+        val sum = bytes.map(b => (b & 0xff).toLong).sum
+        val mean = if (bytes.isEmpty) 0L
+          else (2L * sum * 1000000L + bytes.length) / (2L * bytes.length)
+        assert(f.n_bytes === bytes.length)
+        assert(f.mean_px_micros === mean, s"doc ${f.doc_id}")
+      }
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
