@@ -111,7 +111,83 @@ object EmbedOps {
       .orderBy(col("doc_id"), col("dim"))
   }
 
+  // --- 149. semantic dedup over TRAINED vectors ---------------------------
+  /** Near-duplicate pairs by cosine over the q145-TRAINED embeddings —
+    * the end-to-end text→vector→dedup seam as one registered op (q52
+    * runs embedding-cosine dedup over the SHIPPED vectors; this one
+    * trains its own and blocks instead of all-pairing).
+    *
+    * Blocking: candidate pairs must agree on the full SIGN PATTERN of
+    * their components (the SRP/SimHash bucket — Charikar STOC'02: each
+    * md5-parity hyperplane's side). A cos ≈ 1 pair disagrees on a sign
+    * only when a component sits near 0, so high-threshold dedup loses
+    * almost nothing while the pair space drops by ~2^Dim; the rule is
+    * PART OF THE OPERATOR'S CONTRACT (deterministic, SQL-replayable), so
+    * the oracle replays it exactly. Pair bound is Σ_bucket n_b² — at
+    * Dim = 8 that is corpus²/256 worst-case; production raises Dim
+    * (more hyperplanes = finer buckets), the same knob the LSH family
+    * exposes, and AQE skew-split covers hot buckets in the join.
+    *
+    * Exactness: components are exact int64, so the threshold test runs
+    * ENTIRELY in integer arithmetic — cos ≥ 0.95 ⟺ dot > 0 ∧
+    * 400·dot² ≥ 361·na2·nb2 (0.95² = 361/400) with dot/norms as
+    * DECIMAL(38,0) (HUGEINT in the replay; int64 overflows at ~10⁶-token
+    * docs) — no float enters the decision; the displayed cosine is the
+    * one terminal double division, identical IEEE ops both engines. */
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = q145(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+          f => f.getField("value")).as("vec"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 0))).as("n2"),
+        sum(when(col("value") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as("bucket"))
+    val a = v.select(col("doc_id").as("id_a"), col("vec").as("va"),
+      col("n2").as("na2"), col("bucket"))
+    val b = v.select(col("doc_id").as("id_b"), col("vec").as("vb"),
+      col("n2").as("nb2"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DECIMAL(38,0)) * y), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, t) -> CAST(acc + t AS DECIMAL(38,0)))"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 400 >= col("na2") * col("nb2") * 361)
+      .select(col("id_a"), col("id_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double"))).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q149Sql: String =
+    s"""WITH comp AS (
+       |  SELECT doc_id, dim,
+       |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(token || '#' ||
+       |      CAST(dim AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS BIGINT) AS value
+       |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS dim) d
+       |  GROUP BY doc_id, dim),
+       |v AS (
+       |  SELECT doc_id, list(value ORDER BY dim) AS vec,
+       |    SUM(CAST(value AS HUGEINT) * value) AS n2,
+       |    SUM(CASE WHEN value >= 0 THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS bucket
+       |  FROM comp GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    list_sum([CAST(a.vec[i] AS HUGEINT) * b.vec[i]
+       |      FOR i IN range(1, ${Dim + 1})]) AS dot,
+       |    a.n2 AS na2, b.n2 AS nb2
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(dot AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) AS cos
+       |FROM p
+       |WHERE dot > 0 AND 400 * dot * dot >= 361 * na2 * nb2
+       |ORDER BY id_a, id_b""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q145_embed_train", q145, Some(q145Sql)),
-    Op("q148_embed_word2vec", q148, None))
+    Op("q148_embed_word2vec", q148, None),
+    Op("q149_dedup_semantic", q149, Some(q149Sql)))
 }

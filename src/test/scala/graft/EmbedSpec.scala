@@ -47,6 +47,29 @@ class EmbedSpec extends AnyFunSuite with SharedSpark {
     assert(byDim0.length > 1)
   }
 
+  test("q149 semantic dedup equals a local sign-block + exact-threshold replay") {
+    val docs = Tables.documents(spark, SF).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> localVec(r.getString(1)))
+    def bucket(v: Array[Long]): Long =
+      v.zipWithIndex.map { case (x, d) => if (x >= 0) 1L << d else 0L }.sum
+    val expect = (for {
+      (a, va) <- docs; (b, vb) <- docs
+      if a < b && bucket(va) == bucket(vb)
+      dot = va.zip(vb).map { case (x, y) => BigInt(x) * y }.sum
+      if dot > 0
+      na2 = va.map(x => BigInt(x) * x).sum; nb2 = vb.map(x => BigInt(x) * x).sum
+      if dot * dot * 400 >= na2 * nb2 * 361
+    } yield (a, b)).toSet
+    val got = operators.EmbedOps.q149(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === expect)
+    assert(got.length === got.distinct.length)
+    // the emitted cosine really clears the 0.95 contract
+    operators.EmbedOps.q149(spark, SF).collect()
+      .foreach(r => assert(r.getDouble(2) >= 0.95, r.toString))
+    assert(expect.nonEmpty)
+  }
+
   test("trained vectors drive the kNN consumer: MinHash dup pairs land at rank 1") {
     val vecs = EmbedOps.trainedVectors(spark, SF).cache()
     try {

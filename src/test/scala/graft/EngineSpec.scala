@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 148) // r9: +q144–q148
+    assert(SparkEntry.queries.size === 149) // r9: +q144–q149
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 135) // r9: +q144, +q145, +q147
+    assert(SparkEntry.oracleSql.size === 136) // r9: +q144/q145/q147/q149
   }
 
   test("entry flagship runs on sf0.001 with rows") {
