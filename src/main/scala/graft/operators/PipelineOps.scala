@@ -1211,5 +1211,71 @@ object PipelineOps {
     Op("q124_corpus_drift", q124, Some(q124Sql)),
     Op("q129_context_chunks", q129, Some(q129Sql)),
     Op("q131_shard_manifest", q131, Some(q131Sql)),
+    Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )
+
+  // --- 150. leakage-free train/val/test split (r9) -------------------------
+  /** Deterministic 80/10/10 split that assigns WHOLE near-dup CLUSTERS,
+    * never documents: the naive md5(doc_id) split puts the two halves
+    * of a near-dup pair in train AND test — the benchmark-leakage mode
+    * q85/q87 decontaminate against external suites, happening INSIDE
+    * the corpus's own eval fold. Here the split key is md5 of the
+    * cluster ROOT (q74's connected-component label, the family-memoized
+    * cc50 relation), so every member of a cluster lands in the same
+    * fold by construction. The readout proves it: `leaked_clusters`
+    * (clusters spanning >1 fold under THIS rule) is structurally 0,
+    * while `naive_leaked_clusters` (same count under the md5(doc_id)
+    * counterfactual) shows what the naive rule would have leaked.
+    *
+    * Scale shape: two thin aggregates over the label relation (per-fold
+    * counts+mass with a 1:1 documents join; per-cluster distinct-fold
+    * counts, map-side combined) + a 1-row leak aggregate broadcast back
+    * — the expensive part (MinHash→verify→CC) is the family-memoized
+    * cc50 build, paid once per corpus snapshot. Oracle replays the full
+    * recursive-CTE CC + the same md5 rules. */
+  def q150(s: SparkSession, dir: String): DataFrame = {
+    def hm(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
+    def foldOf(c: Column): Column =
+      when(hm(c) < 10, "test").when(hm(c) < 20, "val").otherwise("train")
+    val sp = DedupOps.q74(s, dir)
+      .select(col("doc_id"), col("root"),
+        foldOf(col("root")).as("split"), foldOf(col("doc_id")).as("nsplit"))
+    val perSplit = sp
+      .join(graft.Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("root")).as("n_clusters"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+    val leak = sp.groupBy(col("root"))
+      .agg(countDistinct(col("split")).as("s1"),
+        countDistinct(col("nsplit")).as("s2"))
+      .agg(sum(when(col("s1") > 1, 1L).otherwise(0L)).as("leaked_clusters"),
+        sum(when(col("s2") > 1, 1L).otherwise(0L)).as("naive_leaked_clusters"))
+    perSplit.crossJoin(broadcast(leak)).orderBy(col("split"))
+  }
+
+  lazy val q150Sql: String = {
+    def hm(x: String) =
+      s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    def foldOf(x: String) =
+      s"CASE WHEN ${hm(x)} < 10 THEN 'test' WHEN ${hm(x)} < 20 THEN 'val' ELSE 'train' END"
+    s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},
+       |sp AS (SELECT doc_id, root, ${foldOf("root")} AS split,
+       |    ${foldOf("doc_id")} AS nsplit FROM roots),
+       |ps AS (SELECT split, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT root) AS n_clusters,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+       |  FROM sp JOIN documents d USING (doc_id) GROUP BY split),
+       |lk AS (SELECT
+       |    CAST(SUM(CASE WHEN s1 > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_clusters,
+       |    CAST(SUM(CASE WHEN s2 > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaked_clusters
+       |  FROM (SELECT root, COUNT(DISTINCT split) AS s1,
+       |      COUNT(DISTINCT nsplit) AS s2 FROM sp GROUP BY root))
+       |SELECT split, n_docs, n_clusters, n_chars, leaked_clusters,
+       |  naive_leaked_clusters
+       |FROM ps CROSS JOIN lk
+       |ORDER BY split""".stripMargin
+  }
 }

@@ -529,4 +529,35 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(popWide > popNarrow,
       s"widening resolved no collisions at vocab $vocab — test vacuous")
   }
+
+  test("q150: folds partition the corpus, clusters never span folds, naive rule would leak") {
+    val rows = PipelineOps.q150(spark, SF).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("test", "train", "val"))
+    val nDocs = Tables.documents(spark, SF).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs) // folds partition docs
+    // the guarantee: zero clusters span folds under the cluster rule
+    rows.foreach(r => assert(r.getLong(4) === 0L, r.toString))
+    // ...and the md5(doc_id) counterfactual WOULD have leaked (the test
+    // corpus carries near-dup clusters by design, so this is non-vacuous)
+    assert(rows.head.getLong(5) > 0)
+    // independent recheck: every multi-doc cluster's members share a fold
+    val byRoot = operators.DedupOps.q74(spark, SF)
+      .select(col("doc_id"), col("root")).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSeq)
+    def hm(x: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      BigInt(d.map("%02x".format(_)).mkString.take(15), 16).toLong % 100
+    }
+    def fold(k: Long): String =
+      if (hm(k) < 10) "test" else if (hm(k) < 20) "val" else "train"
+    byRoot.foreach { case (root, members) =>
+      val folds = members.map(_ => fold(root)).distinct
+      assert(folds.size === 1)
+    }
+    // cluster-fold masses agree with the engine's per-split counts
+    val perFold = byRoot.toSeq.flatMap { case (root, ms) => ms.map(_ => fold(root)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(perFold(r.getString(0)) === r.getLong(1)))
+  }
 }
