@@ -136,6 +136,10 @@ object EmbedOps {
     * one terminal double division, identical IEEE ops both engines. */
   def q149(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // cache: both self-join sides read this relation — uncached, the
+    // tokenize→component→assemble pipeline would run twice per action.
+    // Doc-row-sized (Dim longs + two scalars per doc); family-group
+    // lifecycle like every other shared relation.
     val v = q145(s, dir)
       .groupBy(col("doc_id"))
       .agg(
@@ -144,6 +148,7 @@ object EmbedOps {
         sum((col("value") * col("value")).cast(DecimalType(38, 0))).as("n2"),
         sum(when(col("value") >= 0,
           expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as("bucket"))
+      .cache()
     val a = v.select(col("doc_id").as("id_a"), col("vec").as("va"),
       col("n2").as("na2"), col("bucket"))
     val b = v.select(col("doc_id").as("id_b"), col("vec").as("vb"),
