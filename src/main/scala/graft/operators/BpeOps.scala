@@ -62,39 +62,45 @@ object BpeOps {
     * the merge table (the model artifact a tokenizer ships). */
   def train(s: SparkSession, dir: String, rounds: Int = Rounds)
       : (Seq[BpeMerge], DataFrame) = {
-    // the ONE corpus pass: word counts, then char-spaced representation
+    // the ONE corpus pass: word counts, then char-spaced representation.
+    // cache() WITHOUT a finally-unpersist (the docsWithToks family
+    // pattern): the returned vocab DataFrame is lazy, so an eager
+    // unpersist here would force whoever materializes it later (the
+    // shared-training memo's localCheckpoint, the spec's collect) to
+    // re-run the corpus scan — exactly the second pass the "touched
+    // EXACTLY ONCE" contract forbids (r9 review). The family-boundary
+    // clearCache owns eviction; repeated train() calls structurally
+    // re-match this same cache entry.
     val v0 = TextOps.docsWithToks(s, dir)
       .select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
       .select(spaced(col("t")).as("w"), col("f"))
       .cache()
-    try {
-      var vocab = v0
-      val merges = Seq.newBuilder[BpeMerge]
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        val best = vocab
-          .select(explode(Text.shingles(split(col("w"), " "), 2)).as("pair"),
-            col("f"))
-          .groupBy(col("pair")).agg(sum(col("f")).as("n"))
-          .orderBy(col("n").desc, col("pair")).limit(1)
-          .collect()
-        if (best.isEmpty) exhausted = true // every word is one symbol
-        else {
-          val pair = best(0).getString(0)
-          val n = best(0).getLong(1)
-          val merged = pair.replace(" ", "")
-          merges += BpeMerge(r, pair, merged, n)
-          vocab = vocab.select(
-            trim(replace(concat(lit(" "), col("w"), lit(" ")),
-              lit(s" $pair "), lit(s" $merged "))).as("w"),
-            col("f"))
-          r += 1
-        }
+    var vocab = v0
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab
+        .select(explode(Text.shingles(split(col("w"), " "), 2)).as("pair"),
+          col("f"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += BpeMerge(r, pair, merged, n)
+        vocab = vocab.select(
+          trim(replace(concat(lit(" "), col("w"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("w"),
+          col("f"))
+        r += 1
       }
-      (merges.result(), vocab)
-    } finally v0.unpersist()
+    }
+    (merges.result(), vocab)
   }
 
   /** One training run, two registered readouts (q144 merge table + q147
@@ -134,14 +140,21 @@ object BpeOps {
          |  FROM (SELECT token AS t, CAST(COUNT(*) AS BIGINT) AS f
          |    FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
          |    GROUP BY token))""".stripMargin
+    // v$r LEFT-joins its round's (0-or-1-row) merge so an EXHAUSTED pool
+    // (m$r empty — every word one symbol) passes the vocab through
+    // unchanged; the r8 CROSS JOIN form emptied v$r and every later
+    // round with it, silently zeroing the q147 replay on early-exhaust
+    // corpora (r9 review finding, DuckDB-reproduced). The engine's
+    // early-stop loop has the same pass-through semantics.
     val rounds = (1 to Rounds).map { r =>
       s"""p$r AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM (
          |  SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair, f
          |  FROM (SELECT string_split(w, ' ') AS l, f FROM v${r - 1})) GROUP BY pair),
          |m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
-         |v$r AS (SELECT trim(replace(' ' || w || ' ', ' ' || pair || ' ',
-         |  ' ' || replace(pair, ' ', '') || ' ')) AS w, f
-         |  FROM v${r - 1} CROSS JOIN m$r)""".stripMargin
+         |v$r AS (SELECT CASE WHEN m.pair IS NULL THEN w
+         |    ELSE trim(replace(' ' || w || ' ', ' ' || m.pair || ' ',
+         |      ' ' || replace(m.pair, ' ', '') || ' ')) END AS w, f
+         |  FROM v${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
     val sel = (1 to Rounds)
       .map(r => s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, n FROM m$r")

@@ -4,7 +4,7 @@ import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.{LogisticRegression, NaiveBayes}
 import org.apache.spark.ml.feature.{CountVectorizer, StringIndexer}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.text.Text
@@ -76,18 +76,10 @@ object MLOps {
       "random_forest" -> new RandomForestClassifier().setLabelCol("y")
         .setNumTrees(20).setSeed(42L))
     val rows = models.map { case (name, est) =>
-      val pred = est.fit(train).transform(test)
-        .select(col("y"), col("prediction"))
-      val agg = pred.agg(
-        sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
-        sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
-        sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
-        sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
-        count(lit(1)).as("n")).collect()(0)
-      val (tp, fp, fn) = (agg.getLong(0).toDouble, agg.getLong(1).toDouble, agg.getLong(2).toDouble)
-      val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+      val agg = confusionCounts(est.fit(train).transform(test)
+        .select(col("y"), col("prediction")))
       (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
-        math.rint(f1 * 1e6) / 1e6)
+        f1Of(agg))
     }
     import s.implicits._
     rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
@@ -143,19 +135,66 @@ object MLOps {
     * and ftrain are cached; callers own unpersisting them. */
   private def tfidfSplit(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.ml.feature.IDF
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
         (col("lang") === "en").cast("double").as("y"),
         (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"))
     val train = docs.filter(col("is_train")).cache()
     val test = docs.filter(!col("is_train"))
-    val featurizer = new Pipeline().setStages(Array(
+    val featurizer = fitFeaturizer(train)
+    (train, featurizer.transform(train).cache(), featurizer.transform(test))
+  }
+
+  /** THE featurizer (CountVectorizer vocab 2¹⁵ + IDF over `toks` →
+    * `features`) — one definition shared by [[tfidfSplit]] (q79/q81) and
+    * every q146 curve cell, so the vocabulary bound and stage list can
+    * never silently diverge between the roster table and the curve. */
+  private def fitFeaturizer(sub: DataFrame)
+      : org.apache.spark.ml.PipelineModel = {
+    import org.apache.spark.ml.feature.IDF
+    new Pipeline().setStages(Array(
       new CountVectorizer().setInputCol("toks").setOutputCol("tf")
         .setVocabSize(1 << 15),
       new IDF().setInputCol("tf").setOutputCol("features")))
-      .fit(train)
-    (train, featurizer.transform(train).cache(), featurizer.transform(test))
+      .fit(sub)
+  }
+
+  /** One-row (tp, fp, fn, ok, n) confusion counts of a binary prediction
+    * frame — the single definition behind every roster evaluation
+    * (q62/q79/q146). */
+  private def confusionCounts(pred: DataFrame): Row = pred.agg(
+    sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
+    sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
+    sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
+    sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
+    count(lit(1)).as("n")).head()
+
+  /** F1 on the micro lattice from [[confusionCounts]]' row. */
+  private def f1Of(c: Row): Double = {
+    val (tp, fp, fn) =
+      (c.getLong(0).toDouble, c.getLong(1).toDouble, c.getLong(2).toDouble)
+    if (2 * tp + fp + fn == 0) 0.0
+    else math.rint(2 * tp / (2 * tp + fp + fn) * 1e6) / 1e6
+  }
+
+  /** The roster's relevance-score column: the probability vector's
+    * class-1 entry where the model emits one, the raw margin otherwise
+    * (same ranking, different scale) — q81's rule, shared with q146. */
+  private def scoreOf(pred: DataFrame): Column = {
+    import org.apache.spark.ml.functions.vector_to_array
+    if (pred.columns.contains("probability"))
+      element_at(vector_to_array(col("probability")), 2)
+    else element_at(vector_to_array(col("rawPrediction")), 2)
+  }
+
+  /** Screening stats of a (doc_id, score, y) frame through the
+    * order-statistic scaffold: (n_docs, n_pos, t, k_at_95, wss95). */
+  private def screeningOf(scored: DataFrame): (Long, Long, Long, Long, Double) = {
+    val st = TextOps.screeningStatsOf(scored).head()
+    val (nDocs, nPos, t, k) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    (nDocs, nPos, t, k,
+      math.rint((1.0 - k.toDouble / nDocs - 0.05) * 1e6) / 1e6)
   }
 
   /** The paper's full classifier roster (NB/LR/SVM/RF) as one-stage
@@ -185,18 +224,9 @@ object MLOps {
     // fold caches for the session (the screeningStatsOf ADVICE pattern)
     try {
       val rows = roster.map { case (name, est) =>
-        val agg = est.fit(ftrain).transform(ftest)
-          .agg(
-            sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
-            sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
-            sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
-            sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
-            count(lit(1)).as("n")).collect()(0)
-        val (tp, fp, fn) = (agg.getLong(0).toDouble, agg.getLong(1).toDouble,
-          agg.getLong(2).toDouble)
-        val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+        val agg = confusionCounts(est.fit(ftrain).transform(ftest))
         (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
-          math.rint(f1 * 1e6) / 1e6)
+          f1Of(agg))
       }
       import s.implicits._
       rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
@@ -214,22 +244,14 @@ object MLOps {
     * adaptive histogram refinement. Seeded; rows-checked (training is
     * float-order sensitive). One row per model. */
   def q81(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.vector_to_array
     val (train, ftrain, ftest) = tfidfSplit(s, dir)
     try {
       val rows = roster.map { case (name, est) =>
         val pred = est.fit(ftrain).transform(ftest)
-        val score =
-          if (pred.columns.contains("probability"))
-            element_at(vector_to_array(col("probability")), 2)
-          else element_at(vector_to_array(col("rawPrediction")), 2)
-        val st = TextOps.screeningStatsOf(
-          pred.select(col("doc_id"), score.as("score"),
-            col("y").cast("int").as("y"))).head()
-        val (nDocs, nPos, t, k) =
-          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
-        (name, nDocs, nPos, t, k,
-          math.rint((1.0 - k.toDouble / nDocs - 0.05) * 1e6) / 1e6)
+        val (nDocs, nPos, t, k, wss) = screeningOf(
+          pred.select(col("doc_id"), scoreOf(pred).as("score"),
+            col("y").cast("int").as("y")))
+        (name, nDocs, nPos, t, k, wss)
       }
       import s.implicits._
       rows.toDF("model", "n_docs", "n_pos", "t", "k_at_95", "wss95")
@@ -264,8 +286,6 @@ object MLOps {
     * the output is assembled from the (model, frac) key, not completion
     * order. Rows-checked (training is float-order sensitive). */
   def q146(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.feature.IDF
-    import org.apache.spark.ml.functions.vector_to_array
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val fractions = Seq(10, 25, 50, 100)
@@ -284,44 +304,34 @@ object MLOps {
       val perFraction = fractions.map { frac =>
         Future {
           val sub = if (frac == 100) train else train.filter(col("hpos") < frac)
+          val nTrain = sub.count()
+          // named degenerate-case guard (the q140/q142 convention): an
+          // empty fraction would otherwise die deep inside MLlib's
+          // CountVectorizer with an opaque worker-side error
+          require(nTrain > 0,
+            s"q146: fraction $frac% of the train fold is empty — " +
+              "corpus too small for this curve point")
           // featurizer refit per fraction (vocabulary + idf learn from the
-          // subset only — no leakage from unseen training docs)
-          val featurizer = new Pipeline().setStages(Array(
-            new CountVectorizer().setInputCol("toks").setOutputCol("tf")
-              .setVocabSize(1 << 15),
-            new IDF().setInputCol("tf").setOutputCol("features"))).fit(sub)
+          // subset only — no leakage from unseen training docs); THE
+          // shared featurizer definition, so the curve and the q79/q81
+          // roster table can never silently diverge
+          val featurizer = fitFeaturizer(sub)
           val fsub = featurizer.transform(sub).cache()
           val ftest = featurizer.transform(test).cache()
-          (frac, fsub, ftest, fsub.count())
+          (frac, fsub, ftest, nTrain)
         }.flatMap { case (frac, fsub, ftest, nTrain) =>
           Future.sequence(roster.map { case (name, est) =>
             Future {
               val pred = est.fit(fsub).transform(ftest)
-              val score =
-                if (pred.columns.contains("probability"))
-                  element_at(vector_to_array(col("probability")), 2)
-                else element_at(vector_to_array(col("rawPrediction")), 2)
               val scored = pred
-                .select(col("doc_id"), score.as("score"),
+                .select(col("doc_id"), scoreOf(pred).as("score"),
                   col("y").cast("int").as("y"),
                   col("prediction")).cache()
               try {
-                val agg = scored.agg(
-                  sum(when(col("y") === 1 && col("prediction") === 1.0, 1)
-                    .otherwise(0)).as("tp"),
-                  sum(when(col("y") === 0 && col("prediction") === 1.0, 1)
-                    .otherwise(0)).as("fp"),
-                  sum(when(col("y") === 1 && col("prediction") === 0.0, 1)
-                    .otherwise(0)).as("fn")).head()
-                val (tp, fp, fn) = (agg.getLong(0).toDouble,
-                  agg.getLong(1).toDouble, agg.getLong(2).toDouble)
-                val f1 = if (2 * tp + fp + fn == 0) 0.0
-                  else math.rint(2 * tp / (2 * tp + fp + fn) * 1e6) / 1e6
-                val st = TextOps.screeningStatsOf(
-                  scored.select(col("doc_id"), col("score"), col("y"))).head()
-                val (nDocs, k) = (st.getLong(0), st.getLong(3))
-                (name, frac, nTrain, nTest, f1,
-                  math.rint((1.0 - k.toDouble / nDocs - 0.05) * 1e6) / 1e6)
+                val f1 = f1Of(confusionCounts(scored))
+                val (_, _, _, _, wss) = screeningOf(
+                  scored.select(col("doc_id"), col("score"), col("y")))
+                (name, frac, nTrain, nTest, f1, wss)
               } finally scored.unpersist()
             }
           }).andThen { case _ => fsub.unpersist(); ftest.unpersist() }

@@ -540,24 +540,31 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     // ...and the md5(doc_id) counterfactual WOULD have leaked (the test
     // corpus carries near-dup clusters by design, so this is non-vacuous)
     assert(rows.head.getLong(5) > 0)
-    // independent recheck: every multi-doc cluster's members share a fold
+    // independent member-level recheck against the engine's LABELS (not
+    // its own fold rule — recomputing fold(root) per member is vacuous):
+    // per-fold doc masses under the local md5 rule must equal the
+    // engine's per-split counts, and the local NAIVE recount (folds of
+    // the member doc_ids themselves) must reproduce the engine's
+    // naive_leaked_clusters number
     val byRoot = operators.DedupOps.q74(spark, SF)
       .select(col("doc_id"), col("root")).collect()
-      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSeq)
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSeq).toMap
     def hm(x: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(x.toString.getBytes("UTF-8"))
-      BigInt(d.map("%02x".format(_)).mkString.take(15), 16).toLong % 100
+      (BigInt(d.map("%02x".format(_)).mkString.take(15), 16) % 100).toLong
     }
     def fold(k: Long): String =
       if (hm(k) < 10) "test" else if (hm(k) < 20) "val" else "train"
-    byRoot.foreach { case (root, members) =>
-      val folds = members.map(_ => fold(root)).distinct
-      assert(folds.size === 1)
-    }
-    // cluster-fold masses agree with the engine's per-split counts
-    val perFold = byRoot.toSeq.flatMap { case (root, ms) => ms.map(_ => fold(root)) }
+    val perFold = byRoot.toSeq
+      .flatMap { case (root, ms) => ms.map(_ => fold(root)) }
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     rows.foreach(r => assert(perFold(r.getString(0)) === r.getLong(1)))
+    val naiveLeaked = byRoot.count { case (_, ms) =>
+      ms.map(fold).distinct.size > 1 }
+    assert(rows.head.getLong(5) === naiveLeaked.toLong)
+    // and the naive leak really comes from multi-doc clusters only
+    assert(byRoot.filter(_._2.size > 1).count { case (_, ms) =>
+      ms.map(fold).distinct.size > 1 } === naiveLeaked)
   }
 }
