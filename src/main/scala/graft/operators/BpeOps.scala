@@ -199,7 +199,53 @@ object BpeOps {
        |ORDER BY n DESC, unit""".stripMargin
   }
 
+  // --- 151. corpus segmentation with the trained tokenizer ----------------
+  /** The full tokenize-with-the-trained-tokenizer pass — per document:
+    * word-token count, SUBWORD unit count under the learned merges, and
+    * the fertility ratio (units per character; the readout that tells
+    * you how hard the tokenizer works on each doc — OOV-ish docs
+    * segment into near-character units, in-domain text into whole
+    * words). Implementation is a BROADCAST join of the corpus tokens
+    * against the (token → merged form) mapping derived from the final
+    * vocab relation — the merged form is space-free-injective, so
+    * `token = replace(w, ' ', '')` recovers the key on BOTH engines and
+    * neither side needs to thread the token through the training chain.
+    * One corpus pass + a vocab-sized broadcast; FULL oracle (the q144
+    * chain's final vocab CTE as the mapping). */
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    val mapping = trainShared(s, dir)._2
+      .select(replace(col("w"), lit(" "), lit("")).as("token"),
+        size(split(col("w"), " ")).cast("long").as("units"))
+    TextOps.docsWithToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(mapping), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("units")).as("n_units"),
+        sum(length(col("token"))).as("n_chars"))
+      .withColumn("fertility",
+        graft.functions.Num.ratio6(col("n_units"), col("n_chars")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Sql: String = {
+    val chain = q144Sql.substring(0, q144Sql.indexOf("\nSELECT 1 AS round"))
+    s"""$chain,
+       |mapping AS (SELECT replace(w, ' ', '') AS token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(units) AS BIGINT) AS n_units,
+       |  CAST(SUM(len(token)) AS BIGINT) AS n_chars,
+       |  ${graft.functions.Num.ratio6Sql("SUM(units)", "SUM(len(token))")}
+       |    AS fertility
+       |FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
+       |JOIN mapping USING (token)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q144_bpe_train", q144, Some(q144Sql)),
-    Op("q147_bpe_apply", q147, Some(q147Sql)))
+    Op("q147_bpe_apply", q147, Some(q147Sql)),
+    Op("q151_bpe_segment", q151, Some(q151Sql)))
 }

@@ -80,6 +80,25 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(got.map(_._2).sum === counts.values.sum)
   }
 
+  test("q151 segmentation: unit counts equal applyMerges, masses conserve") {
+    val (merges, _) = BpeOps.train(spark, SF)
+    val rows = BpeOps.q151(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val re = "[a-z0-9]+".r
+    Tables.documents(spark, SF).select("doc_id", "text").collect().take(40)
+      .foreach { r =>
+        val toks = re.findAllIn(r.getString(1).toLowerCase).toSeq
+        val units = toks.map(t => BpeOps.applyMerges(t, merges).length.toLong).sum
+        val chars = toks.map(_.length.toLong).sum
+        assert(rows(r.getLong(0)) === ((toks.size.toLong, units, chars)),
+          s"doc ${r.getLong(0)}")
+      }
+    // fertility bounds: merging can only shorten, units ≥ tokens
+    rows.values.foreach { case (nt, nu, nc) =>
+      assert(nu <= nc && nu >= nt)
+    }
+  }
+
   test("learned merges re-tokenize tokens to the engine's final vocab") {
     val (merges, engineVocab) = BpeOps.train(spark, SF)
     val byWord = engineVocab.collect()

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 150) // r9: +q144–q150
+    assert(SparkEntry.queries.size === 151) // r9: +q144–q151
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 137) // r9: +q144/q145/q147/q149/q150
+    assert(SparkEntry.oracleSql.size === 138) // r9: +q144/145/147/149/150/151
   }
 
   test("entry flagship runs on sf0.001 with rows") {
