@@ -130,6 +130,17 @@ object BpeOps {
   def q144(s: SparkSession, dir: String): DataFrame =
     trainShared(s, dir)._1.orderBy(col("round"))
 
+  /** The q144 chain's CTE prefix (everything before the merge-table
+    * readout) — the single extraction point q147Sql/q151Sql build on
+    * (r9 review: two copies of the fragile substring would have to be
+    * found and fixed together if the readout's first line changed). */
+  private lazy val q144Chain: String = {
+    val marker = "\nSELECT 1 AS round"
+    val i = q144Sql.indexOf(marker)
+    require(i > 0, "q144Sql readout marker moved — update q144Chain")
+    q144Sql.substring(0, i)
+  }
+
   /** The full training run replayed as one unrolled CTE chain (merge
     * choices are data-dependent, so the oracle must COMPUTE them — each
     * round is a pair aggregate + argmax + literal replace, exactly the
@@ -191,8 +202,7 @@ object BpeOps {
       .orderBy(col("n").desc, col("unit"))
 
   val q147Sql: String = {
-    val chain = q144Sql.substring(0, q144Sql.indexOf("\nSELECT 1 AS round"))
-    s"""$chain
+    s"""$q144Chain
        |SELECT unit, CAST(SUM(f) AS BIGINT) AS n
        |FROM (SELECT unnest(string_split(w, ' ')) AS unit, f FROM v$Rounds)
        |GROUP BY unit
@@ -205,12 +215,16 @@ object BpeOps {
     * the fertility ratio (units per character; the readout that tells
     * you how hard the tokenizer works on each doc — OOV-ish docs
     * segment into near-character units, in-domain text into whole
-    * words). Implementation is a BROADCAST join of the corpus tokens
-    * against the (token → merged form) mapping derived from the final
-    * vocab relation — the merged form is space-free-injective, so
+    * words). Implementation joins the corpus tokens against the
+    * (token → merged form) mapping derived from the final vocab
+    * relation — the merged form is space-free-injective, so
     * `token = replace(w, ' ', '')` recovers the key on BOTH engines and
     * neither side needs to thread the token through the training chain.
-    * One corpus pass + a vocab-sized broadcast; FULL oracle (the q144
+    * No broadcast HINT on the mapping (r9 review): the vocab is
+    * ~10⁷–10⁸ rows at the design point — past Spark's broadcast limits —
+    * so AQE owns the strategy (it broadcasts while the mapping is small,
+    * shuffle-joins on token beyond that; the corpus side shuffles at
+    * most once either way). One corpus pass; FULL oracle (the q144
     * chain's final vocab CTE as the mapping). */
   def q151(s: SparkSession, dir: String): DataFrame = {
     val mapping = trainShared(s, dir)._2
@@ -218,7 +232,7 @@ object BpeOps {
         size(split(col("w"), " ")).cast("long").as("units"))
     TextOps.docsWithToks(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("token"))
-      .join(broadcast(mapping), "token")
+      .join(mapping, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("units")).as("n_units"),
@@ -229,8 +243,7 @@ object BpeOps {
   }
 
   val q151Sql: String = {
-    val chain = q144Sql.substring(0, q144Sql.indexOf("\nSELECT 1 AS round"))
-    s"""$chain,
+    s"""$q144Chain,
        |mapping AS (SELECT replace(w, ' ', '') AS token,
        |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds)
        |SELECT doc_id, COUNT(*) AS n_tokens,

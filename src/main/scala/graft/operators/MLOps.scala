@@ -293,8 +293,7 @@ object MLOps {
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
         (col("lang") === "en").cast("double").as("y"),
         (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).as("hpos"))
+        Text.md5Pos100(col("doc_id")).as("hpos"))
     val train = docs.filter(col("is_train")).cache()
     val test = docs.filter(!col("is_train")).cache()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

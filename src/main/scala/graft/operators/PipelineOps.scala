@@ -1234,8 +1234,7 @@ object PipelineOps {
     * cc50 build, paid once per corpus snapshot. Oracle replays the full
     * recursive-CTE CC + the same md5 rules. */
   def q150(s: SparkSession, dir: String): DataFrame = {
-    def hm(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
+    def hm(c: Column): Column = Text.md5Pos100(c) // shared with q146's hpos
     def foldOf(c: Column): Column =
       when(hm(c) < 10, "test").when(hm(c) < 20, "val").otherwise("train")
     val sp = DedupOps.q74(s, dir)
@@ -1257,8 +1256,7 @@ object PipelineOps {
   }
 
   lazy val q150Sql: String = {
-    def hm(x: String) =
-      s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    def hm(x: String) = Text.md5Pos100Sql(x)
     def foldOf(x: String) =
       s"CASE WHEN ${hm(x)} < 10 THEN 'test' WHEN ${hm(x)} < 20 THEN 'val' ELSE 'train' END"
     s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},

@@ -62,6 +62,18 @@ object Text {
     s"[$concat FOR i IN range(1, greatest(len($toksExpr) - ${k - 2}, 1))]"
   }
 
+  /** Deterministic position in [0, 100) from the md5 of a key — the
+    * q82-family subset/fold rule (q146's nested training fractions,
+    * q150's split folds). ONE definition + its SQL twin so the curve's
+    * subset rule and the split's fold rule can never silently diverge
+    * (r9 review). The 15-hex-char (60-bit) prefix never goes negative
+    * in int64 on either engine. */
+  def md5Pos100(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  def md5Pos100Sql(x: String): String =
+    s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
   /** Smoothed IDF, scikit-learn semantics: ln((1+N)/(1+df)) + 1. */
   def idf(nDocs: Column, df: Column): Column =
     log((lit(1) + nDocs).cast("double") / (lit(1) + df)) + lit(1.0)
