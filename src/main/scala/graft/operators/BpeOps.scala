@@ -60,22 +60,34 @@ object BpeOps {
   /** Train the merge table; also returns the final (merged) vocab relation
     * so the spec can pin re-tokenization. The registered op surfaces only
     * the merge table (the model artifact a tokenizer ships). */
-  def train(s: SparkSession, dir: String, rounds: Int = Rounds)
-      : (Seq[BpeMerge], DataFrame) = {
-    // the ONE corpus pass: word counts, then char-spaced representation.
-    // cache() WITHOUT a finally-unpersist (the docsWithToks family
-    // pattern): the returned vocab DataFrame is lazy, so an eager
-    // unpersist here would force whoever materializes it later (the
-    // shared-training memo's localCheckpoint, the spec's collect) to
-    // re-run the corpus scan — exactly the second pass the "touched
-    // EXACTLY ONCE" contract forbids (r9 review). The family-boundary
-    // clearCache owns eviction; repeated train() calls structurally
-    // re-match this same cache entry.
-    val v0 = TextOps.docsWithToks(s, dir)
+  /** The ONE corpus pass behind both [[train]] and [[replayVocab]]:
+    * word counts, then char-spaced representation.
+    * cache() WITHOUT a finally-unpersist (the docsWithToks family
+    * pattern): the returned vocab DataFrame is lazy, so an eager
+    * unpersist here would force whoever materializes it later (the
+    * shared-training memo's localCheckpoint, the spec's collect) to
+    * re-run the corpus scan — exactly the second pass the "touched
+    * EXACTLY ONCE" contract forbids (r9 review). The family-boundary
+    * clearCache owns eviction; repeated calls structurally re-match
+    * this same cache entry. */
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.docsWithToks(s, dir)
       .select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
       .select(spaced(col("t")).as("w"), col("f"))
       .cache()
+
+  /** One BPE merge applied to the spaced-word relation as a broadcast
+    * literal replace (leftmost-non-overlapping — see the object doc). */
+  private def applyMerge(v: DataFrame, pair: String): DataFrame = {
+    val merged = pair.replace(" ", "")
+    v.select(trim(replace(concat(lit(" "), col("w"), lit(" ")),
+      lit(s" $pair "), lit(s" $merged "))).as("w"), col("f"))
+  }
+
+  def train(s: SparkSession, dir: String, rounds: Int = Rounds)
+      : (Seq[BpeMerge], DataFrame) = {
+    val v0 = wordCounts(s, dir)
     var vocab = v0
     val merges = Seq.newBuilder[BpeMerge]
     var r = 1
@@ -91,12 +103,8 @@ object BpeOps {
       else {
         val pair = best(0).getString(0)
         val n = best(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        merges += BpeMerge(r, pair, merged, n)
-        vocab = vocab.select(
-          trim(replace(concat(lit(" "), col("w"), lit(" ")),
-            lit(s" $pair "), lit(s" $merged "))).as("w"),
-          col("f"))
+        merges += BpeMerge(r, pair, pair.replace(" ", ""), n)
+        vocab = applyMerge(vocab, pair)
         r += 1
       }
     }
@@ -122,8 +130,28 @@ object BpeOps {
     }
     val vocab =
       if (vocabOut != null) vocabOut
-      else graft.SharedRelations.getOrBuild("bpe_vocab", dir)(train(s, dir)._2)
+      // fallback (merge table memoized, vocab sibling absent — e.g. a
+      // prior build interrupted between the nested and outer inserts):
+      // REPLAY the shipped merges over a fresh word-count relation —
+      // one corpus pass, zero pair-aggregate/argmax rounds — instead of
+      // silently re-TRAINING (r9 ADVICE: the retrain quietly violated
+      // the 'trains once per family run' contract).
+      else graft.SharedRelations.getOrBuild("bpe_vocab", dir)(
+        replayVocab(s, dir, merges))
     (merges, vocab)
+  }
+
+  /** Rebuild the final vocab relation by re-APPLYING an already-trained
+    * merge table in round order: the merges are the model artifact, so
+    * this is deterministic application, not training. Merge table is
+    * ≤ [[Rounds]] rows by construction — driver-sized by contract. */
+  private def replayVocab(s: SparkSession, dir: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.select(col("round"), col("pair")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    ms.foldLeft(wordCounts(s, dir)) { case (v, (_, pair)) =>
+      applyMerge(v, pair)
+    }
   }
 
   // --- 144. BPE merge-table training --------------------------------------

@@ -68,21 +68,22 @@ object MLOps {
       .withColumn("is_train", pmod(col("vec_id"), lit(5)) =!= 0)
     val train = data.filter(col("is_train")).cache()
     val test = data.filter(!col("is_train"))
-    val models = Seq(
+    val models = Seq[(String, org.apache.spark.ml.PipelineStage)](
       "logreg" -> new LogisticRegression().setLabelCol("y").setMaxIter(25)
         .setRegParam(0.01),
       "svm_linear" -> new LinearSVC().setLabelCol("y").setMaxIter(25)
         .setRegParam(0.01),
       "random_forest" -> new RandomForestClassifier().setLabelCol("y")
         .setNumTrees(20).setSeed(42L))
-    val rows = models.map { case (name, est) =>
-      val agg = confusionCounts(est.fit(train).transform(test)
-        .select(col("y"), col("prediction")))
-      (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
-        f1Of(agg))
-    }
-    import s.implicits._
-    rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
+      .map { case (n, est) => n -> new Pipeline().setStages(Array(est)) }
+    try {
+      val rows = evalConcurrent(models, train, test) { pred =>
+        val agg = confusionCounts(pred.select(col("y"), col("prediction")))
+        (agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4), f1Of(agg))
+      }.map { case (name, (n, acc, f1)) => (name, n, acc, f1) }
+      import s.implicits._
+      rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
+    } finally train.unpersist()
   }
 
   // --- 73. hyperparameter grid search via k-fold CV ---------------------
@@ -131,18 +132,58 @@ object MLOps {
     * TfidfVectorizer semantics; vocabulary bounded so the driver-held
     * vocab stays dimension-sized), relevance label = lang=='en',
     * deterministic doc_id-mod 80/20 split, featurizer fitted on the TRAIN
-    * fold only (no test leakage). Returns (train, ftrain, ftest) — train
-    * and ftrain are cached; callers own unpersisting them. */
-  private def tfidfSplit(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
-        (col("lang") === "en").cast("double").as("y"),
-        (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"))
-    val train = docs.filter(col("is_train")).cache()
-    val test = docs.filter(!col("is_train"))
-    val featurizer = fitFeaturizer(train)
-    (train, featurizer.transform(train).cache(), featurizer.transform(test))
+    * fold only (no test leakage) then applied to BOTH folds.
+    *
+    * Memoized per (family run, dir) via [[graft.SharedRelations]] — the
+    * scored38en treatment (r9 VERDICT #2): q79, q81 and q146's 100% curve
+    * cell previously each refit CountVectorizer+IDF on the same train
+    * fold and re-transformed both folds; one build now feeds all three,
+    * and the q146 endpoint ≡ q79/q81 reconciliation becomes exact BY
+    * CONSTRUCTION (identical featurized rows, identical seeds). One memo
+    * key carrying `is_train` (consumers filter their fold), so there is
+    * no dangling-sibling fallback to guard (the BpeOps ADVICE pattern).
+    * At 100 TB a screening pipeline featurizes its labeled pool once per
+    * snapshot and every model-selection readout consumes the artifact. */
+  private[operators] def tfidfFeats(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("tfidf_feats", dir) {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+          (col("lang") === "en").cast("double").as("y"),
+          (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"))
+      val train = docs.filter(col("is_train")).cache()
+      // the cache backs the featurizer's two fit passes (CountVectorizer
+      // + IDF) only; the transform below reads `docs`, so unpersisting
+      // before the memo materializes it is safe
+      val featurizer =
+        try fitFeaturizer(train) finally train.unpersist()
+      featurizer.transform(docs)
+        .select(col("doc_id"), col("y"), col("is_train"), col("features"))
+    }
+
+  /** Fit every `models` estimator on `ftrain` and evaluate its `ftest`
+    * predictions, CONCURRENTLY on a bounded driver pool (the q146 /
+    * CrossValidator-parallelism pattern: each fit is ~25 small
+    * treeAggregate jobs, so a serial sweep pays the per-job scheduling
+    * floor once per model back-to-back). Results are assembled in
+    * `models` order, never completion order, and every fit is seeded —
+    * execution order cannot change a value. Each future fits a COPY of
+    * its estimator (r9 ADVICE: concurrent fit on a shared instance is
+    * not a documented MLlib guarantee). */
+  private def evalConcurrent[T](models: Seq[(String, Pipeline)],
+      ftrain: DataFrame, ftest: DataFrame)(eval: DataFrame => T)
+      : Seq[(String, T)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(models.map { case (name, est) =>
+      Future {
+        val pred = est.copy(org.apache.spark.ml.param.ParamMap.empty)
+          .fit(ftrain).transform(ftest)
+        name -> eval(pred)
+      }
+    }), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** THE featurizer (CountVectorizer vocab 2¹⁵ + IDF over `toks` →
@@ -219,18 +260,16 @@ object MLOps {
     * fold — the paper's headline table end-to-end. Rows-checked (training
     * is float-order sensitive); the evaluation aggregate mirrors q62. */
   def q79(s: SparkSession, dir: String): DataFrame = {
-    val (train, ftrain, ftest) = tfidfSplit(s, dir)
-    // finally, not success-path: a throwing fit would otherwise pin both
-    // fold caches for the session (the screeningStatsOf ADVICE pattern)
-    try {
-      val rows = roster.map { case (name, est) =>
-        val agg = confusionCounts(est.fit(ftrain).transform(ftest))
-        (name, agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4),
-          f1Of(agg))
-      }
-      import s.implicits._
-      rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
-    } finally { train.unpersist(); ftrain.unpersist() }
+    // memo-owned featurized relation (lineage-free, materialized) — the
+    // fold filters re-read in-memory blocks, so no extra caches to own
+    val f = tfidfFeats(s, dir)
+    val rows = evalConcurrent(roster,
+      f.filter(col("is_train")), f.filter(!col("is_train"))) { pred =>
+      val agg = confusionCounts(pred)
+      (agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4), f1Of(agg))
+    }.map { case (name, (n, acc, f1)) => (name, n, acc, f1) }
+    import s.implicits._
+    rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
   }
 
   // --- 81. WSS@95 over trained classifier scores -------------------------
@@ -244,19 +283,16 @@ object MLOps {
     * adaptive histogram refinement. Seeded; rows-checked (training is
     * float-order sensitive). One row per model. */
   def q81(s: SparkSession, dir: String): DataFrame = {
-    val (train, ftrain, ftest) = tfidfSplit(s, dir)
-    try {
-      val rows = roster.map { case (name, est) =>
-        val pred = est.fit(ftrain).transform(ftest)
-        val (nDocs, nPos, t, k, wss) = screeningOf(
-          pred.select(col("doc_id"), scoreOf(pred).as("score"),
-            col("y").cast("int").as("y")))
-        (name, nDocs, nPos, t, k, wss)
-      }
-      import s.implicits._
-      rows.toDF("model", "n_docs", "n_pos", "t", "k_at_95", "wss95")
-        .orderBy(col("model"))
-    } finally { train.unpersist(); ftrain.unpersist() }
+    val f = tfidfFeats(s, dir)
+    val rows = evalConcurrent(roster,
+      f.filter(col("is_train")), f.filter(!col("is_train"))) { pred =>
+      screeningOf(pred.select(col("doc_id"), scoreOf(pred).as("score"),
+        col("y").cast("int").as("y")))
+    }.map { case (name, (nDocs, nPos, t, k, wss)) =>
+      (name, nDocs, nPos, t, k, wss) }
+    import s.implicits._
+    rows.toDF("model", "n_docs", "n_pos", "t", "k_at_95", "wss95")
+      .orderBy(col("model"))
   }
 
   // --- 146. learning curve: sample-efficiency of the roster ---------------
@@ -302,26 +338,42 @@ object MLOps {
       val nTest = test.count()
       val perFraction = fractions.map { frac =>
         Future {
-          val sub = if (frac == 100) train else train.filter(col("hpos") < frac)
-          val nTrain = sub.count()
-          // named degenerate-case guard (the q140/q142 convention): an
-          // empty fraction would otherwise die deep inside MLlib's
-          // CountVectorizer with an opaque worker-side error
-          require(nTrain > 0,
-            s"q146: fraction $frac% of the train fold is empty — " +
-              "corpus too small for this curve point")
-          // featurizer refit per fraction (vocabulary + idf learn from the
-          // subset only — no leakage from unseen training docs); THE
-          // shared featurizer definition, so the curve and the q79/q81
-          // roster table can never silently diverge
-          val featurizer = fitFeaturizer(sub)
-          val fsub = featurizer.transform(sub).cache()
-          val ftest = featurizer.transform(test).cache()
-          (frac, fsub, ftest, nTrain)
+          val (fsub, ftest) = if (frac == 100) {
+            // the 100% cell IS q79/q81's setting — consume the SAME
+            // memo-owned featurized relation (r9 VERDICT #2): the
+            // endpoint reconciliation the spec pins becomes exact BY
+            // CONSTRUCTION, and the full-fold featurizer refit is paid
+            // once per family run instead of once per op. The .cache()s
+            // are thin wrappers over the memo's checkpoint blocks;
+            // unpersisting them below never touches the memo.
+            val f = tfidfFeats(s, dir)
+            (f.filter(col("is_train")).cache(),
+              f.filter(!col("is_train")).cache())
+          } else {
+            // featurizer refit per fraction (vocabulary + idf learn from
+            // the subset only — no leakage from unseen training docs);
+            // THE shared featurizer definition, so the curve and the
+            // q79/q81 roster table can never silently diverge
+            val sub = train.filter(col("hpos") < frac).cache()
+            // named degenerate-case guard (the q140/q142 convention): an
+            // empty fraction would otherwise die deep inside MLlib's
+            // CountVectorizer with an opaque worker-side error
+            require(sub.count() > 0,
+              s"q146: fraction $frac% of the train fold is empty — " +
+                "corpus too small for this curve point")
+            val featurizer =
+              try fitFeaturizer(sub) finally sub.unpersist()
+            (featurizer.transform(sub).cache(),
+              featurizer.transform(test).cache())
+          }
+          (frac, fsub, ftest, fsub.count())
         }.flatMap { case (frac, fsub, ftest, nTrain) =>
           Future.sequence(roster.map { case (name, est) =>
             Future {
-              val pred = est.fit(fsub).transform(ftest)
+              // fit a COPY: concurrent fit on a shared estimator
+              // instance is not a documented MLlib guarantee (r9 ADVICE)
+              val pred = est.copy(org.apache.spark.ml.param.ParamMap.empty)
+                .fit(fsub).transform(ftest)
               val scored = pred
                 .select(col("doc_id"), scoreOf(pred).as("score"),
                   col("y").cast("int").as("y"),

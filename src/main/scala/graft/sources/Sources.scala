@@ -85,6 +85,9 @@ object Sources {
   /** ORC — the other columnar interchange format large warehouses hand
     * over; Spark's native reader gives it the same predicate-pushdown /
     * column-pruning path as parquet (proven in SourcesSpec). */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   /** Directory/glob of opaque binary payload files (images, audio,
     * clips) → (path, modificationTime, length, content) via Spark's
     * built-in `binaryFile` DataSource V2 — the ingestion seam for the
@@ -102,9 +105,6 @@ object Sources {
     val r = s.read.format("binaryFile")
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
   }
-
-  def readOrc(s: SparkSession, path: String): DataFrame =
-    s.read.orc(path)
 
   def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
