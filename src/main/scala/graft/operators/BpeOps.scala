@@ -237,6 +237,45 @@ object BpeOps {
        |ORDER BY n DESC, unit""".stripMargin
   }
 
+  /** (token → subword unit count) mapping derived from the final vocab
+    * relation — the merged form is space-free-injective, so
+    * `token = replace(w, ' ', '')` recovers the key (see [[q151]]).
+    * Shared by q151's segmentation readout and q152's packing mass. */
+  private def unitMapping(s: SparkSession, dir: String): DataFrame =
+    trainShared(s, dir)._2
+      .select(replace(col("w"), lit(" "), lit("")).as("token"),
+        size(split(col("w"), " ")).cast("long").as("units"))
+
+  /** Per-document subword unit counts under the trained tokenizer —
+    * the packing mass q152 budgets shards by (r9 VERDICT #1). Same one
+    * corpus pass + mapping join as [[q151]], without the segmentation
+    * readout's extra aggregates. */
+  def docUnits(s: SparkSession, dir: String): DataFrame =
+    TextOps.docsWithToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(unitMapping(s, dir), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("units")).as("n_units"))
+
+  /** The q144 training chain's CTE list WITHOUT the leading WITH — the
+    * composition form q152's oracle splices under the q120 chain's
+    * existing `WITH RECURSIVE` scope (no name collisions: this chain
+    * owns v0..v[[Rounds]] plus the per-round pN/mN CTEs; the pipeline
+    * chains own the rest — checked when either side adds a CTE). */
+  private[operators] lazy val chainCtesSql: String =
+    q144Chain.stripPrefix("WITH ")
+
+  /** `bpemap`/`bpeun` CTEs over the spliced chain: token → unit count
+    * under the trained merges, then per-doc unit totals — the SQL twin
+    * of [[docUnits]]. */
+  private[operators] lazy val docUnitsCtesSql: String =
+    s"""bpemap AS (SELECT replace(w, ' ', '') AS token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds),
+       |bpeun AS (SELECT doc_id, CAST(SUM(units) AS BIGINT) AS n_units
+       |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) _bt
+       |  JOIN bpemap USING (token)
+       |  GROUP BY doc_id)""".stripMargin
+
   // --- 151. corpus segmentation with the trained tokenizer ----------------
   /** The full tokenize-with-the-trained-tokenizer pass — per document:
     * word-token count, SUBWORD unit count under the learned merges, and
@@ -255,12 +294,9 @@ object BpeOps {
     * most once either way). One corpus pass; FULL oracle (the q144
     * chain's final vocab CTE as the mapping). */
   def q151(s: SparkSession, dir: String): DataFrame = {
-    val mapping = trainShared(s, dir)._2
-      .select(replace(col("w"), lit(" "), lit("")).as("token"),
-        size(split(col("w"), " ")).cast("long").as("units"))
     TextOps.docsWithToks(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("token"))
-      .join(mapping, "token")
+      .join(unitMapping(s, dir), "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("units")).as("n_units"),

@@ -94,16 +94,28 @@ object EmbedOps {
     * the same `trainedVectors`-style pivot feeds the ANN consumers. */
   val W2vDim = 8
 
-  def q148(s: SparkSession, dir: String): DataFrame = {
+  /** The seeded Word2Vec fit + doc-vector transform at a given skip-gram
+    * partition count — q148's core, exposed so EmbedSpec can measure
+    * that the `numPartitions = 1` determinism knob is NOT load-bearing
+    * for quality (r9 VERDICT #4): at numPartitions > 1 the update order
+    * (and hence every component) changes, but the QUALITY invariant —
+    * known near-dup pairs project to top-rank high-cosine neighbors —
+    * survives (spec-measured at 4 partitions). Returns (doc_id, vec). */
+  def w2vDocVectors(s: SparkSession, dir: String,
+      numPartitions: Int = 1): DataFrame = {
     import org.apache.spark.ml.feature.Word2Vec
-    import org.apache.spark.ml.functions.vector_to_array
     val docs = TextOps.docsWithToks(s, dir).select(col("doc_id"), col("toks"))
     val model = new Word2Vec()
       .setInputCol("toks").setOutputCol("vec")
       .setVectorSize(W2vDim).setMinCount(1).setMaxIter(1)
-      .setNumPartitions(1).setSeed(42L)
+      .setNumPartitions(numPartitions).setSeed(42L)
       .fit(docs)
-    model.transform(docs)
+    model.transform(docs).select(col("doc_id"), col("vec"))
+  }
+
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    w2vDocVectors(s, dir, numPartitions = 1)
       .select(col("doc_id"),
         posexplode(vector_to_array(col("vec"))).as(Seq("dim", "v")))
       .select(col("doc_id"), col("dim"),
@@ -191,8 +203,107 @@ object EmbedOps {
        |WHERE dot > 0 AND 400 * dot * dot >= 361 * na2 * nb2
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- 153. banded sign-blocking semantic dedup (r9 VERDICT #3) -----------
+  /** [[q149]] with OR-amplified blocking: the Dim-bit sign pattern splits
+    * into [[Bands]] contiguous [[BandBits]]-bit bands, and a pair is a
+    * candidate when ANY band agrees (the q78 multi-table LSH pattern
+    * over SRP bits, banded like MinHash-LSH's band/row trade). Full-
+    * pattern agreement (q149) silently drops a cos ≈ 1 pair whose one
+    * near-zero component flips a sign; under banding that pair still
+    * agrees on the OTHER band, so it survives blocking and the
+    * integer-exact cos ≥ 0.95 verify — q153's candidate set is a strict
+    * SUPERSET of q149's by construction (every band of a fully-agreeing
+    * pair agrees; EmbedSpec pins the recall gain on a seeded boundary
+    * corpus). Determinism is unchanged — banding is a pure function of
+    * the trained components — so the oracle replays it in full.
+    *
+    * Scale shape: candidate volume is Σ_band Σ_bucket n_b² with 2^[[
+    * BandBits]] buckets per band — coarser buckets than q149's single
+    * 2^Dim table (the recall/candidate-volume trade every OR-amplified
+    * LSH makes; production raises Dim and keeps BandBits ≈ Dim/Bands).
+    * Candidates are DISTINCT-ed on the id pair BEFORE vectors re-join
+    * (a pair agreeing in both bands must not verify twice), and the
+    * verify re-join reads the doc-sized component relation twice by
+    * key — the standard LSH verify shape (q78). */
+  val Bands = 2
+  val BandBits = Dim / Bands
+
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = q145(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+          f => f.getField("value")).as("vec"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 0))).as("n2"),
+        sum(when(col("value") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as("bucket"))
+      .cache()
+    val banded = v.select(col("doc_id"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("bucket"))
+      .select(col("doc_id"), col("band"),
+        expr(s"shiftright(bucket, band * $BandBits) & ${(1L << BandBits) - 1}")
+          .as("bkey"))
+    val cand = banded.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(v.select(col("doc_id").as("id_a"), col("vec").as("va"),
+        col("n2").as("na2")), Seq("id_a"))
+      .join(v.select(col("doc_id").as("id_b"), col("vec").as("vb"),
+        col("n2").as("nb2")), Seq("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DECIMAL(38,0)) * y), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, t) -> CAST(acc + t AS DECIMAL(38,0)))"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 400 >= col("na2") * col("nb2") * 361)
+      .select(col("id_a"), col("id_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double"))).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q153Sql: String =
+    s"""WITH comp AS (
+       |  SELECT doc_id, dim,
+       |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(token || '#' ||
+       |      CAST(dim AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS BIGINT) AS value
+       |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS dim) d
+       |  GROUP BY doc_id, dim),
+       |v AS (
+       |  SELECT doc_id, list(value ORDER BY dim) AS vec,
+       |    SUM(CAST(value AS HUGEINT) * value) AS n2,
+       |    SUM(CASE WHEN value >= 0 THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS bucket
+       |  FROM comp GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    (bucket >> (band * $BandBits)) & ${(1L << BandBits) - 1} AS bkey
+       |  FROM v CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |p AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_sum([CAST(va.vec[i] AS HUGEINT) * vb.vec[i]
+       |      FOR i IN range(1, ${Dim + 1})]) AS dot,
+       |    va.n2 AS na2, vb.n2 AS nb2
+       |  FROM cand c
+       |  JOIN v va ON c.id_a = va.doc_id
+       |  JOIN v vb ON c.id_b = vb.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(dot AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) AS cos
+       |FROM p
+       |WHERE dot > 0 AND 400 * dot * dot >= 361 * na2 * nb2
+       |ORDER BY id_a, id_b""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q145_embed_train", q145, Some(q145Sql)),
     Op("q148_embed_word2vec", q148, None),
-    Op("q149_dedup_semantic", q149, Some(q149Sql)))
+    Op("q149_dedup_semantic", q149, Some(q149Sql)),
+    Op("q153_dedup_semantic_banded", q153, Some(q153Sql)))
 }

@@ -907,6 +907,77 @@ object PipelineOps {
 
   lazy val q123Sql: String = q120CtesSql + buildAtSql("fxp")
 
+  // --- 152. subword-budget shard packing (r9 VERDICT #1) --------------------
+  /** [[q123]]'s mixture-preserving build packed by the TRAINED
+    * tokenizer's units: every pretraining run budgets shards in
+    * TOKENIZER units, not whitespace tokens — now that the engine
+    * learns its own merge table (q144) and segments the corpus with it
+    * (q151), the shippable build's packing mass switches to per-doc
+    * subword unit counts ([[BpeOps.docUnits]]). Membership (which docs
+    * the mixture samples) is IDENTICAL to q123 by construction — the
+    * draw depends only on doc_id and the fixpoint rates; only the
+    * packing mass and budget change (PipelineSpec pins both).
+    *
+    * Scale shape: q123's plans + ONE extra thin join — the per-doc unit
+    * relation (doc_id, n_units: one int64 per doc) rides a doc_id-keyed
+    * shuffle into the sampled set, and its unit counts come from the
+    * tokenizer family's ONE shared training run (the q151 mapping join;
+    * zero extra corpus passes). LEFT join + COALESCE 0: a sampled doc
+    * none of whose tokens appear in the tokenizer's corpus snapshot
+    * packs at zero mass instead of silently dropping from the build. */
+  val ShardUnitBudget = 8192L
+
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val docs = q114DocsShared(s, dir)
+    val policy = q120PolicyOf(q114PolicyOf(docs))
+      .select(col("lang"), col("rate_micros"))
+    val sampled = docs
+      .join(broadcast(policy), Seq("lang"))
+      .withColumn("u", mixU)
+      .filter(col("u") < col("rate_micros"))
+      .join(BpeOps.docUnits(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        Num.ratio6(lit(1000000L), col("rate_micros")).as("weight"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("bkey"))
+    graft.functions.PrefixSum
+      .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_units", "cum_units")
+      .select(col("doc_id"), col("lang"), col("weight"), col("n_units"),
+        col("cum_units"),
+        expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** FULL oracle: the q120 fixpoint chain + the q144 training chain
+    * spliced into one `WITH RECURSIVE` scope (disjoint CTE names — see
+    * [[BpeOps.chainCtesSql]]), then the pack tail with `bpeun`'s unit
+    * totals as the mass. */
+  lazy val q152Sql: String = {
+    import graft.functions.Num
+    s"""$q120CtesSql,
+       |${BpeOps.chainCtesSql},
+       |${BpeOps.docUnitsCtesSql},
+       |sampled AS (
+       |  SELECT t.doc_id, t.lang,
+       |    ${Num.ratio6Sql("CAST(1000000 AS BIGINT)", "p.rate_micros")} AS weight,
+       |    COALESCE(u.n_units, CAST(0 AS BIGINT)) AS n_units,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM t JOIN fxp p USING (lang) LEFT JOIN bpeun u ON t.doc_id = u.doc_id
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |c AS (
+       |  SELECT doc_id, lang, weight, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
+       |  FROM sampled)
+       |SELECT doc_id, lang, weight, n_units, cum_units,
+       |  CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- 121. DSIR-style importance selection (r5) ---------------------------
   /** Data selection via importance weighting on HASHED n-gram features
     * (the DSIR recipe, Xie et al. 2023, arXiv:2302.03169): estimate how
@@ -1208,6 +1279,7 @@ object PipelineOps {
     Op("q120_mix_fixpoint", q120, Some(q120Sql)),
     Op("q121_dsir_select", q121, Some(q121Sql)),
     Op("q123_training_build_fixpoint", q123, Some(q123Sql)),
+    Op("q152_subword_pack", q152, Some(q152Sql)),
     Op("q124_corpus_drift", q124, Some(q124Sql)),
     Op("q129_context_chunks", q129, Some(q129Sql)),
     Op("q131_shard_manifest", q131, Some(q131Sql)),

@@ -65,6 +65,31 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(ev.sorted === localVocab.sorted)
   }
 
+  test("64-round training: replay agrees, merge table grows, fertility drops") {
+    // r9 VERDICT #5: Rounds=8 keeps the unrolled oracle readable but is
+    // toy-sized — prove the parameterized trainer holds at a realistic
+    // merge budget. Same independent local replay, 8× the rounds.
+    val rounds = 64
+    val (engineMerges, engineVocab) = BpeOps.train(spark, SF, rounds)
+    val (localMerges, localVocab) = localTrain(corpusWordCounts, rounds)
+    assert(engineMerges === localMerges)
+    // the corpus supports a merge table well past the registered budget
+    assert(engineMerges.length > BpeOps.Rounds,
+      s"pool exhausted at ${engineMerges.length} merges — corpus too small")
+    def unitsChars(vocab: Seq[(String, Long)]): (Long, Long) = (
+      vocab.map { case (w, f) => w.split(" ").length * f }.sum,
+      vocab.map { case (w, f) => w.replace(" ", "").length * f }.sum)
+    val ev = engineVocab.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(ev.sorted === localVocab.sorted)
+    // fertility (corpus units per char — q151's readout) DROPS with the
+    // bigger budget: every merge strictly removes one unit per fused
+    // occurrence while the char mass is invariant
+    val (u64, c64) = unitsChars(ev)
+    val (u8, c8) = unitsChars(localTrain(corpusWordCounts, BpeOps.Rounds)._2)
+    assert(c64 === c8, "char mass is merge-invariant")
+    assert(u64 < u8, s"64-round units $u64 must undercut 8-round units $u8")
+  }
+
   test("q147 unit counts equal the local replay's unit inventory") {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     localTrain(corpusWordCounts, BpeOps.Rounds)._2.foreach { case (w, f) =>

@@ -70,6 +70,109 @@ class EmbedSpec extends AnyFunSuite with SharedSpark {
     assert(expect.nonEmpty)
   }
 
+  test("q153 banded blocking: local replay agrees, candidates contain q149's") {
+    val docs = Tables.documents(spark, SF).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> localVec(r.getString(1)))
+    def bandKey(v: Array[Long], band: Int): Long =
+      (0 until EmbedOps.BandBits).map { i =>
+        val d = band * EmbedOps.BandBits + i
+        if (v(d) >= 0) 1L << i else 0L
+      }.sum
+    val expect = (for {
+      (a, va) <- docs; (b, vb) <- docs
+      if a < b &&
+        (0 until EmbedOps.Bands).exists(bd => bandKey(va, bd) == bandKey(vb, bd))
+      dot = va.zip(vb).map { case (x, y) => BigInt(x) * y }.sum
+      if dot > 0
+      na2 = va.map(x => BigInt(x) * x).sum; nb2 = vb.map(x => BigInt(x) * x).sum
+      if dot * dot * 400 >= na2 * nb2 * 361
+    } yield (a, b)).toSet
+    val rows = EmbedOps.q153(spark, SF).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === expect)
+    assert(got.length === got.distinct.length) // the distinct-before-verify rule
+    rows.foreach(r => assert(r.getDouble(2) >= 0.95, r.toString))
+    // OR-amplification only ever ADDS candidates: full-pattern agreement
+    // implies every band agrees, so q149 ⊆ q153 structurally
+    val full = EmbedOps.q149(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.subsetOf(got.toSet))
+  }
+
+  test("q153 catches the cos≈1 boundary pair q149's full-pattern block drops") {
+    // craft two docs whose trained vectors differ ONLY by one extra token
+    // that flips the sign of a single near-zero component: cos stays ≥
+    // 0.95 but the full Dim-bit sign patterns diverge at that bit — the
+    // exact recall hole r9's VERDICT flags. Search the token pool for
+    // (g, h) agreeing in sign everywhere but one dim d0 (so 60·(g+h)
+    // zeroes that component) and an x that pushes it to −1.
+    val pool = (0 until 300).map(i => s"tok$i")
+    val sig = pool.map(t =>
+      t -> Array.tabulate(EmbedOps.Dim)(d => md5ParitySign(t, d))).toMap
+    val (g, h, d0) = (for {
+      a <- pool.iterator; b <- pool.iterator
+      if a < b
+      diffs = (0 until EmbedOps.Dim).filter(d => sig(a)(d) != sig(b)(d))
+      if diffs.length == 1
+    } yield (a, b, diffs.head)).next()
+    val x = pool.find(t => t != g && t != h && sig(t)(d0) == -1L).get
+    val textA = (Seq.fill(60)(g) ++ Seq.fill(60)(h)).mkString(" ")
+    val textB = textA + " " + x
+    // premise check on the local replay: signs flip ONLY at d0, and the
+    // pair still clears the exact cos ≥ 0.95 rule
+    val (va, vb) = (localVec(textA), localVec(textB))
+    assert(va(d0) === 0L && vb(d0) === -1L)
+    assert((0 until EmbedOps.Dim).filter(d => (va(d) >= 0) != (vb(d) >= 0))
+      === Seq(d0))
+    val dot = va.zip(vb).map { case (p, q) => BigInt(p) * q }.sum
+    assert(dot * dot * 400 >=
+      va.map(p => BigInt(p) * p).sum * vb.map(q => BigInt(q) * q).sum * 361)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boundary").toString
+    import spark.implicits._
+    Seq((1L, "en", "src1", textA), (2L, "en", "src1", textB))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val full = EmbedOps.q149(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = EmbedOps.q153(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!full.contains((1L, 2L)), "q149's full-pattern block must drop it")
+    assert(banded.contains((1L, 2L)), "q153's surviving band must catch it")
+  }
+
+  test("q148 partitioned fit: numPartitions=1 is a determinism knob, not a quality one") {
+    // r9 VERDICT #4: prove quality survives a PARTITIONED skip-gram fit.
+    // Components differ at numPartitions=4 (update order changes), but
+    // the invariant the vectors exist for — known near-dup pairs project
+    // to top-3 high-cosine neighbors — must hold at both settings.
+    import org.apache.spark.ml.functions.vector_to_array
+    val pairs = operators.DedupOps.q50(spark, SF)
+      .select("id_a", "id_b").collect().take(3)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    Seq(1, 4).foreach { np =>
+      val vecs = EmbedOps.w2vDocVectors(spark, SF, numPartitions = np)
+        .select(col("doc_id").as("vec_id"),
+          transform(vector_to_array(col("vec")), _.cast("float"))
+            .as("embedding"))
+        .cache()
+      try {
+        val probes = vecs.filter(col("vec_id").isin(pairs.map(_._1): _*))
+        val top = SimOps.knnBrute(vecs, probes, 3).collect()
+          .groupBy(_.getLong(0))
+        pairs.foreach { case (a, b) =>
+          val hit = top(a).find(_.getLong(1) === b)
+          assert(hit.isDefined, s"np=$np: dup partner $b not in doc $a's " +
+            s"top-3 w2v neighbors: ${top(a).toSeq}")
+          // near-dup docs average nearly identical token-vector sets, so
+          // the doc-vector cosine stays high REGARDLESS of fit noise
+          assert(hit.get.getDouble(2) >= 0.9,
+            s"np=$np: cos of dup pair ($a,$b): $hit")
+        }
+      } finally vecs.unpersist()
+    }
+  }
+
   test("trained vectors drive the kNN consumer: MinHash dup pairs land at rank 1") {
     val vecs = EmbedOps.trainedVectors(spark, SF).cache()
     try {

@@ -277,6 +277,40 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(shardSeq === shardSeq.sorted)
   }
 
+  test("q152 subword pack: q123 membership, q151 unit masses, start-offset shards") {
+    val rows = PipelineOps.q152(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("cum_units"), r.getAs[Long]("shard")))
+    // membership ≡ q123 at equal budgets: the mixture draw depends only
+    // on doc_id and the fixpoint rates — switching the packing mass to
+    // subword units must not move a single doc in or out of the build
+    val m123 = PipelineOps.q123(spark, SF).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_._1).toSet === m123)
+    // packing mass = the TRAINED tokenizer's per-doc unit counts —
+    // exactly q151's n_units readout for every member doc
+    val units = operators.BpeOps.q151(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_units")).toMap
+    rows.foreach { case (id, n, _, _) =>
+      assert(n === units.getOrElse(id, 0L), s"doc $id unit mass") }
+    // shard budgets are in SUBWORD units: same exact-cumsum start-offset
+    // rule as q83/q123, replayed driver-side in the shuffle order
+    def bkey(id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ord:$id".getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ordered = rows.sortBy { case (id, _, _, _) => (bkey(id), id) }
+    var cum = 0L
+    ordered.foreach { case (id, n, gotCum, gotShard) =>
+      assert(gotShard === cum / PipelineOps.ShardUnitBudget,
+        s"doc $id shard mismatch")
+      cum += n
+      assert(gotCum === cum, s"doc $id cumsum mismatch")
+    }
+    assert(rows.map(_._4).distinct.length > 1)
+  }
+
   test("q96 quota sample: exact per-stratum budgets, hash-prefix membership, map-side limit") {
     import org.apache.spark.sql.functions._
     val df = PipelineOps.q96(spark, SF)
