@@ -62,7 +62,7 @@ object Bench {
     val names = SparkEntry.opGroups.flatten.filter(selected).map(_.name)
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> scala.collection.mutable.ListBuffer.empty[(Int, Double)]): _*)
-    for (p <- 1 to passes) {
+    def runPass(p: Int): Unit = {
       SparkEntry.opGroups.foreach { group =>
         canaryOp.foreach(c => canaries += timeOnce(c)._2)
         group.filter(selected).foreach { op =>
@@ -85,12 +85,13 @@ object Bench {
         SharedRelations.clear() // family memo (pair/label/rank sets)
       }
     }
+    for (p <- 1 to passes) runPass(p)
     // Per query: lo = min over all samples; hi = the best sample from a
     // DIFFERENT pass than lo's — the cross-window corroborator. hi = -1
     // when no other-pass sample exists (query failed elsewhere, or a
     // single-pass run): uncorroborated BY DEFINITION (r7 ADVICE — a
     // lone sample must not read as zero spread).
-    val results: Seq[(String, Double, Double)] = samples.toSeq.map {
+    def computeResults(): Seq[(String, Double, Double)] = samples.toSeq.map {
       case (name, ss) =>
         if (ss.isEmpty) (name, -1.0, -1.0)
         else {
@@ -102,6 +103,26 @@ object Bench {
           } else if (others.isEmpty) -1.0 else others.map(_._2).min
           (name, lo, hi)
         }
+    }
+    // A query is NOISY (n2x) when no other-window sample corroborates
+    // its min or the nearest one is ≥2× off with ≥1 s absolute gap.
+    def noisyOf(rs: Seq[(String, Double, Double)]) = rs.filter {
+      case (_, lo, hi) => lo > 0 && (hi < 0 || (hi > 2 * lo && hi - lo > 1.0)) }
+    var results = computeResults()
+    // AUTO-EXTEND (r9 VERDICT #7): a committed artifact should carry
+    // n2x=0 when one more temporal window can deliver it — if the
+    // summary would report uncorroborated cells, run ONE extra complete
+    // pass (another multi-minute window, same cross-window-only rule)
+    // and recompute. Bounded to one extension: a host contended across
+    // FOUR windows needs the RETRY-RUN banner, not more passes.
+    var ranPasses = passes
+    if (passes > 1 && noisyOf(results).nonEmpty) {
+      System.err.println(s"AUTO-EXTEND: ${noisyOf(results).size} " +
+        s"uncorroborated after $passes passes " +
+        s"(${noisyOf(results).map(_._1).mkString(", ")}) — one extra pass")
+      ranPasses += 1
+      runPass(ranPasses)
+      results = computeResults()
     }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // Two emissions. The DETAIL line carries full operator names at full
@@ -124,16 +145,12 @@ object Bench {
     val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + d2(v)
     }.mkString("{", ",", "}")
-    // A query is NOISY when no sample from another window corroborates
-    // its min (hi < 0) or the nearest other-window sample is ≥2× off
-    // with ≥1 s absolute gap — sustained cross-window contention. More
-    // than a few such queries means the host was loaded for the whole
-    // session: the banner tells the reader this artifact needs a re-run
-    // BEFORE anyone compares totals.
-    val noisy = results.filter { case (_, lo, hi) =>
-      lo > 0 && (hi < 0 || (hi > 2 * lo && hi - lo > 1.0)) }
+    // More than a few noisy queries even after the auto-extension means
+    // the host was loaded for the whole session: the banner tells the
+    // reader this artifact needs a re-run BEFORE anyone compares totals.
+    val noisy = noisyOf(results)
     if (noisy.size > 3) System.err.println(
-      s"RETRY-RUN: ${noisy.size} queries uncorroborated across $passes passes " +
+      s"RETRY-RUN: ${noisy.size} queries uncorroborated across $ranPasses passes " +
         s"(${noisy.map(_._1).mkString(", ")}) — host contended; re-run this bench")
     val worst = noisy.filter(_._3 >= 0)
       .sortBy { case (_, lo, hi) => lo - hi }.headOption
@@ -190,7 +207,7 @@ object Bench {
       System.err.println(s"BASELINE SKIPPED: unreadable/malformed (${e.getMessage})")
       ""
     }
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes$canarySummary$spread$baseline}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$ranPasses$canarySummary$spread$baseline}""")
     spark.stop()
   }
 }

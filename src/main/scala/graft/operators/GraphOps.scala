@@ -582,16 +582,117 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
-  def q111(s: SparkSession, dir: String): DataFrame = {
+  /** Per-round history of [[pagerankPersonalized]] — the same
+    * (doc_id, t, r) artifact shape as [[pagerankHistory]] (uniform
+    * weights pw = RankScale reduce both the init and the base term to
+    * the uniform forms exactly). Persisted t-partitioned by
+    * [[q111Ensure]] so the registered readout probes ONE pruned
+    * partition instead of rebuilding `iters` checkpointed rounds per
+    * run (r9 VERDICT #6) — and so a future personalized delta update
+    * has the per-round state [[pagerankDelta]] needs. */
+  def pagerankPersonalizedHistory(pairs: DataFrame, weights: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    val deg = edges.groupBy(col("id_b")).agg(count(lit(1)).as("deg"))
+    val pw = weights.select(col("doc_id"), col("pw")).cache()
+    var ranks = pw.select(col("doc_id"), col("pw").as("r")).localCheckpoint()
+    blocks(ranks).foreach(r => graft.CheckpointRegistry.register(r))
+    val rounds = scala.collection.mutable.ArrayBuffer(
+      ranks.withColumn("t", lit(0)))
+    for (t <- 1 to iters) {
+      val shares = ranks
+        .join(deg, ranks("doc_id") === deg("id_b"))
+        .select(col("id_b"), expr("r div deg").as("share"))
+      val contrib = edges.join(shares, "id_b")
+        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
+      val next = pw
+        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
+        .select(col("doc_id"),
+          (expr(s"((${100 - Damping}) * pw) div 100") +
+            expr(s"($Damping * cin0) div 100")).as("r"))
+        .localCheckpoint()
+      blocks(next).foreach(r => graft.CheckpointRegistry.register(r))
+      rounds += next.withColumn("t", lit(t))
+      ranks = next
+    }
+    edges.unpersist()
+    pw.unpersist(blocking = false)
+    rounds.reduce(_ unionAll _).select(col("doc_id"), col("t"), col("r"))
+  }
+
+  /** q111's teleport-weight relation — the POLICY applied to the corpus
+    * (exposed so GraphSpec can pin artifact ≡ fresh bit-identity). */
+  private[graft] def q111Weights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tp = TeleportMicros.toSeq.toDF("source", "w")
-    val weights = graft.Tables.documents(s, dir)
+    graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("source"))
       .join(broadcast(tp), Seq("source"), "left")
       .select(col("doc_id"),
         coalesce(col("w"), lit(TeleportDefaultMicros)).as("pw"))
-    pagerankPersonalized(
-      DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b")), weights)
+  }
+
+  /** Teleport weights are DATA, so the standing artifact is keyed by the
+    * POLICY's content hash alongside the corpus dir — a policy edit is a
+    * different artifact, never a stale readback (r9 VERDICT #6). */
+  private def teleportPolicyHash: String = {
+    val repr = TeleportMicros.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }
+      .mkString(",") + s";default=$TeleportDefaultMicros"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  // session-lifetime guard: which (corpus, teleport policy) the
+  // persisted personalized history describes
+  private var persKey: Option[(String, String)] = None
+
+  /** Build + persist the personalized rank history for (dir, policy)
+    * unless the live artifact already describes it — the q126 standing-
+    * artifact pattern verbatim: partitioned by round `t`, one pruned
+    * partition per readback, history build paid once per (corpus
+    * snapshot, policy). */
+  private[graft] def q111Ensure(s: SparkSession, dir: String): Unit = {
+    val key = (dir, teleportPolicyHash)
+    if (!persKey.contains(key) || !s.catalog.tableExists("g111_hist")) {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_pershist-${s.sparkContext.applicationId}")
+      graft.TempArtifacts.register(base)
+      Bucketed.reset(s, base, "g111_hist")
+      // scoped: the history build's per-round checkpoint blocks are dead
+      // once the write materializes them into the artifact
+      graft.CheckpointRegistry.scoped {
+        pagerankPersonalizedHistory(
+          DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b")),
+          q111Weights(s, dir))
+          .write.partitionBy("t")
+          .option("path", new java.io.File(base, "g111_hist").getAbsolutePath)
+          .mode("overwrite").saveAsTable("g111_hist")
+      }
+      graft.GenManifest.publish(base, "g111_hist", 0L)
+      persKey = Some(key)
+    }
+  }
+
+  /** Personalized PageRank as a STANDING-ARTIFACT readout: ensure the
+    * per-round history is persisted for this (corpus, policy), then
+    * read the final round — one pruned `t` partition — instead of
+    * re-running [[Iters]] checkpointed rounds per invocation (the q126
+    * amortization, r9 VERDICT #6: rank vectors are one int64 per doc,
+    * so a 100 TB pipeline persists all rounds alongside its corpus
+    * snapshot and every readout probes the artifact). Integer ranks are
+    * bit-identical to the fresh run (GraphSpec pins it), so the full
+    * oracle is unchanged. */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    q111Ensure(s, dir)
+    s.table("g111_hist").filter(col("t") === Iters)
+      .select(col("doc_id"), (col("r") / 1000000.0).as("rank"))
+      .orderBy(col("doc_id"))
   }
 
   /** [[prCtesSql]] generalized to a per-doc teleport table `pw(doc_id,

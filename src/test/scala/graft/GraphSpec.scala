@@ -288,6 +288,29 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q111 standing artifact: readout ≡ fresh personalized run, all rounds persisted") {
+    // r9 VERDICT #6: the registered op reads the persisted t-partitioned
+    // history instead of rebuilding 8 checkpointed rounds per run — pin
+    // that the artifact readout is BIT-identical to a fresh in-memory
+    // pagerankPersonalized over the same pairs/weights
+    val pairs = DedupOps.q50(spark, SF).select(col("id_a"), col("id_b"))
+    val fresh = GraphOps.pagerankPersonalized(pairs,
+        GraphOps.q111Weights(spark, SF)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toList
+    val viaArtifact = GraphOps.q111(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toList
+    assert(viaArtifact === fresh)
+    // the artifact holds every round: (Iters+1) rank vectors, doc-complete
+    val nDocs = Tables.documents(spark, SF).count()
+    val hist = spark.table("g111_hist")
+    assert(hist.count() === (GraphOps.Iters + 1) * nDocs)
+    assert(hist.select("t").distinct().count() === GraphOps.Iters + 1)
+    // warm-path plan: the readout scans ONE pruned t-partition
+    val scanned = GraphOps.q111(spark, SF).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(scanned.contains("g111_hist"))
+  }
+
   test("ccDelta: label snapshot + delta edges ≡ full CC on the merged edge set") {
     import spark.implicits._
     val allPairs = DedupOps.q50(spark, SF).select(col("id_a"), col("id_b"))
