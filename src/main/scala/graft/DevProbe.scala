@@ -29,8 +29,7 @@ object DevProbe {
       }
     })
     val ops = Seq(
-      "q100" -> ((d: String) => graft.operators.DedupOps.q100(spark, d)),
-      "q113" -> ((d: String) => graft.operators.DedupOps.q113(spark, d)))
+      "q146" -> ((d: String) => graft.operators.MLOps.q146(spark, d)))
     ops.foreach { case (_, f) => (1 to 2).foreach(_ => f("/root/testdata/sf0.001").count()) }
     spark.catalog.clearCache(); SharedRelations.clear()
     ops.foreach { case (name, f) =>

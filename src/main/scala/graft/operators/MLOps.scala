@@ -114,7 +114,7 @@ object MLOps {
       .setEstimatorParamMaps(grid)
       .setNumFolds(3)
       .setSeed(42L)
-      .setParallelism(4)
+      .setParallelism(8)
     val model = cv.fit(data)
     val metrics = grid.zip(model.avgMetrics).toSeq.map { case (pm, m) =>
       (pm(lr.regParam), pm(lr.elasticNetParam), math.rint(m * 1e6) / 1e6) }
@@ -186,8 +186,30 @@ object MLOps {
     finally pool.shutdown()
   }
 
+  /** One roster TRAINING run per family run: the four seeded fits on the
+    * memoized featurized train fold, their held-out predictions unioned
+    * into a single (model, doc_id, y, prediction, score) relation and
+    * memoized alongside `tfidf_feats` — q79 (confusion table), q81
+    * (screening) and q146's 100% curve cell are all READOUTS of the same
+    * trained roster, which is exactly the production lifecycle (train
+    * once per corpus snapshot, evaluate many ways). Each fit is seeded
+    * and consumes the identical memoized featurized relation, so a
+    * readout's values equal what its own fresh fit produced before —
+    * GridSearchSpec's q81 re-run equality and LearningCurveSpec's
+    * endpoint reconciliation now hold by construction. */
+  private[operators] def rosterPreds(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("roster_preds", dir) {
+      val f = tfidfFeats(s, dir)
+      evalConcurrent(roster,
+        f.filter(col("is_train")), f.filter(!col("is_train"))) { pred =>
+        pred.select(col("doc_id"), col("y"), col("prediction"),
+          scoreOf(pred).as("score"))
+      }.map { case (name, preds) => preds.withColumn("model", lit(name)) }
+        .reduce(_ unionAll _)
+    }
+
   /** THE featurizer (CountVectorizer vocab 2¹⁵ + IDF over `toks` →
-    * `features`) — one definition shared by [[tfidfSplit]] (q79/q81) and
+    * `features`) — one definition shared by [[tfidfFeats]] (q79/q81) and
     * every q146 curve cell, so the vocabulary bound and stage list can
     * never silently diverge between the roster table and the curve. */
   private def fitFeaturizer(sub: DataFrame)
@@ -200,23 +222,31 @@ object MLOps {
       .fit(sub)
   }
 
-  /** One-row (tp, fp, fn, ok, n) confusion counts of a binary prediction
-    * frame — the single definition behind every roster evaluation
-    * (q62/q79/q146). */
-  private def confusionCounts(pred: DataFrame): Row = pred.agg(
+  /** The (tp, fp, fn, ok, n) confusion aggregate expressions — the
+    * single definition behind every roster evaluation (q62/q79/q146),
+    * usable both as a one-row agg ([[confusionCounts]]) and grouped by
+    * model over the memoized prediction relation (q79). */
+  private def confusionAggs: Seq[Column] = Seq(
     sum(when(col("y") === 1 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
     sum(when(col("y") === 0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
     sum(when(col("y") === 1 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"),
     sum(when(col("y") === col("prediction"), 1).otherwise(0)).as("ok"),
-    count(lit(1)).as("n")).head()
+    count(lit(1)).as("n"))
 
-  /** F1 on the micro lattice from [[confusionCounts]]' row. */
-  private def f1Of(c: Row): Double = {
-    val (tp, fp, fn) =
-      (c.getLong(0).toDouble, c.getLong(1).toDouble, c.getLong(2).toDouble)
+  /** One-row (tp, fp, fn, ok, n) confusion counts of a binary prediction
+    * frame. */
+  private def confusionCounts(pred: DataFrame): Row =
+    pred.agg(confusionAggs.head, confusionAggs.tail: _*).head()
+
+  /** F1 on the micro lattice from the confusion counts. */
+  private def f1Of(tpL: Long, fpL: Long, fnL: Long): Double = {
+    val (tp, fp, fn) = (tpL.toDouble, fpL.toDouble, fnL.toDouble)
     if (2 * tp + fp + fn == 0) 0.0
     else math.rint(2 * tp / (2 * tp + fp + fn) * 1e6) / 1e6
   }
+
+  /** F1 from a [[confusionCounts]] row. */
+  private def f1Of(c: Row): Double = f1Of(c.getLong(0), c.getLong(1), c.getLong(2))
 
   /** The roster's relevance-score column: the probability vector's
     * class-1 entry where the model emits one, the raw margin otherwise
@@ -256,18 +286,19 @@ object MLOps {
 
   // --- 79. classifier roster on TF-IDF text features --------------------
   /** q62 on the paper's actual feature space: the NB/LR/SVM/RF roster
-    * trained on [[tfidfSplit]]'s train fold and scored on the held-out
-    * fold — the paper's headline table end-to-end. Rows-checked (training
-    * is float-order sensitive); the evaluation aggregate mirrors q62. */
+    * trained on [[tfidfFeats]]'s train fold and scored on the held-out
+    * fold — the paper's headline table end-to-end. A READOUT of
+    * [[rosterPreds]] (one training run per family run): ONE grouped
+    * confusion aggregate over the memoized prediction relation.
+    * Rows-checked (training is float-order sensitive). */
   def q79(s: SparkSession, dir: String): DataFrame = {
-    // memo-owned featurized relation (lineage-free, materialized) — the
-    // fold filters re-read in-memory blocks, so no extra caches to own
-    val f = tfidfFeats(s, dir)
-    val rows = evalConcurrent(roster,
-      f.filter(col("is_train")), f.filter(!col("is_train"))) { pred =>
-      val agg = confusionCounts(pred)
-      (agg.getLong(4), agg.getLong(3).toDouble / agg.getLong(4), f1Of(agg))
-    }.map { case (name, (n, acc, f1)) => (name, n, acc, f1) }
+    val rows = rosterPreds(s, dir).groupBy(col("model"))
+      .agg(confusionAggs.head, confusionAggs.tail: _*)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(5),
+          r.getLong(4).toDouble / r.getLong(5),
+          f1Of(r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toSeq
     import s.implicits._
     rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
   }
@@ -283,13 +314,16 @@ object MLOps {
     * adaptive histogram refinement. Seeded; rows-checked (training is
     * float-order sensitive). One row per model. */
   def q81(s: SparkSession, dir: String): DataFrame = {
-    val f = tfidfFeats(s, dir)
-    val rows = evalConcurrent(roster,
-      f.filter(col("is_train")), f.filter(!col("is_train"))) { pred =>
-      screeningOf(pred.select(col("doc_id"), scoreOf(pred).as("score"),
-        col("y").cast("int").as("y")))
-    }.map { case (name, (nDocs, nPos, t, k, wss)) =>
-      (name, nDocs, nPos, t, k, wss) }
+    // READOUT of the family's one trained roster ([[rosterPreds]]): four
+    // screening scaffolds over filters of the memoized prediction
+    // relation — no fits at all on the warm path
+    val p = rosterPreds(s, dir)
+    val rows = roster.map { case (name, _) =>
+      val (nDocs, nPos, t, k, wss) = screeningOf(
+        p.filter(col("model") === name)
+          .select(col("doc_id"), col("score"), col("y").cast("int").as("y")))
+      (name, nDocs, nPos, t, k, wss)
+    }
     import s.implicits._
     rows.toDF("model", "n_docs", "n_pos", "t", "k_at_95", "wss95")
       .orderBy(col("model"))
@@ -332,42 +366,47 @@ object MLOps {
         Text.md5Pos100(col("doc_id")).as("hpos"))
     val train = docs.filter(col("is_train")).cache()
     val test = docs.filter(!col("is_train")).cache()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val nTest = test.count()
       val perFraction = fractions.map { frac =>
-        Future {
-          val (fsub, ftest) = if (frac == 100) {
-            // the 100% cell IS q79/q81's setting — consume the SAME
-            // memo-owned featurized relation (r9 VERDICT #2): the
-            // endpoint reconciliation the spec pins becomes exact BY
-            // CONSTRUCTION, and the full-fold featurizer refit is paid
-            // once per family run instead of once per op. The .cache()s
-            // are thin wrappers over the memo's checkpoint blocks;
-            // unpersisting them below never touches the memo.
-            val f = tfidfFeats(s, dir)
-            (f.filter(col("is_train")).cache(),
-              f.filter(!col("is_train")).cache())
-          } else {
-            // featurizer refit per fraction (vocabulary + idf learn from
-            // the subset only — no leakage from unseen training docs);
-            // THE shared featurizer definition, so the curve and the
-            // q79/q81 roster table can never silently diverge
-            val sub = train.filter(col("hpos") < frac).cache()
-            // named degenerate-case guard (the q140/q142 convention): an
-            // empty fraction would otherwise die deep inside MLlib's
-            // CountVectorizer with an opaque worker-side error
-            require(sub.count() > 0,
-              s"q146: fraction $frac% of the train fold is empty — " +
-                "corpus too small for this curve point")
-            val featurizer =
-              try fitFeaturizer(sub) finally sub.unpersist()
-            (featurizer.transform(sub).cache(),
-              featurizer.transform(test).cache())
+        if (frac == 100) Future {
+          // the 100% cells ARE q79/q81's setting — READOUTS of the
+          // family's one trained roster ([[rosterPreds]], r9 VERDICT
+          // #2): the endpoint reconciliation the spec pins becomes
+          // exact BY CONSTRUCTION (identical predictions, not merely
+          // identically-seeded refits), and neither the featurizer nor
+          // the four models refit for this fraction at all.
+          val p = rosterPreds(s, dir)
+          val nTrain = train.count()
+          roster.map { case (name, _) =>
+            val scored = p.filter(col("model") === name)
+            val f1 = f1Of(confusionCounts(scored))
+            val (_, _, _, _, wss) = screeningOf(
+              scored.select(col("doc_id"), col("score"),
+                col("y").cast("int").as("y")))
+            (name, frac, nTrain, nTest, f1, wss)
           }
-          (frac, fsub, ftest, fsub.count())
-        }.flatMap { case (frac, fsub, ftest, nTrain) =>
+        } else Future {
+          // featurizer refit per fraction (vocabulary + idf learn from
+          // the subset only — no leakage from unseen training docs);
+          // THE shared featurizer definition, so the curve and the
+          // q79/q81 roster table can never silently diverge
+          val sub = train.filter(col("hpos") < frac).cache()
+          // named degenerate-case guard (the q140/q142 convention): an
+          // empty fraction would otherwise die deep inside MLlib's
+          // CountVectorizer with an opaque worker-side error
+          val nTrain = sub.count()
+          require(nTrain > 0,
+            s"q146: fraction $frac% of the train fold is empty — " +
+              "corpus too small for this curve point")
+          val featurizer =
+            try fitFeaturizer(sub) finally sub.unpersist()
+          (frac, featurizer.transform(sub).cache(),
+            featurizer.transform(test).cache(), nTrain)
+        }.flatMap { case (frac: Int, fsub: DataFrame, ftest: DataFrame,
+            nTrain: Long) =>
           Future.sequence(roster.map { case (name, est) =>
             Future {
               // fit a COPY: concurrent fit on a shared estimator
