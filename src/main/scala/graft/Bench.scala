@@ -116,10 +116,11 @@ object Bench {
     // and recompute. Bounded to one extension: a host contended across
     // FOUR windows needs the RETRY-RUN banner, not more passes.
     var ranPasses = passes
-    if (passes > 1 && noisyOf(results).nonEmpty) {
-      System.err.println(s"AUTO-EXTEND: ${noisyOf(results).size} " +
+    val preNoisy = noisyOf(results)
+    if (passes > 1 && preNoisy.nonEmpty) {
+      System.err.println(s"AUTO-EXTEND: ${preNoisy.size} " +
         s"uncorroborated after $passes passes " +
-        s"(${noisyOf(results).map(_._1).mkString(", ")}) — one extra pass")
+        s"(${preNoisy.map(_._1).mkString(", ")}) — one extra pass")
       ranPasses += 1
       runPass(ranPasses)
       results = computeResults()

@@ -146,13 +146,18 @@ object EmbedOps {
     * DECIMAL(38,0) (HUGEINT in the replay; int64 overflows at ~10⁶-token
     * docs) — no float enters the decision; the displayed cosine is the
     * one terminal double division, identical IEEE ops both engines. */
-  def q149(s: SparkSession, dir: String): DataFrame = {
+  /** The assembled per-doc component relation (doc_id, vec, n2, bucket)
+    * BOTH semantic-dedup variants block on — one definition (with
+    * [[compVCtesSql]] as its SQL twin) so the sign-bucket rule and the
+    * DECIMAL(38,0) norm lattice cannot drift between q149 and q153 and
+    * silently break the spec-pinned superset contract (r10 review).
+    * Cached: every consumer reads it at least twice (self-join sides /
+    * candidate re-joins) — uncached, the tokenize→component→assemble
+    * pipeline would run once per side per action. Doc-row-sized (Dim
+    * longs + two scalars per doc); family-group cache lifecycle. */
+  private def componentRelation(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // cache: both self-join sides read this relation — uncached, the
-    // tokenize→component→assemble pipeline would run twice per action.
-    // Doc-row-sized (Dim longs + two scalars per doc); family-group
-    // lifecycle like every other shared relation.
-    val v = q145(s, dir)
+    q145(s, dir)
       .groupBy(col("doc_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("value")))),
@@ -161,6 +166,27 @@ object EmbedOps {
         sum(when(col("value") >= 0,
           expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as("bucket"))
       .cache()
+  }
+
+  /** `comp`/`v` CTE pair — the SQL twin of [[componentRelation]],
+    * the shared prefix of [[q149Sql]] and [[q153Sql]]. */
+  private val compVCtesSql: String =
+    s"""comp AS (
+       |  SELECT doc_id, dim,
+       |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(token || '#' ||
+       |      CAST(dim AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS BIGINT) AS value
+       |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS dim) d
+       |  GROUP BY doc_id, dim),
+       |v AS (
+       |  SELECT doc_id, list(value ORDER BY dim) AS vec,
+       |    SUM(CAST(value AS HUGEINT) * value) AS n2,
+       |    SUM(CASE WHEN value >= 0 THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS bucket
+       |  FROM comp GROUP BY doc_id)""".stripMargin
+
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val v = componentRelation(s, dir)
     val a = v.select(col("doc_id").as("id_a"), col("vec").as("va"),
       col("n2").as("na2"), col("bucket"))
     val b = v.select(col("doc_id").as("id_b"), col("vec").as("vb"),
@@ -178,19 +204,7 @@ object EmbedOps {
   }
 
   val q149Sql: String =
-    s"""WITH comp AS (
-       |  SELECT doc_id, dim,
-       |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(token || '#' ||
-       |      CAST(dim AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1
-       |      THEN 1 ELSE -1 END) AS BIGINT) AS value
-       |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
-       |  CROSS JOIN (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS dim) d
-       |  GROUP BY doc_id, dim),
-       |v AS (
-       |  SELECT doc_id, list(value ORDER BY dim) AS vec,
-       |    SUM(CAST(value AS HUGEINT) * value) AS n2,
-       |    SUM(CASE WHEN value >= 0 THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS bucket
-       |  FROM comp GROUP BY doc_id),
+    s"""WITH $compVCtesSql,
        |p AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    list_sum([CAST(a.vec[i] AS HUGEINT) * b.vec[i]
@@ -229,16 +243,7 @@ object EmbedOps {
   val BandBits = Dim / Bands
 
   def q153(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val v = q145(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("dim"), col("value")))),
-          f => f.getField("value")).as("vec"),
-        sum((col("value") * col("value")).cast(DecimalType(38, 0))).as("n2"),
-        sum(when(col("value") >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as("bucket"))
-      .cache()
+    val v = componentRelation(s, dir)
     val banded = v.select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("bucket"))
       .select(col("doc_id"), col("band"),
@@ -266,19 +271,7 @@ object EmbedOps {
   }
 
   val q153Sql: String =
-    s"""WITH comp AS (
-       |  SELECT doc_id, dim,
-       |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(token || '#' ||
-       |      CAST(dim AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1
-       |      THEN 1 ELSE -1 END) AS BIGINT) AS value
-       |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
-       |  CROSS JOIN (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS dim) d
-       |  GROUP BY doc_id, dim),
-       |v AS (
-       |  SELECT doc_id, list(value ORDER BY dim) AS vec,
-       |    SUM(CAST(value AS HUGEINT) * value) AS n2,
-       |    SUM(CASE WHEN value >= 0 THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS bucket
-       |  FROM comp GROUP BY doc_id),
+    s"""WITH $compVCtesSql,
        |banded AS (
        |  SELECT doc_id, band,
        |    (bucket >> (band * $BandBits)) & ${(1L << BandBits) - 1} AS bkey

@@ -544,9 +544,30 @@ object GraphOps {
   val TeleportMicros: Map[String, Long] =
     Map("src3" -> 3000000L, "src12" -> 250000L)
 
+  /** One personalized rank-update round —
+    * `r' = ((100−α₀₀)·pw) div 100 + (α₀₀ · Σ shares) div 100` — THE
+    * step shared by [[pagerankPersonalized]] and
+    * [[pagerankPersonalizedHistory]]: the standing artifact's
+    * bit-identity to the fresh run (GraphSpec) must hold because both
+    * paths run the SAME expressions, not because two copies happen to
+    * agree (r10 review). */
+  private def personalizedStep(ranks: DataFrame, deg: DataFrame,
+      edges: DataFrame, pw: DataFrame): DataFrame = {
+    val shares = ranks
+      .join(deg, ranks("doc_id") === deg("id_b"))
+      .select(col("id_b"), expr("r div deg").as("share"))
+    val contrib = edges.join(shares, "id_b")
+      .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
+    pw
+      .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cin0", coalesce(col("cin"), lit(0L)))
+      .select(col("doc_id"),
+        (expr(s"((${100 - Damping}) * pw) div 100") +
+          expr(s"($Damping * cin0) div 100")).as("r"))
+  }
+
   /** Integer-micros personalized PageRank: `weights(doc_id, pw)` is the
-    * unnormalized teleport vector; each round computes
-    * `r' = ((100−α₀₀)·pw) div 100 + (α₀₀ · Σ shares) div 100`. */
+    * unnormalized teleport vector; each round is [[personalizedStep]]. */
   def pagerankPersonalized(pairs: DataFrame, weights: DataFrame,
       iters: Int = Iters): DataFrame = {
     def blocks(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
@@ -559,18 +580,7 @@ object GraphOps {
     var ranks = pw.select(col("doc_id"), col("pw").as("r")).localCheckpoint()
     var prevBlocks = blocks(ranks)
     for (_ <- 1 to iters) {
-      val shares = ranks
-        .join(deg, ranks("doc_id") === deg("id_b"))
-        .select(col("id_b"), expr("r div deg").as("share"))
-      val contrib = edges.join(shares, "id_b")
-        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
-      val next = pw
-        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
-        .select(col("doc_id"),
-          (expr(s"((${100 - Damping}) * pw) div 100") +
-            expr(s"($Damping * cin0) div 100")).as("r"))
-        .localCheckpoint()
+      val next = personalizedStep(ranks, deg, edges, pw).localCheckpoint()
       prevBlocks.foreach(_.unpersist(blocking = false))
       prevBlocks = blocks(next)
       ranks = next
@@ -604,18 +614,7 @@ object GraphOps {
     val rounds = scala.collection.mutable.ArrayBuffer(
       ranks.withColumn("t", lit(0)))
     for (t <- 1 to iters) {
-      val shares = ranks
-        .join(deg, ranks("doc_id") === deg("id_b"))
-        .select(col("id_b"), expr("r div deg").as("share"))
-      val contrib = edges.join(shares, "id_b")
-        .groupBy(col("id_a")).agg(sum(col("share")).as("cin"))
-      val next = pw
-        .join(contrib.withColumnRenamed("id_a", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("cin0", coalesce(col("cin"), lit(0L)))
-        .select(col("doc_id"),
-          (expr(s"((${100 - Damping}) * pw) div 100") +
-            expr(s"($Damping * cin0) div 100")).as("r"))
-        .localCheckpoint()
+      val next = personalizedStep(ranks, deg, edges, pw).localCheckpoint()
       blocks(next).foreach(r => graft.CheckpointRegistry.register(r))
       rounds += next.withColumn("t", lit(t))
       ranks = next

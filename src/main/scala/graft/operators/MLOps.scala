@@ -151,6 +151,13 @@ object MLOps {
           (col("lang") === "en").cast("double").as("y"),
           (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"))
       val train = docs.filter(col("is_train")).cache()
+      // named degenerate-case guard (the q140/q142 convention), hoisted
+      // to the ONE shared entry so q79/q81/q146's endpoint all get the
+      // named error instead of an opaque worker-side CountVectorizer
+      // failure; the count also populates the fit cache
+      require(train.count() > 0,
+        "tfidf featurization: the doc_id-mod train fold is empty — " +
+          "corpus too small for the roster family")
       // the cache backs the featurizer's two fit passes (CountVectorizer
       // + IDF) only; the transform below reads `docs`, so unpersisting
       // before the memo materializes it is safe
