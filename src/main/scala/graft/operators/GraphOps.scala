@@ -186,7 +186,45 @@ object GraphOps {
     * ∝ \|graph\| — and not 8 × scheduler latency either. */
   def pagerankDelta(history: DataFrame, oldPairs: DataFrame,
       newPairs: DataFrame, docs: DataFrame, iters: Int = Iters,
-      ballCap: Long = DeltaBallCap): DataFrame = {
+      ballCap: Long = DeltaBallCap): DataFrame =
+    deltaImpl(history, oldPairs, newPairs, docs, iters, ballCap,
+      pwOf = _ => (_ => RankScale),
+      fallback = merged => pagerank(merged, docs))
+
+  /** EXACT incremental PERSONALIZED PageRank — [[pagerankDelta]]'s ball
+    * argument holds verbatim under a per-doc teleport term (the base
+    * term is a per-doc CONSTANT, so a round-t rank is still a pure
+    * function of round-(t−1) neighbor ranks plus that constant, and the
+    * change set still grows one merged-graph hop per round). Reads the
+    * standing [[pagerankPersonalizedHistory]] artifact; only the three
+    * teleport-dependent spots differ from the uniform fold — the init
+    * rank of history-absent docs, the per-doc base term (one
+    * ball-sized sliced scan of `weights`), and the oversized-ball
+    * fallback ([[pagerankPersonalized]] over the merged edges). */
+  def pagerankDeltaPersonalized(history: DataFrame, oldPairs: DataFrame,
+      newPairs: DataFrame, docs: DataFrame, weights: DataFrame,
+      iters: Int = Iters, ballCap: Long = DeltaBallCap): DataFrame =
+    deltaImpl(history, oldPairs, newPairs, docs, iters, ballCap,
+      pwOf = ids => {
+        val s = weights.sparkSession
+        import s.implicits._
+        weights.join(broadcast(ids.toSeq.sorted.toDF("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      },
+      fallback = merged => pagerankPersonalized(merged, weights))
+
+  /** Shared incremental-update machinery behind [[pagerankDelta]] and
+    * [[pagerankDeltaPersonalized]] — `pwOf` supplies the teleport mass
+    * for a driver-bounded id set (the uniform fold passes the constant
+    * [[RankScale]] map; the personalized fold one sliced scan), and
+    * `fallback` is the full distributed recompute an oversized ball
+    * degrades to. ONE copy of the BFS/cap/fold logic, so the two
+    * variants cannot drift (the r10 review rule). */
+  private def deltaImpl(history: DataFrame, oldPairs: DataFrame,
+      newPairs: DataFrame, docs: DataFrame, iters: Int, ballCap: Long,
+      pwOf: Set[Long] => (Long => Long),
+      fallback: DataFrame => DataFrame): DataFrame = {
     val merged = oldPairs.unionAll(newPairs)
     val edges = merged
       .unionAll(merged.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -232,19 +270,21 @@ object GraphOps {
         // the fully distributed recompute over the merged edges —
         // bit-identical output by the round-purity argument GraphSpec
         // pins (fallback equality is spec-exercised with a tiny cap).
-        pagerank(merged, docs)
-      } else pagerankDeltaFold(history, merged, edges, docs, iters,
-        ballCap, newIds, ballIds)
+        fallback(merged)
+      } else deltaFold(history, merged, edges, iters,
+        ballCap, newIds, ballIds, pwOf, fallback)
     } finally edges.unpersist(blocking = false)
   }
 
-  /** The driver-side ball fold of [[pagerankDelta]], reached only when
+  /** The driver-side ball fold of [[deltaImpl]], reached only when
     * the BFS ball fit `ballCap`; the in-edge relation gets its own
     * count-before-collect guard here (ball·deg can exceed the id cap),
     * falling back to the distributed recompute the same way. */
-  private def pagerankDeltaFold(history: DataFrame, merged: DataFrame,
-      edges: DataFrame, docs: DataFrame, iters: Int, ballCap: Long,
-      newIds: Array[Long], ballIds: Set[Long]): DataFrame = {
+  private def deltaFold(history: DataFrame, merged: DataFrame,
+      edges: DataFrame, iters: Int, ballCap: Long,
+      newIds: Array[Long], ballIds: Set[Long],
+      pwOf: Set[Long] => (Long => Long),
+      fallback: DataFrame => DataFrame): DataFrame = {
       val ballDf = {
         val s = edges.sparkSession
         import s.implicits._
@@ -258,7 +298,7 @@ object GraphOps {
       // count BEFORE collect — one cheap aggregate job over the pruned
       // join; the cap is rows of driver state, same budget as the ball
       if (inERel.count() > ballCap)
-        return pagerank(merged, docs)
+        return fallback(merged)
       val inE = inERel.collect().map(r => (r.getLong(0), r.getLong(1)))
       val contribIds = inE.map(_._2).distinct
       val degC = {
@@ -277,9 +317,13 @@ object GraphOps {
           .select(col("doc_id"), col("t").cast("int"), col("r"))
           .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
       }
-      // the exact integer recurrence, driver-side over the ball state
-      val base = (100 - Damping) * RankScale / 100
-      var changed: Map[Long, Long] = newIds.map(_ -> RankScale).toMap
+      // the exact integer recurrence, driver-side over the ball state;
+      // pw is the teleport mass (constant RankScale for the uniform
+      // fold, the sliced weight scan for the personalized one) — the
+      // base term ((100-a)*pw) div 100 and the t=0 init both replay the
+      // distributed expressions exactly on non-negative longs
+      val pw = pwOf(ballIds ++ newIds)
+      var changed: Map[Long, Long] = newIds.map(id => id -> pw(id)).toMap
       for (t <- 1 to iters) {
         val cin = scala.collection.mutable.HashMap.empty[Long, Long]
         inE.foreach { case (a, b) =>
@@ -289,7 +333,8 @@ object GraphOps {
           cin(a) = cin.getOrElse(a, 0L) + prev / degC(b)
         }
         changed = ballIds.iterator
-          .map(id => id -> (base + Damping * cin.getOrElse(id, 0L) / 100)).toMap
+          .map(id => id -> ((100 - Damping) * pw(id) / 100 +
+            Damping * cin.getOrElse(id, 0L) / 100)).toMap
       }
       // out-of-ball docs read their final rank straight from history;
       // the recomputed ball overlays as a broadcast local relation
@@ -647,36 +692,43 @@ object GraphOps {
       .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  // session-lifetime guard: which (corpus, teleport policy) the
-  // persisted personalized history describes
-  private var persKey: Option[(String, String)] = None
+  // session-lifetime guards: which (corpus, teleport policy) each
+  // persisted personalized-history table describes — q111's artifact
+  // covers the FULL pair set (a final-ranks readout), q154's the BASE
+  // split (the delta update's state), so they are separate tables
+  private val persKeys =
+    scala.collection.mutable.Map.empty[String, (String, String)]
 
-  /** Build + persist the personalized rank history for (dir, policy)
-    * unless the live artifact already describes it — the q126 standing-
-    * artifact pattern verbatim: partitioned by round `t`, one pruned
-    * partition per readback, history build paid once per (corpus
-    * snapshot, policy). */
-  private[graft] def q111Ensure(s: SparkSession, dir: String): Unit = {
+  /** Build + persist a personalized rank history table over `pairs` for
+    * (dir, policy) unless the live artifact already describes it — the
+    * q126 standing-artifact pattern verbatim: partitioned by round `t`,
+    * one pruned partition per readback, history build paid once per
+    * (corpus snapshot, policy). Shared by q111 (full graph) and q154
+    * (base split). */
+  private def ensurePersonalizedHist(s: SparkSession, dir: String,
+      table: String, pairs: DataFrame): Unit = {
     val key = (dir, teleportPolicyHash)
-    if (!persKey.contains(key) || !s.catalog.tableExists("g111_hist")) {
+    if (!persKeys.get(table).contains(key) || !s.catalog.tableExists(table)) {
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_pershist-${s.sparkContext.applicationId}")
+        s"graft_$table-${s.sparkContext.applicationId}")
       graft.TempArtifacts.register(base)
-      Bucketed.reset(s, base, "g111_hist")
+      Bucketed.reset(s, base, table)
       // scoped: the history build's per-round checkpoint blocks are dead
       // once the write materializes them into the artifact
       graft.CheckpointRegistry.scoped {
-        pagerankPersonalizedHistory(
-          DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b")),
-          q111Weights(s, dir))
+        pagerankPersonalizedHistory(pairs, q111Weights(s, dir))
           .write.partitionBy("t")
-          .option("path", new java.io.File(base, "g111_hist").getAbsolutePath)
-          .mode("overwrite").saveAsTable("g111_hist")
+          .option("path", new java.io.File(base, table).getAbsolutePath)
+          .mode("overwrite").saveAsTable(table)
       }
-      graft.GenManifest.publish(base, "g111_hist", 0L)
-      persKey = Some(key)
+      graft.GenManifest.publish(base, table, 0L)
+      persKeys(table) = key
     }
   }
+
+  private[graft] def q111Ensure(s: SparkSession, dir: String): Unit =
+    ensurePersonalizedHist(s, dir, "g111_hist",
+      DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b")))
 
   /** Personalized PageRank as a STANDING-ARTIFACT readout: ensure the
     * per-round history is persisted for this (corpus, policy), then
@@ -796,6 +848,41 @@ object GraphOps {
   /** Full-recompute replay over the merged edge set — delta ≡ full. */
   lazy val q126Sql: String = q95Sql
 
+  // --- 154. incremental PERSONALIZED PageRank (r10) ------------------------
+  /** q126's incremental treatment applied to the PERSONALIZED rank
+    * (q111): the near-dup edge set splits into base graph + delta batch
+    * (the q126 rule), the personalized per-round history over the BASE
+    * graph persists once per (corpus, teleport policy) — q111's
+    * standing-artifact machinery over the base split — and
+    * [[pagerankDeltaPersonalized]] updates only the delta's t-hop ball
+    * against it. The ORACLE replays the full personalized run over ALL
+    * edges ([[q111Sql]]), so the driver's hash compare IS the
+    * delta ≡ full-recompute equivalence for the per-doc-teleport
+    * recurrence — the same round-over-round guard q126 gives the
+    * uniform one. Scale shape: q126's exactly, plus one ball-sized
+    * sliced scan of the weight relation for the fold's base terms. */
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val isDelta = (col("id_a") + col("id_b")) % DeltaSplitMod === 0
+    q154Ensure(s, dir, pairs.filter(!isDelta))
+    pagerankDeltaPersonalized(q154Hist(s), pairs.filter(!isDelta),
+      pairs.filter(isDelta), docs, q111Weights(s, dir))
+  }
+
+  private[graft] def q154Ensure(s: SparkSession, dir: String,
+      basePairs: DataFrame): Unit =
+    ensurePersonalizedHist(s, dir, "g154_hist", basePairs)
+
+  /** The persisted personalized base history, column-normalized for the
+    * delta fold (partition column `t` comes back last from the catalog). */
+  private[graft] def q154Hist(s: SparkSession): DataFrame =
+    s.table("g154_hist")
+      .select(col("doc_id"), col("t").cast("int").as("t"), col("r"))
+
+  /** Full personalized recompute over the merged edge set — delta ≡ full. */
+  lazy val q154Sql: String = q111Sql
+
   val ops: Seq[Op] = Seq(
     Op("q95_pagerank", q95, Some(q95Sql)),
     Op("q97_keeper_by_rank", q97, Some(q97Sql)),
@@ -803,5 +890,6 @@ object GraphOps {
     Op("q110_keeper_weighted", q110, Some(q110Sql)),
     Op("q111_pagerank_personalized", q111, Some(q111Sql)),
     Op("q126_pagerank_delta", q126, Some(q126Sql)),
+    Op("q154_pagerank_personalized_delta", q154, Some(q154Sql)),
   )
 }

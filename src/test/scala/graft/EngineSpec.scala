@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 153) // r10: +q152/q153
+    assert(SparkEntry.queries.size === 154) // r10: +q152/q153/q154
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 140) // r10: +q152/q153 (both full)
+    assert(SparkEntry.oracleSql.size === 141) // r10: +q152/q153/q154 (all full)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

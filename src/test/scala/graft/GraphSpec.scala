@@ -222,6 +222,36 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(DedupOps.q127(spark, SF).collect().toList === a127)
   }
 
+  test("q154 personalized delta: artifact probe ≡ fresh formulations, cap falls back, no rebuild") {
+    val a154 = GraphOps.q154(spark, SF).collect().toList
+    val pairs = DedupOps.pairs50(spark, SF).select(col("id_a"), col("id_b"))
+    val w = GraphOps.q111Weights(spark, SF)
+    // delta ≡ full: the merged-edge personalized run (q111's semantics —
+    // the registered oracle checks the same equivalence in DuckDB)
+    val full = GraphOps.pagerankPersonalized(pairs, w).collect().toList
+    assert(a154 === full)
+    // in-memory delta formulation ≡ the artifact probe
+    val docs = Tables.documents(spark, SF).select(col("doc_id"))
+    val isDelta = (col("id_a") + col("id_b")) % GraphOps.DeltaSplitMod === 0
+    val fresh = GraphOps.pagerankDeltaPersonalized(
+      GraphOps.pagerankPersonalizedHistory(pairs.filter(!isDelta), w),
+      pairs.filter(!isDelta), pairs.filter(isDelta), docs, w)
+      .collect().toList
+    assert(a154 === fresh)
+    // an oversized ball degrades to the distributed personalized
+    // recompute, bit-identically (tiny cap forces the fallback path)
+    val capped = GraphOps.pagerankDeltaPersonalized(
+      GraphOps.q154Hist(spark), pairs.filter(!isDelta),
+      pairs.filter(isDelta), docs, w, ballCap = 1L).collect().toList
+    assert(capped === full)
+    // the session guard must SKIP the base build on re-ensure: a
+    // poisoned base relation proves the artifact, not the build, answers
+    val poison = spark.range(1)
+      .select(assert_true(lit(false)).as("x"), lit(0L).as("doc_id"))
+    GraphOps.q154Ensure(spark, SF, poison)
+    assert(GraphOps.q154(spark, SF).collect().toList === a154)
+  }
+
   test("q110 weighted policy: score argmax with priors, reduces to q97 under a zero policy") {
     // zero policy (no priors, no quality boost, rank at face value)
     // must reproduce q97's centrality argmax exactly
