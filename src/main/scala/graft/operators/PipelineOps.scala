@@ -1263,6 +1263,40 @@ object PipelineOps {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // --- 155. shard MANIFEST over the subword-budget build (r10) -------------
+  /** [[q131]]'s loader-facing manifest for the SUBWORD-packed build
+    * ([[q152]]): one row per shard — doc count, distinct languages,
+    * unit mass, end offset in the global UNIT stream, and the same
+    * order-independent 40-bit content fingerprint. The pair of
+    * manifests (q131 over whitespace-token shards, q155 over tokenizer-
+    * unit shards) is how a pipeline validates the budget migration:
+    * identical total doc counts and ids_sum totals, different shard
+    * boundaries. Scale shape: q152's plans + one map-side-combined
+    * groupBy(shard). */
+  def q155(s: SparkSession, dir: String): DataFrame =
+    q152(s, dir)
+      .withColumn("sid",
+        conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long") % 1099511627776L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_units")).as("n_units"),
+        max(col("cum_units")).as("end_offset"),
+        sum(col("sid")).as("ids_sum"))
+      .orderBy(col("shard"))
+
+  lazy val q155Sql: String =
+    s"""SELECT shard, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  CAST(SUM(n_units) AS BIGINT) AS n_units,
+       |  MAX(cum_units) AS end_offset,
+       |  CAST(SUM(CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1099511627776) AS BIGINT) AS ids_sum
+       |FROM ($q152Sql) b
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -1283,6 +1317,7 @@ object PipelineOps {
     Op("q124_corpus_drift", q124, Some(q124Sql)),
     Op("q129_context_chunks", q129, Some(q129Sql)),
     Op("q131_shard_manifest", q131, Some(q131Sql)),
+    Op("q155_subword_manifest", q155, Some(q155Sql)),
     Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )
 

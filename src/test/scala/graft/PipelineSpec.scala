@@ -311,6 +311,36 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_._4).distinct.length > 1)
   }
 
+  test("q155 subword manifest ≡ driver replay over q152; migration invariants vs q131") {
+    val build = PipelineOps.q152(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_units"), r.getAs[Long]("cum_units"),
+        r.getAs[Long]("shard")))
+    def sid(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sid:$id".getBytes("UTF-8"))
+      (BigInt(md.map("%02x".format(_)).mkString.take(15), 16) %
+        1099511627776L).toLong
+    }
+    val expect = build.groupBy(_._5).map { case (shard, rs) =>
+      shard -> ((rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(_._3).sum, rs.map(_._4).max, rs.map(r => sid(r._1)).sum))
+    }
+    val got = PipelineOps.q155(spark, SF).collect().map(r =>
+      r.getAs[Long]("shard") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_langs"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("end_offset"), r.getAs[Long]("ids_sum")))).toMap
+    assert(got === expect)
+    // budget-migration invariants vs the whitespace-token manifest:
+    // same MEMBERSHIP (total docs and fingerprint mass), different
+    // packing (boundaries move because the mass column changed)
+    val m131 = PipelineOps.q131(spark, SF).collect()
+    assert(m131.map(_.getAs[Long]("n_docs")).sum ===
+      got.values.map(_._1).sum)
+    assert(m131.map(_.getAs[Long]("ids_sum")).sum ===
+      got.values.map(_._5).sum)
+  }
+
   test("q96 quota sample: exact per-stratum budgets, hash-prefix membership, map-side limit") {
     import org.apache.spark.sql.functions._
     val df = PipelineOps.q96(spark, SF)
