@@ -71,23 +71,36 @@ object BpeOps {
     * clearCache owns eviction; repeated calls structurally re-match
     * this same cache entry. */
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
-    TextOps.docsWithToks(s, dir)
+    wordCountsOf(TextOps.docsWithToks(s, dir))
+
+  /** Char-spaced word-count relation of an arbitrary tokenized doc set
+    * — the training input ([[wordCounts]] = the whole corpus; q156
+    * trains on the TRAIN fold only). */
+  private def wordCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
       .select(spaced(col("t")).as("w"), col("f"))
       .cache()
 
-  /** One BPE merge applied to the spaced-word relation as a broadcast
-    * literal replace (leftmost-non-overlapping — see the object doc). */
+  /** One BPE merge applied to a relation's `w` column as a broadcast
+    * literal replace (leftmost-non-overlapping — see the object doc);
+    * other columns pass through (the training vocab carries `f`, q156's
+    * token mapping carries `token`). */
   private def applyMerge(v: DataFrame, pair: String): DataFrame = {
     val merged = pair.replace(" ", "")
-    v.select(trim(replace(concat(lit(" "), col("w"), lit(" ")),
-      lit(s" $pair "), lit(s" $merged "))).as("w"), col("f"))
+    v.withColumn("w", trim(replace(concat(lit(" "), col("w"), lit(" ")),
+      lit(s" $pair "), lit(s" $merged "))))
   }
 
   def train(s: SparkSession, dir: String, rounds: Int = Rounds)
+      : (Seq[BpeMerge], DataFrame) =
+    trainOn(wordCounts(s, dir), rounds)
+
+  /** The round loop over an arbitrary char-spaced word-count relation
+    * (shared by the corpus trainer and q156's train-fold trainer). */
+  private def trainOn(v0: DataFrame, rounds: Int)
       : (Seq[BpeMerge], DataFrame) = {
-    val v0 = wordCounts(s, dir)
     var vocab = v0
     val merges = Seq.newBuilder[BpeMerge]
     var r = 1
@@ -158,26 +171,16 @@ object BpeOps {
   def q144(s: SparkSession, dir: String): DataFrame =
     trainShared(s, dir)._1.orderBy(col("round"))
 
-  /** The q144 chain's CTE prefix (everything before the merge-table
-    * readout) — the single extraction point q147Sql/q151Sql build on
-    * (r9 review: two copies of the fragile substring would have to be
-    * found and fixed together if the readout's first line changed). */
-  private lazy val q144Chain: String = {
-    val marker = "\nSELECT 1 AS round"
-    val i = q144Sql.indexOf(marker)
-    require(i > 0, "q144Sql readout marker moved — update q144Chain")
-    q144Sql.substring(0, i)
-  }
-
-  /** The full training run replayed as one unrolled CTE chain (merge
-    * choices are data-dependent, so the oracle must COMPUTE them — each
-    * round is a pair aggregate + argmax + literal replace, exactly the
-    * Spark plan's semantics). */
-  val q144Sql: String = {
+  /** The unrolled training chain `v0..v[[Rounds]]` (+ per-round pN/mN)
+    * over the `documents` rows matching `where` (empty = whole corpus)
+    * — ONE builder behind q144/q147/q151/q152's full-corpus oracles and
+    * q156's train-fold one (replacing the r9 substring extraction: a
+    * parameterized builder can't drift from its readouts). */
+  private def chainCtes(where: String): String = {
     val init =
       s"""v0 AS (SELECT array_to_string([t[i] FOR i IN range(1, len(t)+1)], ' ') AS w, f
          |  FROM (SELECT token AS t, CAST(COUNT(*) AS BIGINT) AS f
-         |    FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
+         |    FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents$where)
          |    GROUP BY token))""".stripMargin
     // v$r LEFT-joins its round's (0-or-1-row) merge so an EXHAUSTED pool
     // (m$r empty — every word one symbol) passes the vocab through
@@ -195,10 +198,22 @@ object BpeOps {
          |      ' ' || replace(m.pair, ' ', '') || ' ')) END AS w, f
          |  FROM v${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
+    s"$init,\n${rounds.mkString(",\n")}"
+  }
+
+  /** The q144 chain's CTE prefix (everything before the merge-table
+    * readout) — the composition point q147Sql/q151Sql build on. */
+  private lazy val q144Chain: String = "WITH " + chainCtes("")
+
+  /** The full training run replayed as one unrolled CTE chain (merge
+    * choices are data-dependent, so the oracle must COMPUTE them — each
+    * round is a pair aggregate + argmax + literal replace, exactly the
+    * Spark plan's semantics). */
+  val q144Sql: String = {
     val sel = (1 to Rounds)
       .map(r => s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, n FROM m$r")
       .mkString("\nUNION ALL\n")
-    s"WITH $init,\n${rounds.mkString(",\n")}\n$sel\nORDER BY round"
+    s"$q144Chain\n$sel\nORDER BY round"
   }
 
   /** Local (driver/spec-side) replay of the merge application: tokenize a
@@ -321,8 +336,96 @@ object BpeOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- 156. tokenizer drift monitor (train-fold tokenizer) -----------------
+  /** The LEAKAGE-HONEST tokenizer evaluation a production pipeline runs
+    * before shipping a merge table: train the BPE merges on the TRAIN
+    * fold ONLY (the roster family's doc_id-mod split), re-tokenize BOTH
+    * folds with the learned merges, and report per-fold segmentation
+    * mass + fertility — rising held-out fertility is the drift signal
+    * that the tokenizer's merge inventory no longer matches incoming
+    * data (the q124 corpus-drift readout, at the tokenizer layer).
+    *
+    * Re-tokenization uses the merge-REPLAY rule BpeSpec already proves
+    * (applying the merges in round order to a fresh char-spaced word
+    * reproduces the training evolution — q147's "learned merges
+    * re-tokenize tokens to the engine's final vocab" pin), so held-out
+    * words the trainer never saw segment EXACTLY as the shipped
+    * tokenizer would segment them: merges fire where they apply,
+    * character fallback where they don't.
+    *
+    * Scale shape: one train-fold training run (the q144 cost over the
+    * smaller fold, memoized per family run), then the mapping is a
+    * DISTINCT-token-sized relation through [[Rounds]] broadcast-literal
+    * replaces, and the readout is one corpus-pass join + a 2-row fold
+    * aggregate. FULL oracle: the train-fold chain ([[chainCtes]] with
+    * the fold predicate) + an unrolled replay of the merges over the
+    * distinct-token relation + the fold aggregate. */
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    // train-fold merges, one training run per family run (the memo
+    // holds the ≤Rounds-row merge table, not the corpus)
+    val mergesDf = graft.SharedRelations.getOrBuild("bpe156_merges", dir) {
+      import s.implicits._
+      trainOn(wordCountsOf(TextOps.docsWithToks(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)), Rounds)
+        ._1.toDF("round", "pair", "merged", "n")
+    }
+    val ms = mergesDf.select(col("round"), col("pair")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    val spacedToks = TextOps.docsWithToks(s, dir)
+      .select(explode(col("toks")).as("token")).distinct()
+      .select(col("token"), spaced(col("token")).as("w"))
+    val mapping = ms.foldLeft(spacedToks) { case (v, (_, pair)) =>
+        applyMerge(v, pair)
+      }
+      .select(col("token"), size(split(col("w"), " ")).cast("long").as("units"))
+    TextOps.docsWithToks(s, dir)
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"),
+        explode(col("toks")).as("token"))
+      .join(mapping, "token")
+      .groupBy(col("is_train"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("units")).as("n_units"),
+        sum(length(col("token"))).as("n_chars"))
+      .select(when(col("is_train"), "train").otherwise("heldout").as("fold"),
+        col("n_docs"), col("n_tokens"), col("n_units"), col("n_chars"),
+        Num.ratio6(col("n_units"), col("n_chars")).as("fertility"))
+      .orderBy(col("fold"))
+  }
+
+  val q156Sql: String = {
+    val applyRounds = (1 to Rounds).map { r =>
+      s"""s$r AS (SELECT token, CASE WHEN m.pair IS NULL THEN w
+         |    ELSE trim(replace(' ' || w || ' ', ' ' || m.pair || ' ',
+         |      ' ' || replace(m.pair, ' ', '') || ' ')) END AS w
+         |  FROM s${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${chainCtes(" WHERE doc_id % 5 <> 0")},
+       |s0 AS (SELECT DISTINCT token,
+       |    array_to_string([token[i] FOR i IN range(1, len(token)+1)], ' ') AS w
+       |  FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)),
+       |$applyRounds,
+       |map156 AS (SELECT token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM s$Rounds),
+       |folds AS (
+       |  SELECT (doc_id % 5 <> 0) AS is_train,
+       |    COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+       |    CAST(SUM(units) AS BIGINT) AS n_units,
+       |    CAST(SUM(len(token)) AS BIGINT) AS n_chars
+       |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
+       |  JOIN map156 USING (token)
+       |  GROUP BY 1)
+       |SELECT CASE WHEN is_train THEN 'train' ELSE 'heldout' END AS fold,
+       |  n_docs, n_tokens, n_units, n_chars,
+       |  ${graft.functions.Num.ratio6Sql("n_units", "n_chars")} AS fertility
+       |FROM folds
+       |ORDER BY fold""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q144_bpe_train", q144, Some(q144Sql)),
     Op("q147_bpe_apply", q147, Some(q147Sql)),
-    Op("q151_bpe_segment", q151, Some(q151Sql)))
+    Op("q151_bpe_segment", q151, Some(q151Sql)),
+    Op("q156_tokenizer_drift", q156, Some(q156Sql)))
 }

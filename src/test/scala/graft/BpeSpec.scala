@@ -124,6 +124,42 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q156 drift monitor: train-fold trainer + replay re-tokenization equal a local replay") {
+    def inTrain(id: Long) = id % 5 != 0
+    val docs = Tables.documents(spark, SF).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val re = "[a-z0-9]+".r
+    def toks(t: String) = re.findAllIn(t.toLowerCase).toSeq
+    // independent trainer over the TRAIN fold's word counts only
+    val trainWc = docs.filter(d => inTrain(d._1)).flatMap(d => toks(d._2))
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }.toSeq
+    val (localMerges, _) = localTrain(trainWc, BpeOps.Rounds)
+    assert(localMerges.nonEmpty)
+    // replay re-tokenization of BOTH folds under the train-fold merges
+    val cells = docs.flatMap { case (id, text) =>
+      toks(text).map(t => (inTrain(id), id, t)) }
+    def halfAway(p: Long, q: Long): Long = (2 * p + q) / (2 * q)
+    val expect = cells.groupBy(_._1).map { case (isTrain, rs) =>
+      val units = rs.map(r =>
+        BpeOps.applyMerges(r._3, localMerges).length.toLong).sum
+      val chars = rs.map(_._3.length.toLong).sum
+      (if (isTrain) "train" else "heldout") ->
+        ((rs.map(_._2).distinct.length.toLong, rs.length.toLong, units,
+          chars, halfAway(units * 1000000L, chars) / 1e6))
+    }
+    val got = BpeOps.q156(spark, SF).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expect)
+    assert(got.keySet === Set("train", "heldout"))
+    // the train-fold tokenizer differs from the full-corpus one only
+    // through its training data — the merges must come from the fold
+    // (sanity: every merge pair's symbols occur in the train fold)
+    val trainChars = trainWc.map(_._1).mkString.toSet
+    localMerges.foreach(m =>
+      assert(m.merged.forall(trainChars.contains), m.toString))
+  }
+
   test("learned merges re-tokenize tokens to the engine's final vocab") {
     val (merges, engineVocab) = BpeOps.train(spark, SF)
     val byWord = engineVocab.collect()

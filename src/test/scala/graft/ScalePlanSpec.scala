@@ -33,6 +33,25 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     assertWindowsAggregated(Relational2.q65(spark, SF), "q65")
     // PrefixSum's only unpartitioned window runs over the ≤4096 bin rows
     assertWindowsAggregated(graft.operators.PipelineOps.q83(spark, SF), "q83")
+    // r10: the subword-budget pack and its manifest inherit the same
+    // PrefixSum shape — the unit join must not introduce a raw window
+    assertWindowsAggregated(graft.operators.PipelineOps.q152(spark, SF), "q152")
+    assertWindowsAggregated(graft.operators.PipelineOps.q155(spark, SF), "q155")
+  }
+
+  test("q111 warm readout scans ONE pruned partition of the standing artifact") {
+    graft.operators.GraphOps.q111Ensure(spark, SF)
+    val plan = graft.operators.GraphOps.q111(spark, SF)
+      .queryExecution.executedPlan.toString
+    // partition pruning fired at the scan: the t-filter is a
+    // PartitionFilter, not a post-scan Filter over all rounds
+    assert(plan.contains("g111_hist"), plan.take(500))
+    assert(
+      plan.contains(s"PartitionFilters: [isnotnull(t#") ||
+        plan.contains(s"(t#"), plan.take(2000))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains(s"= ${graft.operators.GraphOps.Iters})"),
+      s"t=Iters must prune at the scan: $pf")
   }
 
   test("q40/q63 equal the single-task global-window formulation") {
