@@ -336,6 +336,22 @@ object BpeOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** (token → unit count) mapping for an arbitrary `token`-column
+    * relation under a SHIPPED merge table, by replaying the merges in
+    * round order over the char-spaced form (the BpeSpec-proven
+    * evolution equivalence — q156's rule). Unlike [[unitMapping]] (which
+    * reads the training run's final vocab), this works for tokens the
+    * trainer never saw — the serving seam's requirement
+    * ([[graft.streaming.StreamOps.segmentServe]]). */
+  private[graft] def unitMappingOf(tokens: DataFrame,
+      merges: Seq[BpeMerge]): DataFrame =
+    merges.sortBy(_.round)
+      .foldLeft(tokens.select(col("token"), spaced(col("token")).as("w"))) {
+        (v, m) => applyMerge(v, m.pair)
+      }
+      .select(col("token"),
+        size(split(col("w"), " ")).cast("long").as("units"))
+
   // --- 156. tokenizer drift monitor (train-fold tokenizer) -----------------
   /** The LEAKAGE-HONEST tokenizer evaluation a production pipeline runs
     * before shipping a merge table: train the BPE merges on the TRAIN
@@ -370,15 +386,12 @@ object BpeOps {
         .filter(pmod(col("doc_id"), lit(5)) =!= 0)), Rounds)
         ._1.toDF("round", "pair", "merged", "n")
     }
-    val ms = mergesDf.select(col("round"), col("pair")).collect()
-      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
-    val spacedToks = TextOps.docsWithToks(s, dir)
-      .select(explode(col("toks")).as("token")).distinct()
-      .select(col("token"), spaced(col("token")).as("w"))
-    val mapping = ms.foldLeft(spacedToks) { case (v, (_, pair)) =>
-        applyMerge(v, pair)
-      }
-      .select(col("token"), size(split(col("w"), " ")).cast("long").as("units"))
+    val ms = mergesDf.collect().map(r =>
+      BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val mapping = unitMappingOf(
+      TextOps.docsWithToks(s, dir)
+        .select(explode(col("toks")).as("token")).distinct(),
+      ms.toSeq)
     TextOps.docsWithToks(s, dir)
       .select(col("doc_id"), (pmod(col("doc_id"), lit(5)) =!= 0).as("is_train"),
         explode(col("toks")).as("token"))

@@ -591,6 +591,40 @@ object StreamOps {
     }
   }
 
+  /** Streaming corpus segmentation with a SHIPPED tokenizer — q151's
+    * readout at the arrival seam: each micro-batch of (doc_id, text)
+    * explodes to tokens and re-tokenizes them by REPLAYING the trained
+    * merge table over the batch's OWN distinct-token vocabulary
+    * ([[graft.operators.BpeOps.unitMappingOf]] — the q156 rule, so
+    * tokens the trainer never saw segment exactly as the shipped
+    * tokenizer segments them: merges fire where they apply, character
+    * fallback elsewhere). A static PRECOMPUTED corpus mapping would
+    * silently drop (inner join) or null (left join) out-of-vocabulary
+    * arrivals — the one case a serving path exists for.
+    *
+    * Scale shape: zero stream state (stateless per-batch transform);
+    * per batch, the merge replay is [[graft.operators.BpeOps.Rounds]]
+    * broadcast-literal replaces over the batch-vocabulary-sized
+    * distinct relation, then one batch-sized join + per-doc aggregate.
+    * The merge table itself is ≤ Rounds rows — a driver literal. */
+  def segmentServe(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val toks = batch.select(col("doc_id"),
+        explode(graft.text.Text.tokens(col("text"))).as("token"))
+      val mapping = graft.operators.BpeOps.unitMappingOf(
+        toks.select(col("token")).distinct(), merges)
+      sink(toks.join(mapping, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("units")).as("n_units"),
+          sum(length(col("token"))).as("n_chars"))
+        .withColumn("fertility",
+          graft.functions.Num.ratio6(col("n_units"), col("n_chars")))
+        .orderBy(col("doc_id")))
+    }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

@@ -723,6 +723,51 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "maintained and frozen stats scored b2 identically — split too coarse")
   }
 
+  test("streaming segmentation ≡ merge replay per batch; OOV arrivals segment like the shipped tokenizer") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.BpeOps
+    // the shipped tokenizer: the corpus-trained merge table
+    val merges = BpeOps.train(spark, SF)._1
+    assert(merges.nonEmpty)
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(40).toSeq
+    // an arrival the trainer NEVER saw: an out-of-vocabulary token —
+    // the case a precomputed corpus mapping cannot serve
+    val oov = (900001L, "zzqv zzqv the")
+    val ms = MemoryStream[(Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer[
+      List[(Long, Long, Long, Long, Double)]]()
+    val q = StreamOps.segmentServe(
+        ms.toDF().toDF("doc_id", "text"), merges) { out =>
+      batches += out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toList
+    }.start()
+    try {
+      ms.addData(docs); q.processAllAvailable()
+      ms.addData(Seq(oov)); q.processAllAvailable()
+    } finally { q.stop() }
+    assert(batches.length === 2)
+    // local replay: every token (seen or not) segments via applyMerges
+    val re = "[a-z0-9]+".r
+    def halfAway(p: Long, qq: Long): Long = (2 * p + qq) / (2 * qq)
+    def replay(id: Long, text: String) = {
+      val ts = re.findAllIn(text.toLowerCase).toSeq
+      val units = ts.map(t => BpeOps.applyMerges(t, merges).length.toLong).sum
+      val chars = ts.map(_.length.toLong).sum
+      (id, ts.length.toLong, units, chars,
+        halfAway(units * 1000000L, chars) / 1e6)
+    }
+    assert(batches(0).toSet === docs.map { case (id, t) => replay(id, t) }.toSet)
+    assert(batches(1) === List(replay(oov._1, oov._2)))
+    // the OOV token really is out of vocabulary AND really segments —
+    // its unit count must come from the merge replay, not a lookup
+    val corpusToks = docs.flatMap(d => re.findAllIn(d._2.toLowerCase)).toSet
+    assert(!corpusToks.contains("zzqv"))
+    assert(batches(1).head._3 ===
+      (BpeOps.applyMerges("zzqv", merges).length * 2 +
+        BpeOps.applyMerges("the", merges).length).toLong)
+  }
+
   test("streaming drift gate ≡ q124 on the split; skewed batch flagged, representative passes") {
     implicit val ctx = spark.sqlContext
     import graft.operators.{DedupOps, PipelineOps}
