@@ -57,9 +57,6 @@ object BpeOps {
   private def spaced(c: org.apache.spark.sql.Column) =
     trim(regexp_replace(c, "(.)", "$1 "))
 
-  /** Train the merge table; also returns the final (merged) vocab relation
-    * so the spec can pin re-tokenization. The registered op surfaces only
-    * the merge table (the model artifact a tokenizer ships). */
   /** The ONE corpus pass behind both [[train]] and [[replayVocab]]:
     * word counts, then char-spaced representation.
     * cache() WITHOUT a finally-unpersist (the docsWithToks family
@@ -93,6 +90,9 @@ object BpeOps {
       lit(s" $pair "), lit(s" $merged "))))
   }
 
+  /** Train the merge table; also returns the final (merged) vocab relation
+    * so the spec can pin re-tokenization. The registered op surfaces only
+    * the merge table (the model artifact a tokenizer ships). */
   def train(s: SparkSession, dir: String, rounds: Int = Rounds)
       : (Seq[BpeMerge], DataFrame) =
     trainOn(wordCounts(s, dir), rounds)
@@ -308,10 +308,14 @@ object BpeOps {
     * shuffle-joins on token beyond that; the corpus side shuffles at
     * most once either way). One corpus pass; FULL oracle (the q144
     * chain's final vocab CTE as the mapping). */
-  def q151(s: SparkSession, dir: String): DataFrame = {
-    TextOps.docsWithToks(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .join(unitMapping(s, dir), "token")
+  /** The per-doc segmentation readout over (doc_id, token) rows and a
+    * (token → units) mapping — ONE aggregate definition behind q151 and
+    * the streaming serve path ([[graft.streaming.StreamOps
+    * .segmentServe]]), so stream ≡ batch holds by construction, not
+    * just by the spec (r10 review). */
+  private[graft] def segmentReadout(toks: DataFrame,
+      mapping: DataFrame): DataFrame =
+    toks.join(mapping, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("units")).as("n_units"),
@@ -319,7 +323,12 @@ object BpeOps {
       .withColumn("fertility",
         graft.functions.Num.ratio6(col("n_units"), col("n_chars")))
       .orderBy(col("doc_id"))
-  }
+
+  def q151(s: SparkSession, dir: String): DataFrame =
+    segmentReadout(
+      TextOps.docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("token")),
+      unitMapping(s, dir))
 
   val q151Sql: String = {
     s"""$q144Chain,

@@ -208,9 +208,15 @@ object GraphOps {
       pwOf = ids => {
         val s = weights.sparkSession
         import s.implicits._
-        weights.join(broadcast(ids.toSeq.sorted.toDF("doc_id")),
+        // select BY NAME before collecting (a caller's column order must
+        // not flip the map — r10 review), and fail NAMED on a ball doc
+        // the weight relation misses (the deltaFold histC pattern)
+        val m = weights.select(col("doc_id"), col("pw"))
+          .join(broadcast(ids.toSeq.sorted.toDF("doc_id")),
             Seq("doc_id"), "left_semi")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        id => m.getOrElse(id, sys.error(
+          s"pagerankDeltaPersonalized: ball doc $id has no teleport weight"))
       },
       fallback = merged => pagerankPersonalized(merged, weights))
 

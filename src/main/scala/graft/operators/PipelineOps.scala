@@ -1239,29 +1239,42 @@ object PipelineOps {
     *
     * Scale shape: q123's own plans + one groupBy(shard) with map-side
     * combine; output rows = shard count = Σtokens / budget. */
-  def q131(s: SparkSession, dir: String): DataFrame =
-    q123(s, dir)
+  /** The manifest aggregate over a packed build — ONE definition (with
+    * [[manifestSql]] as its SQL twin) behind q131's whitespace-token
+    * manifest and q155's subword-unit one, so the 40-bit fingerprint
+    * and the readout shape cannot drift between the pair whose
+    * comparability IS the migration-validation contract (r10 review). */
+  private def manifestOf(build: DataFrame, mass: String, cum: String)
+      : DataFrame =
+    build
       .withColumn("sid",
         conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
           .cast("long") % 1099511627776L)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        max(col("cum_tokens")).as("end_offset"),
+        sum(col(mass)).as(mass),
+        max(col(cum)).as("end_offset"),
         sum(col("sid")).as("ids_sum"))
       .orderBy(col("shard"))
 
-  lazy val q131Sql: String =
+  /** SQL twin of [[manifestOf]] over an inlined build query. */
+  private def manifestSql(buildSql: String, mass: String, cum: String)
+      : String =
     s"""SELECT shard, COUNT(*) AS n_docs,
        |  COUNT(DISTINCT lang) AS n_langs,
-       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       |  MAX(cum_tokens) AS end_offset,
+       |  CAST(SUM($mass) AS BIGINT) AS $mass,
+       |  MAX($cum) AS end_offset,
        |  CAST(SUM(CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |    % 1099511627776) AS BIGINT) AS ids_sum
-       |FROM ($q123Sql) b
+       |FROM ($buildSql) b
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  def q131(s: SparkSession, dir: String): DataFrame =
+    manifestOf(q123(s, dir), "n_tokens", "cum_tokens")
+
+  lazy val q131Sql: String = manifestSql(q123Sql, "n_tokens", "cum_tokens")
 
   // --- 155. shard MANIFEST over the subword-budget build (r10) -------------
   /** [[q131]]'s loader-facing manifest for the SUBWORD-packed build
@@ -1274,28 +1287,9 @@ object PipelineOps {
     * boundaries. Scale shape: q152's plans + one map-side-combined
     * groupBy(shard). */
   def q155(s: SparkSession, dir: String): DataFrame =
-    q152(s, dir)
-      .withColumn("sid",
-        conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long") % 1099511627776L)
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        sum(col("n_units")).as("n_units"),
-        max(col("cum_units")).as("end_offset"),
-        sum(col("sid")).as("ids_sum"))
-      .orderBy(col("shard"))
+    manifestOf(q152(s, dir), "n_units", "cum_units")
 
-  lazy val q155Sql: String =
-    s"""SELECT shard, COUNT(*) AS n_docs,
-       |  COUNT(DISTINCT lang) AS n_langs,
-       |  CAST(SUM(n_units) AS BIGINT) AS n_units,
-       |  MAX(cum_units) AS end_offset,
-       |  CAST(SUM(CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-       |    % 1099511627776) AS BIGINT) AS ids_sum
-       |FROM ($q152Sql) b
-       |GROUP BY shard
-       |ORDER BY shard""".stripMargin
+  lazy val q155Sql: String = manifestSql(q152Sql, "n_units", "cum_units")
 
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),

@@ -611,18 +611,17 @@ object StreamOps {
       merges: Seq[graft.operators.BpeOps.BpeMerge])(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // cached: both the distinct-vocabulary branch and the join probe
+      // read the tokenized batch — uncached, every micro-batch would
+      // tokenize + explode twice (r10 review); released once the sink
+      // has consumed the readout
       val toks = batch.select(col("doc_id"),
-        explode(graft.text.Text.tokens(col("text"))).as("token"))
-      val mapping = graft.operators.BpeOps.unitMappingOf(
-        toks.select(col("token")).distinct(), merges)
-      sink(toks.join(mapping, "token")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("units")).as("n_units"),
-          sum(length(col("token"))).as("n_chars"))
-        .withColumn("fertility",
-          graft.functions.Num.ratio6(col("n_units"), col("n_chars")))
-        .orderBy(col("doc_id")))
+        explode(graft.text.Text.tokens(col("text"))).as("token")).cache()
+      try {
+        val mapping = graft.operators.BpeOps.unitMappingOf(
+          toks.select(col("token")).distinct(), merges)
+        sink(graft.operators.BpeOps.segmentReadout(toks, mapping))
+      } finally toks.unpersist()
     }
 
   def sessionCounts(events: Dataset[Event]): DataFrame = {

@@ -760,8 +760,11 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(batches(0).toSet === docs.map { case (id, t) => replay(id, t) }.toSet)
     assert(batches(1) === List(replay(oov._1, oov._2)))
     // the OOV token really is out of vocabulary AND really segments —
-    // its unit count must come from the merge replay, not a lookup
-    val corpusToks = docs.flatMap(d => re.findAllIn(d._2.toLowerCase)).toSet
+    // its unit count must come from the merge replay, not a lookup.
+    // Checked against the FULL training corpus (the merges trained on
+    // every doc, not the 40-doc stream sample — r10 review)
+    val corpusToks = Tables.documents(spark, SF).select("text").collect()
+      .flatMap(r => re.findAllIn(r.getString(0).toLowerCase)).toSet
     assert(!corpusToks.contains("zzqv"))
     assert(batches(1).head._3 ===
       (BpeOps.applyMerges("zzqv", merges).length * 2 +
