@@ -254,4 +254,31 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("banded blocking admits a superset of full-pattern blocking on arbitrary corpora") {
+    // the q149 ⊆ q153 contract, generatively: for random small corpora,
+    // every full-pattern candidate pair is a banded candidate pair, and
+    // BOTH variants' emitted pairs satisfy the exact integer cos rule —
+    // with the engine run against the corpus, not a replay
+    import graft.operators.EmbedOps
+    val docGen = Gen.listOfN(14,
+      Gen.listOf(Gen.chooseNum(0, 30).map(i => s"w$i")).map(_.take(25)))
+    samples(docGen, 4).zipWithIndex.foreach { case (texts, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-prop153-$i").toString
+      texts.zipWithIndex
+        .map { case (ts, j) => (j.toLong + 1, "en", "s", ts.mkString(" ")) }
+        .filter(_._4.nonEmpty)
+        .toDF("doc_id", "lang", "source", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val full = EmbedOps.q149(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rows = EmbedOps.q153(spark, tmp).collect()
+      val banded = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full.subsetOf(banded), s"corpus $i: $full ⊄ $banded")
+      rows.foreach(r => assert(r.getDouble(2) >= 0.95, s"corpus $i: $r"))
+      // banded emits no duplicate pair despite the two-band join
+      assert(rows.length === banded.size, s"corpus $i")
+    }
+  }
 }
