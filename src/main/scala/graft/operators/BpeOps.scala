@@ -445,9 +445,72 @@ object BpeOps {
        |ORDER BY fold""".stripMargin
   }
 
+  // --- 157. context chunks in TOKENIZER units (r10) ------------------------
+  /** q129's context chunker re-budgeted in the units a model actually
+    * consumes: a context length is a SUBWORD budget, not a word count —
+    * a doc full of long/rare words fills a context window with far
+    * fewer whitespace tokens. Per doc: tokens in order, each priced by
+    * the trained tokenizer ([[unitMapping]] — zero extra training), and
+    * assigned to the chunk where its running unit total STARTS (the
+    * q83/q152 start-offset rule applied WITHIN the doc, so chunks are
+    * contiguous, non-overlapping, and every chunk but the last starts
+    * under budget). Output: one row per (doc, chunk) with positions,
+    * token/unit masses, and the reassembled text.
+    *
+    * Scale shape: the mapping join is token-keyed (q151's), and the
+    * running sum is a doc-keyed window — the one shuffle context
+    * chunking inherently needs (tokens must serialize per doc), never
+    * a global window. Chunk text reassembles via the array_sort-of-
+    * (pos, token)-structs pattern (collect_list order is
+    * nondeterministic). FULL oracle: the training chain + mapping +
+    * the same per-doc cumulative window. */
+  val ChunkUnitBudget = 64L
+
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.docsWithToks(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks.join(unitMapping(s, dir), "token")
+      .withColumn("cum", sum(col("units")).over(w))
+      .withColumn("chunk_id",
+        expr(s"(cum - units) div ${ChunkUnitBudget}L"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+        count(lit(1)).as("n_tokens"), sum(col("units")).as("n_units"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          f => f.getField("token")), " ").as("text_chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q157Sql: String =
+    s"""$q144Chain,
+       |mapping AS (SELECT replace(w, ' ', '') AS token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds),
+       |tt AS (SELECT doc_id, toks, len(toks) AS n
+       |  FROM (SELECT doc_id, ${Text.toksSql} AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |tk AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, toks[u.pos] AS token
+       |  FROM tt, unnest(generate_series(1, n)) AS u(pos)),
+       |cu AS (SELECT doc_id, pos, token, units,
+       |    CAST(SUM(units) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM tk JOIN mapping USING (token))
+       |SELECT doc_id, CAST((cum - units) // $ChunkUnitBudget AS BIGINT) AS chunk_id,
+       |  MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+       |  COUNT(*) AS n_tokens, CAST(SUM(units) AS BIGINT) AS n_units,
+       |  string_agg(token, ' ' ORDER BY pos) AS text_chunk
+       |FROM cu
+       |GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q144_bpe_train", q144, Some(q144Sql)),
     Op("q147_bpe_apply", q147, Some(q147Sql)),
     Op("q151_bpe_segment", q151, Some(q151Sql)),
-    Op("q156_tokenizer_drift", q156, Some(q156Sql)))
+    Op("q156_tokenizer_drift", q156, Some(q156Sql)),
+    Op("q157_context_chunks_units", q157, Some(q157Sql)))
 }

@@ -160,6 +160,46 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       assert(m.merged.forall(trainChars.contains), m.toString))
   }
 
+  test("q157 unit-budget chunks: local replay, positional partition of each doc") {
+    val merges = BpeOps.train(spark, SF)._1
+    val docs = Tables.documents(spark, SF).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val re = "[a-z0-9]+".r
+    // local replay: per doc, running unit sum → start-offset chunks
+    val expect = docs.flatMap { case (id, text) =>
+      val ts = re.findAllIn(text.toLowerCase).toSeq
+      val units = ts.map(t => BpeOps.applyMerges(t, merges).length.toLong)
+      var cum = 0L
+      val rows = ts.zipWithIndex.map { case (t, i) =>
+        val start = cum; cum += units(i)
+        (start / BpeOps.ChunkUnitBudget, i + 1L, t, units(i))
+      }
+      rows.groupBy(_._1).map { case (cid, rs) =>
+        (id, cid, rs.map(_._2).min, rs.map(_._2).max, rs.length.toLong,
+          rs.map(_._4).sum, rs.map(_._3).mkString(" "))
+      }
+    }.toSet
+    val got = BpeOps.q157(spark, SF).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // a doc's chunks partition its token sequence: in chunk order, each
+    // chunk starts exactly one position after the previous one ends
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val ordered = cs.toSeq.sortBy(_._2)
+      assert(ordered.head._3 === 1L, s"doc $id first chunk start")
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 === a._4 + 1, s"doc $id positional gap")
+          assert(b._2 > a._2, s"doc $id chunk order")
+        case _ => ()
+      }
+    }
+    // the corpus really chunks (some doc exceeds one budget window)
+    assert(got.exists(_._2 > 0))
+  }
+
   test("learned merges re-tokenize tokens to the engine's final vocab") {
     val (merges, engineVocab) = BpeOps.train(spark, SF)
     val byWord = engineVocab.collect()

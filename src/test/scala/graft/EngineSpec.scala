@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 156) // r10: +q152..q156
+    assert(SparkEntry.queries.size === 157) // r10: +q152..q157
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 143) // r10: +q152..q156 (all full)
+    assert(SparkEntry.oracleSql.size === 144) // r10: +q152..q157 (all full)
   }
 
   test("entry flagship runs on sf0.001 with rows") {
