@@ -423,7 +423,11 @@ object BpeOps {
          |      ' ' || replace(m.pair, ' ', '') || ' ')) END AS w
          |  FROM s${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${chainCtes(" WHERE doc_id % 5 <> 0")},
+    // ((x % 5) + 5) % 5 IS pmod: the Scala fold predicate uses
+    // pmod(doc_id, 5), and plain SQL % keeps the sign for negative ids
+    // (r10 ADVICE) — the double-mod form agrees with pmod for ALL ids,
+    // so a negative-id corpus can't silently hash-mismatch
+    s"""WITH ${chainCtes(" WHERE ((doc_id % 5) + 5) % 5 <> 0")},
        |s0 AS (SELECT DISTINCT token,
        |    array_to_string([token[i] FOR i IN range(1, len(token)+1)], ' ') AS w
        |  FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)),
@@ -431,7 +435,7 @@ object BpeOps {
        |map156 AS (SELECT token,
        |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM s$Rounds),
        |folds AS (
-       |  SELECT (doc_id % 5 <> 0) AS is_train,
+       |  SELECT (((doc_id % 5) + 5) % 5 <> 0) AS is_train,
        |    COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
        |    CAST(SUM(units) AS BIGINT) AS n_units,
        |    CAST(SUM(len(token)) AS BIGINT) AS n_chars
@@ -466,14 +470,16 @@ object BpeOps {
     * the same per-doc cumulative window. */
   val ChunkUnitBudget = 64L
 
-  def q157(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc chunking aggregate over (doc_id, pos, token) rows and a
+    * (token → units) mapping — ONE definition behind q157's batch
+    * chunker and the streaming serve path ([[graft.streaming.StreamOps
+    * .chunkServe]]), the [[segmentReadout]] rule applied to chunking:
+    * stream ≡ batch holds by construction, not just by the spec. */
+  private[graft] def chunkReadout(toks: DataFrame,
+      mapping: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextOps.docsWithToks(s, dir)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "token")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        col("token"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks.join(unitMapping(s, dir), "token")
+    toks.join(mapping, "token")
       .withColumn("cum", sum(col("units")).over(w))
       .withColumn("chunk_id",
         expr(s"(cum - units) div ${ChunkUnitBudget}L"))
@@ -483,29 +489,85 @@ object BpeOps {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("token")))),
           f => f.getField("token")), " ").as("text_chunk"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** The corpus chunk relation under the trained tokenizer — memoized
+    * per (family run, dir) because THREE consumers read it (q157's
+    * registered readout, q158's sequence pack, q159's manifest via the
+    * pack memo); the tfidf_feats treatment. One corpus pass + the
+    * doc-keyed window, built once per family run. */
+  private[graft] def chunkRelation(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("bpe_chunks", dir) {
+      val toks = TextOps.docsWithToks(s, dir)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "token")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("token"))
+      chunkReadout(toks, unitMapping(s, dir))
+    }
+
+  def q157(s: SparkSession, dir: String): DataFrame =
+    chunkRelation(s, dir).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The chunk relation as spliceable CTEs (fresh c-prefixed names —
+    * no collisions with the q120 pipeline chains or [[chainCtesSql]]),
+    * ending in `chunks(doc_id, chunk_id, start_pos, end_pos, n_tokens,
+    * n_units, text_chunk)` — ONE builder behind [[q157Sql]] and the
+    * q158/q159 sequence-pack oracles, so the chunking rule cannot
+    * drift between the readout and its pack. */
+  private[operators] lazy val chunkCtesSql: String =
+    s"""cmap AS (SELECT replace(w, ' ', '') AS token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds),
+       |ctt AS (SELECT doc_id, toks, len(toks) AS n
+       |  FROM (SELECT doc_id, ${Text.toksSql} AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |ctk AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, toks[u.pos] AS token
+       |  FROM ctt, unnest(generate_series(1, n)) AS u(pos)),
+       |ccu AS (SELECT doc_id, pos, token, units,
+       |    CAST(SUM(units) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM ctk JOIN cmap USING (token)),
+       |chunks AS (
+       |  SELECT doc_id, CAST((cum - units) // $ChunkUnitBudget AS BIGINT) AS chunk_id,
+       |    MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+       |    COUNT(*) AS n_tokens, CAST(SUM(units) AS BIGINT) AS n_units,
+       |    string_agg(token, ' ' ORDER BY pos) AS text_chunk
+       |  FROM ccu GROUP BY doc_id, chunk_id)""".stripMargin
 
   val q157Sql: String =
     s"""$q144Chain,
-       |mapping AS (SELECT replace(w, ' ', '') AS token,
-       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds),
-       |tt AS (SELECT doc_id, toks, len(toks) AS n
-       |  FROM (SELECT doc_id, ${Text.toksSql} AS toks FROM documents)
-       |  WHERE len(toks) > 0),
-       |tk AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, toks[u.pos] AS token
-       |  FROM tt, unnest(generate_series(1, n)) AS u(pos)),
-       |cu AS (SELECT doc_id, pos, token, units,
-       |    CAST(SUM(units) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-       |  FROM tk JOIN mapping USING (token))
-       |SELECT doc_id, CAST((cum - units) // $ChunkUnitBudget AS BIGINT) AS chunk_id,
-       |  MIN(pos) AS start_pos, MAX(pos) AS end_pos,
-       |  COUNT(*) AS n_tokens, CAST(SUM(units) AS BIGINT) AS n_units,
-       |  string_agg(token, ' ' ORDER BY pos) AS text_chunk
-       |FROM cu
-       |GROUP BY doc_id, chunk_id
+       |$chunkCtesSql
+       |SELECT doc_id, chunk_id, start_pos, end_pos, n_tokens, n_units,
+       |  text_chunk
+       |FROM chunks
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --- restartable training: snapshot + resume (r10 VERDICT #4) -----------
+  /** Resume training from a persisted merge-table SNAPSHOT for
+    * `extraRounds` more rounds — bit-identical to an uninterrupted
+    * `train(rounds + extraRounds)` on the same corpus (the pagerankFrom
+    * resume contract, applied to the tokenizer trainer: a 100 TB
+    * tokenizer train is exactly the job that gets preempted). The
+    * snapshot is the merge table itself (≤ rounds rows — the artifact a
+    * checkpoint would persist); resume re-APPLIES it in round order over
+    * a fresh word-count relation (one corpus pass, deterministic
+    * replay, zero pair-aggregate rounds — the [[replayVocab]] rule) and
+    * the round loop continues where the snapshot stopped. Equivalence
+    * is structural: after replaying rounds 1..k, the vocab relation is
+    * value-identical to the uninterrupted trainer's state entering
+    * round k+1, and each subsequent argmax reads only that state
+    * (BpeSpec pins byte-equal merge tables and vocab). */
+  def trainFrom(s: SparkSession, dir: String, snapshot: Seq[BpeMerge],
+      extraRounds: Int): (Seq[BpeMerge], DataFrame) = {
+    val done = snapshot.sortBy(_.round)
+    require(done.map(_.round) == (1 to done.size),
+      s"trainFrom: snapshot rounds must be contiguous from 1, got " +
+        done.map(_.round).mkString("[", ",", "]"))
+    val resumedVocab = done.foldLeft(wordCounts(s, dir)) { (v, m) =>
+      applyMerge(v, m.pair)
+    }
+    val (more, vocab) = trainOn(resumedVocab, extraRounds)
+    (done ++ more.map(m => m.copy(round = m.round + done.size)), vocab)
+  }
 
   def ops: Seq[Op] = Seq(
     Op("q144_bpe_train", q144, Some(q144Sql)),

@@ -47,14 +47,22 @@ object EmbedOps {
     when(conv(substring(md5(concat(token, lit("#"), dim.cast("string"))),
       1, 15), 16, 10).cast("long") % 2 === 1, 1L).otherwise(-1L)
 
-  // --- 145. embedding trainer (signed-hash projection) --------------------
-  def q145(s: SparkSession, dir: String): DataFrame =
-    TextOps.docsWithToks(s, dir)
+  /** The signed-hash projection at an arbitrary width over an arbitrary
+    * `(doc_id, toks)` relation — [[q145]] is this at ([[Dim]], the
+    * corpus); EmbedSpec runs the production profile (Dim = 16) through
+    * the same definition (r10 VERDICT #5: the width knob must be
+    * exercised, not just documented). */
+  private[graft] def componentsOf(docs: DataFrame, dim: Int): DataFrame =
+    docs
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .select(col("doc_id"), col("token"),
-        explode(sequence(lit(0), lit(Dim - 1))).as("dim"))
+        explode(sequence(lit(0), lit(dim - 1))).as("dim"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(sgn(col("token"), col("dim"))).as("value"))
+
+  // --- 145. embedding trainer (signed-hash projection) --------------------
+  def q145(s: SparkSession, dir: String): DataFrame =
+    componentsOf(TextOps.docsWithToks(s, dir), Dim)
       .orderBy(col("doc_id"), col("dim"))
 
   val q145Sql: String =
@@ -155,9 +163,16 @@ object EmbedOps {
     * candidate re-joins) — uncached, the tokenize→component→assemble
     * pipeline would run once per side per action. Doc-row-sized (Dim
     * longs + two scalars per doc); family-group cache lifecycle. */
-  private def componentRelation(s: SparkSession, dir: String): DataFrame = {
+  private def componentRelation(s: SparkSession, dir: String): DataFrame =
+    vRelationOf(componentsOf(TextOps.docsWithToks(s, dir), Dim)).cache()
+
+  /** (doc_id, vec, n2, bucket) assembled from a component relation —
+    * width-generic (the bucket is one bit per component, whatever the
+    * width); shared by the registered Dim = 8 path and EmbedSpec's
+    * production-profile run. */
+  private[graft] def vRelationOf(comps: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    q145(s, dir)
+    comps
       .groupBy(col("doc_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("value")))),
@@ -165,12 +180,12 @@ object EmbedOps {
         sum((col("value") * col("value")).cast(DecimalType(38, 0))).as("n2"),
         sum(when(col("value") >= 0,
           expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as("bucket"))
-      .cache()
   }
 
-  /** `comp`/`v` CTE pair — the SQL twin of [[componentRelation]],
-    * the shared prefix of [[q149Sql]] and [[q153Sql]]. */
-  private val compVCtesSql: String =
+  /** The `comp` CTE — the SQL twin of [[componentsOf]] at [[Dim]];
+    * shared by the dedup oracles' `v` assembly and the trained-index
+    * oracle's `embeddings` shadow ([[trainedEmbCtesSql]]). */
+  private val compCteSql: String =
     s"""comp AS (
        |  SELECT doc_id, dim,
        |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(token || '#' ||
@@ -178,11 +193,56 @@ object EmbedOps {
        |      THEN 1 ELSE -1 END) AS BIGINT) AS value
        |  FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents) t
        |  CROSS JOIN (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS dim) d
-       |  GROUP BY doc_id, dim),
+       |  GROUP BY doc_id, dim)""".stripMargin
+
+  /** `comp`/`v` CTE pair — the SQL twin of [[componentRelation]],
+    * the shared prefix of [[q149Sql]] and [[q153Sql]]. */
+  private val compVCtesSql: String =
+    s"""$compCteSql,
        |v AS (
        |  SELECT doc_id, list(value ORDER BY dim) AS vec,
        |    SUM(CAST(value AS HUGEINT) * value) AS n2,
        |    SUM(CASE WHEN value >= 0 THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS bucket
+       |  FROM comp GROUP BY doc_id)""".stripMargin
+
+  // --- trained vectors in the embeddings-table shape + IVF label ----------
+  /** IVF coarse label for a TRAINED vector: its low [[TrainedLabelBits]]
+    * sign bits (the q153 banding rationale as a coarse quantizer —
+    * sign-similar vectors point the same way, so they make a coherent
+    * cell for per-cell centroid means). Deterministic and replayable on
+    * any engine, so the persisted-index oracle can shadow the
+    * `embeddings` table with this relation verbatim. */
+  private[operators] val TrainedLabelBits = 4
+
+  /** `(vec_id, embedding, label)` — [[trainedVectors]] plus the coarse
+    * label, the exact shape [[graft.operators.SimOps]]'s IVF+PQ
+    * machinery expects of the `embeddings` table (q160's corpus: the
+    * train→index→serve seam closed over PRODUCED vectors). */
+  private[operators] def trainedEmbTable(s: SparkSession, dir: String): DataFrame =
+    componentsOf(TextOps.docsWithToks(s, dir), Dim)
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+          f => f.getField("value").cast("float")).as("embedding"),
+        sum(when(col("value") >= 0 && col("dim") < TrainedLabelBits,
+          expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L))
+          .cast("int").as("label"))
+      .select(col("doc_id").as("vec_id"), col("embedding"), col("label"))
+
+  /** [[trainedEmbTable]] as spliceable CTEs ending in a CTE NAMED
+    * `embeddings` — prepended to the persisted-index oracle, the CTE
+    * SHADOWS the `embeddings` view (standard SQL scoping), so q105's
+    * entire frozen-model encode/probe replay runs over the trained
+    * vectors without touching a line of it. MATERIALIZED: the shadow is
+    * referenced once per pipeline stage (norms, encode, LUT, rerank) —
+    * inlined, the whole training aggregate would re-expand per stage. */
+  private[operators] lazy val trainedEmbCtesSql: String =
+    s"""$compCteSql,
+       |embeddings AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id,
+       |    list(CAST(value AS FLOAT) ORDER BY dim) AS embedding,
+       |    CAST(SUM(CASE WHEN value >= 0 AND dim < $TrainedLabelBits
+       |      THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS INTEGER) AS label
        |  FROM comp GROUP BY doc_id)""".stripMargin
 
   def q149(s: SparkSession, dir: String): DataFrame = {
@@ -242,18 +302,29 @@ object EmbedOps {
   val Bands = 2
   val BandBits = Dim / Bands
 
-  def q153(s: SparkSession, dir: String): DataFrame = {
-    val v = componentRelation(s, dir)
+  /** The banded candidate set over an assembled component relation at a
+    * given (width, bands) profile — pre-verify, DISTINCT-ed on the id
+    * pair. Exposed so EmbedSpec can run the PRODUCTION profile
+    * (Dim = 16, 4×4-bit bands) through the registered rule and pin the
+    * candidate-volume bound Σ_band Σ_bucket n_b² (r10 VERDICT #5). */
+  private[graft] def bandedCandidatesOf(v: DataFrame, dim: Int,
+      bands: Int): DataFrame = {
+    val bandBits = dim / bands
     val banded = v.select(col("doc_id"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("bucket"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("bucket"))
       .select(col("doc_id"), col("band"),
-        expr(s"shiftright(bucket, band * $BandBits) & ${(1L << BandBits) - 1}")
+        expr(s"shiftright(bucket, band * $bandBits) & ${(1L << bandBits) - 1}")
           .as("bkey"))
-    val cand = banded.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+    banded.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** The integer-exact cos ≥ 0.95 verify over a candidate pair set —
+    * the q149/q153 shared tail, width-generic. */
+  private[graft] def verifiedPairsOf(cand: DataFrame, v: DataFrame): DataFrame =
     cand
       .join(v.select(col("doc_id").as("id_a"), col("vec").as("va"),
         col("n2").as("na2")), Seq("id_a"))
@@ -268,6 +339,10 @@ object EmbedOps {
         (col("dot").cast("double") /
           sqrt(col("na2").cast("double") * col("nb2").cast("double"))).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
+
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val v = componentRelation(s, dir)
+    verifiedPairsOf(bandedCandidatesOf(v, Dim, Bands), v)
   }
 
   val q153Sql: String =

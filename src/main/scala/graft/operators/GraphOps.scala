@@ -703,17 +703,24 @@ object GraphOps {
   // covers the FULL pair set (a final-ranks readout), q154's the BASE
   // split (the delta update's state), so they are separate tables
   private val persKeys =
-    scala.collection.mutable.Map.empty[String, (String, String)]
+    scala.collection.mutable.Map.empty[String, (String, String, String)]
 
   /** Build + persist a personalized rank history table over `pairs` for
     * (dir, policy) unless the live artifact already describes it — the
     * q126 standing-artifact pattern verbatim: partitioned by round `t`,
     * one pruned partition per readback, history build paid once per
     * (corpus snapshot, policy). Shared by q111 (full graph) and q154
-    * (base split). */
+    * (base split).
+    *
+    * `pairsTag` names the EDGE-SET DEFINITION and is part of the
+    * identity key (r10 ADVICE): the `pairs` DataFrame itself can't be
+    * hashed cheaply, so each caller declares which pair set its table
+    * holds — a caller reusing a table name with a different edge set
+    * misses the key and rebuilds instead of silently reading the stale
+    * artifact. */
   private def ensurePersonalizedHist(s: SparkSession, dir: String,
-      table: String, pairs: DataFrame): Unit = {
-    val key = (dir, teleportPolicyHash)
+      table: String, pairsTag: String, pairs: DataFrame): Unit = {
+    val key = (dir, teleportPolicyHash, pairsTag)
     if (!persKeys.get(table).contains(key) || !s.catalog.tableExists(table)) {
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_$table-${s.sparkContext.applicationId}")
@@ -733,7 +740,7 @@ object GraphOps {
   }
 
   private[graft] def q111Ensure(s: SparkSession, dir: String): Unit =
-    ensurePersonalizedHist(s, dir, "g111_hist",
+    ensurePersonalizedHist(s, dir, "g111_hist", "pairs50_full",
       DedupOps.pairs50(s, dir).select(col("id_a"), col("id_b")))
 
   /** Personalized PageRank as a STANDING-ARTIFACT readout: ensure the
@@ -878,7 +885,7 @@ object GraphOps {
 
   private[graft] def q154Ensure(s: SparkSession, dir: String,
       basePairs: DataFrame): Unit =
-    ensurePersonalizedHist(s, dir, "g154_hist", basePairs)
+    ensurePersonalizedHist(s, dir, "g154_hist", "pairs50_base_split", basePairs)
 
   /** The persisted personalized base history, column-normalized for the
     * delta fold (partition column `t` comes back last from the catalog). */

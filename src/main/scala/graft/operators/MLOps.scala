@@ -377,6 +377,13 @@ object MLOps {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val nTest = test.count()
+      // pre-warm ON THE CALLING THREAD (r10 ADVICE): SharedRelations
+      // documents a load-bearing single-threaded constraint (the build
+      // runs holding the object monitor, nested getOrBuild relies on
+      // reentrancy) — invoking getOrBuild from a worker-pool Future
+      // violated that letter even though no other builder raced it.
+      // Materialized here, the 100% future below is a pure readout.
+      val warmPreds = rosterPreds(s, dir)
       val perFraction = fractions.map { frac =>
         if (frac == 100) Future {
           // the 100% cells ARE q79/q81's setting — READOUTS of the
@@ -385,7 +392,7 @@ object MLOps {
           // exact BY CONSTRUCTION (identical predictions, not merely
           // identically-seeded refits), and neither the featurizer nor
           // the four models refit for this fraction at all.
-          val p = rosterPreds(s, dir)
+          val p = warmPreds
           val nTrain = train.count()
           roster.map { case (name, _) =>
             val scored = p.filter(col("model") === name)

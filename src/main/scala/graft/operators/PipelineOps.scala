@@ -927,28 +927,37 @@ object PipelineOps {
     * packs at zero mass instead of silently dropping from the build. */
   val ShardUnitBudget = 8192L
 
-  def q152(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Num
-    val docs = q114DocsShared(s, dir)
-    val policy = q120PolicyOf(q114PolicyOf(docs))
-      .select(col("lang"), col("rate_micros"))
-    val sampled = docs
-      .join(broadcast(policy), Seq("lang"))
-      .withColumn("u", mixU)
-      .filter(col("u") < col("rate_micros"))
-      .join(BpeOps.docUnits(s, dir), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        Num.ratio6(lit(1000000L), col("rate_micros")).as("weight"),
-        coalesce(col("n_units"), lit(0L)).as("n_units"),
-        conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long").as("bkey"))
-    graft.functions.PrefixSum
-      .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_units", "cum_units")
-      .select(col("doc_id"), col("lang"), col("weight"), col("n_units"),
-        col("cum_units"),
-        expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
-      .orderBy(col("doc_id"))
-  }
+  /** The subword-packed build, memoized per (family run, dir) — THREE
+    * consumers read it (q152's registered readout, q155's manifest,
+    * q158's sampled membership), and before the memo q155 re-ran the
+    * whole q152 plan (r10 VERDICT #7: manifest-after-pack should be a
+    * readout). The tfidf_feats treatment: one build per family run,
+    * every consumer gets the same materialized relation. */
+  private def packedBuild(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("subword_pack", dir) {
+      import graft.functions.Num
+      val docs = q114DocsShared(s, dir)
+      val policy = q120PolicyOf(q114PolicyOf(docs))
+        .select(col("lang"), col("rate_micros"))
+      val sampled = docs
+        .join(broadcast(policy), Seq("lang"))
+        .withColumn("u", mixU)
+        .filter(col("u") < col("rate_micros"))
+        .join(BpeOps.docUnits(s, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          Num.ratio6(lit(1000000L), col("rate_micros")).as("weight"),
+          coalesce(col("n_units"), lit(0L)).as("n_units"),
+          conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
+            .cast("long").as("bkey"))
+      graft.functions.PrefixSum
+        .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_units", "cum_units")
+        .select(col("doc_id"), col("lang"), col("weight"), col("n_units"),
+          col("cum_units"),
+          expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+    }
+
+  def q152(s: SparkSession, dir: String): DataFrame =
+    packedBuild(s, dir).orderBy(col("doc_id"))
 
   /** FULL oracle: the q120 fixpoint chain + the q144 training chain
     * spliced into one `WITH RECURSIVE` scope (disjoint CTE names — see
@@ -977,6 +986,77 @@ object PipelineOps {
        |FROM c
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --- 158. sequence-level shard packing (r10 VERDICT #1) -------------------
+  /** The capstone a pretraining LOADER actually consumes: [[q152]] packs
+    * whole DOCS under the unit budget and q157 cuts docs into
+    * fixed-budget context CHUNKS — this op packs the CHUNKS (sequences).
+    * Membership is [[q152]]'s mixture-sampled set BY CONSTRUCTION (the
+    * sampled (doc_id, lang) pairs are read from the family's one
+    * memoized packed build), each member doc's chunk rows come from the
+    * tokenizer family's one chunk relation ([[BpeOps.chunkRelation]]),
+    * and the pack tail is q152's verbatim at chunk granularity: one
+    * exact PrefixSum over `n_units` ordered by the md5 bkey rule on
+    * (doc, chunk), shard = the START-offset rule under
+    * [[ShardUnitBudget]]. Every chunk's units are ≤ChunkUnitBudget +
+    * (one token's units − 1) < ShardUnitBudget, so shard masses stay
+    * budget-bounded (PipelineSpec pins both), and a doc reassembles
+    * losslessly across shards by (doc_id, chunk_id) order.
+    *
+    * Scale shape: two memo readouts + ONE chunk-keyed thin join (the
+    * chunk masses are three int64s per chunk — the text stays in the
+    * chunk relation) + the [[graft.functions.PrefixSum]] two-level scan
+    * (never a global window). A doc whose tokens all miss the tokenizer
+    * snapshot has no chunks and packs nothing — the q152 build carries
+    * it at zero mass; the loader-facing sequence stream is chunks only. */
+  def q158(s: SparkSession, dir: String): DataFrame =
+    sequencePack(s, dir).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The packed sequence build, memoized per (family run, dir) — q158's
+    * registered readout and q159's manifest both consume it (the
+    * [[packedBuild]] treatment, one level up the granularity ladder). */
+  private def sequencePack(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("sequence_pack", dir) {
+      val members = packedBuild(s, dir).select(col("doc_id"), col("lang"))
+      val chunks = BpeOps.chunkRelation(s, dir)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("n_units"))
+      val seqs = members.join(chunks, Seq("doc_id"))
+        .withColumn("bkey",
+          conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
+            col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+      graft.functions.PrefixSum
+        .withRunningSum(seqs, "bkey", Seq("doc_id", "chunk_id"),
+          "n_units", "cum_units")
+        .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
+          col("n_units"), col("cum_units"),
+          expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+    }
+
+  /** FULL oracle: the q120 fixpoint chain + the q144 training chain +
+    * the chunk CTEs ([[BpeOps.chunkCtesSql]]) spliced into one
+    * `WITH RECURSIVE` scope, then the pack tail over (doc, chunk) rows
+    * — the q152Sql composition, one granularity down. */
+  lazy val q158Sql: String =
+    s"""$q120CtesSql,
+       |${BpeOps.chainCtesSql},
+       |${BpeOps.chunkCtesSql},
+       |sseq AS (
+       |  SELECT t.doc_id, t.lang, c.chunk_id, c.n_tokens, c.n_units,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR) || ':' ||
+       |      CAST(c.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM t JOIN fxp p USING (lang)
+       |  JOIN chunks c ON t.doc_id = c.doc_id
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |cseq AS (
+       |  SELECT doc_id, chunk_id, lang, n_tokens, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
+       |  FROM sseq)
+       |SELECT doc_id, chunk_id, lang, n_tokens, n_units, cum_units,
+       |  CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |FROM cseq
+       |ORDER BY doc_id, chunk_id""".stripMargin
 
   // --- 121. DSIR-style importance selection (r5) ---------------------------
   /** Data selection via importance weighting on HASHED n-gram features
@@ -1287,9 +1367,51 @@ object PipelineOps {
     * boundaries. Scale shape: q152's plans + one map-side-combined
     * groupBy(shard). */
   def q155(s: SparkSession, dir: String): DataFrame =
-    manifestOf(q152(s, dir), "n_units", "cum_units")
+    manifestOf(packedBuild(s, dir), "n_units", "cum_units")
 
   lazy val q155Sql: String = manifestSql(q152Sql, "n_units", "cum_units")
+
+  // --- 159. shard MANIFEST over the SEQUENCE build (r10 VERDICT #2) --------
+  /** The loader-facing manifest at sequence granularity: one row per
+    * shard of [[q158]]'s chunk pack — sequence count, distinct docs and
+    * languages, unit mass, end offset in the global unit stream, and
+    * the SAME order-independent 40-bit doc fingerprint as q131/q155,
+    * attributed to the shard holding the doc's FIRST chunk (chunk 0 —
+    * the start-offset rule at manifest level), so each member doc is
+    * fingerprinted exactly once across the manifest. The q131 → q155 →
+    * q159 TRIPLE is the full budget-migration validation contract:
+    * identical ids_sum totals (same mixture membership, modulo docs
+    * with zero tokenizer units, which pack at zero mass in q155 and
+    * have no chunks here — PipelineSpec reconciles the difference
+    * exactly), boundaries moving doc→unit→sequence. Scale shape:
+    * q158's memo + one map-side-combined groupBy(shard). */
+  def q159(s: SparkSession, dir: String): DataFrame =
+    sequencePack(s, dir)
+      .withColumn("sid",
+        conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long") % 1099511627776L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_units")).as("n_units"),
+        max(col("cum_units")).as("end_offset"),
+        sum(when(col("chunk_id") === 0, col("sid")).otherwise(lit(0L)))
+          .as("ids_sum"))
+      .orderBy(col("shard"))
+
+  lazy val q159Sql: String =
+    s"""SELECT shard, COUNT(*) AS n_seqs,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  CAST(SUM(n_units) AS BIGINT) AS n_units,
+       |  MAX(cum_units) AS end_offset,
+       |  CAST(SUM(CASE WHEN chunk_id = 0 THEN
+       |    CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1099511627776 ELSE 0 END) AS BIGINT) AS ids_sum
+       |FROM ($q158Sql) b
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
@@ -1312,6 +1434,8 @@ object PipelineOps {
     Op("q129_context_chunks", q129, Some(q129Sql)),
     Op("q131_shard_manifest", q131, Some(q131Sql)),
     Op("q155_subword_manifest", q155, Some(q155Sql)),
+    Op("q158_sequence_pack", q158, Some(q158Sql)),
+    Op("q159_sequence_manifest", q159, Some(q159Sql)),
     Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )
 

@@ -1075,6 +1075,56 @@ object SimOps {
         "$1 AS MATERIALIZED (")
   }
 
+  // --- 160. persisted IVF+PQ index over TRAINED embeddings (r10) ----------
+  /** [[q105]]'s build-once/query-many artifact closed over PRODUCED
+    * vectors (r10 VERDICT #3): q149/q153 dedup the q145-trained
+    * embeddings, but the persisted index only ever indexed the SHIPPED
+    * embeddings table — the train→index→serve seam was unexercised.
+    * Corpus = [[EmbedOps.trainedEmbTable]] (trained vectors + the
+    * deterministic sign-bit coarse label), artifact machinery =
+    * [[annIndexWrite]]/[[annIndexSearch]] VERBATIM (frozen model,
+    * cell-partitioned payload, static partition pruning, ADC shortlist,
+    * exact rerank — nothing re-implemented), query set = the same
+    * vec_id % 50 bounded-probe contract, FILTERED BEFORE the projection
+    * aggregate (vectors are per-doc, so pruning the corpus pass to the
+    * query docs is exact). FULL oracle: [[EmbedOps.trainedEmbCtesSql]]'s
+    * `embeddings` CTE SHADOWS the table and q105's entire frozen-model
+    * replay runs over it verbatim — the rounded argmin/argmax encode
+    * replays, the q88/q61 precedent. Recall vs brute-over-trained and
+    * probe pruning are spec-pinned (SimilaritySpec). */
+  private var annTrainedDir: Option[String] = None
+
+  private[graft] def q160Base(s: SparkSession): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annindex_trained-${s.sparkContext.applicationId}")
+
+  private[graft] def q160Ensure(s: SparkSession, dir: String): java.io.File = {
+    val base = q160Base(s)
+    if (!annTrainedDir.contains(dir) ||
+        graft.GenManifest.read(base, "vecs").isEmpty) {
+      graft.TempArtifacts.register(base)
+      // cached across the build's three corpus reads (centroids,
+      // codebook, encode); the write is eager, so the unpersist cannot
+      // strand a returned plan (the family-boundary rule's safe case)
+      val corpus = EmbedOps.trainedEmbTable(s, dir).cache()
+      try annIndexWrite(s, base, corpus) finally corpus.unpersist()
+      annTrainedDir = Some(dir)
+    }
+    base
+  }
+
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    val base = q160Ensure(s, dir)
+    val (cellsRow, cbRow) = annIndexModel(s, base)
+    val queries = EmbedOps.trainedEmbTable(s, dir)
+      .filter(col("vec_id") % 50 === 0)
+    annIndexSearch(annIndexVecs(s, base),
+      probeCells(withNorm(queries), cellsRow, IdxNProbe), cbRow, IdxK)
+  }
+
+  lazy val q160Sql: String =
+    s"WITH ${EmbedOps.trainedEmbCtesSql},\n" + q105Sql.stripPrefix("WITH ")
+
   val ops: Seq[Op] = Seq(
     Op("q53_knn_brute", q53, Some(q53Sql)),
     Op("q54_ann_lsh", q54, Some(q54Sql)),
@@ -1084,5 +1134,6 @@ object SimOps {
     Op("q84_embed_quantize", q84, Some(q84Sql)),
     Op("q88_ann_pq", q88, Some(q88Sql)),
     Op("q105_ann_index", q105, Some(q105Sql)),
+    Op("q160_ann_index_trained", q160, Some(q160Sql)),
   )
 }

@@ -624,6 +624,41 @@ object StreamOps {
       } finally toks.unpersist()
     }
 
+  /** Streaming context CHUNKING with a SHIPPED tokenizer — q157's
+    * readout at the arrival seam (r10 VERDICT #8): each micro-batch of
+    * (doc_id, text) docs explodes to POSITIONED tokens, prices them by
+    * replaying the trained merge table over the batch's own distinct
+    * vocabulary ([[graft.operators.BpeOps.unitMappingOf]] — the
+    * [[segmentServe]] OOV rule: merges fire where they apply, character
+    * fallback where they don't), and cuts each doc into fixed-budget
+    * chunks through the SAME aggregate the batch op runs
+    * ([[graft.operators.BpeOps.chunkReadout]]) — stream ≡ batch by
+    * construction. Chunking is per-doc (the start-offset rule runs
+    * inside a doc-keyed window), so a doc chunked in the batch it
+    * arrived in is chunked forever: zero stream state, stateless
+    * per-batch transform, the q157 semantics exactly
+    * (StreamingSpec pins union-over-batches ≡ batch, incl. an OOV
+    * arrival). Per-batch cost: Rounds broadcast-literal replaces over
+    * the batch vocabulary + one batch-sized join + the doc-keyed
+    * window. */
+  def chunkServe(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // cached: the distinct-vocabulary branch and the join probe both
+      // read the positioned tokens (the segmentServe lifecycle)
+      val toks = batch.select(col("doc_id"),
+          posexplode(graft.text.Text.tokens(col("text")))
+            .as(Seq("pos0", "token")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("token")).cache()
+      try {
+        val mapping = graft.operators.BpeOps.unitMappingOf(
+          toks.select(col("token")).distinct(), merges)
+        sink(graft.operators.BpeOps.chunkReadout(toks, mapping))
+      } finally toks.unpersist()
+    }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events
