@@ -218,7 +218,7 @@ object EmbedOps {
     * label, the exact shape [[graft.operators.SimOps]]'s IVF+PQ
     * machinery expects of the `embeddings` table (q160's corpus: the
     * train→index→serve seam closed over PRODUCED vectors). */
-  private[operators] def trainedEmbTable(s: SparkSession, dir: String): DataFrame =
+  private[graft] def trainedEmbTable(s: SparkSession, dir: String): DataFrame =
     componentsOf(TextOps.docsWithToks(s, dir), Dim)
       .groupBy(col("doc_id"))
       .agg(

@@ -200,6 +200,33 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(got.exists(_._2 > 0))
   }
 
+  test("trainFrom: snapshot at 4 + resume 4 ≡ uninterrupted train 8, byte-equal") {
+    // r10 VERDICT #4 — the pagerankFrom resume contract for the BPE
+    // trainer: persist the merge table mid-train, resume from it, and
+    // the merge table AND final vocab must be bit-identical to an
+    // uninterrupted run of the full budget (a 100 TB tokenizer train is
+    // exactly the job that gets preempted).
+    val straight = BpeOps.train(spark, SF, BpeOps.Rounds)
+    val snapshot = BpeOps.train(spark, SF, 4)._1
+    assert(snapshot.length === 4)
+    val resumed = BpeOps.trainFrom(spark, SF, snapshot,
+      BpeOps.Rounds - 4)
+    assert(resumed._1 === straight._1)
+    val vs = straight._2.collect().map(r => (r.getString(0), r.getLong(1)))
+    val vr = resumed._2.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vr.sorted === vs.sorted)
+    // snapshot order is part of the contract: a shuffled snapshot
+    // replays identically (rounds are re-sorted), a gapped one is a
+    // named error instead of silent divergence
+    val shuffled = BpeOps.trainFrom(spark, SF,
+      scala.util.Random.shuffle(snapshot), BpeOps.Rounds - 4)
+    assert(shuffled._1 === straight._1)
+    val bad = intercept[IllegalArgumentException] {
+      BpeOps.trainFrom(spark, SF, snapshot.drop(1), 1)
+    }
+    assert(bad.getMessage.contains("contiguous"))
+  }
+
   test("learned merges re-tokenize tokens to the engine's final vocab") {
     val (merges, engineVocab) = BpeOps.train(spark, SF)
     val byWord = engineVocab.collect()

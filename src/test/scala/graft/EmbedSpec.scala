@@ -140,6 +140,68 @@ class EmbedSpec extends AnyFunSuite with SharedSpark {
     assert(banded.contains((1L, 2L)), "q153's surviving band must catch it")
   }
 
+  test("banded blocking at the production profile: Dim=16, 4×4-bit bands — volume bounded, recall holds") {
+    // r10 VERDICT #5: the registered q153 runs at toy constants (Dim=8,
+    // 2×4-bit bands); the documented production knobs (Dim≥16,
+    // BandBits≈Dim/Bands) existed only in prose. Run the SAME generic
+    // machinery at Dim=16 / 4 bands on a generated corpus and pin the
+    // measured trade: (a) candidate volume ≤ Σ_band Σ_bucket n_b², and
+    // (b) seeded near-dup recall at the production profile ≥ the Dim=8
+    // profile's on the same pairs.
+    import spark.implicits._
+    val pool = (0 until 300).map(i => s"tok$i")
+    // 8 seeded near-dup pairs (one extra token — the boundary class) +
+    // 60 deterministic filler docs, all from the same token pool
+    val pairTexts = (0 until 8).flatMap { i =>
+      val base = (0 until 30).map(j => pool((i * 31 + j * 7) % 300))
+        .flatMap(t => Seq.fill(4)(t)).mkString(" ")
+      val extra = pool((i * 13 + 5) % 300)
+      Seq((2L * i, base), (2L * i + 1, base + " " + extra))
+    }
+    val fillers = (0 until 60).map { i =>
+      (100L + i, (0 until 40).map(j => pool((i * 7 + j * 11 + 3) % 300))
+        .mkString(" "))
+    }
+    val docs = (pairTexts ++ fillers).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+      .cache()
+    val seeded = (0 until 8).map(i => (2L * i, 2L * i + 1)).toSet
+    def runProfile(dim: Int, bands: Int): (Set[(Long, Long)], Long, Long) = {
+      val v = EmbedOps.vRelationOf(EmbedOps.componentsOf(docs, dim)).cache()
+      try {
+        val cand = EmbedOps.bandedCandidatesOf(v, dim, bands)
+        val nCand = cand.count()
+        val verified = EmbedOps.verifiedPairsOf(cand, v).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // the documented volume bound, measured: per band, bucket keys
+        // from the assembled sign patterns, Σ over buckets of n_b²
+        val bandBits = dim / bands
+        val buckets = v.select(col("doc_id"), col("bucket")).collect()
+          .map(_.getLong(1))
+        val bound = (0 until bands).map { bd =>
+          buckets.groupBy(b => (b >> (bd * bandBits)) & ((1L << bandBits) - 1))
+            .values.map(g => g.length.toLong * g.length).sum
+        }.sum
+        (verified, nCand, bound)
+      } finally { v.unpersist(); () }
+    }
+    val (got16, cand16, bound16) = runProfile(16, 4)
+    val (got8, _, _) = runProfile(8, 2)
+    docs.unpersist()
+    // (a) the candidate volume respects the documented Σ n_b² bound —
+    // and genuinely BLOCKS (strictly under the all-pairs count)
+    assert(cand16 <= bound16, s"cand $cand16 vs bound $bound16")
+    val n = pairTexts.length + fillers.length
+    assert(cand16 < n.toLong * (n - 1) / 2, "banding must beat all-pairs")
+    // (b) recall on the seeded boundary pairs: the production profile
+    // loses nothing vs the registered one (finer hyperplane resolution,
+    // more OR-chances to agree)
+    val recall16 = seeded.count(got16.contains)
+    val recall8 = seeded.count(got8.contains)
+    assert(recall16 >= recall8, s"recall16 $recall16 < recall8 $recall8")
+    assert(recall16 === seeded.size, "a seeded near-identical pair was lost")
+  }
+
   test("q148 partitioned fit: numPartitions=1 is a determinism knob, not a quality one") {
     // r9 VERDICT #4: prove quality survives a PARTITIONED skip-gram fit.
     // Components differ at numPartitions=4 (update order changes), but

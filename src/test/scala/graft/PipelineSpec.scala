@@ -341,6 +341,114 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       got.values.map(_._5).sum)
   }
 
+  test("q158 sequence pack: q152 membership, q157 chunk masses, start-offset shards") {
+    val rows = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("cum_units"), r.getAs[Long]("shard")))
+    // membership: exactly q152's sampled docs that chunk at all (zero-
+    // unit members pack at zero mass in q152 and have no chunks here)
+    val m152 = PipelineOps.q152(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_units")).toMap
+    assert(rows.map(_._1).toSet === m152.filter(_._2 > 0).keySet)
+    // the packed sequences ARE q157's chunks, masses untouched: for
+    // every member doc, its (chunk_id, n_tokens, n_units) rows equal
+    // the chunk relation's, and the per-doc unit mass reconciles with
+    // q152's doc-granularity pack EXACTLY
+    val chunks = operators.BpeOps.q157(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_units")))).toMap
+    rows.foreach { case (id, cid, nt, nu, _, _) =>
+      assert(chunks((id, cid)) === ((nt, nu)), s"doc $id chunk $cid") }
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._4).sum === m152(id), s"doc $id unit mass")
+      // chunk ids are contiguous from 0 and each chunk's START offset
+      // obeys the unit-budget rule (the start-offset chunking contract)
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (0L until cs.length).toSeq,
+        s"doc $id chunk contiguity")
+      var start = 0L
+      ordered.foreach { case (_, cid, _, nu, _, _) =>
+        assert(cid === start / operators.BpeOps.ChunkUnitBudget,
+          s"doc $id chunk $cid start offset")
+        start += nu
+      }
+    }
+    // pack tail ≡ q152's rule at (doc, chunk) granularity: exact cumsum
+    // in md5-bkey order, shard = start offset over the unit budget
+    def bkey(id: Long, cid: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ord:$id:$cid".getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ordered = rows.sortBy { case (id, cid, _, _, _, _) =>
+      (bkey(id, cid), id, cid) }
+    var cum = 0L
+    ordered.foreach { case (id, cid, _, nu, gotCum, gotShard) =>
+      assert(gotShard === cum / PipelineOps.ShardUnitBudget,
+        s"doc $id chunk $cid shard")
+      cum += nu
+      assert(gotCum === cum, s"doc $id chunk $cid cumsum")
+    }
+    // shard masses are budget-bounded: every shard's start is on the
+    // budget grid, so its mass ≤ budget + (its last chunk's mass − 1)
+    val maxChunk = rows.map(_._4).max
+    rows.groupBy(_._6).values.foreach { ss =>
+      assert(ss.map(_._4).sum <= PipelineOps.ShardUnitBudget + maxChunk - 1)
+    }
+    assert(rows.map(_._6).distinct.length > 1)
+    // sequences genuinely split docs across shard boundaries (the
+    // doc-pack can't express this — the point of packing chunks)
+    assert(rows.groupBy(_._1).values.exists(cs => cs.map(_._6).distinct.length > 1),
+      "no doc spans a shard boundary — corpus too small for the contract")
+  }
+
+  test("q159 sequence manifest ≡ driver replay; q131/q155/q159 migration triple reconciles") {
+    val build = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("lang"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("cum_units"), r.getAs[Long]("shard")))
+    def sid(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sid:$id".getBytes("UTF-8"))
+      (BigInt(md.map("%02x".format(_)).mkString.take(15), 16) %
+        1099511627776L).toLong
+    }
+    val expect = build.groupBy(_._6).map { case (shard, rs) =>
+      shard -> ((rs.length.toLong, rs.map(_._1).distinct.length.toLong,
+        rs.map(_._3).distinct.length.toLong, rs.map(_._4).sum,
+        rs.map(_._5).max, rs.filter(_._2 == 0L).map(r => sid(r._1)).sum))
+    }
+    val got = PipelineOps.q159(spark, SF).collect().map(r =>
+      r.getAs[Long]("shard") -> ((r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+        r.getAs[Long]("n_units"), r.getAs[Long]("end_offset"),
+        r.getAs[Long]("ids_sum")))).toMap
+    assert(got === expect)
+    // THE MIGRATION TRIPLE (r10 VERDICT #2): q131 (docs by whitespace
+    // tokens) → q155 (docs by subword units) → q159 (sequences by
+    // subword units) fingerprint the SAME mixture membership — ids_sum
+    // totals reconcile EXACTLY, with q159 short only the zero-unit
+    // members (they have no chunks to fingerprint), and the unit mass
+    // carried by q155 equals q159's (chunking conserves units).
+    val q131Tot = PipelineOps.q131(spark, SF).collect()
+      .map(_.getAs[Long]("ids_sum")).sum
+    val q155Rows = PipelineOps.q155(spark, SF).collect()
+    val q155Tot = q155Rows.map(_.getAs[Long]("ids_sum")).sum
+    val zeroUnitSids = PipelineOps.q152(spark, SF).collect()
+      .filter(_.getAs[Long]("n_units") == 0L)
+      .map(r => sid(r.getAs[Long]("doc_id"))).sum
+    val q159Tot = got.values.map(_._6).sum
+    assert(q131Tot === q155Tot)
+    assert(q155Tot === q159Tot + zeroUnitSids)
+    assert(q155Rows.map(_.getAs[Long]("n_units")).sum ===
+      got.values.map(_._4).sum)
+    // boundaries genuinely moved down the granularity ladder: the
+    // sequence build splits at least one doc across shards, which the
+    // doc-granularity manifests cannot represent
+    assert(build.groupBy(_._1).values.exists(cs => cs.map(_._6).distinct.length > 1))
+  }
+
   test("q96 quota sample: exact per-stratum budgets, hash-prefix membership, map-side limit") {
     import org.apache.spark.sql.functions._
     val df = PipelineOps.q96(spark, SF)

@@ -362,6 +362,65 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       "re-running q105 must not rewrite the standing index artifact")
   }
 
+  test("q160 trained-vector index: pruned probes, ≡ in-memory build, recall vs brute-over-trained") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EmbedOps
+    val df = SimOps.q160(spark, SF)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toList
+    assert(got.nonEmpty)
+    // the serving property carries over to the TRAINED artifact: the
+    // scan reads only the probed cells' partitions
+    val idxScanLine = df.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("graft_annindex_trained"))
+    assert(idxScanLine.nonEmpty, "trained index scan not found in the plan")
+    assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
+      s"probed-cell restriction must prune partitions:\n${idxScanLine.get}")
+    // artifact ≡ the unwritten in-memory build over the same trained
+    // corpus (the q105 transparency contract, over produced vectors)
+    val tv = EmbedOps.trainedEmbTable(spark, SF).cache()
+    val cbRow = SimOps.pqCodebook(tv)
+    val cellsRow = SimOps.cellsAsRow(SimOps.centroidCells(tv))
+    def nrm(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding")))
+    val mem = SimOps.annIndexSearch(
+      SimOps.pqEncode(SimOps.assignToCells(nrm(tv), cellsRow), cbRow)
+        .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+          col("cell_id").cast("int").as("cell_id")),
+      SimOps.probeCells(nrm(tv.filter(col("vec_id") % 50 === 0)),
+        cellsRow, SimOps.IdxNProbe),
+      cbRow, SimOps.IdxK)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toList
+    assert(got === mem)
+    // recall@5 vs BRUTE kNN over the same trained vectors — the
+    // train→index→serve seam must find real neighbors, not just run
+    val trained = EmbedOps.trainedVectors(spark, SF)
+    val exact = SimOps.knnBrute(trained,
+        trained.filter(col("vec_id") % 50 === 0), SimOps.IdxK)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = got.count { case (q, n, _, _) => exact((q, n)) }.toDouble /
+      exact.size
+    tv.unpersist()
+    assert(recall >= 0.3, s"trained-index recall@5 = $recall")
+  }
+
+  test("q160 standing artifact: a re-run probes the existing trained index, never rebuilds") {
+    val r1 = SimOps.q160(spark, SF).collect().toList
+    val base = SimOps.q160Base(spark)
+    def listing(f: java.io.File): Set[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(listing).toSet
+      else Set(s"${f.getAbsolutePath}@${f.lastModified()}:${f.length()}")
+    assert(new java.io.File(base, "MANIFEST_vecs").isFile,
+      "q160 must leave a generationed artifact behind")
+    val before = listing(base)
+    val r2 = SimOps.q160(spark, SF).collect().toList
+    assert(r2 === r1)
+    assert(listing(base) === before,
+      "re-running q160 must not rewrite the standing trained index")
+  }
+
   test("ann index lifecycle: append under the frozen model ≡ fresh union encode, pruning intact") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, SF)

@@ -771,6 +771,62 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         BpeOps.applyMerges("the", merges).length).toLong)
   }
 
+  test("streaming context chunking ≡ batch q157 on the split; OOV doc chunks by merge replay") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.BpeOps
+    val merges = BpeOps.train(spark, SF)._1
+    assert(merges.nonEmpty)
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(40).toSeq
+    // an arrival with out-of-vocabulary tokens, long enough to CHUNK
+    // (> one budget window of character-fallback units)
+    val oov = (900001L,
+      (1 to 30).map(i => s"zzqv$i").mkString(" ") + " the quick")
+    val ms = MemoryStream[(Long, String)]
+    type ChunkRow = (Long, Long, Long, Long, Long, Long, String)
+    val batches = scala.collection.mutable.ArrayBuffer[List[ChunkRow]]()
+    val q = StreamOps.chunkServe(
+        ms.toDF().toDF("doc_id", "text"), merges) { out =>
+      batches += out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getString(6))).toList
+    }.start()
+    try {
+      ms.addData(docs.take(25)); q.processAllAvailable()
+      ms.addData(docs.drop(25)); q.processAllAvailable()
+      ms.addData(Seq(oov)); q.processAllAvailable()
+    } finally { q.stop() }
+    assert(batches.length === 3)
+    // union over micro-batches ≡ batch q157 restricted to the split:
+    // chunking is per-doc (the start-offset window runs inside a doc),
+    // so WHICH batch a doc arrived in cannot move a chunk boundary
+    val streamed = (batches(0) ++ batches(1)).toSet
+    val batch = BpeOps.q157(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+      .filter(r => docs.map(_._1).toSet.contains(r._1)).toSet
+    assert(streamed === batch)
+    // the OOV doc: local replay with the SAME merge-replay pricing —
+    // fallback-priced tokens chunk exactly as the shipped tokenizer
+    // would chunk them, and the doc really spans budget windows
+    val re = "[a-z0-9]+".r
+    val ts = re.findAllIn(oov._2.toLowerCase).toSeq
+    val units = ts.map(t => BpeOps.applyMerges(t, merges).length.toLong)
+    var cum = 0L
+    val expectOov = ts.zipWithIndex.map { case (t, i) =>
+      val start = cum; cum += units(i)
+      (start / BpeOps.ChunkUnitBudget, i + 1L, t, units(i))
+    }.groupBy(_._1).map { case (cid, rs) =>
+      (oov._1, cid, rs.map(_._2).min, rs.map(_._2).max, rs.length.toLong,
+        rs.map(_._4).sum, rs.map(_._3).mkString(" "))
+    }.toSet
+    assert(batches(2).toSet === expectOov)
+    assert(expectOov.size > 1, "OOV doc must span more than one chunk")
+    val corpusToks = Tables.documents(spark, SF).select("text").collect()
+      .flatMap(r => re.findAllIn(r.getString(0).toLowerCase)).toSet
+    assert(!corpusToks.contains("zzqv1"))
+  }
+
   test("streaming drift gate ≡ q124 on the split; skewed batch flagged, representative passes") {
     implicit val ctx = spark.sqlContext
     import graft.operators.{DedupOps, PipelineOps}
