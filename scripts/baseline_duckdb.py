@@ -31,6 +31,13 @@ HEADLINE = [
     "q10_window_rank", "q24_percentile", "q64_asof_join", "q83_token_pack",
     "q100_dedup_idf_cosine", "q107_span_clean", "q139_roc_points",
     "q142_mad_outliers",
+    # r11 widening (r10 VERDICT #6): the 18-query headline predated the
+    # r9/r10 tokenizer family — the engine's biggest new surface. Add BPE
+    # training, trained-tokenizer segmentation, the subword-budget pack,
+    # tokenizer-unit context chunks, and banded semantic dedup so the
+    # ratio tracks what the engine now is.
+    "q144_bpe_train", "q151_bpe_segment", "q152_subword_pack",
+    "q153_dedup_semantic_banded", "q157_context_chunks_units",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
