@@ -62,10 +62,39 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
     # baseline was timed on a different host than the bench run — a
     # cross-host wall-clock ratio is not comparable.
     import socket, datetime
+    # If out_path already exists for the same sf/host, MERGE per-query
+    # mins instead of overwriting: the committed artifact is min across
+    # N temporally-separated runs (graft.Bench's storm defense — one
+    # contended window cannot corrupt the committed numbers). The note
+    # records the protocol AND the r11 fairness caveat on the
+    # tokenizer-family queries.
+    runs = 1
+    if os.path.exists(out_path):
+        prev = json.load(open(out_path))
+        if prev.get("sf") == os.path.basename(os.path.normpath(sf_dir)) \
+                and prev.get("host") == socket.gethostname() \
+                and set(prev.get("queries", {})) == set(res):
+            res = {q: min(res[q], prev["queries"][q]) for q in res}
+            runs = prev.get("runs", 1) + 1
+            print(f"merged mins with existing {out_path} (run {runs})",
+                  file=sys.stderr)
+    note = (f"per-query min across {runs} temporally separated runs "
+            "(best-of-2 within each run) — graft.Bench's cross-window "
+            "storm defense. Fairness: on the r11 tokenizer-family "
+            "queries (q144/q151/q152/q157) Spark's bench numbers are "
+            "family-memo marginal costs (the engine trains once per "
+            "corpus snapshot and every readout consumes the artifact), "
+            "while this SQL re-derives the training chain inside each "
+            "query — plain SQL cannot share artifacts across "
+            "statements. The comparison still holds cold: Spark's r10 "
+            "pre-memo plan times (q144 0.50s, q151 0.34s, q152 0.27s, "
+            "q157 0.49s) beat this file's chain replays on every added "
+            "query.")
     out = {"engine": "duckdb", "version": duckdb.__version__,
            "sf": os.path.basename(os.path.normpath(sf_dir)),
            "host": socket.gethostname(),
            "date": datetime.date.today().isoformat(),
+           "runs": runs, "note": note,
            "queries": res, "total": round(sum(res.values()), 3)}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

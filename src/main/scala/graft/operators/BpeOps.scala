@@ -491,22 +491,33 @@ object BpeOps {
           f => f.getField("token")), " ").as("text_chunk"))
   }
 
-  /** The corpus chunk relation under the trained tokenizer — memoized
-    * per (family run, dir) because THREE consumers read it (q157's
-    * registered readout, q158's sequence pack, q159's manifest via the
-    * pack memo); the tfidf_feats treatment. One corpus pass + the
-    * doc-keyed window, built once per family run. */
-  private[graft] def chunkRelation(s: SparkSession, dir: String): DataFrame =
+  /** The full corpus chunk relation under the trained tokenizer —
+    * positions, masses, AND the reassembled text. NOT memoized: the
+    * text column makes it corpus-sized, which would break the
+    * SharedRelations sizing contract (entries ≪ corpus — r11 review);
+    * q157 re-derives it per call (one corpus pass + the doc-keyed
+    * window), the pack consumers read the thin [[chunkMasses]] memo. */
+  private def corpusChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.docsWithToks(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token"))
+    chunkReadout(toks, unitMapping(s, dir))
+  }
+
+  /** The chunk MASSES (doc_id, chunk_id, n_tokens, n_units — three
+    * int64s per chunk, the memo-safe projection) for the sequence-pack
+    * consumers (q158's pack, q159's manifest via the pack memo);
+    * memoized per (family run, dir) — the tfidf_feats treatment. */
+  private[graft] def chunkMasses(s: SparkSession, dir: String): DataFrame =
     graft.SharedRelations.getOrBuild("bpe_chunks", dir) {
-      val toks = TextOps.docsWithToks(s, dir)
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "token")))
-        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("token"))
-      chunkReadout(toks, unitMapping(s, dir))
+      corpusChunks(s, dir)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("n_units"))
     }
 
   def q157(s: SparkSession, dir: String): DataFrame =
-    chunkRelation(s, dir).orderBy(col("doc_id"), col("chunk_id"))
+    corpusChunks(s, dir).orderBy(col("doc_id"), col("chunk_id"))
 
   /** The chunk relation as spliceable CTEs (fresh c-prefixed names —
     * no collisions with the q120 pipeline chains or [[chainCtesSql]]),

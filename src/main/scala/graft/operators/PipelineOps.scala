@@ -1018,8 +1018,7 @@ object PipelineOps {
   private def sequencePack(s: SparkSession, dir: String): DataFrame =
     graft.SharedRelations.getOrBuild("sequence_pack", dir) {
       val members = packedBuild(s, dir).select(col("doc_id"), col("lang"))
-      val chunks = BpeOps.chunkRelation(s, dir)
-        .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("n_units"))
+      val chunks = BpeOps.chunkMasses(s, dir)
       val seqs = members.join(chunks, Seq("doc_id"))
         .withColumn("bkey",
           conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
@@ -1324,12 +1323,24 @@ object PipelineOps {
     * manifest and q155's subword-unit one, so the 40-bit fingerprint
     * and the readout shape cannot drift between the pair whose
     * comparability IS the migration-validation contract (r10 review). */
+  /** The 40-bit per-doc fingerprint — ONE definition (with [[sidSql]])
+    * behind ALL manifest levels (q131/q155 doc-granularity, q159
+    * sequence-granularity), so the triple's exact ids_sum
+    * reconciliation is maintained by construction, not by copy
+    * (r11 review). */
+  private def sidCol: Column =
+    conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long") % 1099511627776L
+
+  /** SQL twin of [[sidCol]]. */
+  private val sidSql: String =
+    "CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) " +
+      "AS BIGINT) % 1099511627776"
+
   private def manifestOf(build: DataFrame, mass: String, cum: String)
       : DataFrame =
     build
-      .withColumn("sid",
-        conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long") % 1099511627776L)
+      .withColumn("sid", sidCol)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -1345,8 +1356,7 @@ object PipelineOps {
        |  COUNT(DISTINCT lang) AS n_langs,
        |  CAST(SUM($mass) AS BIGINT) AS $mass,
        |  MAX($cum) AS end_offset,
-       |  CAST(SUM(CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-       |    % 1099511627776) AS BIGINT) AS ids_sum
+       |  CAST(SUM($sidSql) AS BIGINT) AS ids_sum
        |FROM ($buildSql) b
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
@@ -1387,9 +1397,7 @@ object PipelineOps {
     * q158's memo + one map-side-combined groupBy(shard). */
   def q159(s: SparkSession, dir: String): DataFrame =
     sequencePack(s, dir)
-      .withColumn("sid",
-        conv(substring(md5(concat(lit("sid:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long") % 1099511627776L)
+      .withColumn("sid", sidCol)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_seqs"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -1406,9 +1414,7 @@ object PipelineOps {
        |  COUNT(DISTINCT lang) AS n_langs,
        |  CAST(SUM(n_units) AS BIGINT) AS n_units,
        |  MAX(cum_units) AS end_offset,
-       |  CAST(SUM(CASE WHEN chunk_id = 0 THEN
-       |    CAST(('0x' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-       |      % 1099511627776 ELSE 0 END) AS BIGINT) AS ids_sum
+       |  CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS ids_sum
        |FROM ($q158Sql) b
        |GROUP BY shard
        |ORDER BY shard""".stripMargin

@@ -372,9 +372,11 @@ object TextOps {
       .orderBy(col("fold"))
   }
 
+  // double-mod ≡ pmod for ALL ids incl. negative (the q156 sign-safety
+  // rule — plain SQL % keeps the sign, Spark's pmod does not)
   lazy val q43Sql: String =
     s"""WITH preds AS ($q38SqlNoOrder)
-       |SELECT doc_id % 5 AS fold, COUNT(*) AS n,
+       |SELECT ((doc_id % 5) + 5) % 5 AS fold, COUNT(*) AS n,
        |  ${graft.functions.Num.ratio6Sql(
             "CAST(SUM(CASE WHEN pred = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) " +
               "THEN 1 ELSE 0 END) AS BIGINT)", "COUNT(*)")} AS accuracy
