@@ -255,6 +255,55 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("unit-budget chunking on arbitrary streams and unit prices: partition, grid starts, lossless") {
+    // the q157/q158 chunking contract, generatively: for arbitrary token
+    // streams under an ARBITRARY positive unit pricing (not just a
+    // trained mapping), the engine's chunkReadout partitions each doc's
+    // positions contiguously, assigns every token to the chunk where its
+    // running unit total STARTS (floor(start/Budget)), conserves token
+    // and unit mass, and reassembles the doc losslessly in chunk order
+    import graft.operators.BpeOps
+    val word = Gen.chooseNum(0, 20).map(i => s"w$i")
+    val docGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(docGen, 50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val price = docs.flatMap(_._2).distinct
+      .map(t => t -> (1L + math.abs(t.hashCode) % 9)).toMap
+    val toksDf = docs.flatMap { case (id, ws) =>
+      ws.zipWithIndex.map { case (w, p) => (id, (p + 1).toLong, w) }
+    }.toDF("doc_id", "pos", "token")
+    val mapping = price.toSeq.toDF("token", "units")
+    val got = BpeOps.chunkReadout(toksDf, mapping).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+      .groupBy(_._1)
+    docs.foreach { case (id, ws) =>
+      val cs = got.getOrElse(id, Array.empty).sortBy(_._2)
+      if (ws.isEmpty) assert(cs.isEmpty, s"doc $id: chunks from empty doc")
+      else {
+        // local model: running start offsets → chunk ids on the grid
+        var cum = 0L
+        val model = ws.zipWithIndex.map { case (w, i) =>
+          val start = cum; cum += price(w)
+          (start / BpeOps.ChunkUnitBudget, i + 1L, w, price(w))
+        }
+        val byChunk = model.groupBy(_._1).toSeq.sortBy(_._1)
+        assert(cs.map(_._2).toList === byChunk.map(_._1).toList, s"doc $id ids")
+        cs.zip(byChunk).foreach { case ((_, cid, st, fin, n, nu, txt), (_, rs)) =>
+          assert(st === rs.map(_._2).min && fin === rs.map(_._2).max,
+            s"doc $id chunk $cid positions")
+          assert(n === rs.length.toLong && nu === rs.map(_._4).sum,
+            s"doc $id chunk $cid masses")
+          assert(txt === rs.map(_._3).mkString(" "), s"doc $id chunk $cid text")
+        }
+        // contiguity + lossless reassembly across the whole doc
+        assert(cs.map(_._5).sum === ws.length.toLong, s"doc $id token mass")
+        assert(cs.map(_._7).mkString(" ") === ws.mkString(" "),
+          s"doc $id not lossless")
+      }
+    }
+  }
+
   test("banded blocking admits a superset of full-pattern blocking on arbitrary corpora") {
     // the q149 ⊆ q153 contract, generatively: for random small corpora,
     // every full-pattern candidate pair is a banded candidate pair, and
