@@ -659,6 +659,70 @@ object StreamOps {
       } finally toks.unpersist()
     }
 
+  /** Streaming SEQUENCE PACKING at the arrival seam — what a loader
+    * does between full rebuilds: arriving docs chunk under the shipped
+    * tokenizer ([[chunkServe]]'s OOV-correct replay + the shared
+    * [[graft.operators.BpeOps.chunkReadout]]), and their chunks APPEND
+    * to the unit-budgeted shard stream where it left off. Within a
+    * batch, chunks order deterministically by q158's md5-bkey rule; the
+    * running unit total continues from `baseOffset` + everything packed
+    * so far, so shard ids keep the q158 start-offset budget rule across
+    * batch boundaries (a batch may fill the previous batch's last
+    * partial shard — appending rows to an open shard, never rewriting
+    * emitted ones). `baseOffset` is the rebuild→serve handoff: pass the
+    * static build's final end_offset and arrivals continue its shard
+    * stream.
+    *
+    * vs the static rebuild (q158): the rebuild globally shuffles ALL
+    * chunks into md5-bkey order; the serve path packs arrivals in
+    * arrival order (that is what "append" means). The divergence is
+    * ORDER ONLY — chunk membership and masses are identical to a batch
+    * chunking of the same docs (StreamingSpec reconciles both, plus
+    * the per-batch local replay and the budget bound).
+    *
+    * Scale shape: zero executor stream state — driver state is ONE
+    * long (the global unit offset); per batch: the chunkServe costs +
+    * the PrefixSum two-level scan over batch-sized chunk masses. */
+  def packServe(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], baseOffset: Long = 0L)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{BpeOps, PipelineOps}
+    val offset = new java.util.concurrent.atomic.AtomicLong(baseOffset)
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val toks = batch.select(col("doc_id"),
+          posexplode(graft.text.Text.tokens(col("text")))
+            .as(Seq("pos0", "token")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("token")).cache()
+      try {
+        val mapping = BpeOps.unitMappingOf(
+          toks.select(col("token")).distinct(), merges)
+        val chunks = BpeOps.chunkReadout(toks, mapping)
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+            col("n_units"))
+          .withColumn("bkey",
+            conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
+              col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+        val base = offset.get()
+        val packed = graft.functions.PrefixSum
+          .withRunningSum(chunks, "bkey", Seq("doc_id", "chunk_id"),
+            "n_units", "cum_batch")
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+            col("n_units"), (col("cum_batch") + base).as("cum_units"))
+          .withColumn("shard", expr(
+            s"(cum_units - n_units) div ${PipelineOps.ShardUnitBudget}L"))
+        // batch mass from the cached tokens BEFORE the sink consumes the
+        // packed rows; advance the offset only after the sink returns,
+        // so a sink failure leaves the stream resumable at `base`
+        val total = chunks.agg(coalesce(sum(col("n_units")), lit(0L)))
+          .head().getLong(0)
+        sink(packed)
+        offset.set(base + total)
+      } finally toks.unpersist()
+    }
+  }
+
   def sessionCounts(events: Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

@@ -827,6 +827,82 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(!corpusToks.contains("zzqv1"))
   }
 
+  test("streaming sequence packing: batched fold ≡ local replay, open-shard append, order-only divergence from rebuild") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(30).toSeq
+    val oov = (900001L, (1 to 20).map(i => s"zzqw$i").mkString(" "))
+    val batchesIn = Seq(docs.take(12), docs.slice(12, 30), Seq(oov))
+    val base = 12345L // rebuild→serve handoff: continue a prior stream
+    val ms = MemoryStream[(Long, String)]
+    type PackRow = (Long, Long, Long, Long, Long, Long)
+    val out = scala.collection.mutable.ArrayBuffer[List[PackRow]]()
+    val q = StreamOps.packServe(
+        ms.toDF().toDF("doc_id", "text"), merges, base) { p =>
+      out += p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    }.start()
+    try batchesIn.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    assert(out.length === 3)
+    // local replay of the batched fold: per batch, chunk every doc with
+    // applyMerges prices, order by (bkey, doc, chunk), run the carried
+    // offset, shard = start-offset rule
+    val re = "[a-z0-9]+".r
+    def bkey(id: Long, cid: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ord:$id:$cid".getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def chunksOf(id: Long, text: String): Seq[(Long, Long, Long, Long)] = {
+      val ts = re.findAllIn(text.toLowerCase).toSeq
+      val units = ts.map(t => BpeOps.applyMerges(t, merges).length.toLong)
+      var cum = 0L
+      ts.indices.map { i =>
+        val start = cum; cum += units(i)
+        (start / BpeOps.ChunkUnitBudget, i + 1L, units(i), 1L)
+      }.groupBy(_._1).toSeq.map { case (cid, rs) =>
+        (id, cid, rs.length.toLong, rs.map(_._3).sum)
+      }
+    }
+    var carried = base
+    val replay = batchesIn.map { b =>
+      val cs = b.flatMap { case (id, t) => chunksOf(id, t) }
+        .sortBy { case (id, cid, _, _) => (bkey(id, cid), id, cid) }
+      cs.map { case (id, cid, nt, nu) =>
+        carried += nu
+        (id, cid, nt, nu, carried,
+          (carried - nu) / PipelineOps.ShardUnitBudget)
+      }.toList
+    }
+    assert(out.toList === replay)
+    // the fold is gapless: Σ masses == final offset − base, and cum is
+    // strictly increasing ACROSS batch boundaries (append semantics)
+    val all: List[PackRow] = out.toList.flatten
+    assert(all.map(_._4).sum === all.last._5 - base)
+    all.sliding(2).foreach {
+      case List(a, b) => assert(b._5 === a._5 + b._4, "gapless cum")
+      case _ => ()
+    }
+    // open-shard append: batch 2 starts in (or after) batch 1's last
+    // shard, never before — emitted rows are never re-sharded
+    assert(out(1).head._6 >= out(0).last._6)
+    // budget bound at every shard, incl. across-batch continuations
+    val maxChunk = all.map(_._4).max
+    all.groupBy(_._6).values.foreach { ss =>
+      assert(ss.map(_._4).sum <= PipelineOps.ShardUnitBudget + maxChunk - 1)
+    }
+    // rebuild-vs-serve divergence is ORDER ONLY: chunk membership and
+    // masses equal a single batch chunking of the same docs
+    val streamedMass = all.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val batchMass = (docs.take(30) ++ Seq(oov))
+      .flatMap { case (id, t) => chunksOf(id, t) }
+      .map(c => (c._1, c._2) -> (c._3, c._4)).toMap
+    assert(streamedMass === batchMass)
+  }
+
   test("streaming drift gate ≡ q124 on the split; skewed batch flagged, representative passes") {
     implicit val ctx = spark.sqlContext
     import graft.operators.{DedupOps, PipelineOps}
