@@ -934,7 +934,15 @@ object PipelineOps {
     * readout). The tfidf_feats treatment: one build per family run,
     * every consumer gets the same materialized relation. */
   private def packedBuild(s: SparkSession, dir: String): DataFrame =
-    graft.SharedRelations.getOrBuild("subword_pack", dir) {
+    graft.SharedRelations.getOrBuild("subword_pack", dir)(
+      packedBuildPlan(s, dir))
+
+  /** The UNMEMOIZED pack plan — what the memo materializes once per
+    * family run. Exposed so ScalePlanSpec pins the window discipline on
+    * the plan that actually executes at build time (the memo readout
+    * the registered entries return is a checkpointed LogicalRDD with no
+    * windows to inspect). */
+  private[graft] def packedBuildPlan(s: SparkSession, dir: String): DataFrame = {
       import graft.functions.Num
       val docs = q114DocsShared(s, dir)
       val policy = q120PolicyOf(q114PolicyOf(docs))
@@ -1016,7 +1024,12 @@ object PipelineOps {
     * registered readout and q159's manifest both consume it (the
     * [[packedBuild]] treatment, one level up the granularity ladder). */
   private def sequencePack(s: SparkSession, dir: String): DataFrame =
-    graft.SharedRelations.getOrBuild("sequence_pack", dir) {
+    graft.SharedRelations.getOrBuild("sequence_pack", dir)(
+      sequencePackPlan(s, dir))
+
+  /** The unmemoized sequence-pack plan (the [[packedBuildPlan]] rule —
+    * ScalePlanSpec pins the window discipline here). */
+  private[graft] def sequencePackPlan(s: SparkSession, dir: String): DataFrame = {
       val members = packedBuild(s, dir).select(col("doc_id"), col("lang"))
       val chunks = BpeOps.chunkMasses(s, dir)
       val seqs = members.join(chunks, Seq("doc_id"))

@@ -34,9 +34,14 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     // PrefixSum's only unpartitioned window runs over the ≤4096 bin rows
     assertWindowsAggregated(graft.operators.PipelineOps.q83(spark, SF), "q83")
     // r10: the subword-budget pack and its manifest inherit the same
-    // PrefixSum shape — the unit join must not introduce a raw window
-    assertWindowsAggregated(graft.operators.PipelineOps.q152(spark, SF), "q152")
-    assertWindowsAggregated(graft.operators.PipelineOps.q155(spark, SF), "q155")
+    // PrefixSum shape — the unit join must not introduce a raw window.
+    // r11: pin the BUILD plans (what executes once per family run) —
+    // the registered q152/q155/q158/q159 entries return the memoized
+    // checkpoint, whose plan has no windows left to inspect
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.packedBuildPlan(spark, SF), "q152 build")
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.sequencePackPlan(spark, SF), "q158 build")
   }
 
   test("q111 warm readout scans ONE pruned partition of the standing artifact") {
