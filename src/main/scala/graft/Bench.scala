@@ -168,6 +168,7 @@ object Bench {
     // SF matches this run, emit spark-total / duckdb-total over exactly
     // those queries — bench_vs_baseline as a measured ratio (<1 = Spark
     // faster). Absent/mismatched file ⇒ the field is simply omitted.
+    var duckNames: Set[String] = Set.empty
     val baseline = try {
       val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_DUCKDB.json")
       val f = new java.io.File(path)
@@ -190,6 +191,7 @@ object Bench {
             s"this run on '$hereHost' — ratio flagged host_match:false")
         val duckQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap -- Seq("total")
+        duckNames = duckQ.keySet
         val mine = results.collect {
           case (k, v, _) if v >= 0 && duckQ.contains(k) => v }
         // A present-but-unusable baseline is a diagnostic, not a silent
@@ -209,6 +211,21 @@ object Bench {
       ""
     }
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$ranPasses$canarySummary$spread$baseline}""")
+    // The full-registry line above outgrew the driver's ~2000-char stdout
+    // tail at 157 ops (the committed r10 artifact shows parsed:null — the
+    // tail holds a line FRAGMENT, unparseable), so the LAST line is a
+    // compact contract line that always fits: same schema, queries map
+    // restricted to the baseline-headline subset (else the 20 slowest).
+    // A tail-parser that takes the last JSON line gets a complete object
+    // with total/passes/canary/spread/baseline; full per-query numbers
+    // remain on BENCH_DETAIL and the full line's surviving fragment.
+    val compactKeys =
+      if (duckNames.nonEmpty) results.filter(r => duckNames.contains(r._1))
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val qsc = compactKeys.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + d2(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qsc,"sf":"$sfDir","passes":$ranPasses$canarySummary$spread$baseline}""")
     spark.stop()
   }
 }
