@@ -72,11 +72,15 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
     if os.path.exists(out_path):
         prev = json.load(open(out_path))
         if prev.get("sf") == os.path.basename(os.path.normpath(sf_dir)) \
-                and prev.get("host") == socket.gethostname() \
-                and set(prev.get("queries", {})) == set(res):
-            res = {q: min(res[q], prev["queries"][q]) for q in res}
+                and prev.get("host") == socket.gethostname():
+            # merge over the INTERSECTION (r11 review): a headline
+            # widening must not discard the carried queries' accumulated
+            # mins — new queries simply start their own min history
+            pq = prev.get("queries", {})
+            res = {q: min(res[q], pq[q]) if q in pq else res[q] for q in res}
             runs = prev.get("runs", 1) + 1
-            print(f"merged mins with existing {out_path} (run {runs})",
+            print(f"merged mins with existing {out_path} (run {runs}, "
+                  f"intersection {len(set(res) & set(pq))}/{len(res)})",
                   file=sys.stderr)
     note = (f"per-query min across {runs} temporally separated runs "
             "(best-of-2 within each run) — graft.Bench's cross-window "

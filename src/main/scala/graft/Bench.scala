@@ -219,13 +219,17 @@ object Bench {
     // A tail-parser that takes the last JSON line gets a complete object
     // with total/passes/canary/spread/baseline; full per-query numbers
     // remain on BENCH_DETAIL and the full line's surviving fragment.
-    val compactKeys =
+    val compactKeys = (
       if (duckNames.nonEmpty) results.filter(r => duckNames.contains(r._1))
-      else results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      else results.sortBy(-_._2).take(20)
+    ).filter(_._2 >= 0) // a failed query must not emit -1 as a timing
     val qsc = compactKeys.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + d2(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qsc,"sf":"$sfDir","passes":$ranPasses$canarySummary$spread$baseline}""")
+    // "compact":true distinguishes this line from the full one for any
+    // consumer keying on metric=="total" rather than taking the last
+    // JSON line (r11 review — the metric field was previously unique)
+    println(s"""{"metric":"total","compact":true,"value":${d3(total)},"unit":"sec","queries":$qsc,"sf":"$sfDir","passes":$ranPasses$canarySummary$spread$baseline}""")
     spark.stop()
   }
 }

@@ -1001,9 +1001,11 @@ object PipelineOps {
     * fixed-budget context CHUNKS — this op packs the CHUNKS (sequences).
     * Membership is [[q152]]'s mixture-sampled set BY CONSTRUCTION (the
     * sampled (doc_id, lang) pairs are read from the family's one
-    * memoized packed build), each member doc's chunk rows come from the
-    * tokenizer family's one chunk relation ([[BpeOps.chunkRelation]]),
-    * and the pack tail is q152's verbatim at chunk granularity: one
+    * memoized packed build), each member doc's chunk MASSES come from
+    * the thin memo ([[BpeOps.chunkMasses]] — three int64s per chunk;
+    * the text-bearing relation deliberately stays unmemoized, q157
+    * re-derives it), and the pack tail is q152's verbatim at chunk
+    * granularity: one
     * exact PrefixSum over `n_units` ordered by the md5 bkey rule on
     * (doc, chunk), shard = the START-offset rule under
     * [[ShardUnitBudget]]. Every chunk's units are ≤ChunkUnitBudget +

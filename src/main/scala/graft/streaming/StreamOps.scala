@@ -641,22 +641,31 @@ object StreamOps {
     * arrival). Per-batch cost: Rounds broadcast-literal replaces over
     * the batch vocabulary + one batch-sized join + the doc-keyed
     * window. */
+  /** The shared per-batch prelude of [[chunkServe]] and [[packServe]]:
+    * positioned tokens (CACHED — the distinct-vocabulary branch and the
+    * join probe both read them; the segmentServe lifecycle, caller
+    * unpersists) + the OOV-correct unit mapping replayed over the
+    * batch's own vocabulary. One definition so the serve paths cannot
+    * silently diverge on the tokenize/replay rule (r11 review). */
+  private def batchToksAndMapping(batch: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge])
+      : (DataFrame, DataFrame) = {
+    val toks = batch.select(col("doc_id"),
+        posexplode(graft.text.Text.tokens(col("text")))
+          .as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token")).cache()
+    (toks, graft.operators.BpeOps.unitMappingOf(
+      toks.select(col("token")).distinct(), merges))
+  }
+
   def chunkServe(newDocs: DataFrame,
       merges: Seq[graft.operators.BpeOps.BpeMerge])(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      // cached: the distinct-vocabulary branch and the join probe both
-      // read the positioned tokens (the segmentServe lifecycle)
-      val toks = batch.select(col("doc_id"),
-          posexplode(graft.text.Text.tokens(col("text")))
-            .as(Seq("pos0", "token")))
-        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("token")).cache()
-      try {
-        val mapping = graft.operators.BpeOps.unitMappingOf(
-          toks.select(col("token")).distinct(), merges)
-        sink(graft.operators.BpeOps.chunkReadout(toks, mapping))
-      } finally toks.unpersist()
+      val (toks, mapping) = batchToksAndMapping(batch, merges)
+      try sink(graft.operators.BpeOps.chunkReadout(toks, mapping))
+      finally toks.unpersist()
     }
 
   /** Streaming SEQUENCE PACKING at the arrival seam — what a loader
@@ -680,47 +689,91 @@ object StreamOps {
     * chunking of the same docs (StreamingSpec reconciles both, plus
     * the per-batch local replay and the budget bound).
     *
-    * Scale shape: zero executor stream state — driver state is ONE
-    * long (the global unit offset); per batch: the chunkServe costs +
-    * the PrefixSum two-level scan over batch-sized chunk masses. */
+    * At-least-once semantics (r11 review): the fold keys its driver
+    * state by foreachBatch's batchId — a RE-DELIVERED batch (sink
+    * succeeded, checkpoint commit didn't) re-packs at its ORIGINAL base
+    * offset, reproducing the identical rows (idempotent output) instead
+    * of shifting the shard stream; the global offset only ever advances
+    * past fresh batches. A RESTARTED query builds a fresh writer, so
+    * resuming across process death means passing `baseOffset` = the
+    * last end offset the downstream committed — exactly the
+    * rebuild→serve handoff parameter.
+    *
+    * Scale shape: zero executor stream state — driver state is THREE
+    * longs (offset, last batchId, its base); per batch: the chunkServe
+    * costs + the PrefixSum two-level scan over batch-sized CACHED chunk
+    * masses (computed once, read by the mass total and the sink's
+    * plan). */
   def packServe(newDocs: DataFrame,
       merges: Seq[graft.operators.BpeOps.BpeMerge], baseOffset: Long = 0L)
       (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.operators.{BpeOps, PipelineOps}
-    val offset = new java.util.concurrent.atomic.AtomicLong(baseOffset)
-    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val toks = batch.select(col("doc_id"),
-          posexplode(graft.text.Text.tokens(col("text")))
-            .as(Seq("pos0", "token")))
-        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("token")).cache()
-      try {
-        val mapping = BpeOps.unitMappingOf(
-          toks.select(col("token")).distinct(), merges)
-        val chunks = BpeOps.chunkReadout(toks, mapping)
-          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
-            col("n_units"))
-          .withColumn("bkey",
-            conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
-              col("chunk_id"))), 1, 15), 16, 10).cast("long"))
-        val base = offset.get()
-        val packed = graft.functions.PrefixSum
-          .withRunningSum(chunks, "bkey", Seq("doc_id", "chunk_id"),
-            "n_units", "cum_batch")
-          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
-            col("n_units"), (col("cum_batch") + base).as("cum_units"))
-          .withColumn("shard", expr(
-            s"(cum_units - n_units) div ${PipelineOps.ShardUnitBudget}L"))
-        // batch mass from the cached tokens BEFORE the sink consumes the
-        // packed rows; advance the offset only after the sink returns,
-        // so a sink failure leaves the stream resumable at `base`
-        val total = chunks.agg(coalesce(sum(col("n_units")), lit(0L)))
-          .head().getLong(0)
-        sink(packed)
-        offset.set(base + total)
-      } finally toks.unpersist()
+    val state = new PackServeState(baseOffset)
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      packFold(batch, merges, state, batchId)(sink)
     }
+  }
+
+  /** Driver-side pack state: the global unit offset plus the base the
+    * most recent batchId packed at (the idempotent-re-delivery key —
+    * Structured Streaming only ever re-delivers the latest uncommitted
+    * batch, so the state is BOUNDED at two longs, not a map over the
+    * stream's life). */
+  private[graft] final class PackServeState(baseOffset: Long) {
+    val offset = new java.util.concurrent.atomic.AtomicLong(baseOffset)
+    var lastBatchId: Long = -1L
+    var lastBase: Long = baseOffset
+  }
+
+  /** One [[packServe]] micro-batch — factored out so StreamingSpec can
+    * drive a re-delivered batchId directly (foreachBatch won't
+    * re-deliver under MemoryStream's in-process happy path). */
+  private[graft] def packFold(batch: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
+      batchId: Long)(sink: DataFrame => Unit): Unit = {
+    import graft.operators.{BpeOps, PipelineOps}
+    val (toks, mapping) = batchToksAndMapping(batch, merges)
+    // cached: the mass total and the sink's PrefixSum plan both read the
+    // chunk masses — uncached, the merge replay + mapping join + doc
+    // window + groupBy would run twice per batch (r11 review)
+    val chunks = BpeOps.chunkReadout(toks, mapping)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("n_units"))
+      .withColumn("bkey",
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
+          col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+      .cache()
+    try {
+      // re-delivery packs at the batch's ORIGINAL base (idempotent);
+      // fresh batches enter at the current offset
+      val base =
+        if (batchId == state.lastBatchId) state.lastBase
+        else {
+          state.lastBatchId = batchId
+          state.lastBase = state.offset.get()
+          state.lastBase
+        }
+      val packed = graft.functions.PrefixSum
+        .withRunningSum(chunks, "bkey", Seq("doc_id", "chunk_id"),
+          "n_units", "cum_batch")
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("n_units"), (col("cum_batch") + base).as("cum_units"))
+        .withColumn("shard", expr(
+          s"(cum_units - n_units) div ${PipelineOps.ShardUnitBudget}L"))
+        // deterministic EMIT order (r11 review): PrefixSum's final window
+        // leaves rows hash-distributed by bin — correct values, arbitrary
+        // order past one post-shuffle partition. The pack order is part
+        // of this op's contract, so sort the batch-sized result by it.
+        .orderBy(col("cum_units"))
+      val total = chunks.agg(coalesce(sum(col("n_units")), lit(0L)))
+        .head().getLong(0)
+      sink(packed)
+      // advance only after the sink returns (a sink failure leaves the
+      // stream resumable at `base`), and never backwards (a re-delivered
+      // old batch must not rewind past fresher batches)
+      state.offset.updateAndGet(cur => math.max(cur, base + total))
+      ()
+    } finally { chunks.unpersist(); toks.unpersist() }
   }
 
   def sessionCounts(events: Dataset[Event]): DataFrame = {

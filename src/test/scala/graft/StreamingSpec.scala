@@ -901,6 +901,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .flatMap { case (id, t) => chunksOf(id, t) }
       .map(c => (c._1, c._2) -> (c._3, c._4)).toMap
     assert(streamedMass === batchMass)
+    // AT-LEAST-ONCE: a re-delivered batchId re-packs at its ORIGINAL
+    // base — byte-identical rows, offset untouched (foreachBatch's
+    // failure-retry window; driven through packFold directly because
+    // MemoryStream's happy path never re-delivers)
+    import spark.implicits._
+    val st = new StreamOps.PackServeState(500L)
+    def drive(b: Seq[(Long, String)], id: Long): List[PackRow] = {
+      var got: List[PackRow] = null
+      StreamOps.packFold(b.toDF("doc_id", "text"), merges, st, id) { p =>
+        got = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toList
+      }
+      got
+    }
+    val first = drive(docs.take(6), 0L)
+    val offAfterFirst = st.offset.get()
+    assert(drive(docs.take(6), 0L) === first, "re-delivery must be idempotent")
+    assert(st.offset.get() === offAfterFirst, "re-delivery must not advance")
+    // a FRESH batch enters at the advanced offset and moves it by
+    // exactly its own mass
+    assert(first.head._5 - first.head._4 === 500L, "baseOffset handoff")
+    assert(offAfterFirst === 500L + first.map(_._4).sum)
+    val second = drive(docs.slice(6, 10), 1L)
+    assert(second.head._5 - second.head._4 === offAfterFirst)
+    assert(st.offset.get() === offAfterFirst + second.map(_._4).sum)
   }
 
   test("streaming drift gate ≡ q124 on the split; skewed batch flagged, representative passes") {
