@@ -68,38 +68,55 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
     # contended window cannot corrupt the committed numbers). The note
     # records the protocol AND the r11 fairness caveat on the
     # tokenizer-family queries.
-    runs = 1
+    import hashlib
+    sql_md5 = {q: hashlib.md5(oracle[q].encode()).hexdigest()
+               for q in HEADLINE}
+    qruns = {q: 1 for q in res}
     if os.path.exists(out_path):
         prev = json.load(open(out_path))
         if prev.get("sf") == os.path.basename(os.path.normpath(sf_dir)) \
                 and prev.get("host") == socket.gethostname():
             # merge over the INTERSECTION (r11 review): a headline
             # widening must not discard the carried queries' accumulated
-            # mins — new queries simply start their own min history
+            # mins — new queries simply start their own min history.
+            # SQL-HASH GUARD (r11 review #2): a query whose oracle SQL
+            # was redefined under the same name must NOT inherit mins
+            # timed on the old definition — its history restarts.
             pq = prev.get("queries", {})
-            res = {q: min(res[q], pq[q]) if q in pq else res[q] for q in res}
-            runs = prev.get("runs", 1) + 1
-            print(f"merged mins with existing {out_path} (run {runs}, "
-                  f"intersection {len(set(res) & set(pq))}/{len(res)})",
+            phash = prev.get("query_sql_md5", {})
+            pruns = prev.get("query_runs", {})
+            for q in list(res):
+                if q in pq and phash.get(q) == sql_md5[q]:
+                    res[q] = min(res[q], pq[q])
+                    qruns[q] = pruns.get(q, prev.get("runs", 1)) + 1
+                elif q in pq:
+                    print(f"{q}: oracle SQL changed — min history restarted",
+                          file=sys.stderr)
+            print(f"merged mins with existing {out_path} "
+                  f"(per-query histories now {sorted(set(qruns.values()))})",
                   file=sys.stderr)
-    note = (f"per-query min across {runs} temporally separated runs "
-            "(best-of-2 within each run) — graft.Bench's cross-window "
-            "storm defense. Fairness: on the r11 tokenizer-family "
-            "queries (q144/q151/q152/q157) Spark's bench numbers are "
-            "family-memo marginal costs (the engine trains once per "
-            "corpus snapshot and every readout consumes the artifact), "
-            "while this SQL re-derives the training chain inside each "
-            "query — plain SQL cannot share artifacts across "
-            "statements. The comparison still holds cold: Spark's r10 "
-            "pre-memo plan times (q144 0.50s, q151 0.34s, q152 0.27s, "
-            "q157 0.49s) beat this file's chain replays on every added "
-            "query.")
+    runs = max(qruns.values())
+    note = ("per-query min over the query intersection across temporally "
+            "separated runs — graft.Bench's cross-window storm defense; "
+            "query_runs records each query's own history depth "
+            f"(max {runs}), best-of-2 within each run, and a query whose "
+            "oracle SQL changes restarts its history (query_sql_md5 "
+            "guard). Fairness: on the r11 tokenizer-family queries "
+            "(q144/q151/q152/q157) Spark's bench numbers are family-memo "
+            "marginal costs (the engine trains once per corpus snapshot "
+            "and every readout consumes the artifact), while this SQL "
+            "re-derives the training chain inside each query — plain SQL "
+            "cannot share artifacts across statements. The comparison "
+            "still holds cold: Spark's r10 pre-memo plan times (q144 "
+            "0.50s, q151 0.34s, q152 0.27s, q157 0.49s) beat this file's "
+            "chain replays on every added query.")
     out = {"engine": "duckdb", "version": duckdb.__version__,
            "sf": os.path.basename(os.path.normpath(sf_dir)),
            "host": socket.gethostname(),
            "date": datetime.date.today().isoformat(),
            "runs": runs, "note": note,
-           "queries": res, "total": round(sum(res.values()), 3)}
+           "queries": res, "total": round(sum(res.values()), 3),
+           "query_runs": qruns, "query_sql_md5": sql_md5}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -189,7 +189,13 @@ object Bench {
         if (!hostOk) System.err.println(
           s"BASELINE HOST MISMATCH: $path measured on '${fileHost.get}', " +
             s"this run on '$hereHost' — ratio flagged host_match:false")
-        val duckQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        // anchor to the "queries" object: the artifact also carries
+        // query_runs/query_sql_md5 maps keyed by the same names (r11) —
+        // a whole-file scan would read a run COUNT as a timing
+        val qSection = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        val duckQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(qSection)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap -- Seq("total")
         duckNames = duckQ.keySet
         val mine = results.collect {

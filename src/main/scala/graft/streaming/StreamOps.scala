@@ -655,8 +655,12 @@ object StreamOps {
           .as(Seq("pos0", "token")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("token")).cache()
-    (toks, graft.operators.BpeOps.unitMappingOf(
+    // construction can throw (AnalysisException on a bad batch schema)
+    // AFTER cache() registered the plan — unpersist on THAT path too, or
+    // the CacheManager entry outlives the batch (r11 review)
+    try (toks, graft.operators.BpeOps.unitMappingOf(
       toks.select(col("token")).distinct(), merges))
+    catch { case t: Throwable => toks.unpersist(); throw t }
   }
 
   def chunkServe(newDocs: DataFrame,
@@ -692,37 +696,47 @@ object StreamOps {
     * At-least-once semantics (r11 review): the fold keys its driver
     * state by foreachBatch's batchId — a RE-DELIVERED batch (sink
     * succeeded, checkpoint commit didn't) re-packs at its ORIGINAL base
-    * offset, reproducing the identical rows (idempotent output) instead
-    * of shifting the shard stream; the global offset only ever advances
-    * past fresh batches. A RESTARTED query builds a fresh writer, so
-    * resuming across process death means passing `baseOffset` = the
-    * last end offset the downstream committed — exactly the
-    * rebuild→serve handoff parameter.
+    * offset, reproducing the identical rows (an append-only downstream
+    * absorbs them by (doc_id, chunk_id) idempotence) instead of
+    * shifting the shard stream; the global offset only ever advances
+    * past fresh batches. Resuming ACROSS process death needs both
+    * halves of the handoff: `baseOffset` = the last end offset the
+    * downstream committed AND `lastCommitted` = (that batch's id, the
+    * base it packed at) — with it, a re-delivery of the committed batch
+    * replays byte-identically at its original base; without it a fresh
+    * state would treat the re-delivery as new work at a shifted base
+    * (the r11-review corruption case). One writer serves ONE query
+    * lifecycle: starting a second query from the same writer reuses the
+    * captured state and its batchId space — caller error.
     *
-    * Scale shape: zero executor stream state — driver state is THREE
-    * longs (offset, last batchId, its base); per batch: the chunkServe
-    * costs + the PrefixSum two-level scan over batch-sized CACHED chunk
-    * masses (computed once, read by the mass total and the sink's
-    * plan). */
+    * Scale shape: zero executor stream state — driver state is three
+    * longs (offset + the last (batchId, base) pair); per batch: the
+    * chunkServe costs + the PrefixSum two-level scan over batch-sized
+    * CACHED chunk masses (computed once, read by the mass total and
+    * the sink's plan). */
   def packServe(newDocs: DataFrame,
-      merges: Seq[graft.operators.BpeOps.BpeMerge], baseOffset: Long = 0L)
+      merges: Seq[graft.operators.BpeOps.BpeMerge], baseOffset: Long = 0L,
+      lastCommitted: Option[(Long, Long)] = None)
       (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val state = new PackServeState(baseOffset)
+    val state = new PackServeState(baseOffset, lastCommitted)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       packFold(batch, merges, state, batchId)(sink)
     }
   }
 
-  /** Driver-side pack state: the global unit offset plus the base the
-    * most recent batchId packed at (the idempotent-re-delivery key —
-    * Structured Streaming only ever re-delivers the latest uncommitted
-    * batch, so the state is BOUNDED at two longs, not a map over the
-    * stream's life). */
-  private[graft] final class PackServeState(baseOffset: Long) {
+  /** Driver-side pack state: the global unit offset plus the (batchId,
+    * base) pair of the most recent batch (the idempotent-re-delivery
+    * key — Structured Streaming only ever re-delivers the latest
+    * uncommitted batch, so the state is BOUNDED, not a map over the
+    * stream's life). The pair lives in ONE volatile reference: batch
+    * executions can land on different micro-batch threads, and the two
+    * fields must be read consistently (r11 review — plain vars had no
+    * happens-before edge between threads). */
+  private[graft] final class PackServeState(baseOffset: Long,
+      lastCommitted: Option[(Long, Long)] = None) {
     val offset = new java.util.concurrent.atomic.AtomicLong(baseOffset)
-    var lastBatchId: Long = -1L
-    var lastBase: Long = baseOffset
+    @volatile var last: (Long, Long) = lastCommitted.getOrElse((-1L, baseOffset))
   }
 
   /** One [[packServe]] micro-batch — factored out so StreamingSpec can
@@ -735,24 +749,29 @@ object StreamOps {
     val (toks, mapping) = batchToksAndMapping(batch, merges)
     // cached: the mass total and the sink's PrefixSum plan both read the
     // chunk masses — uncached, the merge replay + mapping join + doc
-    // window + groupBy would run twice per batch (r11 review)
-    val chunks = BpeOps.chunkReadout(toks, mapping)
-      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
-        col("n_units"))
-      .withColumn("bkey",
-        conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
-          col("chunk_id"))), 1, 15), 16, 10).cast("long"))
-      .cache()
+    // window + groupBy would run twice per batch (r11 review); built
+    // under the toks guard so a construction failure can't leak either
+    val chunks =
+      try BpeOps.chunkReadout(toks, mapping)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("n_units"))
+        .withColumn("bkey",
+          conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
+            col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+        .cache()
+      catch { case t: Throwable => toks.unpersist(); throw t }
     try {
       // re-delivery packs at the batch's ORIGINAL base (idempotent);
       // fresh batches enter at the current offset
-      val base =
-        if (batchId == state.lastBatchId) state.lastBase
+      val base = {
+        val (lastId, lastBase) = state.last
+        if (batchId == lastId) lastBase
         else {
-          state.lastBatchId = batchId
-          state.lastBase = state.offset.get()
-          state.lastBase
+          val b = state.offset.get()
+          state.last = (batchId, b)
+          b
         }
+      }
       val packed = graft.functions.PrefixSum
         .withRunningSum(chunks, "bkey", Seq("doc_id", "chunk_id"),
           "n_units", "cum_batch")
