@@ -580,10 +580,36 @@ object BpeOps {
     (done ++ more.map(m => m.copy(round = m.round + done.size)), vocab)
   }
 
+  // --- 161. RESUMED training as a registered, oracle-checked op -----------
+  /** [[trainFrom]] REGISTERED UNDER THE ORACLE (the q154 delta ≡ full
+    * pattern): train to a mid-run snapshot (half the budget), resume
+    * from it for the rest, surface the resumed merge table — and the
+    * oracle is [[q144Sql]], the UNINTERRUPTED run's chain, so the
+    * driver's hash compare IS the resume contract (snapshot + resume ≡
+    * straight-through, checked per round on every gate run, not just in
+    * BpeSpec). Scale shape: the resume's one corpus replay pass + the
+    * remaining rounds over the family-cached word-count relation —
+    * this op deliberately does NOT read the [[trainShared]] memo
+    * (reading the memoized q144 table would make the check vacuous). */
+  val SnapshotRound = Rounds / 2
+
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snapshot = train(s, dir, SnapshotRound)._1
+    trainFrom(s, dir, snapshot, Rounds - SnapshotRound)._1
+      .toDF("round", "pair", "merged", "n")
+      .orderBy(col("round"))
+  }
+
+  /** Resume ≡ uninterrupted: the oracle replays the straight 8-round
+    * chain; a resumed run that diverged anywhere would hash-mismatch. */
+  val q161Sql: String = q144Sql
+
   def ops: Seq[Op] = Seq(
     Op("q144_bpe_train", q144, Some(q144Sql)),
     Op("q147_bpe_apply", q147, Some(q147Sql)),
     Op("q151_bpe_segment", q151, Some(q151Sql)),
     Op("q156_tokenizer_drift", q156, Some(q156Sql)),
-    Op("q157_context_chunks_units", q157, Some(q157Sql)))
+    Op("q157_context_chunks_units", q157, Some(q157Sql)),
+    Op("q161_bpe_train_resumed", q161, Some(q161Sql)))
 }

@@ -480,6 +480,49 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"pruning lost after compaction:\n${scan2.get}")
   }
 
+  test("trained artifact lifecycle: frozen-model append over PRODUCED vectors ≡ union encode, pruning intact") {
+    // the q160 seam under MAINTENANCE: the model trains on the first
+    // corpus snapshot's TRAINED vectors; later arrivals train their own
+    // vectors (same deterministic projection) and append under the
+    // frozen model — the append never moves existing cells/codes, and
+    // serving answers exactly as one encode of the union would
+    import org.apache.spark.sql.functions._
+    import graft.operators.EmbedOps
+    val tv = EmbedOps.trainedEmbTable(spark, SF).cache()
+    val a = tv.filter(col("vec_id") % 5 =!= 0)
+    val b = tv.filter(col("vec_id") % 5 === 0)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_annidx_tlc-${spark.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
+    SimOps.annIndexWrite(spark, base, a)
+    SimOps.annIndexAppend(spark, base, b.select(col("vec_id"), col("embedding")))
+    val (cellsRow, cbRow) = SimOps.annIndexModel(spark, base)
+    val probed = SimOps.probeCells(
+      SimOps.withNorm(tv.filter(col("vec_id") % 50 === 0)),
+      cellsRow, SimOps.IdxNProbe)
+    val df = SimOps.annIndexSearch(
+      SimOps.annIndexVecs(spark, base), probed, cbRow, SimOps.IdxK)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toList
+    assert(got.nonEmpty)
+    val mem = SimOps.annIndexSearch(
+      SimOps.pqEncode(SimOps.assignToCells(SimOps.withNorm(tv), cellsRow), cbRow)
+        .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+          col("cell_id").cast("int").as("cell_id")),
+      probed, cbRow, SimOps.IdxK)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toList
+    tv.unpersist()
+    assert(got === mem)
+    // appended trained vectors must serve: some neighbor is from batch B
+    assert(got.exists { case (_, n, _, _) => n % 5 == 0 })
+    val idxScanLine = df.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("graft_annidx_tlc"))
+    assert(idxScanLine.nonEmpty, "trained index scan not found in the plan")
+    assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
+      s"pruning lost after trained append:\n${idxScanLine.get}")
+  }
+
   test("ann index drift: zero against its own build set, non-zero for a shifted batch") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, SF)
