@@ -362,7 +362,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       "re-running q105 must not rewrite the standing index artifact")
   }
 
-  test("q160 trained-vector index: pruned probes, ≡ in-memory build, recall vs brute-over-trained") {
+  test("q160 trained-vector index: pruned probes, ≡ in-memory Lloyd build, balanced cells, recall ≥ 0.8") {
     import org.apache.spark.sql.functions._
     import graft.operators.EmbedOps
     val df = SimOps.q160(spark, SF)
@@ -374,35 +374,51 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val idxScanLine = df.queryExecution.executedPlan.toString
       .split("\n").find(_.contains("graft_annindex_trained"))
     assert(idxScanLine.nonEmpty, "trained index scan not found in the plan")
-    assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ IN \(.*"""),
+    // `IN (…)` below 10 literals, `INSET …` above — the np3 probe set
+    // touches >10 of the tiny sf0.01 cell inventory; both are the same
+    // static partition-pruning filter
+    assert(idxScanLine.get.matches(""".*PartitionFilters: \[cell_id#\d+ (IN \(|INSET ).*"""),
       s"probed-cell restriction must prune partitions:\n${idxScanLine.get}")
     // artifact ≡ the unwritten in-memory build over the same trained
-    // corpus (the q105 transparency contract, over produced vectors)
+    // corpus (the q105 transparency contract, over produced vectors) —
+    // r12: both sides run the LLOYD-refined coarse quantizer
     val tv = EmbedOps.trainedEmbTable(spark, SF).cache()
-    val cbRow = SimOps.pqCodebook(tv)
-    val cellsRow = SimOps.cellsAsRow(SimOps.centroidCells(tv))
+    val cells = SimOps.cellsOfCmeans(SimOps.lloydCmeans(tv, SimOps.LloydRounds))
+    val cbRow = SimOps.pqCodebookFrom(cells)
+    val cellsRow = SimOps.cellsAsRow(cells)
     def nrm(d: org.apache.spark.sql.DataFrame) =
       d.withColumn("nrm", graft.expressions.VectorExprs.vecNorm(col("embedding")))
-    val mem = SimOps.annIndexSearch(
-      SimOps.pqEncode(SimOps.assignToCells(nrm(tv), cellsRow), cbRow)
-        .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
-          col("cell_id").cast("int").as("cell_id")),
+    val memIdx = SimOps.pqEncode(SimOps.assignToCells(nrm(tv), cellsRow), cbRow)
+      .select(col("vec_id"), col("codes"), col("embedding"), col("nrm"),
+        col("cell_id").cast("int").as("cell_id")).cache()
+    val mem = SimOps.annIndexSearch(memIdx,
       SimOps.probeCells(nrm(tv.filter(col("vec_id") % 50 === 0)),
-        cellsRow, SimOps.IdxNProbe),
-      cbRow, SimOps.IdxK)
+        cellsRow, SimOps.TrainedNProbe),
+      cbRow, SimOps.IdxK, SimOps.TrainedRerank)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getLong(3))).toList
     assert(got === mem)
-    // recall@5 vs BRUTE kNN over the same trained vectors — the
-    // train→index→serve seam must find real neighbors, not just run
+    // cell BALANCE (r11 VERDICT #1): the raw sign-bit cells put 4.3×
+    // uniform in the top cell on this corpus (37 % of sf0.1) — an
+    // unpruned scan at 100 TB. The Lloyd-refined quantizer must keep
+    // every cell within 3× uniform occupancy.
+    val occ = memIdx.groupBy(col("cell_id")).count()
+      .collect().map(r => r.getLong(1))
+    val uniform = occ.sum.toDouble / occ.length
+    assert(occ.max <= 3.0 * uniform,
+      s"max cell occupancy ${occ.max} exceeds 3x uniform ($uniform)")
+    // recall@5 vs BRUTE kNN over the same trained vectors — a
+    // production ANN serving floor, not a smoke check (r11: 0.64 at
+    // the sign-bit cells; the Lloyd cells + widened rerank clear 0.8)
     val trained = EmbedOps.trainedVectors(spark, SF)
     val exact = SimOps.knnBrute(trained,
         trained.filter(col("vec_id") % 50 === 0), SimOps.IdxK)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
     val recall = got.count { case (q, n, _, _) => exact((q, n)) }.toDouble /
       exact.size
+    memIdx.unpersist()
     tv.unpersist()
-    assert(recall >= 0.3, s"trained-index recall@5 = $recall")
+    assert(recall >= 0.8, s"trained-index recall@5 = $recall")
   }
 
   test("q160 standing artifact: a re-run probes the existing trained index, never rebuilds") {
