@@ -98,8 +98,12 @@ object BpeOps {
     trainOn(wordCounts(s, dir), rounds)
 
   /** The round loop over an arbitrary char-spaced word-count relation
-    * (shared by the corpus trainer and q156's train-fold trainer). */
-  private def trainOn(v0: DataFrame, rounds: Int)
+    * (shared by the corpus trainer, q156's train-fold trainer, and the
+    * vocab-size-targeted trainer). `minPairCount` is the no-repeat stop:
+    * a best pair seen fewer than that many times ends training (the
+    * production rule is 2 — merging a pair that never repeats buys
+    * nothing; the fixed-budget trainers keep 1, i.e. no count stop). */
+  private def trainOn(v0: DataFrame, rounds: Int, minPairCount: Long = 1L)
       : (Seq[BpeMerge], DataFrame) = {
     var vocab = v0
     val merges = Seq.newBuilder[BpeMerge]
@@ -112,7 +116,8 @@ object BpeOps {
         .groupBy(col("pair")).agg(sum(col("f")).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(1)
         .collect()
-      if (best.isEmpty) exhausted = true // every word is one symbol
+      if (best.isEmpty || best(0).getLong(1) < minPairCount)
+        exhausted = true // every word is one symbol / no pair repeats
       else {
         val pair = best(0).getString(0)
         val n = best(0).getLong(1)
@@ -176,29 +181,31 @@ object BpeOps {
     * — ONE builder behind q144/q147/q151/q152's full-corpus oracles and
     * q156's train-fold one (replacing the r9 substring extraction: a
     * parameterized builder can't drift from its readouts). */
-  private def chainCtes(where: String): String = {
+  private def chainCtes(where: String, afterInit: String = "",
+      mergeCond: Int => String = _ => ""): String = {
     val init =
       s"""v0 AS (SELECT array_to_string([t[i] FOR i IN range(1, len(t)+1)], ' ') AS w, f
          |  FROM (SELECT token AS t, CAST(COUNT(*) AS BIGINT) AS f
          |    FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents$where)
          |    GROUP BY token))""".stripMargin
     // v$r LEFT-joins its round's (0-or-1-row) merge so an EXHAUSTED pool
-    // (m$r empty — every word one symbol) passes the vocab through
-    // unchanged; the r8 CROSS JOIN form emptied v$r and every later
-    // round with it, silently zeroing the q147 replay on early-exhaust
-    // corpora (r9 review finding, DuckDB-reproduced). The engine's
-    // early-stop loop has the same pass-through semantics.
+    // (m$r empty — every word one symbol, or the vocab-target/no-repeat
+    // stop via `mergeCond`) passes the vocab through unchanged; the r8
+    // CROSS JOIN form emptied v$r and every later round with it,
+    // silently zeroing the q147 replay on early-exhaust corpora (r9
+    // review finding, DuckDB-reproduced). The engine's early-stop loop
+    // has the same pass-through semantics.
     val rounds = (1 to Rounds).map { r =>
       s"""p$r AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM (
          |  SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair, f
          |  FROM (SELECT string_split(w, ' ') AS l, f FROM v${r - 1})) GROUP BY pair),
-         |m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |m$r AS (SELECT pair, n FROM p$r${mergeCond(r)} ORDER BY n DESC, pair LIMIT 1),
          |v$r AS (SELECT CASE WHEN m.pair IS NULL THEN w
          |    ELSE trim(replace(' ' || w || ' ', ' ' || m.pair || ' ',
          |      ' ' || replace(m.pair, ' ', '') || ' ')) END AS w, f
          |  FROM v${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
-    s"$init,\n${rounds.mkString(",\n")}"
+    s"$init$afterInit,\n${rounds.mkString(",\n")}"
   }
 
   /** The q144 chain's CTE prefix (everything before the merge-table
@@ -580,6 +587,68 @@ object BpeOps {
     (done ++ more.map(m => m.copy(round = m.round + done.size)), vocab)
   }
 
+  // --- 163. vocab-size-TARGETED training (r11 VERDICT #4) ------------------
+  /** Production tokenizers train to a vocabulary SIZE, not a round
+    * budget: stop when |vocab| reaches V or no pair repeats. Here
+    * |vocab| = base symbol inventory (distinct characters across the
+    * corpus token vocabulary) + one entry per merge — each round adds
+    * one row to the shipped merge table, the artifact whose size a
+    * release budgets. (The leftmost-non-overlapping replace lets an
+    * adjacent-survivor pair win twice across rounds; both wins are
+    * real merge-table rows, so both count against V — the merge TABLE
+    * is what ships.) The no-repeat stop is `minPairCount = 2`: merging
+    * a pair seen once buys no compression.
+    *
+    * So round r fires iff base + (r−1) < V AND best-pair count ≥ 2 —
+    * both conditions are pure functions of the training state, which
+    * keeps the whole stop rule inside the unrolled oracle chain: m\$r
+    * gains `CROSS JOIN vbase WHERE n >= 2 AND vbase.b + (r−1) < V`,
+    * and a stopped round's empty merge CTE passes the vocab through
+    * (the q147 exhaustion shape already in the chain). The no-repeat
+    * stop is ABSORBING (no merge ⇒ same pairs ⇒ still no repeat), so
+    * the two engines cannot disagree about which rounds fired.
+    *
+    * Scale shape: identical to [[train]] — one corpus pass for the
+    * word counts + one extra vocabulary-sized distinct-symbol aggregate
+    * for the base inventory, then ≤ min(maxRounds, V − base)
+    * vocabulary-sized rounds. */
+  val TargetVocab = 29
+
+  /** Train until the merge inventory would push |vocab| past
+    * `targetVocab` or no pair repeats; `maxRounds` caps the unrolled
+    * oracle chain (and any runaway target). */
+  def trainToVocab(s: SparkSession, dir: String, targetVocab: Int,
+      maxRounds: Int = Rounds): (Seq[BpeMerge], DataFrame) =
+    trainToVocabOn(wordCounts(s, dir), targetVocab, maxRounds)
+
+  private[graft] def trainToVocabOn(v0: DataFrame, targetVocab: Int,
+      maxRounds: Int): (Seq[BpeMerge], DataFrame) = {
+    val base = v0.select(explode(split(col("w"), " ")).as("sym"))
+      .agg(countDistinct(col("sym"))).head().getLong(0)
+    val budget = math.max(0L, targetVocab - base).min(maxRounds.toLong).toInt
+    trainOn(v0, budget, minPairCount = 2L)
+  }
+
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainToVocab(s, dir, TargetVocab)._1
+      .toDF("round", "pair", "merged", "n")
+      .orderBy(col("round"))
+  }
+
+  val q163Sql: String = {
+    val chain = chainCtes("",
+      afterInit = s""",
+         |vbase AS (SELECT COUNT(DISTINCT sym) AS b FROM (
+         |  SELECT unnest(string_split(w, ' ')) AS sym FROM v0) _s)""".stripMargin,
+      mergeCond = r =>
+        s" CROSS JOIN vbase WHERE n >= 2 AND vbase.b + ${r - 1} < $TargetVocab")
+    val sel = (1 to Rounds)
+      .map(r => s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, n FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $chain\n$sel\nORDER BY round"
+  }
+
   // --- 161. RESUMED training as a registered, oracle-checked op -----------
   /** [[trainFrom]] REGISTERED UNDER THE ORACLE (the q154 delta ≡ full
     * pattern): train to a mid-run snapshot (half the budget), resume
@@ -611,5 +680,6 @@ object BpeOps {
     Op("q151_bpe_segment", q151, Some(q151Sql)),
     Op("q156_tokenizer_drift", q156, Some(q156Sql)),
     Op("q157_context_chunks_units", q157, Some(q157Sql)),
-    Op("q161_bpe_train_resumed", q161, Some(q161Sql)))
+    Op("q161_bpe_train_resumed", q161, Some(q161Sql)),
+    Op("q163_bpe_train_to_vocab", q163, Some(q163Sql)))
 }

@@ -1072,6 +1072,59 @@ object PipelineOps {
        |FROM cseq
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --- 162. deterministic per-epoch sequence ordering (r11 VERDICT #2) -----
+  /** The last loader piece: [[q158]] emits the training sequences in ONE
+    * fixed global bkey order, but a pretraining loader consumes a
+    * DIFFERENT deterministic permutation per epoch — the seeded shuffle
+    * every data-loader implements. One rank per epoch over the
+    * `sequence_pack` memo: okey = md5("ep:[[EpochSeed]]:epoch:doc:chunk")
+    * (the engine's portable draw), rank = PrefixSum running count —
+    * membership is q158's BY CONSTRUCTION (the same memoized relation,
+    * replicated across [[Epochs]]), and epoch 0's permutation shares
+    * nothing with epoch 1's beyond the seed rule (PipelineSpec pins
+    * permutation-not-identity and exact membership).
+    *
+    * Scale shape: epochs are consumed one at a time by a loader, and
+    * each epoch's rank is the [[graft.functions.PrefixSum]] two-level
+    * binned scan over the hash-spread okey (running sum of ones — a
+    * distributed ROW_NUMBER with no global window); the union stacks
+    * [[Epochs]] independent scans. FULL oracle: one ROW_NUMBER PER
+    * EPOCH over the q158 chain crossed with the epoch range. */
+  val Epochs = 3
+  val EpochSeed = 42L
+
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val pack = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("shard"))
+    (0 until Epochs).map { e =>
+      val keyed = pack
+        .withColumn("epoch", lit(e.toLong))
+        .withColumn("okey",
+          conv(substring(md5(concat(lit(s"ep:$EpochSeed:$e:"), col("doc_id"),
+            lit(":"), col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+        .withColumn("one", lit(1L))
+      graft.functions.PrefixSum
+        .withRunningSum(keyed, "okey", Seq("doc_id", "chunk_id"),
+          "one", "seq_rank")
+    }.reduce(_ unionAll _)
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
+        col("shard"))
+      .orderBy(col("epoch"), col("seq_rank"))
+  }
+
+  lazy val q162Sql: String =
+    s"""SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY okey, doc_id, chunk_id) AS BIGINT) AS seq_rank,
+       |  doc_id, chunk_id, shard
+       |FROM (
+       |  SELECT e.epoch, b.doc_id, b.chunk_id, b.shard,
+       |    CAST(('0x' || substr(md5('ep:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
+       |      CAST(b.doc_id AS VARCHAR) || ':' || CAST(b.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM ($q158Sql) b CROSS JOIN
+       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e) k
+       |ORDER BY epoch, seq_rank""".stripMargin
+
   // --- 121. DSIR-style importance selection (r5) ---------------------------
   /** Data selection via importance weighting on HASHED n-gram features
     * (the DSIR recipe, Xie et al. 2023, arXiv:2302.03169): estimate how
@@ -1457,6 +1510,7 @@ object PipelineOps {
     Op("q155_subword_manifest", q155, Some(q155Sql)),
     Op("q158_sequence_pack", q158, Some(q158Sql)),
     Op("q159_sequence_manifest", q159, Some(q159Sql)),
+    Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )
 

@@ -227,6 +227,41 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(bad.getMessage.contains("contiguous"))
   }
 
+  test("q163 trainToVocab: budget stop fires before the round cap, merges prefix the full run") {
+    val (merges, _) = BpeOps.trainToVocab(spark, SF, BpeOps.TargetVocab)
+    // base inventory = distinct characters across the token vocabulary
+    val base = corpusWordCounts.flatMap(_._1.toCharArray).distinct.size
+    assert(base < BpeOps.TargetVocab,
+      s"test corpus base inventory $base must sit under the target")
+    // the vocab-budget stop fired EXACTLY (this corpus has repeating
+    // pairs well past 5 merges, so the count stop never triggers here)
+    assert(merges.size === BpeOps.TargetVocab - base)
+    // ...and strictly before the round cap — the stop did real work
+    assert(merges.size < BpeOps.Rounds)
+    // no-repeat rule: every shipped merge is worth shipping
+    assert(merges.forall(_.n >= 2))
+    // prefix property: the stop rule truncates the fixed-budget trainer,
+    // never diverges from it — round r of both trainers sees the same
+    // vocab state and picks the same argmax
+    val (full, _) = BpeOps.train(spark, SF)
+    assert(merges === full.take(merges.size))
+  }
+
+  test("q163 trainToVocab: the no-repeat stop fires strictly before budget and cap") {
+    import spark.implicits._
+    // one repeating pair, one singleton pair: round 1 merges "a b" (n=2),
+    // round 2's best pair "c d" occurs once -> count stop, with both the
+    // vocab budget (100) and the round cap still open
+    val v0 = Seq(("a b", 2L), ("c d", 1L)).toDF("w", "f")
+    val (merges, vocab) = BpeOps.trainToVocabOn(v0, targetVocab = 100,
+      maxRounds = BpeOps.Rounds)
+    assert(merges.map(m => (m.round, m.pair, m.merged, m.n)) ===
+      Seq((1, "a b", "ab", 2L)))
+    // the stopped rounds pass the vocab through unchanged
+    assert(vocab.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      === Seq(("ab", 2L), ("c d", 1L)).sorted)
+  }
+
   test("learned merges re-tokenize tokens to the engine's final vocab") {
     val (merges, engineVocab) = BpeOps.train(spark, SF)
     val byWord = engineVocab.collect()

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 161) // r11: +q158/q159/q160/q161
+    assert(SparkEntry.queries.size === 163) // r12: +q162/q163
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 148) // r11: +q158..q161 (all full)
+    assert(SparkEntry.oracleSql.size === 150) // r12: +q162/q163 (both full)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

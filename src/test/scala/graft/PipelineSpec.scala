@@ -655,6 +655,31 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(want(probe._5)._5 - sid(probe._1) !== want(probe._5)._5)
   }
 
+  test("q162 epoch ordering: exact q158 membership per epoch, distinct permutations, dense ranks") {
+    val pack = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("shard"))).toSet
+    val rows = PipelineOps.q162(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet ===
+      (0 until PipelineOps.Epochs).map(_.toLong).toSet)
+    byEpoch.foreach { case (_, rs) =>
+      // exact membership — every epoch replays the whole sequence pack
+      // (incl. the shard each sequence lives in), nothing added/dropped
+      assert(rs.map(r => (r._3, r._4, r._5)).toSet === pack)
+      // ranks are a dense 1..N permutation (the loader's epoch stream)
+      assert(rs.map(_._2).sorted.toSeq === (1L to pack.size).toSeq)
+    }
+    // permutation-not-identity: the seeded shuffle actually shuffles —
+    // all epochs order the sequences differently
+    val orders = (0 until PipelineOps.Epochs).map(e =>
+      byEpoch(e.toLong).sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+    assert(orders.distinct.size === PipelineOps.Epochs,
+      "epoch permutations must differ pairwise")
+  }
+
   test("q121 DSIR at 2^20 buckets: model stays a broadcast map-side table") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, SF)
