@@ -1464,7 +1464,17 @@ object PipelineOps {
     * exactly), boundaries moving doc→unit→sequence. Scale shape:
     * q158's memo + one map-side-combined groupBy(shard). */
   def q159(s: SparkSession, dir: String): DataFrame =
-    sequencePack(s, dir)
+    sequenceManifestOf(sequencePack(s, dir))
+
+  /** The sequence-manifest AGGREGATE over an arbitrary packed-sequence
+    * relation `(doc_id, chunk_id, lang, n_units, cum_units, shard)` —
+    * ONE definition behind [[q159]]'s batch readout and the
+    * serve-vs-rebuild reconciliation (StreamingSpec runs it over
+    * [[graft.streaming.StreamOps.packServe]]'s served shard stream), the
+    * segmentReadout/chunkReadout rule at manifest level: stream ≡ batch
+    * reconciles through the SAME aggregate, not a re-implementation. */
+  private[graft] def sequenceManifestOf(pack: DataFrame): DataFrame =
+    pack
       .withColumn("sid", sidCol)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_seqs"),

@@ -928,6 +928,144 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(st.offset.get() === offAfterFirst + second.map(_._4).sum)
   }
 
+  test("serve-vs-rebuild manifest reconciliation: one-batch serve ≡ static q159, multi-batch totals exact") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    // the rebuild's membership: q158's mixture-sampled docs (every one
+    // has >= 1 chunk), with lang/text pulled from the documents table
+    val memberIds = PipelineOps.q158(spark, SF).collect()
+      .map(_.getLong(0)).distinct.toSet
+    val docRows = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text").collect()
+      .filter(r => memberIds(r.getLong(0)))
+    val members = docRows.map(r => (r.getLong(0), r.getString(2))).toSeq
+    val langDf = docRows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "lang")
+    val static = PipelineOps.q159(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    type PackRow = (Long, Long, Long, Long, Long, Long)
+    def serve(batchesIn: Seq[Seq[(Long, String)]]): List[List[PackRow]] = {
+      val ms = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.ArrayBuffer[List[PackRow]]()
+      val q = StreamOps.packServe(
+          ms.toDF().toDF("doc_id", "text"), merges) { p =>
+        out += p.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toList
+      }.start()
+      try batchesIn.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.toList
+    }
+    // the reconciliation runs the SAME aggregate as q159 over the
+    // served rows (sequenceManifestOf — one definition, not a copy);
+    // lang is a doc attribute the loader-facing pack stream does not
+    // carry, joined back from the doc table on the known membership
+    def manifestOf(rows: List[(Long, Long, Long, Long, Long, Long)]) =
+      PipelineOps.sequenceManifestOf(
+        rows.toDF("doc_id", "chunk_id", "n_tokens", "n_units",
+          "cum_units", "shard").join(langDf, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    // ONE batch at baseOffset 0 holding the whole membership arrives in
+    // the rebuild's own md5-bkey order (the per-batch PrefixSum IS the
+    // global one when the batch is the corpus) -> the served manifest
+    // equals the static rebuild's EXACTLY, shard boundaries included
+    val one = serve(Seq(members))
+    assert(manifestOf(one.flatten) === static)
+    // MULTI-batch: arrival order diverges from the global bkey order,
+    // so shard BOUNDARIES may move — but membership and masses are
+    // order-independent: total sequences, units, doc fingerprints, and
+    // the final end offset must reconcile exactly
+    val split = Seq(members.take(members.size / 3),
+      members.slice(members.size / 3, 2 * members.size / 3),
+      members.drop(2 * members.size / 3))
+    val multi = serve(split)
+    val served = manifestOf(multi.flatten)
+    def totals(m: List[(Long, Long, Long, Long, Long, Long, Long)]) =
+      (m.map(_._2).sum, m.map(_._5).sum, m.map(_._6).max, m.map(_._7).sum)
+    assert(totals(served) === totals(static))
+    // per-shard budget bound survives the arrival seam (incl. shards
+    // continued across batch boundaries)
+    val allRows = multi.flatten
+    val maxChunk = allRows.map(_._4).max
+    served.foreach { s =>
+      assert(s._5 <= PipelineOps.ShardUnitBudget + maxChunk - 1,
+        s"shard ${s._1} mass ${s._5} over budget")
+    }
+    // the open-shard continuation really happened: batch 1 ends mid-
+    // shard on this corpus, and batch 2's first rows append to THAT
+    // shard id (never re-shard, never skip)
+    assert(multi(0).last._5 % PipelineOps.ShardUnitBudget !== 0L,
+      "test premise: batch 1 must end mid-shard")
+    assert(multi(1).head._6 === multi(0).last._6,
+      "continuation batch must append to the open shard")
+  }
+
+  test("packServeResumable: kill-and-resume from the persisted state ≡ the uninterrupted stream") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.BpeOps
+    val merges = BpeOps.train(spark, SF)._1
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(18).toSeq
+    val batches = Seq(docs.take(6), docs.slice(6, 12), docs.drop(12))
+    val tmpDir = java.nio.file.Files.createTempDirectory("packstate").toFile
+    graft.TempArtifacts.register(tmpDir)
+    def stateFile(n: String) = new java.io.File(tmpDir, n)
+    // drive one micro-batch the way packServeResumable's foreachBatch
+    // does — packFold, then the atomic state write (driven directly:
+    // MemoryStream cannot survive a process death, so the replay is
+    // emulated at the exact seam the wrapper wires)
+    def drive(state: StreamOps.PackServeState, f: java.io.File,
+        b: Seq[(Long, String)], id: Long)
+        : List[(Long, Long, Long, Long, Long, Long)] = {
+      var got: List[(Long, Long, Long, Long, Long, Long)] = null
+      StreamOps.packFold(b.toDF("doc_id", "text"), merges, state, id) { p =>
+        got = p.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toList
+      }
+      StreamOps.persistPackState(f, state.offset.get(), state.last)
+      got
+    }
+    // uninterrupted reference stream: three batches, one state
+    val fRef = stateFile("ref.json")
+    val stRef = new StreamOps.PackServeState(0L)
+    val ref = batches.zipWithIndex.map { case (b, i) =>
+      drive(stRef, fRef, b, i.toLong) }
+    // the killed run: batches 0–1, then process death
+    val fKill = stateFile("kill.json")
+    assert(StreamOps.loadPackState(fKill).isEmpty, "fresh stream premise")
+    val st1 = new StreamOps.PackServeState(0L)
+    assert(drive(st1, fKill, batches(0), 0L) === ref(0))
+    assert(drive(st1, fKill, batches(1), 1L) === ref(1))
+    // resume in a "new process": the state is rebuilt from the FILE
+    // (packServeResumable's constructor path), st1 is gone
+    val loaded = StreamOps.loadPackState(fKill).get
+    val st2 = new StreamOps.PackServeState(loaded._1, Some(loaded._2))
+    // worst case first: the last committed batch is re-delivered (died
+    // before the stream checkpoint committed) — byte-identical replay
+    // at its original base, offset untouched
+    assert(drive(st2, fKill, batches(1), 1L) === ref(1))
+    assert(st2.offset.get() === loaded._1, "re-delivery must not advance")
+    // then the fresh batch continues the uninterrupted stream exactly,
+    // and the two state files converge byte-for-byte
+    assert(drive(st2, fKill, batches(2), 2L) === ref(2))
+    assert(StreamOps.loadPackState(fKill) === StreamOps.loadPackState(fRef))
+    // the real foreachBatch wiring persists too: a one-batch resumable
+    // stream leaves (offset = batch mass, last_id = 0) behind
+    val fLive = stateFile("live.json")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.packServeResumable(
+      ms.toDF().toDF("doc_id", "text"), merges, fLive)(_.count()).start()
+    try { ms.addData(batches(0)); q.processAllAvailable() } finally q.stop()
+    val live = StreamOps.loadPackState(fLive).get
+    assert(live._2._1 === 0L)
+    assert(live._1 === ref(0).map(_._4).sum)
+  }
+
   test("streaming drift gate ≡ q124 on the split; skewed batch flagged, representative passes") {
     implicit val ctx = spark.sqlContext
     import graft.operators.{DedupOps, PipelineOps}
