@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver tail-parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON (BENCH_r{N}.json `parsed`). Two
+// sbt defaults defeat that: the forked run's output is re-logged with
+// an `[info] ` prefix, and sbt prints `[success] Total time: …` AFTER
+// the fork exits — so the tail never ends on the contract line
+// (r10/r11 artifacts both show parsed:null). Send run output straight
+// through and drop the success banner; exit codes are unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,6 +38,13 @@ HEADLINE = [
     # ratio tracks what the engine now is.
     "q144_bpe_train", "q151_bpe_segment", "q152_subword_pack",
     "q153_dedup_semantic_banded", "q157_context_chunks_units",
+    # r12 widening (r11 VERDICT #6): the sequence-pack ladder and the
+    # trained-vector ANN index — q158/q159 ride the same chain replays
+    # as q152 (the fairness note covers them), q160 re-derives the
+    # whole train->Lloyd->encode->probe pipeline per run where Spark
+    # serves an amortized standing artifact (same note).
+    "q158_sequence_pack", "q159_sequence_manifest",
+    "q160_ann_index_trained",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -85,8 +92,19 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
             pq = prev.get("queries", {})
             phash = prev.get("query_sql_md5", {})
             pruns = prev.get("query_runs", {})
+            # LEGACY BOOTSTRAP (r11 ADVICE): an artifact written before
+            # the hash-guard era has NO query_sql_md5 map at all — that
+            # is a format gap, not 18 simultaneous SQL redefinitions, so
+            # carry its mins (one loud banner) instead of silently
+            # discarding every accumulated history in a single run.
+            legacy = "query_sql_md5" not in prev
+            if legacy:
+                print("LEGACY BASELINE: previous artifact predates the "
+                      "query_sql_md5 guard — carrying its mins unguarded "
+                      "this once; the merged artifact records hashes",
+                      file=sys.stderr)
             for q in list(res):
-                if q in pq and phash.get(q) == sql_md5[q]:
+                if q in pq and (legacy or phash.get(q) == sql_md5[q]):
                     res[q] = min(res[q], pq[q])
                     qruns[q] = pruns.get(q, prev.get("runs", 1)) + 1
                 elif q in pq:
@@ -101,21 +119,30 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
             "query_runs records each query's own history depth "
             f"(max {runs}), best-of-2 within each run, and a query whose "
             "oracle SQL changes restarts its history (query_sql_md5 "
-            "guard). Fairness: on the r11 tokenizer-family queries "
-            "(q144/q151/q152/q157) Spark's bench numbers are family-memo "
-            "marginal costs (the engine trains once per corpus snapshot "
-            "and every readout consumes the artifact), while this SQL "
-            "re-derives the training chain inside each query — plain SQL "
-            "cannot share artifacts across statements. The comparison "
-            "still holds cold: Spark's r10 pre-memo plan times (q144 "
-            "0.50s, q151 0.34s, q152 0.27s, q157 0.49s) beat this file's "
-            "chain replays on every added query.")
+            "guard; a pre-guard artifact's mins carry once via the "
+            "legacy bootstrap with a loud banner). Fairness: on the "
+            "tokenizer/pack-family queries "
+            "(q144/q151/q152/q157/q158/q159) Spark's bench numbers are "
+            "family-memo marginal costs (the engine trains once per "
+            "corpus snapshot and every readout consumes the artifact), "
+            "and on q160 Spark serves a standing on-disk index, while "
+            "this SQL re-derives the training/index chain inside each "
+            "query — plain SQL cannot share artifacts across statements. "
+            "The comparison still holds cold: Spark's r10 pre-memo plan "
+            "times (q144 0.50s, q151 0.34s, q152 0.27s, q157 0.49s) and "
+            "q160's 1.2s build-inclusive first call beat the chain "
+            "replays on every added query.")
+    # field ORDER is part of the contract with graft.Bench's anchor
+    # regex (r11 ADVICE): `queries` must appear before any free-text
+    # field that could contain a literal `"queries": {` — keep the note
+    # AFTER the queries object (python dicts serialize insertion-ordered)
     out = {"engine": "duckdb", "version": duckdb.__version__,
            "sf": os.path.basename(os.path.normpath(sf_dir)),
            "host": socket.gethostname(),
            "date": datetime.date.today().isoformat(),
-           "runs": runs, "note": note,
+           "runs": runs,
            "queries": res, "total": round(sum(res.values()), 3),
+           "note": note,
            "query_runs": qruns, "query_sql_md5": sql_md5}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

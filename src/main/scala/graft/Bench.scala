@@ -191,22 +191,32 @@ object Bench {
             s"this run on '$hereHost' — ratio flagged host_match:false")
         // anchor to the "queries" object: the artifact also carries
         // query_runs/query_sql_md5 maps keyed by the same names (r11) —
-        // a whole-file scan would read a run COUNT as a timing
+        // a whole-file scan would read a run COUNT as a timing. The
+        // writer keeps `queries` FLAT and the free-text note AFTER it
+        // (baseline_duckdb.py, r11 ADVICE); a zero-entry parse of an
+        // existing file is a format break, not an empty baseline —
+        // fail loudly instead of silently omitting the ratio.
         val qSection = """"queries"\s*:\s*\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         val duckQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
           .findAllMatchIn(qSection)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap -- Seq("total")
-        duckNames = duckQ.keySet
+        if (duckQ.isEmpty) System.err.println(
+          s"BASELINE FORMAT BREAK: $path exists but its queries object " +
+            "parsed to zero entries — fix the artifact or the anchor regex")
         val mine = results.collect {
           case (k, v, _) if v >= 0 && duckQ.contains(k) => v }
         // A present-but-unusable baseline is a diagnostic, not a silent
         // omission (r6 ADVICE): say WHY the ratio field is missing.
-        if (!sfOk || mine.size != duckQ.size) {
+        if (!sfOk || duckQ.isEmpty || mine.size != duckQ.size) {
           System.err.println(s"BASELINE SKIPPED: $path sfOk=$sfOk " +
             s"matched=${mine.size}/${duckQ.size} — ratio field omitted")
           ""
         } else {
+          // only a baseline that actually EMITS restricts the compact
+          // line's queries map (r11 ADVICE: a skipped/stale baseline
+          // must fall through to the 20-slowest selection below)
+          duckNames = duckQ.keySet
           val duckTotal = duckQ.values.sum
           val hostField = if (hostOk) "" else s""","host_match":false"""
           s""","baseline":{"engine":"duckdb","n":${duckQ.size},"duck_sec":${d3(duckTotal)},"spark_sec":${d3(mine.sum)},"ratio":${d3(mine.sum / duckTotal)}$hostField}"""
@@ -235,7 +245,20 @@ object Bench {
     // "compact":true distinguishes this line from the full one for any
     // consumer keying on metric=="total" rather than taking the last
     // JSON line (r11 review — the metric field was previously unique)
-    println(s"""{"metric":"total","compact":true,"value":${d3(total)},"unit":"sec","queries":$qsc,"sf":"$sfDir","passes":$ranPasses$canarySummary$spread$baseline}""")
+    val compactLine =
+      s"""{"metric":"total","compact":true,"value":${d3(total)},"unit":"sec","queries":$qsc,"sf":"$sfDir","passes":$ranPasses$canarySummary$spread$baseline}"""
+    // belt-and-braces beside the stdout contract (r11 VERDICT #5 — two
+    // rounds of parsed:null): the compact line also lands in a FILE any
+    // consumer can read without tail heuristics. build.sbt's
+    // StdoutOutput + showSuccess:=false make the println genuinely last
+    // on stdout; the file survives even if sbt grows a new trailer.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_COMPACT.json"),
+      (compactLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_COMPACT.json write failed: ${e.getMessage}") }
     spark.stop()
+    // after stop(): nothing of Spark's prints past this line
+    println(compactLine)
   }
 }
