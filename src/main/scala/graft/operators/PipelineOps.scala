@@ -1093,7 +1093,9 @@ object PipelineOps {
   val Epochs = 3
   val EpochSeed = 42L
 
-  def q162(s: SparkSession, dir: String): DataFrame = {
+  /** The per-epoch ordered sequence stream behind [[q162]] and [[q166]]:
+    * one PrefixSum ranking per epoch over the `sequence_pack` memo. */
+  private[graft] def epochOrdered(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
     (0 until Epochs).map { e =>
@@ -1109,10 +1111,14 @@ object PipelineOps {
     }.reduce(_ unionAll _)
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
-      .orderBy(col("epoch"), col("seq_rank"))
   }
 
-  lazy val q162Sql: String =
+  def q162(s: SparkSession, dir: String): DataFrame =
+    epochOrdered(s, dir).orderBy(col("epoch"), col("seq_rank"))
+
+  /** The [[q162]] SELECT body without the final ORDER BY — [[q162Sql]]
+    * appends it; [[q166Sql]] wraps the body in its resume predicate. */
+  private lazy val epochOrderedSql: String =
     s"""SELECT epoch,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
        |    ORDER BY okey, doc_id, chunk_id) AS BIGINT) AS seq_rank,
@@ -1122,7 +1128,60 @@ object PipelineOps {
        |    CAST(('0x' || substr(md5('ep:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
        |      CAST(b.doc_id AS VARCHAR) || ':' || CAST(b.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
        |  FROM ($q158Sql) b CROSS JOIN
-       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e) k
+       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e) k""".stripMargin
+
+  lazy val q162Sql: String =
+    s"""$epochOrderedSql
+       |ORDER BY epoch, seq_rank""".stripMargin
+
+  // --- 166. mid-epoch loader resume (r12) -----------------------------------
+  /** The loader's RESTART contract over the epoch stream: a pretraining
+    * job checkpoints its data-loader position as (epoch, rank consumed)
+    * and, on preemption, must resume with EXACTLY the unconsumed suffix
+    * of the deterministic [[q162]] stream — re-serving a consumed
+    * sequence double-trains it, skipping one silently drops data. The
+    * resume point ([[ResumeEpoch]], [[ResumeRank]]) cuts MID-epoch: the
+    * suffix is the tail of epoch [[ResumeEpoch]] in its own permutation
+    * plus every later epoch in full. Because the per-epoch permutation
+    * is a pure function of (seed, epoch, doc, chunk), the suffix is
+    * computable on a fresh cluster with no loader state beyond the
+    * two-long checkpoint — the packServeResumable rule at the
+    * consumption end of the pipeline.
+    *
+    * Scale shape: [[epochOrdered]]'s per-epoch PrefixSum scans with the
+    * resume predicate applied AFTER ranking (the rank must be the full
+    * epoch's rank, not the suffix's) — epochs before the checkpoint
+    * never rank (filtered at the union source, not post-hoc: the
+    * `(0 until Epochs)` map starts at ResumeEpoch). FULL oracle: the
+    * q162 body under the same (epoch, rank) tuple predicate. */
+  val ResumeEpoch = 1L
+  val ResumeRank = 5L
+
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    val pack = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("shard"))
+    (ResumeEpoch.toInt until Epochs).map { e =>
+      val keyed = pack
+        .withColumn("epoch", lit(e.toLong))
+        .withColumn("okey",
+          conv(substring(md5(concat(lit(s"ep:$EpochSeed:$e:"), col("doc_id"),
+            lit(":"), col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+        .withColumn("one", lit(1L))
+      graft.functions.PrefixSum
+        .withRunningSum(keyed, "okey", Seq("doc_id", "chunk_id"),
+          "one", "seq_rank")
+    }.reduce(_ unionAll _)
+      .filter(col("epoch") > ResumeEpoch ||
+        (col("epoch") === ResumeEpoch && col("seq_rank") > ResumeRank))
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
+        col("shard"))
+      .orderBy(col("epoch"), col("seq_rank"))
+  }
+
+  lazy val q166Sql: String =
+    s"""SELECT * FROM ($epochOrderedSql) r
+       |WHERE epoch > $ResumeEpoch
+       |   OR (epoch = $ResumeEpoch AND seq_rank > $ResumeRank)
        |ORDER BY epoch, seq_rank""".stripMargin
 
   // --- 121. DSIR-style importance selection (r5) ---------------------------
@@ -1497,6 +1556,164 @@ object PipelineOps {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // --- 165. PERSISTED sequence-pack artifact (r12) --------------------------
+  /** The training-data artifact a loader actually READS: the q158
+    * sequence pack persisted shard-partitioned under a
+    * [[graft.GenManifest]] generation (the annIndex/bucketed-index
+    * lifecycle applied to the build output itself). A rebuild publishes
+    * a fresh generation atomically; a loader pinned at generation N
+    * keeps reading exactly N's files across concurrent rebuilds; and a
+    * loader seek to shard k is ONE partition directory read (partition
+    * pruning on the shard key — the manifest's end offsets are the seek
+    * handles). [[graft.streaming.StreamOps.packServe]] is the arrival
+    * seam BETWEEN these rebuild publishes.
+    *
+    * [[q165]] is the closed loop registered under the oracle: pack
+    * (family-memoized) → write → READ BACK → manifest the artifact
+    * through the same [[sequenceManifestOf]] aggregate. Oracle =
+    * [[q159Sql]]: the manifest over the persisted artifact must
+    * hash-match the manifest over the in-memory build — the driver's
+    * compare IS the artifact round-trip contract (membership, masses,
+    * offsets, fingerprints all survive the disk hop). Scale shape: one
+    * pack-sized shuffle at write (repartition on shard → exactly one
+    * file per shard — the bucketed-write rule), then manifest = one
+    * map-side-combined groupBy over the artifact scan. */
+  private var packArtDir: Option[String] = None
+
+  private[graft] def q165Base(s: SparkSession): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_seqpack-${s.sparkContext.applicationId}")
+
+  private[graft] def packDir(base: java.io.File, gen: Long): java.io.File =
+    new java.io.File(base, s"pack_g$gen")
+
+  /** Publish `pack` as the next generation at `base` (atomic manifest
+    * rename; aged-out generations GC'd). Returns the published gen. */
+  private[graft] def packWrite(s: SparkSession, base: java.io.File,
+      pack: DataFrame): Long = {
+    val next =
+      graft.GenManifest.read(base, "pack").map(_.current).getOrElse(0L) + 1
+    pack.repartition(col("shard"))
+      .write.partitionBy("shard")
+      .parquet(packDir(base, next).getAbsolutePath)
+    graft.GenManifest.publish(base, "pack", next)
+      .foreach(g => graft.GenManifest.rmTree(packDir(base, g)))
+    next
+  }
+
+  /** The artifact's sequences at the CURRENT generation (shard restored
+    * to int64 — partition-column inference narrows it — and the build's
+    * column order restored). */
+  private[graft] def packRead(s: SparkSession, base: java.io.File): DataFrame =
+    packReadAt(s, base, graft.GenManifest.current(base, "pack"))
+
+  private[graft] def packReadAt(s: SparkSession, base: java.io.File,
+      gen: Long): DataFrame =
+    s.read.parquet(packDir(base, gen).getAbsolutePath)
+      .withColumn("shard", col("shard").cast("long"))
+      .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
+        col("n_units"), col("cum_units"), col("shard"))
+
+  /** Pack + publish unless the live artifact already describes `dir` —
+    * the q105/q160/q164 standing-snapshot pattern (reuse spec-pinned). */
+  private[graft] def q165Ensure(s: SparkSession, dir: String): java.io.File = {
+    val base = q165Base(s)
+    if (!packArtDir.contains(dir) ||
+        graft.GenManifest.read(base, "pack").isEmpty) {
+      graft.TempArtifacts.register(base)
+      packWrite(s, base, sequencePack(s, dir))
+      packArtDir = Some(dir)
+    }
+    base
+  }
+
+  def q165(s: SparkSession, dir: String): DataFrame =
+    sequenceManifestOf(packRead(s, q165Ensure(s, dir)))
+
+  /** Artifact round-trip ≡ in-memory build: the oracle replays q159's
+    * direct manifest; a write/read that dropped, duplicated, or
+    * re-sharded a sequence would hash-mismatch. */
+  lazy val q165Sql: String = q159Sql
+
+  // --- 167. rebuild manifest DIFF (r12) -------------------------------------
+  /** Validate a REBUILD against the previous build's manifest without
+    * diffing corpora — the manifest's whole purpose, closed as an
+    * operator. Register the realistic migration: the shard budget
+    * halves ([[OldShardUnitBudget]] = 2×[[ShardUnitBudget]] was the
+    * previous build), so boundaries move everywhere the pack outgrew
+    * one shard. Both manifests derive from the SAME memoized cumulative
+    * stream (shard assignment is a pure projection of `cum_units` under
+    * a budget — the start-offset rule), so the diff costs two thin
+    * aggregates + one manifest-sized full outer join, never a second
+    * pack run. Per shard id: `added` (only in the new build), `removed`
+    * (only in the old — the corpus-shrank rebuild case, e.g. after a
+    * dedup cut), `same` (every accounting column equal), `changed`
+    * (boundaries or masses moved). Dense shard ranges make one of
+    * added/removed structurally absent in a pure budget migration
+    * (the old range is a prefix of the new); PipelineSpec exercises
+    * `removed` on a synthetic shrink. FULL oracle: the q158 chain
+    * wrapped once, two budget projections, full outer join. */
+  val OldShardUnitBudget: Long = 2L * ShardUnitBudget
+
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val pack = sequencePack(s, dir)
+    val newM = sequenceManifestOf(pack)
+    val oldM = sequenceManifestOf(pack.withColumn("shard",
+      expr(s"(cum_units - n_units) div ${OldShardUnitBudget}L")))
+    manifestDiff(oldM, newM)
+  }
+
+  /** The diff over two arbitrary sequence manifests (the
+    * [[sequenceManifestOf]] shape) — q167's registered instance feeds
+    * it the budget migration; a real pipeline feeds it build N and
+    * N+1's persisted manifests. */
+  private[graft] def manifestDiff(oldM: DataFrame, newM: DataFrame)
+      : DataFrame = {
+    val o = oldM.select(col("shard"),
+      col("n_seqs").as("old_seqs"), col("n_units").as("old_units"),
+      col("end_offset").as("old_end"), col("ids_sum").as("old_ids"))
+    val n = newM.select(col("shard"),
+      col("n_seqs").as("new_seqs"), col("n_units").as("new_units"),
+      col("end_offset").as("new_end"), col("ids_sum").as("new_ids"))
+    o.join(n, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("old_seqs").isNull, lit("added"))
+          .when(col("new_seqs").isNull, lit("removed"))
+          .when(col("old_seqs") === col("new_seqs") &&
+            col("old_units") === col("new_units") &&
+            col("old_end") === col("new_end") &&
+            col("old_ids") === col("new_ids"), lit("same"))
+          .otherwise(lit("changed")))
+      .select(col("shard"), col("status"),
+        col("old_seqs"), col("new_seqs"), col("old_units"), col("new_units"),
+        col("old_end"), col("new_end"), col("old_ids"), col("new_ids"))
+      .orderBy(col("shard"))
+  }
+
+  lazy val q167Sql: String =
+    s"""WITH pk AS (SELECT * FROM ($q158Sql) x),
+       |mo AS (
+       |  SELECT CAST((cum_units - n_units) // $OldShardUnitBudget AS BIGINT) AS shard,
+       |    COUNT(*) AS old_seqs, CAST(SUM(n_units) AS BIGINT) AS old_units,
+       |    MAX(cum_units) AS old_end,
+       |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS old_ids
+       |  FROM pk GROUP BY 1),
+       |mn AS (
+       |  SELECT shard, COUNT(*) AS new_seqs, CAST(SUM(n_units) AS BIGINT) AS new_units,
+       |    MAX(cum_units) AS new_end,
+       |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS new_ids
+       |  FROM pk GROUP BY shard)
+       |SELECT COALESCE(o.shard, n.shard) AS shard,
+       |  CASE WHEN o.shard IS NULL THEN 'added'
+       |       WHEN n.shard IS NULL THEN 'removed'
+       |       WHEN o.old_seqs = n.new_seqs AND o.old_units = n.new_units
+       |         AND o.old_end = n.new_end AND o.old_ids = n.new_ids THEN 'same'
+       |       ELSE 'changed' END AS status,
+       |  old_seqs, new_seqs, old_units, new_units, old_end, new_end,
+       |  old_ids, new_ids
+       |FROM mo o FULL OUTER JOIN mn n ON o.shard = n.shard
+       |ORDER BY shard""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -1520,7 +1737,10 @@ object PipelineOps {
     Op("q155_subword_manifest", q155, Some(q155Sql)),
     Op("q158_sequence_pack", q158, Some(q158Sql)),
     Op("q159_sequence_manifest", q159, Some(q159Sql)),
+    Op("q165_pack_artifact", q165, Some(q165Sql)),
+    Op("q167_manifest_diff", q167, Some(q167Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
+    Op("q166_loader_resume", q166, Some(q166Sql)),
     Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )
 

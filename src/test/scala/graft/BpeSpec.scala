@@ -262,6 +262,47 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       === Seq(("ab", 2L), ("c d", 1L)).sorted)
   }
 
+  test("q164 tokenizer artifact: round-trip byte-equal, generation lifecycle, gapped load is a named error") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tokart_spec").toFile
+    graft.TempArtifacts.register(base)
+    val ms = BpeOps.train(spark, SF, BpeOps.Rounds)._1
+    // write → load round-trips the merge table exactly
+    assert(BpeOps.tokenizerWrite(spark, base, ms) === 1L)
+    assert(BpeOps.tokenizerLoad(spark, base) === ms)
+    // a re-publish bumps the generation and the loader follows it
+    assert(BpeOps.tokenizerWrite(spark, base, ms.take(5)) === 2L)
+    assert(BpeOps.tokenizerLoad(spark, base) === ms.take(5))
+    // a third publish ages generation 1 out (retain = current + previous)
+    assert(BpeOps.tokenizerWrite(spark, base, ms) === 3L)
+    assert(!BpeOps.tokenizerDir(base, 1L).exists(),
+      "aged-out generation must be GC'd")
+    assert(BpeOps.tokenizerDir(base, 2L).exists(),
+      "previous generation must be retained")
+    assert(BpeOps.tokenizerLoad(spark, base) === ms)
+    // a gapped table is a NAMED error at the load seam, not silent
+    // mis-segmentation downstream
+    BpeOps.tokenizerWrite(spark, base, ms.drop(1))
+    val e = intercept[RuntimeException](BpeOps.tokenizerLoad(spark, base))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
+  test("q164: resume training FROM the disk artifact ≡ uninterrupted; artifact segmentation ≡ q151") {
+    // the preemption story end-to-end: snapshot lands ON DISK (not in a
+    // driver variable), a fresh process loads it and finishes training —
+    // byte-equal to the uninterrupted run
+    val base = java.nio.file.Files.createTempDirectory("graft_tokart_resume").toFile
+    graft.TempArtifacts.register(base)
+    BpeOps.tokenizerWrite(spark, base, BpeOps.train(spark, SF, 4)._1)
+    val resumed = BpeOps.trainFrom(spark, SF,
+      BpeOps.tokenizerLoad(spark, base), BpeOps.Rounds - 4)._1
+    assert(resumed === BpeOps.train(spark, SF, BpeOps.Rounds)._1)
+    // segmentation through the persisted artifact ≡ straight-through
+    // (the registered oracle contract, pinned locally too)
+    val viaArtifact = BpeOps.q164(spark, SF).collect().map(_.toSeq)
+    val direct = BpeOps.q151(spark, SF).collect().map(_.toSeq)
+    assert(viaArtifact === direct)
+  }
+
   test("learned merges re-tokenize tokens to the engine's final vocab") {
     val (merges, engineVocab) = BpeOps.train(spark, SF)
     val byWord = engineVocab.collect()

@@ -7,9 +7,9 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 163) // r12: +q162/q163
+    assert(SparkEntry.queries.size === 167) // r12: +q162-q167
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 150) // r12: +q162/q163 (both full)
+    assert(SparkEntry.oracleSql.size === 154) // r12: +q162-q167 (all full)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

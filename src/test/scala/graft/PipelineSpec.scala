@@ -680,6 +680,93 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       "epoch permutations must differ pairwise")
   }
 
+  test("q166 loader resume: prefix ∪ suffix ≡ the full epoch stream, mid-epoch cut, deterministic") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val full = PipelineOps.q162(spark, SF).collect().map(key)
+    val suffix = PipelineOps.q166(spark, SF).collect().map(key)
+    val re = PipelineOps.ResumeEpoch
+    val rr = PipelineOps.ResumeRank
+    // the suffix is EXACTLY the unconsumed tail of the deterministic
+    // stream — same rows, same order (a re-served sequence would
+    // double-train; a skipped one silently drops data)
+    assert(suffix.toSeq ===
+      full.filter(r => r._1 > re || (r._1 == re && r._2 > rr)).toSeq)
+    val prefix = full.filter(r => r._1 < re || (r._1 == re && r._2 <= rr))
+    assert((prefix.toSet intersect suffix.toSet).isEmpty)
+    assert(prefix.length + suffix.length === full.length)
+    // the checkpoint cuts genuinely MID-epoch: the resume epoch has
+    // consumed rows AND unconsumed rows
+    assert(prefix.exists(_._1 == re) && suffix.exists(_._1 == re),
+      s"sequence pack too small at $SF for a mid-epoch cut")
+    // a restarted loader recomputes the same suffix — pure function of
+    // the two-long checkpoint, no other loader state
+    assert(PipelineOps.q166(spark, SF).collect().map(key).toSeq === suffix.toSeq)
+  }
+
+  test("q165 pack artifact: read-back ≡ the in-memory build, shard seek prunes, standing reuse") {
+    import org.apache.spark.sql.functions.col
+    def packKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_units"), r.getAs[Long]("cum_units"),
+        r.getAs[Long]("shard"))
+    // manifest over the artifact ≡ manifest over the in-memory build
+    // (the registered oracle contract, pinned locally too)
+    val mArt = PipelineOps.q165(spark, SF).collect().map(_.toSeq)
+    val mMem = PipelineOps.q159(spark, SF).collect().map(_.toSeq)
+    assert(mArt === mMem)
+    val base = PipelineOps.q165Base(spark)
+    val gen = graft.GenManifest.current(base, "pack")
+    // every sequence survives the disk hop byte-for-byte
+    val art = PipelineOps.packRead(spark, base).collect().map(packKey).sorted
+    val mem = PipelineOps.q158(spark, SF).collect().map(packKey).sorted
+    assert(art === mem)
+    // standing reuse: a second registered call must not re-publish
+    PipelineOps.q165(spark, SF).collect()
+    assert(graft.GenManifest.current(base, "pack") === gen)
+    // the loader's seek: reading one shard is partition-pruned to one
+    // directory (the manifest's end offsets are the seek handles)
+    val seek = PipelineOps.packRead(spark, base).filter(col("shard") === 0L)
+    val pf = seek.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.matches(""".*PartitionFilters: \[[^\]]*shard[^\]]*=[^\]]*0[^\]]*\].*"""),
+      s"shard seek must prune partitions, got: $pf")
+    assert(seek.collect().map(packKey).sorted ===
+      mem.filter(_._7 == 0L))
+  }
+
+  test("q167 manifest diff: budget migration reconciles, synthetic shrink/add/change statuses") {
+    val rows = PipelineOps.q167(spark, SF).collect()
+    assert(rows.nonEmpty)
+    def sumOf(name: String) = rows.collect {
+      case r if !r.isNullAt(r.fieldIndex(name)) => r.getAs[Long](name) }.sum
+    def maxOf(name: String) = rows.collect {
+      case r if !r.isNullAt(r.fieldIndex(name)) => r.getAs[Long](name) }.max
+    // both manifests account the SAME pack: totals reconcile exactly
+    assert(sumOf("old_seqs") === sumOf("new_seqs"))
+    assert(sumOf("old_units") === sumOf("new_units"))
+    assert(sumOf("old_ids") === sumOf("new_ids"))
+    assert(maxOf("old_end") === maxOf("new_end"))
+    // a pure budget migration never loses a shard id (dense ranges, the
+    // old range is a prefix of the new)
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(!statuses.contains("removed"))
+    assert(statuses.subsetOf(Set("same", "changed", "added")))
+    // the diff itself, on synthetic manifests: every status reachable
+    import spark.implicits._
+    val oldM = Seq((0L, 2L, 100L, 100L, 7L), (1L, 1L, 50L, 150L, 3L),
+      (2L, 1L, 40L, 190L, 9L))
+      .toDF("shard", "n_seqs", "n_units", "end_offset", "ids_sum")
+    val newM = Seq((0L, 2L, 100L, 100L, 7L), (1L, 2L, 60L, 160L, 3L),
+      (3L, 1L, 30L, 190L, 11L))
+      .toDF("shard", "n_seqs", "n_units", "end_offset", "ids_sum")
+    val d = PipelineOps.manifestDiff(oldM, newM).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(0L -> "same", 1L -> "changed", 2L -> "removed",
+      3L -> "added"))
+  }
+
   test("q121 DSIR at 2^20 buckets: model stays a broadcast map-side table") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, SF)
