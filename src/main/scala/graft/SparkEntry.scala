@@ -37,7 +37,15 @@ object SparkEntry {
       Op("q136_audio_decode", multimodal.MultiModal.audioFeatures, None),
       // r8: REAL video container demux (YUV4MPEG2 — uncompressed, so
       // the demuxer IS the decode); rows-checked + spec-pinned
-      Op("q143_video_decode", multimodal.MultiModal.videoFeatures, None)),
+      Op("q143_video_decode", multimodal.MultiModal.videoFeatures, None),
+      // r12: REAL COMPRESSED video essence — MJPEG (ImageIO JPEG) in a
+      // conforming AVI container; container round-trip lossless,
+      // essence lossy-bounded (both spec-pinned)
+      Op("q168_video_mjpeg", multimodal.MultiModal.mjpegFeatures, None),
+      // r12: REAL COMPRESSED audio essence — G.711 µ-law (javax.sound
+      // ULAW conversion) in a WAV container; companding bound carried
+      // in the rows, ceiling spec-pinned
+      Op("q169_audio_ulaw", multimodal.MultiModal.ulawFeatures, None)),
     operators.Relational2.ops ++ operators.Bucketed.ops)
 
   /** All operators, flattened in SURVEY §2 order. */

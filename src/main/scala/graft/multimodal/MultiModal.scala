@@ -585,6 +585,397 @@ object MultiModal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // --- REAL COMPRESSED video pipeline (r12): MJPEG essence in AVI ----------
+  /** Closes the compressed-ESSENCE half of the video gap for the one
+    * video codec the JDK actually ships: baseline JPEG (ImageIO), i.e.
+    * Motion-JPEG in an AVI container (RIFF 'MJPG' — the oldest
+    * production video format still in service; RIFF/AVI grammar public
+    * since 1992). The honest decomposition a lossy pipeline needs, each
+    * half pinned separately: the CONTAINER round-trip is LOSSLESS (the
+    * demuxed per-frame essence is byte-equal to what was muxed —
+    * spec-pinned), while the ESSENCE is lossy with a measured, bounded
+    * reconstruction error (JPEG DCT quantization; the registered rows
+    * carry exact integer features of the DECODED pixels, and the spec
+    * pins a mean-abs-error ceiling against the source frame).
+    * H.264/VP9 essence remains declared out (§6 — no JDK codec).
+    *
+    * Scale shape: both mux and demux+decode run partition-local over the
+    * payload rows ([[imageFeatures]]'s spread — JPEG DCT is real compute,
+    * unlike the Y4M byte walk); only fixed-width feature rows shuffle. */
+  val MjpgW = 32
+  val MjpgH = 32
+  val MjpgEvery = 2
+
+  /** Per-partition JPEG codec handles (the [[PngCodec]] rationale:
+    * registry resolution + disk-cached streams per call otherwise). */
+  final class JpegCodec {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+      writer.setOutput(null)
+      bos.toByteArray
+    }
+
+    def decode(jpeg: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(jpeg))
+      reader.setInput(iis)
+      val img = reader.read(0)
+      reader.setInput(null)
+      img
+    }
+  }
+
+  /** One w×h gray8 frame from `bytes` starting at `off` (zero-padded). */
+  private def grayFrameOf(bytes: Array[Byte], off: Int, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      val p = off + i
+      raster.setSample(i % w, i / w, 0,
+        if (p < bytes.length) bytes(p) & 0xff else 0)
+      i += 1
+    }
+    img
+  }
+
+  private def writeLe32(bos: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+    bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+  }
+  private def writeLe16(bos: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+  }
+  private def readLe32(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+      ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+  private def fourcc(b: Array[Byte], at: Int): String =
+    new String(b, at, 4, "US-ASCII")
+
+  /** One RIFF chunk: id + LE size + body + word-alignment pad. */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(9 + body.length)
+    bos.write(id.getBytes("US-ASCII"), 0, 4)
+    writeLe32(bos, body.length)
+    bos.write(body, 0, body.length)
+    if (body.length % 2 == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  /** One RIFF LIST: 'LIST' + LE size + type fourcc + parts. */
+  private def riffList(typ: String, parts: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(
+      12 + parts.map(_.length).sum)
+    bos.write("LIST".getBytes("US-ASCII"), 0, 4)
+    writeLe32(bos, 4 + parts.map(_.length).sum)
+    bos.write(typ.getBytes("US-ASCII"), 0, 4)
+    parts.foreach(p => bos.write(p, 0, p.length))
+    bos.toByteArray
+  }
+
+  val MjpgUsPerFrame = 40000 // 25 fps
+
+  /** Mux `bytes` as a conforming single-stream MJPEG AVI: each
+    * [[MjpgW]]×[[MjpgH]] gray frame JPEG-encoded and carried as a
+    * '00dc' chunk inside the 'movi' LIST; the original byte length rides
+    * in a private 'grft' chunk (RIFF readers skip unknown chunks by
+    * grammar, so the file stays conforming). */
+  def aviMjpegEncode(bytes: Array[Byte], w: Int = MjpgW, h: Int = MjpgH,
+      codec: JpegCodec = new JpegCodec()): Array[Byte] = {
+    val fsz = w * h
+    val nFrames = math.max(1, (bytes.length + fsz - 1) / fsz)
+    val jpegs = (0 until nFrames).map(f =>
+      codec.encode(grayFrameOf(bytes, f * fsz, w, h)))
+    val maxJpeg = jpegs.map(_.length).max
+
+    val avih = new java.io.ByteArrayOutputStream(56)
+    writeLe32(avih, MjpgUsPerFrame) // dwMicroSecPerFrame
+    writeLe32(avih, 0) // dwMaxBytesPerSec
+    writeLe32(avih, 0) // dwPaddingGranularity
+    writeLe32(avih, 0) // dwFlags
+    writeLe32(avih, nFrames) // dwTotalFrames
+    writeLe32(avih, 0) // dwInitialFrames
+    writeLe32(avih, 1) // dwStreams
+    writeLe32(avih, maxJpeg) // dwSuggestedBufferSize
+    writeLe32(avih, w); writeLe32(avih, h)
+    (0 until 4).foreach(_ => writeLe32(avih, 0)) // dwReserved
+
+    val strh = new java.io.ByteArrayOutputStream(56)
+    strh.write("vids".getBytes("US-ASCII"), 0, 4) // fccType
+    strh.write("MJPG".getBytes("US-ASCII"), 0, 4) // fccHandler
+    writeLe32(strh, 0) // dwFlags
+    writeLe16(strh, 0); writeLe16(strh, 0) // wPriority, wLanguage
+    writeLe32(strh, 0) // dwInitialFrames
+    writeLe32(strh, 1) // dwScale
+    writeLe32(strh, 1000000 / MjpgUsPerFrame) // dwRate (fps)
+    writeLe32(strh, 0) // dwStart
+    writeLe32(strh, nFrames) // dwLength
+    writeLe32(strh, maxJpeg) // dwSuggestedBufferSize
+    writeLe32(strh, 0) // dwQuality
+    writeLe32(strh, 0) // dwSampleSize
+    writeLe16(strh, 0); writeLe16(strh, 0) // rcFrame left, top
+    writeLe16(strh, w); writeLe16(strh, h) // rcFrame right, bottom
+
+    val strf = new java.io.ByteArrayOutputStream(40)
+    writeLe32(strf, 40) // biSize
+    writeLe32(strf, w); writeLe32(strf, h)
+    writeLe16(strf, 1); writeLe16(strf, 24) // biPlanes, biBitCount
+    strf.write("MJPG".getBytes("US-ASCII"), 0, 4) // biCompression
+    writeLe32(strf, w * h * 3) // biSizeImage
+    (0 until 4).foreach(_ => writeLe32(strf, 0)) // ppm/clr fields
+
+    val hdrl = riffList("hdrl", Seq(
+      riffChunk("avih", avih.toByteArray),
+      riffList("strl", Seq(riffChunk("strh", strh.toByteArray),
+        riffChunk("strf", strf.toByteArray)))))
+    val grftBody = new java.io.ByteArrayOutputStream(4)
+    writeLe32(grftBody, bytes.length)
+    val grft = riffChunk("grft", grftBody.toByteArray)
+    val movi = riffList("movi", jpegs.map(riffChunk("00dc", _)))
+
+    val out = new java.io.ByteArrayOutputStream(
+      12 + hdrl.length + grft.length + movi.length)
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    writeLe32(out, 4 + hdrl.length + grft.length + movi.length)
+    out.write("AVI ".getBytes("US-ASCII"), 0, 4)
+    out.write(hdrl, 0, hdrl.length)
+    out.write(grft, 0, grft.length)
+    out.write(movi, 0, movi.length)
+    out.toByteArray
+  }
+
+  /** Demuxed clip header + per-frame JPEG essence, byte-exact. */
+  final case class MjpegClip(width: Int, height: Int, usPerFrame: Int,
+      totalFrames: Int, origLen: Int, jpegs: Seq[Array[Byte]])
+
+  /** Parse an MJPEG AVI: validate the RIFF/AVI signature, read the
+    * main header, and collect every '00dc' frame chunk byte-exact.
+    * Strict by contract — a malformed container throws (the
+    * [[y4mDecodeFeatures]] rule: corrupt shards fail loudly). */
+  def aviMjpegDemux(avi: Array[Byte]): MjpegClip = {
+    require(avi.length >= 12 && fourcc(avi, 0) == "RIFF" &&
+      fourcc(avi, 8) == "AVI ", "avi: bad RIFF/AVI signature")
+    var (w, h, us, total, origLen) = (-1, -1, -1, -1, -1)
+    val jpegs = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = fourcc(avi, pos)
+        val size = readLe32(avi, pos + 4)
+        require(pos + 8 + size <= to, s"avi: truncated chunk '$id' at $pos")
+        id match {
+          case "LIST" =>
+            fourcc(avi, pos + 8) match {
+              case "hdrl" | "strl" | "movi" => walk(pos + 12, pos + 8 + size)
+              case _ => () // unknown list: skipped by grammar
+            }
+          case "avih" =>
+            us = readLe32(avi, pos + 8)
+            total = readLe32(avi, pos + 8 + 16)
+            w = readLe32(avi, pos + 8 + 32)
+            h = readLe32(avi, pos + 8 + 36)
+          case "grft" => origLen = readLe32(avi, pos + 8)
+          case "00dc" =>
+            jpegs += java.util.Arrays.copyOfRange(avi, pos + 8, pos + 8 + size)
+          case _ => () // strh/strf/JUNK/…: not needed here
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, avi.length)
+    val fs = jpegs.result()
+    require(w > 0 && h > 0 && total == fs.length,
+      s"avi: header/frame inventory mismatch ($total declared, ${fs.length} found)")
+    MjpegClip(w, h, us, total, origLen, fs)
+  }
+
+  /** One SAMPLED frame of a decoded MJPEG clip — the registered,
+    * driver-checkable scalar row shape (the [[VideoFrameFeature]] rule).
+    * `jpeg_bytes` is that frame's COMPRESSED essence size; checksum and
+    * mean are exact integers over the DECODED pixels. */
+  final case class VideoMjpegFrameFeature(doc_id: Long, width: Int,
+      height: Int, us_per_frame: Int, n_frames: Int, n_sampled: Int,
+      payload_bytes: Int, orig_len: Int, frame_idx: Int, jpeg_bytes: Int,
+      checksum: Long, mean_micros: Long)
+
+  /** documents → REAL MJPEG-AVI payload column → REAL demux + ImageIO
+    * JPEG decode → stride-sampled per-frame features. Rows-checked +
+    * spec'd (a lossy codec isn't ANSI-SQL-expressible; the spec pins the
+    * byte-exact container round-trip, header fields, the bounded essence
+    * error, and decode determinism). Spread like [[imageFeatures]]
+    * (JPEG DCT is real per-row compute). */
+  def mjpegFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val codec = new JpegCodec() // per-partition setup — see JpegCodec
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val avi = aviMjpegEncode(bytes, MjpgW, MjpgH, codec)
+          val clip = aviMjpegDemux(avi)
+          val sampled = clip.jpegs.indices.filter(_ % MjpgEvery == 0)
+          sampled.iterator.map { fi =>
+            val img = codec.decode(clip.jpegs(fi))
+            val raster = img.getRaster
+            var cs = 0L; var lum = 0L
+            var i = 0
+            val fsz = clip.width * clip.height
+            while (i < fsz) {
+              val v = raster.getSample(i % clip.width, i / clip.width, 0)
+              cs = (cs * 31 + v) & 0xffffffffL
+              lum += v
+              i += 1
+            }
+            VideoMjpegFrameFeature(id, clip.width, clip.height,
+              clip.usPerFrame, clip.totalFrames, sampled.length, avi.length,
+              clip.origLen, fi, clip.jpegs(fi).length, cs,
+              (2L * lum * 1000000L + fsz) / (2L * fsz))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // --- REAL COMPRESSED audio pipeline (r12): G.711 µ-law -------------------
+  /** Closes the compressed-ESSENCE half of the audio gap for the codec
+    * the JDK actually ships: G.711 µ-law (javax.sound's ULAW
+    * FormatConversionProvider — 8-bit logarithmic companding, the
+    * telephony standard since 1972; WAV format tag 7). Genuinely lossy
+    * compression (2× smaller than 16-bit PCM) with a BOUNDED
+    * quantization error — the registered rows carry `max_abs_err`
+    * against the synthesized source samples, so the lossy bound is part
+    * of the operator's output, and the spec pins its ceiling. */
+  final class UlawCodec {
+    import javax.sound.sampled._
+    import scala.jdk.CollectionConverters._
+    private val writer = java.util.ServiceLoader
+      .load(classOf[spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider in this JDK"))
+    private val readers = java.util.ServiceLoader
+      .load(classOf[spi.AudioFileReader]).asScala.toList
+    private val converters = java.util.ServiceLoader
+      .load(classOf[spi.FormatConversionProvider]).asScala.toList
+
+    private def convert(target: AudioFormat,
+        ais: AudioInputStream): AudioInputStream =
+      converters.find(_.isConversionSupported(target, ais.getFormat))
+        .map(_.getAudioInputStream(target, ais))
+        .getOrElse(sys.error(
+          s"no conversion provider ${ais.getFormat.getEncoding} → ${target.getEncoding}"))
+
+    /** bytes → 16-bit PCM samples ((b−128)<<8, the [[WavCodec]] synth) →
+      * µ-law compressed → WAV container. */
+    def encode(bytes: Array[Byte]): Array[Byte] = {
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        AudioRate, 16, 1, 2, AudioRate, false)
+      val pcm = new Array[Byte](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        val s = ((bytes(i) & 0xff) - 128) << 8
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val pcmAis = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), pcmFmt, bytes.length.toLong)
+      val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+        AudioRate, 8, 1, 1, AudioRate, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.write(convert(ulawFmt, pcmAis), AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a µ-law WAV back to (sampleRate, 16-bit LE PCM). */
+    def decodePcm(wav: Array[Byte]): (Int, Array[Byte]) = {
+      val it = readers.iterator
+      var ais: AudioInputStream = null
+      while (ais == null && it.hasNext) {
+        try ais = it.next().getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        catch { case _: UnsupportedAudioFileException => () }
+      }
+      require(ais != null, "no AudioFileReader provider accepted the WAV payload")
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.ULAW,
+        s"ulaw: payload is ${fmt.getEncoding}, not ULAW")
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, 1, 2, fmt.getSampleRate, false)
+      val pcm = convert(pcmFmt, ais).readAllBytes()
+      ais.close()
+      (fmt.getSampleRate.toInt, pcm)
+    }
+  }
+
+  /** Typed record from a REAL µ-law decode: the [[AudioFeature]]
+    * signals over the DECODED samples, plus the compression receipt
+    * (`ulaw_bytes` < `pcm_bytes`) and the measured companding bound
+    * (`max_abs_err` vs the synthesized source). */
+  final case class UlawFeature(doc_id: Long, sample_rate: Int,
+      ulaw_bytes: Int, pcm_bytes: Int, n_samples: Long, peak_abs: Long,
+      mean_abs_micros: Long, zero_crossings: Long, max_abs_err: Long)
+
+  def ulawDecodeFeatures(id: Long, bytes: Array[Byte],
+      codec: UlawCodec = new UlawCodec()): UlawFeature = {
+    val wav = codec.encode(bytes)
+    val (rate, pcm) = codec.decodePcm(wav)
+    val n = pcm.length / 2
+    var peak = 0L; var sumAbs = 0L; var zc = 0L; var maxErr = 0L
+    var prevNonNeg = true
+    var i = 0
+    while (i < n) {
+      val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+      val orig =
+        if (i < bytes.length) ((bytes(i) & 0xff) - 128) << 8 else 0
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sumAbs += a
+      val err = math.abs((s - orig).toLong)
+      if (err > maxErr) maxErr = err
+      val nonNeg = s >= 0
+      if (i > 0 && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      i += 1
+    }
+    UlawFeature(id, rate, wav.length, 2 * n, n.toLong, peak,
+      if (n == 0) 0L else (2L * sumAbs * 1000000L + n) / (2L * n),
+      zc, maxErr)
+  }
+
+  /** documents → REAL µ-law WAV payload column → REAL javax.sound
+    * decode → per-clip features with the measured companding bound.
+    * Unspread like [[audioFeatures]] (companding is a table lookup per
+    * sample — the shuffle costs more than it buys at test SF). */
+  def ulawFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val codec = new UlawCodec() // per-partition setup — see UlawCodec
+        it.map { case (id, text) =>
+          ulawDecodeFeatures(id, text.getBytes("UTF-8"), codec)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame-sampling pipeline: binary payloads → sampled frame arrays →
     * per-frame features, exploded back to rows. Partitioned the same way
     * a video corpus would be (by payload row, frames stay local). */

@@ -1630,6 +1630,51 @@ object PipelineOps {
   def q165(s: SparkSession, dir: String): DataFrame =
     sequenceManifestOf(packRead(s, q165Ensure(s, dir)))
 
+  /** The SERVE half of the artifact lifecycle: append a served pack
+    * batch ([[graft.streaming.StreamOps.packServe]]'s sink payload) into
+    * the artifact's CURRENT generation — each row lands inside its
+    * shard's partition directory, so partition pruning is preserved
+    * verbatim (the annIndexAppend rule applied to the training-data
+    * artifact). `langs` supplies the (doc_id, lang) the serve path
+    * doesn't thread through the chunk readout (arrival metadata — a
+    * real stream carries it beside the text; one thin doc-keyed join).
+    * Batch cost ∝ batch size; existing files are never read or moved.
+    *
+    * At-least-once note: a RE-DELIVERED batch replays byte-identically
+    * (the packFold contract) but an append-mode write lands its rows
+    * twice — the duplicates are ABSORBED at [[packCompactArtifact]]
+    * (full-row dropDuplicates is deterministic because re-deliveries
+    * are byte-identical), the same place the one-file-per-shard layout
+    * is restored. */
+  private[graft] def packAppendServed(s: SparkSession, base: java.io.File,
+      served: DataFrame, langs: DataFrame): Unit =
+    served.join(langs, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
+        col("n_units"), col("cum_units"), col("shard"))
+      .write.mode("append").partitionBy("shard")
+      .parquet(packDir(base,
+        graft.GenManifest.current(base, "pack")).getAbsolutePath)
+
+  /** Artifact COMPACTION: rewrite the current generation to ONE file per
+    * shard at a fresh generation (repartition on shard + partitionBy —
+    * the annIndexCompact rule), dropping byte-identical duplicate rows
+    * from at-least-once re-deliveries. A reader pinned at the old
+    * generation is undisturbed (sibling directory, atomic manifest
+    * publish, retained to the manifest's depth). */
+  private[graft] def packCompactArtifact(s: SparkSession,
+      base: java.io.File,
+      retain: Int = graft.GenManifest.DefaultRetain): Unit = {
+    val cur = graft.GenManifest.current(base, "pack")
+    val next = cur + 1
+    packReadAt(s, base, cur)
+      .dropDuplicates("doc_id", "chunk_id")
+      .repartition(col("shard"))
+      .write.partitionBy("shard")
+      .parquet(packDir(base, next).getAbsolutePath)
+    graft.GenManifest.publish(base, "pack", next, retain, Some(cur))
+      .foreach(g => graft.GenManifest.rmTree(packDir(base, g)))
+  }
+
   /** Artifact round-trip ≡ in-memory build: the oracle replays q159's
     * direct manifest; a write/read that dropped, duplicated, or
     * re-sharded a sequence would hash-mismatch. */

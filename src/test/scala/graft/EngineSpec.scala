@@ -7,9 +7,10 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 167) // r12: +q162-q167
+    assert(SparkEntry.queries.size === 169) // r12: +q162-q169
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 154) // r12: +q162-q167 (all full)
+    // q162-q167 full oracle; q168/q169 rows-only by design (lossy codecs)
+    assert(SparkEntry.oracleSql.size === 154)
   }
 
   test("entry flagship runs on sf0.001 with rows") {
@@ -178,6 +179,120 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     assert(rows.length.toLong === expectTotal) // inventory: Σ n_sampled
     // determinism (the synthesis and demux are pure byte arithmetic)
     assert(rows === MultiModal.videoFeatures(spark, SF).collect())
+  }
+
+  test("q168 MJPEG pipeline: conforming AVI, byte-exact container round-trip, bounded lossy essence") {
+    val sample = "The quick brown fox — 42! éü".getBytes("UTF-8")
+    val codec = new MultiModal.JpegCodec()
+    val w = MultiModal.MjpgW; val h = MultiModal.MjpgH; val fsz = w * h
+    val avi = MultiModal.aviMjpegEncode(sample, w, h, codec)
+    // the payload really is a RIFF/AVI container (muxer, not a stub)
+    assert(new String(avi, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") === "AVI ")
+    val clip = MultiModal.aviMjpegDemux(avi)
+    val nf = math.max(1, (sample.length + fsz - 1) / fsz)
+    assert((clip.width, clip.height, clip.usPerFrame, clip.totalFrames,
+      clip.origLen) === ((w, h, MultiModal.MjpgUsPerFrame, nf, sample.length)))
+    // CONTAINER round-trip is LOSSLESS: the demuxed essence is byte-equal
+    // to the JPEG frames the encoder muxed (build the same frames here)
+    def gray(off: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until fsz).foreach { i =>
+        val p = off + i
+        img.getRaster.setSample(i % w, i / w, 0,
+          if (p < sample.length) sample(p) & 0xff else 0)
+      }
+      img
+    }
+    val expected = (0 until nf).map(f => codec.encode(gray(f * fsz)))
+    assert(clip.jpegs.map(_.toSeq) === expected.map(_.toSeq))
+    // the essence genuinely is JPEG (SOI/EOI markers, real ImageIO decode)
+    clip.jpegs.foreach { j =>
+      assert((j(0) & 0xff) === 0xff && (j(1) & 0xff) === 0xd8, "JPEG SOI")
+      assert((j(j.length - 2) & 0xff) === 0xff &&
+        (j(j.length - 1) & 0xff) === 0xd9, "JPEG EOI")
+    }
+    // ESSENCE is lossy with a BOUNDED error (DCT quantization): decoded
+    // pixels stay close to the source frame
+    clip.jpegs.indices.foreach { f =>
+      val img = codec.decode(clip.jpegs(f))
+      assert(img.getWidth === w && img.getHeight === h)
+      var sumErr = 0L
+      (0 until fsz).foreach { i =>
+        val p = f * fsz + i
+        val orig = if (p < sample.length) sample(p) & 0xff else 0
+        sumErr += math.abs(img.getRaster.getSample(i % w, i / w, 0) - orig)
+      }
+      assert(sumErr.toDouble / fsz <= 24.0,
+        s"frame $f mean abs error ${sumErr.toDouble / fsz}")
+    }
+    // strict parser: corrupt signature and truncated chunks both throw
+    val bad = avi.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException](MultiModal.aviMjpegDemux(bad))
+    intercept[IllegalArgumentException](
+      MultiModal.aviMjpegDemux(avi.dropRight(3)))
+    // full pipeline over the corpus: one scalar row per sampled frame
+    val df = MultiModal.mjpegFeatures(spark, SF)
+    assert(df.columns.toSeq === Seq("doc_id", "width", "height",
+      "us_per_frame", "n_frames", "n_sampled", "payload_bytes", "orig_len",
+      "frame_idx", "jpeg_bytes", "checksum", "mean_micros"))
+    val rows = df.collect()
+    var expectTotal = 0L
+    Tables.documents(spark, SF).select("doc_id", "text").collect()
+      .foreach { r =>
+        val b = r.getString(1).getBytes("UTF-8")
+        val n = math.max(1, (b.length + fsz - 1) / fsz)
+        expectTotal += (n + MultiModal.MjpgEvery - 1) / MultiModal.MjpgEvery
+      }
+    assert(rows.length.toLong === expectTotal) // inventory: Σ n_sampled
+    // determinism (fixed JDK ⇒ fixed JPEG tables both ways)
+    assert(rows === MultiModal.mjpegFeatures(spark, SF).collect())
+  }
+
+  test("q169 µ-law pipeline: real ULAW WAV, genuine compression, bounded companding error") {
+    val sample = "The quick brown fox — 42! éü".getBytes("UTF-8")
+    val codec = new MultiModal.UlawCodec()
+    val wav = codec.encode(sample)
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") === "WAVE")
+    // the payload genuinely carries µ-law essence (javax.sound reads it
+    // back as 8-bit ULAW, not PCM)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getEncoding ===
+      javax.sound.sampled.AudioFormat.Encoding.ULAW)
+    assert(ais.getFormat.getSampleSizeInBits === 8)
+    ais.close()
+    // genuine compression: half the essence bytes of the 16-bit PCM WAV
+    assert(wav.length < MultiModal.wavEncode(sample).length)
+    // decode back to PCM: same inventory, bounded companding error
+    val (rate, pcm) = codec.decodePcm(wav)
+    assert(rate === MultiModal.AudioRate.toInt)
+    assert(pcm.length === sample.length * 2)
+    sample.indices.foreach { i =>
+      val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+      val orig = ((sample(i) & 0xff) - 128) << 8
+      assert(math.abs(s - orig) <= 1024, s"sample $i: decoded $s vs $orig")
+    }
+    // full pipeline over the corpus
+    val df = MultiModal.ulawFeatures(spark, SF)
+    assert(df.columns.toSeq === Seq("doc_id", "sample_rate", "ulaw_bytes",
+      "pcm_bytes", "n_samples", "peak_abs", "mean_abs_micros",
+      "zero_crossings", "max_abs_err"))
+    assert(df.count() === Tables.documents(spark, SF).count())
+    val rows = df.collect()
+    rows.foreach { r =>
+      // the lossy bound is part of the operator's OUTPUT — ceiling pinned
+      assert(r.getAs[Long]("max_abs_err") <= 1024L,
+        s"doc ${r.getLong(0)} err ${r.getAs[Long]("max_abs_err")}")
+      // compression receipt on every non-trivial clip (container header
+      // amortizes past ~64 samples)
+      if (r.getAs[Long]("n_samples") > 64)
+        assert(r.getAs[Int]("ulaw_bytes") < r.getAs[Int]("pcm_bytes"))
+    }
+    // determinism
+    assert(rows === MultiModal.ulawFeatures(spark, SF).collect())
   }
 
   test("q137 confusion matrix reconciles with q76's per-class metrics") {

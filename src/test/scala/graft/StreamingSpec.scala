@@ -1066,6 +1066,95 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(live._1 === ref(0).map(_._4).sum)
   }
 
+  test("served batches land IN the pack artifact: partitioned append, compaction dedups re-delivery") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    // the standing REBUILD: the static sequence pack published at gen 1
+    // (a dedicated base — the registered q165 artifact must stay
+    // pack-exact, appends would break its oracle)
+    val base = java.nio.file.Files.createTempDirectory("graft_packart_serve").toFile
+    graft.TempArtifacts.register(base)
+    PipelineOps.packWrite(spark, base, PipelineOps.q158(spark, SF))
+    type Full = (Long, Long, String, Long, Long, Long, Long)
+    def fullKey(r: org.apache.spark.sql.Row): Full =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    val packRows = PipelineOps.q158(spark, SF).collect().map(fullKey)
+    val endOffset = packRows.map(_._6).max // the rebuild→serve handoff
+    // arrivals BETWEEN rebuilds, served at the handoff offset with the
+    // artifact itself as the sink
+    val arrivals = Seq(
+      (910001L, (1 to 30).map(i => s"arrq$i").mkString(" ")),
+      (910002L, (1 to 25).map(i => s"arrw$i").mkString(" ")))
+    val langs = arrivals.map { case (id, _) => (id, "xx") }
+      .toDF("doc_id", "lang")
+    type Served = (Long, Long, Long, Long, Long, Long)
+    val servedRows = scala.collection.mutable.ArrayBuffer[Served]()
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.packServe(
+        ms.toDF().toDF("doc_id", "text"), merges, endOffset) { p =>
+      val cached = p.cache() // two consumers: the append job + the probe
+      try {
+        PipelineOps.packAppendServed(spark, base, cached, langs)
+        servedRows ++= cached.collect().map(r => (r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+      } finally cached.unpersist()
+    }.start()
+    try { ms.addData(arrivals); q.processAllAvailable() } finally q.stop()
+    assert(servedRows.nonEmpty && servedRows.map(_._1).toSet ===
+      arrivals.map(_._1).toSet)
+    val servedFull = servedRows.map(s =>
+      (s._1, s._2, "xx", s._3, s._4, s._5, s._6)).toSeq
+    val expected = (packRows.toSeq ++ servedFull).sorted
+    // the artifact now holds rebuild ∪ served, byte-exact
+    val art = PipelineOps.packRead(spark, base).collect().map(fullKey)
+      .toSeq.sorted
+    assert(art === expected)
+    // served rows landed PARTITIONED: each served shard has its own
+    // directory inside generation 1 (pruning preserved verbatim)
+    servedRows.map(_._6).distinct.foreach { k =>
+      assert(new java.io.File(PipelineOps.packDir(base, 1L), s"shard=$k")
+        .isDirectory, s"served shard $k must land in its partition dir")
+    }
+    // the manifest over the ARTIFACT runs through the same aggregate as
+    // the in-memory union — the q159-over-served contract on disk
+    def manifestRows(df: org.apache.spark.sql.DataFrame) =
+      PipelineOps.sequenceManifestOf(df).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    val unionDf = expected.map(identity[(Long, Long, String, Long, Long,
+      Long, Long)]).toDF("doc_id", "chunk_id", "lang", "n_tokens",
+      "n_units", "cum_units", "shard")
+    assert(manifestRows(PipelineOps.packRead(spark, base)) ===
+      manifestRows(unionDf))
+    // AT-LEAST-ONCE: a re-delivered batch appends byte-identical rows
+    // again (packFold replays at the original base) — absorbed at
+    // compaction, where the one-file-per-shard layout is also restored
+    PipelineOps.packAppendServed(spark, base,
+      servedRows.toSeq.map(identity[(Long, Long, Long, Long, Long, Long)])
+        .toDF("doc_id", "chunk_id", "n_tokens", "n_units",
+          "cum_units", "shard"), langs)
+    assert(PipelineOps.packRead(spark, base).count() ===
+      (expected.size + servedRows.size).toLong)
+    PipelineOps.packCompactArtifact(spark, base)
+    assert(graft.GenManifest.current(base, "pack") === 2L)
+    assert(PipelineOps.packRead(spark, base).collect().map(fullKey)
+      .toSeq.sorted === expected)
+    // exactly one data file per shard after compaction
+    val gen2 = PipelineOps.packDir(base, 2L)
+    gen2.listFiles().filter(_.getName.startsWith("shard=")).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"${d.getName} must compact to one file")
+    }
+    // a reader pinned at generation 1 is undisturbed by the publish
+    // (retained to the manifest's depth) — it still sees the duplicates
+    assert(PipelineOps.packReadAt(spark, base, 1L).count() ===
+      (expected.size + servedRows.size).toLong)
+  }
+
   test("streaming drift gate ≡ q124 on the split; skewed batch flagged, representative passes") {
     implicit val ctx = spark.sqlContext
     import graft.operators.{DedupOps, PipelineOps}
