@@ -161,6 +161,74 @@ object SimOps {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // --- 170. hard-negative mining (r12) -----------------------------------
+  /** Contrastive-training data mining: for each query doc, the top-K
+    * candidates by cosine inside the HARD band [[HnLoMicros]] ≤ cos <
+    * [[HnHiMicros]] — similar enough to be confusable (that is what
+    * makes a negative HARD and the contrastive gradient informative),
+    * but with the near-dup ceiling EXCLUDED: a pair at cos ≥ the q50
+    * duplicate range is a false negative that actively poisons an
+    * embedding train (the q85 decontamination rationale applied to the
+    * negative set — spec-pinned against q53's brute truth).
+    *
+    * Scale shape: q54's hyperplane-LSH candidate generation verbatim —
+    * one corpus scan, sign-bucket join against the BROADCAST bounded
+    * query set, per-partition ranking shuffle ≤ k·|queries| rows; the
+    * bucket collision is the right candidate bias here (colliding
+    * vectors skew high-cos — exactly the hard end the miner wants;
+    * mining does not need recall against a global band, it needs K
+    * genuinely hard candidates per query). The band edges compare on
+    * the SAME round-6 cosine both engines compute ⇒ FULL oracle
+    * (the q54 chain + the band predicate). */
+  val HnLo = 0.30
+  val HnHi = 0.90
+  val HnK = 3
+
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val c = withNorm(corpus).withColumn("bucket", bucketOf(col("embedding")))
+      .select(col("vec_id").as("n_id"), col("embedding").as("e_n"),
+        col("nrm").as("n_n"), col("bucket"))
+    val q = withNorm(queries).withColumn("bucket", bucketOf(col("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        round(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")), 6))
+      .filter(col("cos") >= HnLo && col("cos") < HnHi)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    hardNegatives(e, testQueries(e), HnK)
+  }
+
+  lazy val q170Sql: String =
+    s"""WITH $embNrmCteSql,
+       |b AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    CAST(${bucketSql("embedding", 0)} AS INTEGER) AS bucket
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${pairCosSql("q", "c")} AS cos
+       |  FROM b q JOIN b c
+       |    ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+       |banded AS (SELECT * FROM scored WHERE cos >= $HnLo AND cos < $HnHi),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM banded)
+       |SELECT q_id, n_id, cos, rank FROM ranked
+       |WHERE rank <= $HnK
+       |ORDER BY q_id, rank""".stripMargin
+
   // --- 78. multi-table LSH ANN (OR-amplification) -----------------------
   /** OR-construction over `tables` independent hyperplane tables: a
     * candidate needs a bucket match in ANY table, so per-pair miss
@@ -1312,6 +1380,7 @@ object SimOps {
   val ops: Seq[Op] = Seq(
     Op("q53_knn_brute", q53, Some(q53Sql)),
     Op("q54_ann_lsh", q54, Some(q54Sql)),
+    Op("q170_hard_negatives", q170, Some(q170Sql)),
     Op("q55_vector_stats", q55, Some(q55Sql)),
     Op("q61_ann_ivf", q61, Some(q61Sql)),
     Op("q78_ann_lsh_multi", q78, Some(q78Sql)),

@@ -31,6 +31,53 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q170 hard negatives: band honored, near-dups excluded, bucket-bounded, hardness-ordered") {
+    import org.apache.spark.sql.functions.col
+    val rows = SimOps.q170(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the hard band is honored on every mined pair
+    rows.foreach { case (q, n, cos, _) =>
+      assert(cos >= SimOps.HnLo && cos < SimOps.HnHi, s"($q,$n) cos $cos") }
+    // dense 1..≤K ranks per query, hardness-ordered (cos non-increasing)
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.length <= SimOps.HnK)
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to rs.length).toSeq)
+      val cs = byRank.map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // near-dup EXCLUSION (the false-negative poison): plant a CLONE of a
+    // query in the corpus — same direction ⇒ identical plane signs ⇒
+    // guaranteed bucket collision AND cos = 1.0, the hardest possible
+    // candidate — and it must be excluded by the band alone
+    import spark.implicits._
+    val e = Tables.embeddings(spark, SF)
+    val q0 = e.filter(col("vec_id") % 50 === 0).orderBy(col("vec_id"))
+      .limit(1).collect()(0)
+    val qid = q0.getLong(0)
+    val cloneId = 999999L
+    val corpus2 = e.select(col("vec_id"), col("embedding")).unionByName(
+      Seq((cloneId, q0.getSeq[Float](1))).toDF("vec_id", "embedding"))
+    val res2 = SimOps.hardNegatives(corpus2,
+      e.filter(col("vec_id") === qid), SimOps.HnK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!res2.exists(_._2 == cloneId),
+      "a near-duplicate clone must never be mined as a negative")
+    // the clone genuinely was the top candidate pre-band (cos 1.0 shares
+    // the bucket by construction); the mined set, if any, stays banded
+    res2.foreach { case (_, _, cos) =>
+      assert(cos >= SimOps.HnLo && cos < SimOps.HnHi) }
+    val mined = rows.map(p => (p._1, p._2)).toSet
+    // the candidate bound is the q54 sign bucket (the scale contract —
+    // never all-pairs): every mined pair collides in the bucket
+    val buckets = Tables.embeddings(spark, SF)
+      .select(col("vec_id"), SimOps.bucketOf(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    mined.foreach { case (q, n) =>
+      assert(buckets(q) === buckets(n), s"($q,$n) must share the LSH bucket") }
+  }
+
   test("q61 IVF search returns valid ranked neighbors with decent recall") {
     val ivf = SimOps.q61(spark, SF).collect()
     assert(ivf.nonEmpty)
