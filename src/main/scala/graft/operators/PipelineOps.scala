@@ -1093,22 +1093,29 @@ object PipelineOps {
   val Epochs = 3
   val EpochSeed = 42L
 
+  /** One epoch's PrefixSum ranking of a keyed pack relation (must carry
+    * `epoch` and `okey`) — the shared ranking tail behind [[q162]],
+    * [[q166]], and [[q171]]'s per-epoch scans. */
+  private def rankEpoch(keyed: DataFrame): DataFrame =
+    graft.functions.PrefixSum
+      .withRunningSum(keyed.withColumn("one", lit(1L)), "okey",
+        Seq("doc_id", "chunk_id"), "one", "seq_rank")
+
+  /** The seeded-shuffle key for epoch `e` (the q162 permutation rule). */
+  private def shuffleKeyed(pack: DataFrame, e: Int): DataFrame =
+    pack
+      .withColumn("epoch", lit(e.toLong))
+      .withColumn("okey",
+        conv(substring(md5(concat(lit(s"ep:$EpochSeed:$e:"), col("doc_id"),
+          lit(":"), col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+
   /** The per-epoch ordered sequence stream behind [[q162]] and [[q166]]:
     * one PrefixSum ranking per epoch over the `sequence_pack` memo. */
   private[graft] def epochOrdered(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
-    (0 until Epochs).map { e =>
-      val keyed = pack
-        .withColumn("epoch", lit(e.toLong))
-        .withColumn("okey",
-          conv(substring(md5(concat(lit(s"ep:$EpochSeed:$e:"), col("doc_id"),
-            lit(":"), col("chunk_id"))), 1, 15), 16, 10).cast("long"))
-        .withColumn("one", lit(1L))
-      graft.functions.PrefixSum
-        .withRunningSum(keyed, "okey", Seq("doc_id", "chunk_id"),
-          "one", "seq_rank")
-    }.reduce(_ unionAll _)
+    (0 until Epochs).map(e => rankEpoch(shuffleKeyed(pack, e)))
+      .reduce(_ unionAll _)
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
   }
@@ -1160,17 +1167,9 @@ object PipelineOps {
   def q166(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
-    (ResumeEpoch.toInt until Epochs).map { e =>
-      val keyed = pack
-        .withColumn("epoch", lit(e.toLong))
-        .withColumn("okey",
-          conv(substring(md5(concat(lit(s"ep:$EpochSeed:$e:"), col("doc_id"),
-            lit(":"), col("chunk_id"))), 1, 15), 16, 10).cast("long"))
-        .withColumn("one", lit(1L))
-      graft.functions.PrefixSum
-        .withRunningSum(keyed, "okey", Seq("doc_id", "chunk_id"),
-          "one", "seq_rank")
-    }.reduce(_ unionAll _)
+    (ResumeEpoch.toInt until Epochs)
+      .map(e => rankEpoch(shuffleKeyed(pack, e)))
+      .reduce(_ unionAll _)
       .filter(col("epoch") > ResumeEpoch ||
         (col("epoch") === ResumeEpoch && col("seq_rank") > ResumeRank))
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
@@ -1182,6 +1181,82 @@ object PipelineOps {
     s"""SELECT * FROM ($epochOrderedSql) r
        |WHERE epoch > $ResumeEpoch
        |   OR (epoch = $ResumeEpoch AND seq_rank > $ResumeRank)
+       |ORDER BY epoch, seq_rank""".stripMargin
+
+  // --- 171. curriculum epoch ordering (r12) ---------------------------------
+  /** The CURRICULUM data schedule loaders actually run: epoch 0 consumes
+    * the pack's sequences in QUALITY order — highest stopword-ratio
+    * docs first (q45's natural-prose signal in exact integer micros;
+    * "clean data first" is the standard curriculum warm-up) — and every
+    * later epoch falls back to the q162 seeded shuffle, with keys
+    * IDENTICAL to [[q162]]'s (epochs ≥ 1 of the two schedules are the
+    * same stream — a loader can switch schedules without re-deriving
+    * anything; PipelineSpec pins the equality). The epoch-0 order key
+    * is one int64: (10⁶ − q_micros)·2⁴⁰ + the 40-bit md5 tiebreak —
+    * descending doc quality first, hash-spread within a quality level
+    * (chunks of equal-quality docs interleave by hash — deliberate:
+    * the curriculum orders by quality, not by document), and the SAME
+    * key arithmetic replays exactly in the oracle.
+    *
+    * Scale shape: the pack memo + ONE corpus-linear quality aggregate
+    * (doc-keyed thin join onto the pack — two int64s per doc) + the
+    * per-epoch PrefixSum two-level scans (the hash tiebreak spreads the
+    * bins even inside one quality level; never a global window). FULL
+    * oracle: the quality CTE + the keyed union replayed under one
+    * per-epoch ROW_NUMBER. */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val pack = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("shard"))
+    val qm = TextOps.docsWithToks(s, dir)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(org.apache.spark.sql.functions.filter(
+        col("toks"), t => t.isin(Text.Stopwords: _*))).cast("long"))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), graft.functions.Num
+        .idivHalfAway(col("n_stop") * lit(1000000L), col("n_toks"))
+        .as("q_micros"))
+    val e0 = rankEpoch(pack.join(qm, Seq("doc_id"))
+      .withColumn("epoch", lit(0L))
+      .withColumn("okey",
+        (lit(1000000L) - col("q_micros")) * lit(1099511627776L) +
+          conv(substring(md5(concat(lit("cur:"), col("doc_id"), lit(":"),
+            col("chunk_id"))), 1, 10), 16, 10).cast("long"))
+      .drop("q_micros"))
+    (e0 +: (1 until Epochs).map(e => rankEpoch(shuffleKeyed(pack, e))).toList)
+      .reduce(_ unionAll _)
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
+        col("shard"))
+      .orderBy(col("epoch"), col("seq_rank"))
+  }
+
+  lazy val q171Sql: String =
+    s"""WITH pk AS (SELECT doc_id, chunk_id, shard FROM ($q158Sql) x),
+       |qm AS (
+       |  SELECT doc_id, ${graft.functions.Num.idivHalfAwaySql(
+              "n_stop * 1000000", "n_toks")} AS q_micros
+       |  FROM (
+       |    SELECT doc_id, len($toksSql) AS n_toks,
+       |      len(list_filter($toksSql, t -> t IN ${Text.StopwordsSqlList}))
+       |        AS n_stop
+       |    FROM documents) t
+       |  WHERE n_toks > 0),
+       |keyed AS (
+       |  SELECT CAST(0 AS BIGINT) AS epoch, b.doc_id, b.chunk_id, b.shard,
+       |    (1000000 - q.q_micros) * 1099511627776 +
+       |      CAST(('0x' || substr(md5('cur:' || CAST(b.doc_id AS VARCHAR) || ':' ||
+       |        CAST(b.chunk_id AS VARCHAR)), 1, 10)) AS BIGINT) AS okey
+       |  FROM pk b JOIN qm q USING (doc_id)
+       |  UNION ALL
+       |  SELECT e.epoch, b.doc_id, b.chunk_id, b.shard,
+       |    CAST(('0x' || substr(md5('ep:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
+       |      CAST(b.doc_id AS VARCHAR) || ':' || CAST(b.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM pk b CROSS JOIN
+       |    (SELECT CAST(unnest(range(1, $Epochs)) AS BIGINT) AS epoch) e)
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY okey, doc_id, chunk_id) AS BIGINT) AS seq_rank,
+       |  doc_id, chunk_id, shard
+       |FROM keyed
        |ORDER BY epoch, seq_rank""".stripMargin
 
   // --- 121. DSIR-style importance selection (r5) ---------------------------
@@ -1786,6 +1861,7 @@ object PipelineOps {
     Op("q167_manifest_diff", q167, Some(q167Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),
+    Op("q171_curriculum_order", q171, Some(q171Sql)),
     Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )
 

@@ -704,6 +704,45 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(PipelineOps.q166(spark, SF).collect().map(key).toSeq === suffix.toSeq)
   }
 
+  test("q171 curriculum: epoch 0 quality-descending, epochs ≥ 1 ≡ q162's shuffle exactly") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val cur = PipelineOps.q171(spark, SF).collect().map(key)
+    val shuffled = PipelineOps.q162(spark, SF).collect().map(key)
+    // schedule switching: epochs >= 1 are the SAME stream as q162's
+    assert(cur.filter(_._1 >= 1L).toSeq === shuffled.filter(_._1 >= 1L).toSeq)
+    // epoch 0: exact pack membership, dense ranks
+    val pack = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("shard"))).toSet
+    val e0 = cur.filter(_._1 == 0L).sortBy(_._2)
+    assert(e0.map(r => (r._3, r._4, r._5)).toSet === pack)
+    assert(e0.map(_._2).toSeq === (1L to pack.size).toSeq)
+    // the curriculum actually orders by quality: recompute each doc's
+    // stopword-ratio micros locally and pin non-increasing along ranks
+    val re = "[a-z0-9]+".r
+    val stop = graft.text.Text.Stopwords.toSet
+    val qOf = Tables.documents(spark, SF).select("doc_id", "text").collect()
+      .map { r =>
+        val ts = re.findAllIn(r.getString(1).toLowerCase).toSeq
+        val micros =
+          if (ts.isEmpty) -1L
+          else {
+            val p = ts.count(stop) * 1000000L
+            (2L * p + ts.length) / (2L * ts.length) // half-away ⌊p/q⌉
+          }
+        r.getLong(0) -> micros
+      }.toMap
+    val qs = e0.map(r => qOf(r._3))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b },
+      "epoch-0 ranks must be quality-descending")
+    // the curriculum is a genuinely different epoch-0 permutation
+    assert(e0.map(r => (r._3, r._4)).toSeq !==
+      shuffled.filter(_._1 == 0L).sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+    // and quality genuinely varies across the pack (premise)
+    assert(qs.distinct.length > 1)
+  }
+
   test("q165 pack artifact: read-back ≡ the in-memory build, shard seek prunes, standing reuse") {
     import org.apache.spark.sql.functions.col
     def packKey(r: org.apache.spark.sql.Row) =
