@@ -32,6 +32,33 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() === docs.count())
   }
 
+  test("gzip-compressed jsonl ingest: codec round-trip, .gz files on disk, splits into tasks per file") {
+    // the wire format a 100 TB text corpus actually arrives in: gzip
+    // JSONL. Spark's Hadoop codec path handles it transparently through
+    // the SAME readJsonl entry (extension-dispatched) — pin that it
+    // genuinely compresses and genuinely reads back.
+    val docs = Tables.documents(spark, SF).select("doc_id", "text", "lang")
+    val path = tmp("jsonlgz")
+    docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "gzip").json(path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty, "sink must write .json.gz files")
+    val back = Sources.readJsonl(spark, path, docs.schema)
+    assert(back.count() === docs.count())
+    // content survives the codec hop (keyed compare, not just counts)
+    val a = back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1)
+    val b = docs.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).sortBy(_._1)
+    assert(a === b)
+    // gzip is NOT splittable: each .gz file is one input partition —
+    // the parallelism unit at scale is the FILE (shard your corpus into
+    // many files), never byte ranges inside one
+    assert(back.rdd.getNumPartitions === files.length,
+      "one task per gzip file (non-splittable codec)")
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val docs = Tables.documents(spark, SF).select("doc_id", "lang", "source")
     val path = tmp("pq")
