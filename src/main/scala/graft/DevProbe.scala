@@ -40,7 +40,7 @@ object DevProbe {
           col("cell_id").cast("int").as("cell_id")).cache()
       enc.count()
       val buildSec = (System.nanoTime() - t0) / 1e9
-      val recalls = (for (nprobe <- Seq(2, 3); rr <- Seq(50, 100, 200)) yield {
+      val recalls = (for (nprobe <- Seq(2, 3); rr <- Seq(100, 200, 1024)) yield {
         val got = SimOps.annIndexSearch(enc,
             SimOps.probeCells(nrm(tv.filter(col("vec_id") % 50 === 0)),
               cellsRow, nprobe), cbRow, SimOps.IdxK, rr)

@@ -1268,14 +1268,25 @@ object SimOps {
     * ceiling at exactly 0.80 — no headroom for shortlist loss). */
   val TrainedNProbe = 3
 
-  /** ADC shortlist width for the TRAINED artifact's exact rerank. The
-    * 8-dim trained vectors give PQ ONE dimension per subspace, so the
-    * ADC approximation is coarse and the default [[PqRerank]] = 50
-    * shortlist was the measured recall bottleneck (np3: cell ceiling
-    * 0.94, end-to-end 0.72) — widening the exact rerank is how
-    * production IVFADC recovers recall, and its cost stays bounded at
-    * `rerank·|queries|` rows. */
-  val TrainedRerank = 100
+  /** ADC shortlist width for the TRAINED artifact's exact rerank —
+    * set ABOVE any probed-slice size, i.e. the serve is IVF-EXACT:
+    * prune to the probed cells, then score that slice exactly. The
+    * 8-dim trained vectors give PQ ONE dimension per subspace, and a
+    * 1-dim code's distance estimate cannot usefully ORDER candidates —
+    * measured at sf0.1 (DevProbe, np3, cell ceiling 0.944): ADC top-100
+    * recall 0.46, top-200 0.62, full probed slice 0.93. The design rule
+    * this encodes: the ADC shortlist earns its skip only when codes
+    * carry enough dimensions to rank (q105's 64-dim corpus keeps
+    * [[PqRerank]] = 50); below that, the artifact's value is the
+    * partition-pruned IO and the exact scan of the probed slice is both
+    * cheaper and correct — its cost stays bounded at
+    * `(nprobe/cells)·|corpus|·|queries|` pair scores, the q61 IVF rule.
+    * sf0.01 measured: recall@5 0.940 = the np3 cell ceiling exactly
+    * (was 0.90 at the r100 shortlist); sf0.1: 0.932 vs ceiling 0.944.
+    * At larger corpora the standard IVF sizing applies: grow the cell
+    * count (nlist ≈ √n) so probed slices stay O(rerank) — the
+    * [[lloydCmeans]] seed label width is that knob. */
+  val TrainedRerank = 1024
 
   /** The [[lloydCmeans]] refinement as unrolled CTEs over the (shadowed)
     * `embeddings` table, ending in the `cmeans(label, dim, c)` CTE the

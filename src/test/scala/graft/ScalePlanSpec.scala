@@ -42,6 +42,12 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
       graft.operators.PipelineOps.packedBuildPlan(spark, SF), "q152 build")
     assertWindowsAggregated(
       graft.operators.PipelineOps.sequencePackPlan(spark, SF), "q158 build")
+    // r12: the epoch orderings rank per call (the memo only feeds them),
+    // so their executing plans carry the PrefixSum windows — same
+    // discipline: per-epoch binned scans, never a raw global window
+    assertWindowsAggregated(graft.operators.PipelineOps.q162(spark, SF), "q162")
+    assertWindowsAggregated(graft.operators.PipelineOps.q166(spark, SF), "q166")
+    assertWindowsAggregated(graft.operators.PipelineOps.q171(spark, SF), "q171")
   }
 
   test("q111 warm readout scans ONE pruned partition of the standing artifact") {

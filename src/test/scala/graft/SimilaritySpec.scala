@@ -456,7 +456,8 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"max cell occupancy ${occ.max} exceeds 3x uniform ($uniform)")
     // recall@5 vs BRUTE kNN over the same trained vectors — a
     // production ANN serving floor, not a smoke check (r11: 0.64 at
-    // the sign-bit cells; the Lloyd cells + widened rerank clear 0.8)
+    // the sign-bit cells; Lloyd cells + IVF-exact probe scoring reach
+    // the nprobe cell ceiling: 0.94 measured at sf0.01 AND sf0.1)
     val trained = EmbedOps.trainedVectors(spark, SF)
     val exact = SimOps.knnBrute(trained,
         trained.filter(col("vec_id") % 50 === 0), SimOps.IdxK)
@@ -465,7 +466,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       exact.size
     memIdx.unpersist()
     tv.unpersist()
-    assert(recall >= 0.8, s"trained-index recall@5 = $recall")
+    assert(recall >= 0.9, s"trained-index recall@5 = $recall")
   }
 
   test("q160 standing artifact: a re-run probes the existing trained index, never rebuilds") {
