@@ -1755,6 +1755,29 @@ object PipelineOps {
     * re-sharded a sequence would hash-mismatch. */
   lazy val q165Sql: String = q159Sql
 
+  // --- 172. the loader's shard READ (r12) -----------------------------------
+  /** The read a training loader actually issues per step: ONE shard of
+    * the persisted pack artifact — a partition-pruned scan of exactly
+    * one directory (PipelineSpec pins the `PartitionFilters` line on
+    * this op's own plan), returning the shard's sequences in (doc,
+    * chunk) order. [[SeekShard]] = 0 exists at every SF (the cumulative
+    * stream starts there). FULL oracle: the q158 chain under the shard
+    * predicate — the driver's hash compare proves the ARTIFACT's rows
+    * (not just its manifest totals, q165's check) are exactly the
+    * build's, at shard granularity, THROUGH the partition-pruned read
+    * path. */
+  val SeekShard = 0L
+
+  def q172(s: SparkSession, dir: String): DataFrame =
+    packRead(s, q165Ensure(s, dir))
+      .filter(col("shard") === SeekShard)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  lazy val q172Sql: String =
+    s"""SELECT * FROM ($q158Sql) x
+       |WHERE shard = $SeekShard
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // --- 167. rebuild manifest DIFF (r12) -------------------------------------
   /** Validate a REBUILD against the previous build's manifest without
     * diffing corpora — the manifest's whole purpose, closed as an
@@ -1858,6 +1881,7 @@ object PipelineOps {
     Op("q158_sequence_pack", q158, Some(q158Sql)),
     Op("q159_sequence_manifest", q159, Some(q159Sql)),
     Op("q165_pack_artifact", q165, Some(q165Sql)),
+    Op("q172_shard_read", q172, Some(q172Sql)),
     Op("q167_manifest_diff", q167, Some(q167Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),

@@ -773,6 +773,14 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       s"shard seek must prune partitions, got: $pf")
     assert(seek.collect().map(packKey).sorted ===
       mem.filter(_._7 == 0L))
+    // the REGISTERED q172 shard read carries the same pruned scan and
+    // returns exactly the build's shard-0 rows (its oracle contract)
+    val q172 = PipelineOps.q172(spark, SF)
+    val pf172 = q172.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf172.matches(""".*PartitionFilters: \[[^\]]*shard[^\]]*=[^\]]*0[^\]]*\].*"""),
+      s"q172 must prune partitions, got: $pf172")
+    assert(q172.collect().map(packKey).sorted === mem.filter(_._7 == 0L))
   }
 
   test("q167 manifest diff: budget migration reconciles, synthetic shrink/add/change statuses") {
