@@ -1778,6 +1778,99 @@ object PipelineOps {
        |WHERE shard = $SeekShard
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --- 173. SEQUENCE-level decontamination (r12) -----------------------------
+  /** q85's eval-overlap check at the granularity modern pipelines
+    * actually cut: the CHUNK (sequence), not the document. A long doc
+    * that quotes one benchmark example is 99 % good training data —
+    * doc-level decontamination (q85→q87→q117) throws the doc away;
+    * sequence-level flags exactly the chunks whose own token window
+    * shares ≥ [[ContamMinShared]] distinct [[ContamShingleK]]-grams
+    * with the eval set, and the loader drops those chunks while the
+    * rest of the doc trains. Output = the q158 pack with per-sequence
+    * (n_shared, contaminated) columns — the pack minus flagged rows IS
+    * the clean loader stream, and the flagged unit mass is the cut
+    * accounting. Benchmark docs sampled into the pack self-flag by
+    * construction (their chunks share their own shingles) — eval
+    * examples must never train, so that is the correct behavior, not
+    * an artifact.
+    *
+    * Scale shape: the pack memo + ONE chunk-text pass (q157's corpus
+    * pass — the text-bearing relation is deliberately unmemoized, the
+    * SharedRelations sizing contract) shingled map-side against the
+    * BROADCAST eval shingle set (q85's rule: the bench side is
+    * eval-sized by premise), one map-side-combined per-chunk count,
+    * one thin LEFT join back onto the pack. FULL oracle: the q158
+    * chain's CTE scope already carries `chunks(… text_chunk)` — the
+    * contamination CTEs splice in beside the pack tail. */
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Text
+    val pack = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("shard"), col("n_units"))
+    val chunkSh = BpeOps.q157(s, dir)
+      .select(col("doc_id"), col("chunk_id"),
+        explode(array_distinct(Text.shingles(
+          split(col("text_chunk"), " "), ContamShingleK))).as("sh"))
+    val benchSh = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(array_distinct(Text.shingles(
+        Text.tokens(col("text")), ContamShingleK))).as("sh"))
+      .distinct()
+    val cont = chunkSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    pack.join(cont, Seq("doc_id", "chunk_id"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("shard"), col("n_units"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= ContamMinShared)
+          .cast("int").as("contaminated"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  lazy val q173Sql: String = {
+    val chunkShingles =
+      graft.text.Text.shinglesSql("string_split(text_chunk, ' ')",
+        ContamShingleK)
+    val benchShingles = graft.text.Text.shinglesSql("toks", ContamShingleK)
+    s"""$q120CtesSql,
+       |${BpeOps.chainCtesSql},
+       |${BpeOps.chunkCtesSql},
+       |sseq AS (
+       |  SELECT t.doc_id, t.lang, c.chunk_id, c.n_tokens, c.n_units,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR) || ':' ||
+       |      CAST(c.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM t JOIN fxp p USING (lang)
+       |  JOIN chunks c ON t.doc_id = c.doc_id
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |cseq AS (
+       |  SELECT doc_id, chunk_id, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
+       |  FROM sseq),
+       |dpk AS (
+       |  SELECT doc_id, chunk_id,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard,
+       |    n_units
+       |  FROM cseq),
+       |dbench AS (
+       |  SELECT DISTINCT unnest(list_distinct($benchShingles)) AS sh
+       |  FROM ctt WHERE doc_id % 97 = 0),
+       |dcsh AS (
+       |  SELECT doc_id, chunk_id,
+       |    unnest(list_distinct($chunkShingles)) AS sh
+       |  FROM chunks),
+       |dcont AS (
+       |  SELECT doc_id, chunk_id, COUNT(*) AS n_shared
+       |  FROM dcsh JOIN dbench USING (sh)
+       |  GROUP BY doc_id, chunk_id)
+       |SELECT p.doc_id, p.chunk_id, p.shard, p.n_units,
+       |  COALESCE(c.n_shared, 0) AS n_shared,
+       |  CASE WHEN COALESCE(c.n_shared, 0) >= $ContamMinShared
+       |    THEN 1 ELSE 0 END AS contaminated
+       |FROM dpk p LEFT JOIN dcont c USING (doc_id, chunk_id)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   // --- 167. rebuild manifest DIFF (r12) -------------------------------------
   /** Validate a REBUILD against the previous build's manifest without
     * diffing corpora — the manifest's whole purpose, closed as an
@@ -1882,6 +1975,7 @@ object PipelineOps {
     Op("q159_sequence_manifest", q159, Some(q159Sql)),
     Op("q165_pack_artifact", q165, Some(q165Sql)),
     Op("q172_shard_read", q172, Some(q172Sql)),
+    Op("q173_chunk_decontaminate", q173, Some(q173Sql)),
     Op("q167_manifest_diff", q167, Some(q167Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),

@@ -7,10 +7,10 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 172) // r12: +q162-q172
+    assert(SparkEntry.queries.size === 173) // r12: +q162-q173
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // q162-q167/q170-q172 full oracle; q168/q169 rows-only (lossy codecs)
-    assert(SparkEntry.oracleSql.size === 157)
+    // q162-q167/q170-q173 full oracle; q168/q169 rows-only (lossy codecs)
+    assert(SparkEntry.oracleSql.size === 158)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

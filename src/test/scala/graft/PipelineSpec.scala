@@ -783,6 +783,48 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(q172.collect().map(packKey).sorted === mem.filter(_._7 == 0L))
   }
 
+  test("q173 sequence decontamination: pack membership, exact local shingle recompute, chunk-level cut") {
+    val rows = PipelineOps.q173(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    // output = the pack, row for row (flags annotate, never filter)
+    val pack = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("n_units")))
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).sorted.toSeq ===
+      pack.sorted.toSeq)
+    // exact local recompute of every chunk's shared-shingle count
+    val re = "[a-z0-9]+".r
+    val k = PipelineOps.ContamShingleK
+    def grams(ts: Seq[String]): Set[String] =
+      if (ts.length < k) Set.empty
+      else ts.sliding(k).map(_.mkString(" ")).toSet
+    val bench = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect()
+      .filter(_.getLong(0) % 97 == 0)
+      .flatMap(r => grams(re.findAllIn(r.getString(1).toLowerCase).toSeq))
+      .toSet
+    assert(bench.nonEmpty, "test premise: benchmark docs exist at this SF")
+    val chunkGrams = graft.operators.BpeOps.q157(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        grams(r.getAs[String]("text_chunk").split(" ").toSeq)).toMap
+    rows.foreach { case (d, c, _, _, nShared, flag) =>
+      val expect = (chunkGrams((d, c)) intersect bench).size.toLong
+      assert(nShared === expect, s"chunk ($d,$c) n_shared")
+      assert(flag === (if (expect >= PipelineOps.ContamMinShared) 1 else 0))
+    }
+    // the op flags something AND spares something (premise: the pack
+    // holds eval-overlapping chunks at this SF, and most chunks clean)
+    assert(rows.exists(_._6 == 1), "premise: some chunk is contaminated")
+    assert(rows.count(_._6 == 0) > rows.count(_._6 == 1))
+    // the SEQUENCE-level win: at least one doc keeps clean chunks
+    // beside a flagged one — the mass doc-level decontamination (q85's
+    // granularity) would have needlessly cut
+    val byDoc = rows.groupBy(_._1).values
+    assert(byDoc.exists(rs => rs.exists(_._6 == 1) && rs.exists(_._6 == 0)),
+      "premise: a doc with both flagged and clean chunks")
+  }
+
   test("q167 manifest diff: budget migration reconciles, synthetic shrink/add/change statuses") {
     val rows = PipelineOps.q167(spark, SF).collect()
     assert(rows.nonEmpty)
