@@ -730,9 +730,12 @@ object MultiModal {
     val strf = new java.io.ByteArrayOutputStream(40)
     writeLe32(strf, 40) // biSize
     writeLe32(strf, w); writeLe32(strf, h)
-    writeLe16(strf, 1); writeLe16(strf, 24) // biPlanes, biBitCount
+    // biBitCount/biSizeImage describe the DECODED essence, which is 8-bit
+    // grayscale here (TYPE_BYTE_GRAY JPEG frames) — an external reader
+    // planning buffers from this header must not be told 24-bit RGB
+    writeLe16(strf, 1); writeLe16(strf, 8) // biPlanes, biBitCount
     strf.write("MJPG".getBytes("US-ASCII"), 0, 4) // biCompression
-    writeLe32(strf, w * h * 3) // biSizeImage
+    writeLe32(strf, w * h) // biSizeImage
     (0 until 4).foreach(_ => writeLe32(strf, 0)) // ppm/clr fields
 
     val hdrl = riffList("hdrl", Seq(
@@ -773,7 +776,11 @@ object MultiModal {
       while (pos + 8 <= to) {
         val id = fourcc(avi, pos)
         val size = readLe32(avi, pos + 4)
-        require(pos + 8 + size <= to, s"avi: truncated chunk '$id' at $pos")
+        // a crafted LE32 size can be negative (walk would loop forever or
+        // move backwards) or near Int.MaxValue (pos + 8 + size overflows
+        // past the truncation check) — bound it overflow-free first
+        require(size >= 0 && size <= to - pos - 8,
+          s"avi: bad/truncated chunk '$id' size $size at $pos")
         id match {
           case "LIST" =>
             fourcc(avi, pos + 8) match {

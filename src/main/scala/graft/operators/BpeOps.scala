@@ -743,8 +743,15 @@ object BpeOps {
   /** Train (family-memoized) + publish unless the live artifact already
     * describes `dir` — the q105/q160 standing-snapshot pattern: the
     * registered entry measures the amortized load+segment, not a
-    * re-train+re-publish per call (reuse spec-pinned). */
-  private[graft] def q164Ensure(s: SparkSession, dir: String): java.io.File = {
+    * re-train+re-publish per call (reuse spec-pinned). SYNCHRONIZED
+    * (r12 ADVICE): concurrent invocations would race the check-then-
+    * publish and double-publish generations. The guard keys on the dir
+    * string under the engine-wide snapshot premise (a dir's contents are
+    * immutable for the session — the SharedRelations memo contract; a
+    * corpus that mutates in place invalidates every family memo, not
+    * just this artifact). */
+  private[graft] def q164Ensure(s: SparkSession, dir: String): java.io.File =
+    this.synchronized {
     val base = q164Base(s)
     if (!tokArtDir.contains(dir) ||
         graft.GenManifest.read(base, "merges").isEmpty) {
@@ -756,7 +763,7 @@ object BpeOps {
       tokArtDir = Some(dir)
     }
     base
-  }
+    }
 
   def q164(s: SparkSession, dir: String): DataFrame = {
     val ms = tokenizerLoad(s, q164Ensure(s, dir))

@@ -1690,17 +1690,22 @@ object PipelineOps {
         col("n_units"), col("cum_units"), col("shard"))
 
   /** Pack + publish unless the live artifact already describes `dir` —
-    * the q105/q160/q164 standing-snapshot pattern (reuse spec-pinned). */
-  private[graft] def q165Ensure(s: SparkSession, dir: String): java.io.File = {
-    val base = q165Base(s)
-    if (!packArtDir.contains(dir) ||
-        graft.GenManifest.read(base, "pack").isEmpty) {
-      graft.TempArtifacts.register(base)
-      packWrite(s, base, sequencePack(s, dir))
-      packArtDir = Some(dir)
+    * the q105/q160/q164 standing-snapshot pattern (reuse spec-pinned).
+    * SYNCHRONIZED (r12 ADVICE): concurrent invocations would race the
+    * check-then-publish and double-publish generations; the dir-string
+    * guard rides the session-wide snapshot premise (the SharedRelations
+    * memo contract — a corpus dir is immutable for the session). */
+  private[graft] def q165Ensure(s: SparkSession, dir: String): java.io.File =
+    this.synchronized {
+      val base = q165Base(s)
+      if (!packArtDir.contains(dir) ||
+          graft.GenManifest.read(base, "pack").isEmpty) {
+        graft.TempArtifacts.register(base)
+        packWrite(s, base, sequencePack(s, dir))
+        packArtDir = Some(dir)
+      }
+      base
     }
-    base
-  }
 
   def q165(s: SparkSession, dir: String): DataFrame =
     sequenceManifestOf(packRead(s, q165Ensure(s, dir)))
@@ -1723,8 +1728,18 @@ object PipelineOps {
     * is restored. */
   private[graft] def packAppendServed(s: SparkSession, base: java.io.File,
       served: DataFrame, langs: DataFrame): Unit =
-    served.join(langs, Seq("doc_id"))
-      .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
+    // LEFT join + loud failure on a missing (doc_id → lang) mapping: an
+    // inner join would silently DROP the served row from the persisted
+    // artifact (silent loss in the loader-facing append path, r12 ADVICE);
+    // raise_error fires inside the write job, failing the batch before
+    // the sink commit — the stream resumes and re-delivers it
+    served.join(langs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("chunk_id"),
+        when(col("lang").isNull, raise_error(concat(
+          lit("packAppendServed: served doc_id "), col("doc_id"),
+          lit(" has no lang metadata — refusing to drop it from the artifact"))))
+          .otherwise(col("lang")).as("lang"),
+        col("n_tokens"),
         col("n_units"), col("cum_units"), col("shard"))
       .write.mode("append").partitionBy("shard")
       .parquet(packDir(base,
@@ -1741,8 +1756,13 @@ object PipelineOps {
       retain: Int = graft.GenManifest.DefaultRetain): Unit = {
     val cur = graft.GenManifest.current(base, "pack")
     val next = cur + 1
+    // FULL-row dropDuplicates, matching the documented absorption contract
+    // (re-deliveries are byte-identical): keyed-only dedup would silently
+    // pick an arbitrary row if the same key ever landed with different
+    // attributes (e.g. a re-serve at a different base after a rebuild) —
+    // a genuine conflict must instead survive to the manifest hash-check
     packReadAt(s, base, cur)
-      .dropDuplicates("doc_id", "chunk_id")
+      .dropDuplicates()
       .repartition(col("shard"))
       .write.partitionBy("shard")
       .parquet(packDir(base, next).getAbsolutePath)
