@@ -1659,32 +1659,39 @@ object PipelineOps {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_seqpack-${s.sparkContext.applicationId}")
 
-  private[graft] def packDir(base: java.io.File, gen: Long): java.io.File =
-    new java.io.File(base, s"pack_g$gen")
+  /** `name` keys the LINEAGE: the shipped build publishes under "pack";
+    * the q174 decontaminated migration publishes its generations under
+    * "packclean" beside it (one artifact base, two manifest lines — a
+    * reader pins a lineage + generation pair). */
+  private[graft] def packDir(base: java.io.File, gen: Long,
+      name: String = "pack"): java.io.File =
+    new java.io.File(base, s"${name}_g$gen")
 
-  /** Publish `pack` as the next generation at `base` (atomic manifest
-    * rename; aged-out generations GC'd). Returns the published gen. */
+  /** Publish `pack` as the next generation of `name` at `base` (atomic
+    * manifest rename; aged-out generations GC'd). Returns the published
+    * gen. */
   private[graft] def packWrite(s: SparkSession, base: java.io.File,
-      pack: DataFrame): Long = {
+      pack: DataFrame, name: String = "pack"): Long = {
     val next =
-      graft.GenManifest.read(base, "pack").map(_.current).getOrElse(0L) + 1
+      graft.GenManifest.read(base, name).map(_.current).getOrElse(0L) + 1
     pack.repartition(col("shard"))
       .write.partitionBy("shard")
-      .parquet(packDir(base, next).getAbsolutePath)
-    graft.GenManifest.publish(base, "pack", next)
-      .foreach(g => graft.GenManifest.rmTree(packDir(base, g)))
+      .parquet(packDir(base, next, name).getAbsolutePath)
+    graft.GenManifest.publish(base, name, next)
+      .foreach(g => graft.GenManifest.rmTree(packDir(base, g, name)))
     next
   }
 
   /** The artifact's sequences at the CURRENT generation (shard restored
     * to int64 — partition-column inference narrows it — and the build's
     * column order restored). */
-  private[graft] def packRead(s: SparkSession, base: java.io.File): DataFrame =
-    packReadAt(s, base, graft.GenManifest.current(base, "pack"))
+  private[graft] def packRead(s: SparkSession, base: java.io.File,
+      name: String = "pack"): DataFrame =
+    packReadAt(s, base, graft.GenManifest.current(base, name), name)
 
   private[graft] def packReadAt(s: SparkSession, base: java.io.File,
-      gen: Long): DataFrame =
-    s.read.parquet(packDir(base, gen).getAbsolutePath)
+      gen: Long, name: String = "pack"): DataFrame =
+    s.read.parquet(packDir(base, gen, name).getAbsolutePath)
       .withColumn("shard", col("shard").cast("long"))
       .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
         col("n_units"), col("cum_units"), col("shard"))
@@ -1798,6 +1805,60 @@ object PipelineOps {
        |WHERE shard = $SeekShard
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --- 177. the loader's per-(epoch, step) BATCH fetch (r13) -----------------
+  /** The read a training STEP actually issues, composed end-to-end:
+    * [[q162]] orders the epoch, [[q172]] reads one shard — this op takes
+    * a RANK RANGE of one epoch's permutation (the step's global batch,
+    * ranks ([[StepLoRank]], [[StepHiRank]]]) and fetches those sequences'
+    * payload rows from the PERSISTED artifact, reading ONLY the shards
+    * the range touches. The permutation is a pure function of (seed,
+    * epoch, doc, chunk), so the rank range resolves to a (doc, chunk,
+    * shard) set without any loader state; the touched-shard set is
+    * bounded by the STEP SIZE (≤ hi − lo ids — driver-sized by the
+    * batch-size contract, the q105 probed-cell class), and the artifact
+    * scan carries `shard IN (touched)` on the partition column —
+    * PipelineSpec pins that the scan's PartitionFilters covers exactly
+    * the touched shards, never the whole artifact.
+    *
+    * Scale shape: one per-epoch PrefixSum ranking (the q162 cost — a
+    * real loader amortizes it: the epoch order is computed once and
+    * consumed by every step), one driver-bounded distinct-shard collect,
+    * one partition-pruned multi-directory scan joined batch-to-artifact
+    * on (doc, chunk, shard). FULL oracle: the q162 body under the rank
+    * range, joined to the q158 chain for the payload columns — the hash
+    * compare proves the pruned read returns exactly the step's rows. */
+  val StepEpoch = 1L
+  val StepLoRank = 3L
+  val StepHiRank = 9L
+
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    val pack = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("shard"))
+    val step = rankEpoch(shuffleKeyed(pack, StepEpoch.toInt))
+      .filter(col("seq_rank") > StepLoRank && col("seq_rank") <= StepHiRank)
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
+        col("shard"))
+    // batch-bounded by construction: ≤ (StepHiRank − StepLoRank) ids
+    val touched = step.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val art = packRead(s, q165Ensure(s, dir))
+      .filter(col("shard").isin(touched: _*))
+    step.join(art, Seq("doc_id", "chunk_id", "shard"))
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
+        col("shard"), col("lang"), col("n_tokens"), col("n_units"),
+        col("cum_units"))
+      .orderBy(col("seq_rank"))
+  }
+
+  lazy val q177Sql: String =
+    s"""SELECT r.epoch, r.seq_rank, r.doc_id, r.chunk_id, r.shard,
+       |  b.lang, b.n_tokens, b.n_units, b.cum_units
+       |FROM ($epochOrderedSql) r
+       |JOIN ($q158Sql) b USING (doc_id, chunk_id)
+       |WHERE r.epoch = $StepEpoch AND r.seq_rank > $StepLoRank
+       |  AND r.seq_rank <= $StepHiRank
+       |ORDER BY r.seq_rank""".stripMargin
+
   // --- 173. SEQUENCE-level decontamination (r12) -----------------------------
   /** q85's eval-overlap check at the granularity modern pipelines
     * actually cut: the CHUNK (sequence), not the document. A long doc
@@ -1822,22 +1883,38 @@ object PipelineOps {
     * one thin LEFT join back onto the pack. FULL oracle: the q158
     * chain's CTE scope already carries `chunks(… text_chunk)` — the
     * contamination CTEs splice in beside the pack tail. */
-  def q173(s: SparkSession, dir: String): DataFrame = {
-    import graft.text.Text
-    val pack = sequencePack(s, dir)
-      .select(col("doc_id"), col("chunk_id"), col("shard"), col("n_units"))
-    val chunkSh = BpeOps.q157(s, dir)
-      .select(col("doc_id"), col("chunk_id"),
-        explode(array_distinct(Text.shingles(
-          split(col("text_chunk"), " "), ContamShingleK))).as("sh"))
-    val benchSh = graft.Tables.documents(s, dir)
+  /** The static eval-benchmark shingle set (the q85 rule: doc_id % 97
+    * names the suite; distinct [[ContamShingleK]]-grams). Eval-sized by
+    * premise — every consumer broadcasts it. */
+  private[graft] def benchShingles(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
       .filter(col("doc_id") % 97 === 0)
       .select(explode(array_distinct(Text.shingles(
         Text.tokens(col("text")), ContamShingleK))).as("sh"))
       .distinct()
-    val cont = chunkSh.join(broadcast(benchSh), "sh")
+
+  /** Per-chunk shared-shingle counts against a BROADCAST bench set, over
+    * an arbitrary `(doc_id, chunk_id, text_chunk)` relation — ONE rule
+    * behind [[q173]]'s flags, [[q174]]'s repack membership, and the
+    * serve-seam gate ([[graft.streaming.StreamOps]]'s decontaminated
+    * packFold), so the batch build and the arrival path cannot drift. */
+  private[graft] def contamCountsOf(chunks: DataFrame,
+      benchSh: DataFrame): DataFrame =
+    chunks
+      .select(col("doc_id"), col("chunk_id"),
+        explode(array_distinct(Text.shingles(
+          split(col("text_chunk"), " "), ContamShingleK))).as("sh"))
+      .join(broadcast(benchSh), "sh")
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(count(lit(1)).as("n_shared"))
+
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val pack = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("shard"), col("n_units"))
+    val cont = contamCountsOf(
+      BpeOps.q157(s, dir)
+        .select(col("doc_id"), col("chunk_id"), col("text_chunk")),
+      benchShingles(s, dir))
     pack.join(cont, Seq("doc_id", "chunk_id"), "left")
       .select(col("doc_id"), col("chunk_id"), col("shard"), col("n_units"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -1946,6 +2023,21 @@ object PipelineOps {
       .orderBy(col("shard"))
   }
 
+  /** The diff SELECT over `mo`/`mn` manifest CTEs — [[manifestDiff]]'s
+    * SQL twin, shared by [[q167Sql]] and [[q174Sql]] so the status rule
+    * cannot drift between the two registered migrations. */
+  private val manifestDiffSelectSql: String =
+    s"""SELECT COALESCE(o.shard, n.shard) AS shard,
+       |  CASE WHEN o.shard IS NULL THEN 'added'
+       |       WHEN n.shard IS NULL THEN 'removed'
+       |       WHEN o.old_seqs = n.new_seqs AND o.old_units = n.new_units
+       |         AND o.old_end = n.new_end AND o.old_ids = n.new_ids THEN 'same'
+       |       ELSE 'changed' END AS status,
+       |  old_seqs, new_seqs, old_units, new_units, old_end, new_end,
+       |  old_ids, new_ids
+       |FROM mo o FULL OUTER JOIN mn n ON o.shard = n.shard
+       |ORDER BY shard""".stripMargin
+
   lazy val q167Sql: String =
     s"""WITH pk AS (SELECT * FROM ($q158Sql) x),
        |mo AS (
@@ -1959,16 +2051,144 @@ object PipelineOps {
        |    MAX(cum_units) AS new_end,
        |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS new_ids
        |  FROM pk GROUP BY shard)
-       |SELECT COALESCE(o.shard, n.shard) AS shard,
-       |  CASE WHEN o.shard IS NULL THEN 'added'
-       |       WHEN n.shard IS NULL THEN 'removed'
-       |       WHEN o.old_seqs = n.new_seqs AND o.old_units = n.new_units
-       |         AND o.old_end = n.new_end AND o.old_ids = n.new_ids THEN 'same'
-       |       ELSE 'changed' END AS status,
-       |  old_seqs, new_seqs, old_units, new_units, old_end, new_end,
-       |  old_ids, new_ids
-       |FROM mo o FULL OUTER JOIN mn n ON o.shard = n.shard
-       |ORDER BY shard""".stripMargin
+       |$manifestDiffSelectSql""".stripMargin
+
+  // --- 174. the decontaminated REPACK (r13) ----------------------------------
+  /** [[q173]] closes with a FLAG; this op closes with the ACTION: re-pack
+    * the surviving (unflagged) chunks under the shard budget and publish
+    * the result as a fresh artifact lineage beside the shipped build —
+    * until it exists, the q165 artifact a loader reads still CONTAINS
+    * the flagged sequences. Boundaries must move (shards shrink by
+    * exactly the flagged mass ahead of them), so this is a true repack —
+    * [[q158]]'s PrefixSum tail over the clean membership, not a filter
+    * of the old shard assignment — published under [[graft.GenManifest]]
+    * ("packclean" lineage at the same artifact base: a real pipeline
+    * publishes generation N+1 of one lineage; two REGISTERED readouts
+    * need two lineages so each oracle pins its own content, and a loader
+    * pinned on the contaminated build is undisturbed either way).
+    *
+    * The registered readout is the MIGRATION VALIDATION, both sides
+    * read back THROUGH their artifacts: [[manifestDiff]](manifest of the
+    * shipped q165 build, manifest of the clean artifact). The driver's
+    * hash compare therefore proves (a) the clean pack's exact masses /
+    * offsets / fingerprints, (b) that they reconcile against the old
+    * build shard-by-shard, and (c) that both survived the disk hop.
+    *
+    * Scale shape: the pack memo + q173's flag plan (broadcast bench
+    * shingles, map-side combined counts) + one anti-join + the PrefixSum
+    * two-level scan + the one-shuffle bucketed write — all the q158/q165
+    * costs, nothing new; the diff is two thin aggregates + a
+    * manifest-sized full outer join. */
+  private var cleanArtDir: Option[String] = None
+
+  /** The clean sequence pack: q158's build minus flagged chunks,
+    * re-packed (fresh cumulative offsets + shard ids) under the SAME
+    * bkey order — clean chunks keep their relative order, boundaries
+    * move. */
+  private[graft] def cleanSequencePack(s: SparkSession, dir: String): DataFrame = {
+    val flagged = contamCountsOf(
+      BpeOps.q157(s, dir)
+        .select(col("doc_id"), col("chunk_id"), col("text_chunk")),
+      benchShingles(s, dir))
+      .filter(col("n_shared") >= ContamMinShared)
+      .select(col("doc_id"), col("chunk_id"))
+    val clean = sequencePack(s, dir)
+      .join(flagged, Seq("doc_id", "chunk_id"), "left_anti")
+      .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
+        col("n_units"))
+      .withColumn("bkey",
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
+          col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+    graft.functions.PrefixSum
+      .withRunningSum(clean, "bkey", Seq("doc_id", "chunk_id"),
+        "n_units", "cum_units")
+      .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
+        col("n_units"), col("cum_units"),
+        expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+  }
+
+  /** Repack + publish the clean lineage unless it already describes
+    * `dir` (the q165Ensure pattern; the shipped build is ensured first —
+    * the migration is FROM it). */
+  private[graft] def q174Ensure(s: SparkSession, dir: String): java.io.File =
+    this.synchronized {
+      val base = q165Ensure(s, dir)
+      if (!cleanArtDir.contains(dir) ||
+          graft.GenManifest.read(base, "packclean").isEmpty) {
+        packWrite(s, base, cleanSequencePack(s, dir), "packclean")
+        cleanArtDir = Some(dir)
+      }
+      base
+    }
+
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val base = q174Ensure(s, dir)
+    manifestDiff(
+      sequenceManifestOf(packRead(s, base)),
+      sequenceManifestOf(packRead(s, base, "packclean")))
+  }
+
+  /** FULL oracle: the q158 chain once, the q173 contamination CTEs, the
+    * clean re-pack as a filtered window, two manifest aggregates, the
+    * shared diff tail. */
+  lazy val q174Sql: String = {
+    val chunkShingles =
+      graft.text.Text.shinglesSql("string_split(text_chunk, ' ')",
+        ContamShingleK)
+    val benchShinglesSql = graft.text.Text.shinglesSql("toks", ContamShingleK)
+    s"""$q120CtesSql,
+       |${BpeOps.chainCtesSql},
+       |${BpeOps.chunkCtesSql},
+       |sseq AS (
+       |  SELECT t.doc_id, t.lang, c.chunk_id, c.n_tokens, c.n_units,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR) || ':' ||
+       |      CAST(c.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM t JOIN fxp p USING (lang)
+       |  JOIN chunks c ON t.doc_id = c.doc_id
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |pk AS (
+       |  SELECT doc_id, chunk_id, n_units, cum_units,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |  FROM (
+       |    SELECT doc_id, chunk_id, n_units,
+       |      CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
+       |    FROM sseq)),
+       |dbench AS (
+       |  SELECT DISTINCT unnest(list_distinct($benchShinglesSql)) AS sh
+       |  FROM ctt WHERE doc_id % 97 = 0),
+       |dcsh AS (
+       |  SELECT doc_id, chunk_id,
+       |    unnest(list_distinct($chunkShingles)) AS sh
+       |  FROM chunks),
+       |dflag AS (
+       |  SELECT doc_id, chunk_id
+       |  FROM dcsh JOIN dbench USING (sh)
+       |  GROUP BY doc_id, chunk_id
+       |  HAVING COUNT(*) >= $ContamMinShared),
+       |cpk AS (
+       |  SELECT doc_id, chunk_id, n_units, cum_units,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |  FROM (
+       |    SELECT s.doc_id, s.chunk_id, s.n_units,
+       |      CAST(SUM(s.n_units) OVER (ORDER BY s.bkey, s.doc_id, s.chunk_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
+       |    FROM sseq s
+       |    WHERE NOT EXISTS (SELECT 1 FROM dflag f
+       |      WHERE f.doc_id = s.doc_id AND f.chunk_id = s.chunk_id))),
+       |mo AS (
+       |  SELECT shard, COUNT(*) AS old_seqs, CAST(SUM(n_units) AS BIGINT) AS old_units,
+       |    MAX(cum_units) AS old_end,
+       |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS old_ids
+       |  FROM pk GROUP BY shard),
+       |mn AS (
+       |  SELECT shard, COUNT(*) AS new_seqs, CAST(SUM(n_units) AS BIGINT) AS new_units,
+       |    MAX(cum_units) AS new_end,
+       |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS new_ids
+       |  FROM cpk GROUP BY shard)
+       |$manifestDiffSelectSql""".stripMargin
+  }
 
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
@@ -1995,7 +2215,9 @@ object PipelineOps {
     Op("q159_sequence_manifest", q159, Some(q159Sql)),
     Op("q165_pack_artifact", q165, Some(q165Sql)),
     Op("q172_shard_read", q172, Some(q172Sql)),
+    Op("q177_step_read", q177, Some(q177Sql)),
     Op("q173_chunk_decontaminate", q173, Some(q173Sql)),
+    Op("q174_decontam_repack", q174, Some(q174Sql)),
     Op("q167_manifest_diff", q167, Some(q167Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),

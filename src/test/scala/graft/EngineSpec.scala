@@ -7,10 +7,10 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 173) // r12: +q162-q173
+    assert(SparkEntry.queries.size === 175) // r13: +q174, q177
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // q162-q167/q170-q173 full oracle; q168/q169 rows-only (lossy codecs)
-    assert(SparkEntry.oracleSql.size === 158)
+    // r13: q174 (decontaminated repack) and q177 (step read) full oracle
+    assert(SparkEntry.oracleSql.size === 160)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -856,6 +856,99 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       3L -> "added"))
   }
 
+  test("q174 decontaminated repack: clean mass ≡ unflagged mass, flagged rows gone, contiguous re-pack") {
+    val flags = PipelineOps.q173(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5)))
+    val flaggedKeys = flags.filter(_._4 == 1).map(r => (r._1, r._2)).toSet
+    val cleanKeys = flags.filter(_._4 == 0).map(r => (r._1, r._2)).toSet
+    val cleanMass = flags.filter(_._4 == 0).map(_._3).sum
+    val flaggedMass = flags.filter(_._4 == 1).map(_._3).sum
+    assert(flaggedKeys.nonEmpty, "premise: something to cut at this SF")
+    val diff = PipelineOps.q174(spark, SF).collect()
+    def sumOf(name: String) = diff.collect {
+      case r if !r.isNullAt(r.fieldIndex(name)) => r.getAs[Long](name) }.sum
+    def maxOf(name: String) = diff.collect {
+      case r if !r.isNullAt(r.fieldIndex(name)) => r.getAs[Long](name) }.max
+    // the migration reconciles minus EXACTLY the flagged mass, and the
+    // clean build's final offset is the clean mass (a true re-pack, not
+    // a filter of the old offsets)
+    assert(sumOf("new_units") === cleanMass)
+    assert(maxOf("new_end") === cleanMass)
+    assert(sumOf("old_units") - sumOf("new_units") === flaggedMass)
+    assert(sumOf("old_seqs") - sumOf("new_seqs") === flaggedKeys.size.toLong)
+    // boundaries genuinely moved somewhere (flagged mass > 0 shifts every
+    // later offset)
+    assert(diff.exists(_.getAs[String]("status") == "changed"))
+    // the persisted clean artifact: flagged keys absent, clean membership
+    // exact, offsets a contiguous prefix sum from zero
+    val base = PipelineOps.q174Ensure(spark, SF)
+    val art = PipelineOps.packRead(spark, base, "packclean").collect()
+    val artKeys = art.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))).toSet
+    assert((artKeys intersect flaggedKeys) === Set.empty)
+    assert(artKeys === cleanKeys)
+    art.sortBy(_.getAs[Long]("cum_units")).foldLeft(0L) { (prev, r) =>
+      assert(r.getAs[Long]("cum_units") - r.getAs[Long]("n_units") === prev,
+        s"gap at doc ${r.getAs[Long]("doc_id")} chunk ${r.getAs[Long]("chunk_id")}")
+      r.getAs[Long]("cum_units")
+    }
+    // shard ids obey the start-offset budget rule in the NEW offsets
+    art.foreach { r =>
+      assert(r.getAs[Long]("shard") ===
+        (r.getAs[Long]("cum_units") - r.getAs[Long]("n_units")) /
+          PipelineOps.ShardUnitBudget)
+    }
+    // standing reuse: a second registered call must not re-publish
+    val gen = graft.GenManifest.current(base, "packclean")
+    PipelineOps.q174(spark, SF).collect()
+    assert(graft.GenManifest.current(base, "packclean") === gen)
+    // and the shipped q165 lineage is UNDISTURBED by the migration (a
+    // loader pinned on the contaminated build keeps its rows)
+    val shipped = PipelineOps.packRead(spark, base).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))).toSet
+    assert(shipped === cleanKeys ++ flaggedKeys)
+  }
+
+  test("q177 step read: exact batch vs the epoch stream, scan prunes to only the touched shards") {
+    val rows = PipelineOps.q177(spark, SF).collect()
+    // the batch is EXACTLY the epoch stream's rank range
+    val want = PipelineOps.q162(spark, SF).collect()
+      .filter(r => r.getAs[Long]("epoch") == PipelineOps.StepEpoch &&
+        r.getAs[Long]("seq_rank") > PipelineOps.StepLoRank &&
+        r.getAs[Long]("seq_rank") <= PipelineOps.StepHiRank)
+      .map(r => (r.getAs[Long]("seq_rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_id"), r.getAs[Long]("shard"))).sorted
+    assert(want.nonEmpty, "premise: the rank range is non-empty at this SF")
+    assert(rows.map(r => (r.getAs[Long]("seq_rank"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("chunk_id"), r.getAs[Long]("shard"))).sorted.toSeq ===
+      want.toSeq)
+    // payload columns are the build's, through the artifact read
+    val pack = PipelineOps.q158(spark, SF).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_units"), r.getAs[Long]("cum_units")))).toMap
+    rows.foreach { r =>
+      assert(pack((r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))) ===
+        ((r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_units"), r.getAs[Long]("cum_units"))))
+    }
+    // the artifact scan's PartitionFilters lists EXACTLY the touched
+    // shards — the read never scans the whole artifact (strip attribute
+    // ids #123L first so the only numbers left are the shard values)
+    val touched = rows.map(_.getAs[Long]("shard")).distinct.sorted.toSeq
+    val pf = PipelineOps.q177(spark, SF).queryExecution.executedPlan
+      .toString.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .find(_.contains("shard")).getOrElse("")
+    assert(pf.nonEmpty, "q177 must carry a partition-pruned artifact scan")
+    val listed = "\\b\\d+\\b".r
+      .findAllIn(pf.replaceAll("#\\d+L?", "#x")
+        .replaceAll(".*PartitionFilters: \\[", "").replaceAll("\\].*", ""))
+      .map(_.toLong).toSeq.distinct.sorted
+    assert(listed === touched,
+      s"scan must prune to exactly $touched, got filter: $pf")
+  }
+
   test("q121 DSIR at 2^20 buckets: model stays a broadcast map-side table") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, SF)
