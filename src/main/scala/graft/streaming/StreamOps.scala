@@ -672,6 +672,39 @@ object StreamOps {
       finally toks.unpersist()
     }
 
+  /** The q173 eval-overlap gate applied to a batch's chunk readout:
+    * drop every chunk whose own token window shares ≥
+    * [[graft.operators.PipelineOps.ContamMinShared]] distinct shingles
+    * with the BROADCAST benchmark set — the SAME
+    * [[graft.operators.PipelineOps.contamCountsOf]] rule the batch
+    * build flags with, applied at the arrival seam, so served appends
+    * can no longer bypass the gate the rebuild enforces (r12 VERDICT
+    * #2). Stateless: the bench set is static and eval-sized by premise
+    * (one broadcast semi-join per micro-batch; zero stream state). */
+  private def decontamGate(chunks: DataFrame, benchSh: DataFrame): DataFrame = {
+    import graft.operators.PipelineOps
+    val flagged = PipelineOps.contamCountsOf(
+      chunks.select(col("doc_id"), col("chunk_id"), col("text_chunk")),
+      benchSh)
+      .filter(col("n_shared") >= PipelineOps.ContamMinShared)
+      .select(col("doc_id"), col("chunk_id"))
+    chunks.join(flagged, Seq("doc_id", "chunk_id"), "left_anti")
+  }
+
+  /** [[chunkServe]] with the eval-overlap gate: contaminated chunks are
+    * DROPPED before the sink ever sees them (the rest of the doc still
+    * serves — q173's sequence granularity at the seam). */
+  def chunkServeDecontam(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], benchSh: DataFrame)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (toks, mapping) = batchToksAndMapping(batch, merges)
+      try sink(decontamGate(
+        graft.operators.BpeOps.chunkReadout(toks, mapping), benchSh))
+      finally toks.unpersist()
+    }
+
   /** Streaming SEQUENCE PACKING at the arrival seam — what a loader
     * does between full rebuilds: arriving docs chunk under the shipped
     * tokenizer ([[chunkServe]]'s OOV-correct replay + the shared
@@ -722,6 +755,26 @@ object StreamOps {
     val state = new PackServeState(baseOffset, lastCommitted)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       packFold(batch, merges, state, batchId)(sink)
+    }
+  }
+
+  /** [[packServe]] with the q173 eval-overlap gate INSIDE the fold:
+    * contaminated chunks are dropped BEFORE the batch's running offsets
+    * are assigned, so the served shard stream (and any artifact it
+    * appends to — [[graft.operators.PipelineOps.packAppendServed]])
+    * never carries benchmark-overlapping sequences or their mass. The
+    * gate is deterministic and chunk-local, so every packFold guarantee
+    * (idempotent re-delivery, gapless offsets over what WAS packed,
+    * open-shard append) holds verbatim over the gated stream. */
+  def packServeDecontam(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], benchSh: DataFrame,
+      baseOffset: Long = 0L,
+      lastCommitted: Option[(Long, Long)] = None)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = new PackServeState(baseOffset, lastCommitted)
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      packFold(batch, merges, state, batchId, Some(benchSh))(sink)
     }
   }
 
@@ -812,7 +865,8 @@ object StreamOps {
     * re-deliver under MemoryStream's in-process happy path). */
   private[graft] def packFold(batch: DataFrame,
       merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
-      batchId: Long)(sink: DataFrame => Unit): Unit = {
+      batchId: Long, gate: Option[DataFrame] = None)
+      (sink: DataFrame => Unit): Unit = {
     import graft.operators.{BpeOps, PipelineOps}
     val (toks, mapping) = batchToksAndMapping(batch, merges)
     // cached: the mass total and the sink's PrefixSum plan both read the
@@ -820,14 +874,16 @@ object StreamOps {
     // window + groupBy would run twice per batch (r11 review); built
     // under the toks guard so a construction failure can't leak either
     val chunks =
-      try BpeOps.chunkReadout(toks, mapping)
+      try {
+        val readout = BpeOps.chunkReadout(toks, mapping)
+        gate.map(decontamGate(readout, _)).getOrElse(readout)
         .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
           col("n_units"))
         .withColumn("bkey",
           conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
             col("chunk_id"))), 1, 15), 16, 10).cast("long"))
         .cache()
-      catch { case t: Throwable => toks.unpersist(); throw t }
+      } catch { case t: Throwable => toks.unpersist(); throw t }
     try {
       // re-delivery packs at the batch's ORIGINAL base (idempotent);
       // fresh batches enter at the current offset

@@ -827,6 +827,87 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(!corpusToks.contains("zzqv1"))
   }
 
+  test("decontamServe: the eval-overlap gate at the arrival seam drops exactly the q173-rule chunks") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    val benchSh = PipelineOps.benchShingles(spark, SF)
+    // the split: ordinary docs + a PLANTED contaminated arrival — a new
+    // doc quoting a benchmark doc verbatim (the leak the gate exists for)
+    val corpus = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val benchDoc = corpus.filter(_._1 % 97 == 0)
+      .maxBy(_._2.split("\\s+").length)
+    assert(benchDoc._2.split("\\s+").length >= 20,
+      "premise: a quotable benchmark doc exists at this SF")
+    val planted = (900001L, benchDoc._2)
+    val docs = corpus.filterNot(_._1 % 97 == 0).take(24).toSeq
+    val batchesIn = Seq(docs.take(12), docs.drop(12) :+ planted)
+
+    // the same split through the ungated and gated chunk serves
+    def run(gated: Boolean): List[(Long, Long, String)] = {
+      val ms = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      val sink = (out: org.apache.spark.sql.DataFrame) => {
+        got ++= out.select("doc_id", "chunk_id", "text_chunk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        ()
+      }
+      val w = if (gated)
+        StreamOps.chunkServeDecontam(ms.toDF().toDF("doc_id", "text"),
+          merges, benchSh)(sink)
+      else StreamOps.chunkServe(ms.toDF().toDF("doc_id", "text"),
+        merges)(sink)
+      val q = w.start()
+      try batchesIn.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      got.toList
+    }
+    val all = run(gated = false)
+    val kept = run(gated = true)
+    // driver-side replay of the q173 rule over the ungated chunks
+    val re = "[a-z0-9]+".r
+    val k = PipelineOps.ContamShingleK
+    def grams(ts: Seq[String]): Set[String] =
+      if (ts.length < k) Set.empty
+      else ts.sliding(k).map(_.mkString(" ")).toSet
+    val bench = corpus.filter(_._1 % 97 == 0)
+      .flatMap(r => grams(re.findAllIn(r._2.toLowerCase).toSeq)).toSet
+    val flagged = all.filter { case (_, _, tc) =>
+      (grams(tc.split(" ").toSeq) intersect bench).size >=
+        PipelineOps.ContamMinShared
+    }.map(r => (r._1, r._2)).toSet
+    // the gate drops EXACTLY the rule's chunks — nothing more, nothing less
+    assert(kept.map(r => (r._1, r._2)).toSet ===
+      all.map(r => (r._1, r._2)).toSet -- flagged)
+    // the planted arrival was caught at the seam (≥ its main chunks) and
+    // ordinary docs' clean chunks all served
+    assert(flagged.exists(_._1 === planted._1),
+      "the planted benchmark quote must flag at the seam")
+    assert(kept.map(_._1).toSet.intersect(docs.map(_._1).toSet).nonEmpty)
+
+    // packServeDecontam: the GATED shard stream never carries flagged
+    // chunks or their mass, and stays gapless over what it packed
+    val ms = MemoryStream[(Long, String)]
+    type PackRow = (Long, Long, Long, Long, Long, Long)
+    val packed = scala.collection.mutable.ArrayBuffer[PackRow]()
+    val q = StreamOps.packServeDecontam(
+        ms.toDF().toDF("doc_id", "text"), merges, benchSh) { p =>
+      packed ++= p.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      ()
+    }.start()
+    try batchesIn.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    assert(packed.map(r => (r._1, r._2)).toSet ===
+      all.map(r => (r._1, r._2)).toSet -- flagged)
+    packed.toList.sliding(2).foreach {
+      case List(a, b) => assert(b._5 === a._5 + b._4, "gapless over gated")
+      case _ => ()
+    }
+    assert(packed.map(_._4).sum === packed.lastOption.map(_._5).getOrElse(0L))
+  }
+
   test("streaming sequence packing: batched fold ≡ local replay, open-shard append, order-only divergence from rebuild") {
     implicit val ctx = spark.sqlContext
     import graft.operators.{BpeOps, PipelineOps}
