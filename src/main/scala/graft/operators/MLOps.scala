@@ -449,6 +449,71 @@ object MLOps {
     } finally { pool.shutdown(); train.unpersist(); test.unpersist() }
   }
 
+  // --- 176. TRAINED quality-gate corpus build (r13) -------------------------
+  /** The fastText-style quality filter every production corpus actually
+    * runs (and the one composition the engine had all the parts for but
+    * never made): gate admission on a TRAINED classifier's score instead
+    * of the fixed-weight q38 heuristic the q77/q86 builds use. The
+    * pieces compose leakage-honest end-to-end:
+    *
+    *  - featurizer AND classifier fit ONLY on [[tfidfFeats]]'s train
+    *    fold (the memoized featurization already fits CountVectorizer +
+    *    IDF on the fold — no vocabulary leakage from held-out docs);
+    *  - the seeded LR (the roster's own estimator settings) then scores
+    *    the WHOLE corpus as a map-side transform — corpus-wide scoring
+    *    is the production shape: the gate must decide every doc, and a
+    *    transform leaks nothing;
+    *  - the admission threshold is q125's machinery: the EXACT order
+    *    statistic of the score distribution at ascending rank
+    *    ⌈0.75·n⌉ ([[graft.functions.OrderStats.keysAtRanks]], aggregate-
+    *    only refinement — no corpus sort), resolved to a VALUE gate so
+    *    ties at the cut are all kept, deterministically.
+    *
+    * Output: the q77-shaped per-doc admission readout (doc_id,
+    * micro-rounded trained score, admitted flag). Rows-checked like the
+    * rest of the trained family (float-order-sensitive fit); MLSpec
+    * reconciles the gate against a driver-side replay of the threshold
+    * over the op's OWN raw scores. Scale shape: one seeded fold fit
+    * (treeAggregate), one corpus-linear transform, O(log range)
+    * aggregate passes for the threshold, one filter against a scalar —
+    * nothing driver-sized but the threshold. */
+  val QualityGateRank: Long => Long = n => math.max(1L, (3 * n + 3) / 4)
+
+  /** The corpus-wide trained score relation (doc_id, score) — memoized
+    * per (family run, dir): the gate readout and MLSpec's threshold
+    * replay both consume the SAME one fit + transform. */
+  private[graft] def qualityScores(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("quality_gate_scores", dir) {
+      val f = tfidfFeats(s, dir)
+      val lr = new LogisticRegression()
+        .setLabelCol("y").setFeaturesCol("features")
+        .setMaxIter(25).setRegParam(0.01)
+      val model = lr.fit(f.filter(col("is_train")))
+      val pred = model.transform(f)
+      pred.select(col("doc_id"), scoreOf(pred).as("score"))
+    }
+
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = qualityScores(s, dir).localCheckpoint()
+    scored.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
+    val g = scored.agg(count(lit(1)), min(col("score")), max(col("score")),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    val n = g.getLong(0)
+    val thr = graft.functions.OrderStats.keysAtRanks(
+        scored.select(col("score").as("v"), col("doc_id").as("id")),
+        Seq((0L, QualityGateRank(n))).toDF("idx", "t"),
+        preGlob = if (n == 0) None
+          else Some((n, g.getDouble(1), g.getDouble(2), g.getLong(3), g.getLong(4))))
+      .select(col("v")).head().getDouble(0)
+    scored
+      .select(col("doc_id"), round(col("score"), 6).as("q_score"),
+        (col("score") >= lit(thr)).cast("int").as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q41_mllib_logreg", q41, None),
     Op("q42_mllib_nb", q42, None),
@@ -456,6 +521,7 @@ object MLOps {
     Op("q73_grid_search", q73, None),
     Op("q79_model_compare_tfidf", q79, None),
     Op("q81_wss95_trained", q81, None),
+    Op("q176_quality_gate_trained", q176, None),
     Op("q146_learning_curve", q146, None),
   )
 }

@@ -1420,24 +1420,86 @@ object TextOps {
   val VocabTruncK = 16
   val UnkToken = "<unk>"
 
-  def q128(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Num
+  /** Past this K the vocabulary stops inlining as a codegen literal
+    * array and joins as a BROADCAST relation instead (r12 VERDICT watch
+    * #1: at a realistic K — 50k–250k — a literal array in generated code
+    * is a real risk: code size, constant-pool pressure, and a per-token
+    * linear scan; a broadcast hash join probes in O(1) and never enters
+    * the generated source). Both forms share the output assembly below;
+    * TextSpec pins output equality across the switch and the broadcast
+    * plan shape at K = 10⁴. */
+  val VocabLiteralMax = 1024
+
+  def q128(s: SparkSession, dir: String): DataFrame =
+    q128Of(s, dir, VocabTruncK)
+
+  /** [[q128]] at an arbitrary K, picking the literal or broadcast form
+    * by [[VocabLiteralMax]]. The top-K rule (count DESC, token ASC) is
+    * computed once here for both forms. */
+  private[graft] def q128Of(s: SparkSession, dir: String, k: Int): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
-    val vocab = toks.select(explode(col("toks")).as("token"))
+    val vc = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("token")).limit(VocabTruncK)
-      .collect().map(_.getString(0)).sorted
+      .orderBy(col("c").desc, col("token")).limit(k)
+      .select(col("token"))
+    if (k <= VocabLiteralMax)
+      vocabTruncLiteral(toks, vc.collect().map(_.getString(0)).sorted)
+    else vocabTruncBroadcast(toks, vc)
+  }
+
+  /** The literal form: the driver-sized vocabulary inlined as an array
+    * literal — per-row array transforms, no join, no second shuffle. */
+  private[graft] def vocabTruncLiteral(toks: DataFrame,
+      vocab: Array[String]): DataFrame = {
     val vlit = array(vocab.map(lit(_)): _*)
-    toks
-      .select(col("doc_id"), col("toks"),
-        filter(col("toks"), t => !array_contains(vlit, t)).as("oov"))
+    vocabTruncOut(toks
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        size(col("oov")).cast("long").as("n_oov"),
+        size(filter(col("toks"), t => !array_contains(vlit, t)))
+          .cast("long").as("n_oov"),
         concat_ws(" ", transform(col("toks"),
           t => when(array_contains(vlit, t), t).otherwise(lit(UnkToken))))
-          .as("text_trunc"))
+          .as("text_trunc")))
+  }
+
+  /** The broadcast form: tokens explode positioned, LEFT-join the
+    * broadcast vocabulary, one per-doc aggregate rebuilds the rewritten
+    * text in position order — the vocabulary never touches the driver
+    * or the generated code. At 100 TB this is the only viable shape:
+    * the explode is corpus-linear, the join is map-side, and the
+    * groupBy shuffles doc-sized rows once. */
+  private[graft] def vocabTruncBroadcast(toks: DataFrame,
+      vocabDf: DataFrame): DataFrame = {
+    val marked = broadcast(vocabDf.select(col("token"),
+      lit(1).as("__in_vocab")))
+    val rebuilt = toks
+      .select(col("doc_id"), posexplode_outer(col("toks"))
+        .as(Seq("pos", "token")))
+      .join(marked, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("token")).as("n_tokens"),
+        sum(when(col("token").isNotNull && col("__in_vocab").isNull, 1L)
+          .otherwise(0L)).as("n_oov"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            // empty-toks docs surface as one null row under
+            // posexplode_outer — keep t null so concat_ws drops it and
+            // the doc rewrites to "" exactly like the literal form
+            when(col("token").isNull, lit(null: String))
+              .when(col("__in_vocab").isNotNull, col("token"))
+              .otherwise(lit(UnkToken)).as("t")))),
+          f => f.getField("t"))).as("text_trunc"))
+  // count(token) skips the outer-explode null, so zero-token docs keep
+  // their row at n_tokens = 0 — the literal form's size(toks) semantics
+    vocabTruncOut(rebuilt)
+  }
+
+  /** Shared output tail: the oov-rate lattice + column order + sort. */
+  private def vocabTruncOut(rows: DataFrame): DataFrame = {
+    import graft.functions.Num
+    rows
       .withColumn("oov_rate",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(Num.ratio6(col("n_oov"), col("n_tokens"))))

@@ -47,6 +47,35 @@ class EmbedSpec extends AnyFunSuite with SharedSpark {
     assert(byDim0.length > 1)
   }
 
+  test("q175 w2v release artifact: loaded-model vectors ≡ the in-memory fit, generation lifecycle, named load errors") {
+    // write → LOAD → transform ≡ the straight in-memory q148 run, value
+    // for value (numPartitions=1 determinism is already pinned above)
+    val loaded = EmbedOps.q175(spark, SF).collect()
+    val mem = EmbedOps.q148(spark, SF).collect()
+    assert(loaded === mem)
+    // standing reuse: a second registered call must not refit/republish
+    val base = EmbedOps.q175Base(spark)
+    val gen = graft.GenManifest.current(base, "w2v")
+    EmbedOps.q175(spark, SF).collect()
+    assert(graft.GenManifest.current(base, "w2v") === gen)
+    // lifecycle: a re-publish advances the generation atomically; the
+    // loaded model still reproduces the same vectors; retained depth
+    // keeps the predecessor on disk (a pinned reader is undisturbed)
+    val next = EmbedOps.w2vWrite(spark, base, EmbedOps.w2vFit(spark, SF))
+    assert(next === gen + 1)
+    assert(graft.GenManifest.current(base, "w2v") === next)
+    assert(EmbedOps.w2vDir(base, gen).exists(),
+      "the previous generation must stay within the retain depth")
+    val again = EmbedOps.q175(spark, SF).collect()
+    assert(again === mem)
+    // a missing manifest is a NAMED error at the load seam — never a
+    // silent refit
+    val fresh = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_w2v_none_${gen}")
+    val e = intercept[RuntimeException](EmbedOps.w2vLoad(spark, fresh))
+    assert(e.getMessage.contains("w2v"))
+  }
+
   test("q149 semantic dedup equals a local sign-block + exact-threshold replay") {
     val docs = Tables.documents(spark, SF).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> localVec(r.getString(1)))

@@ -7,9 +7,10 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    assert(SparkEntry.queries.size === 175) // r13: +q174, q177
+    // r13: +q174/q177 (full oracle), +q175/q176 (trained/artifact —
+    // rows-only by design, spec-reconciled)
+    assert(SparkEntry.queries.size === 177)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // r13: q174 (decontaminated repack) and q177 (step read) full oracle
     assert(SparkEntry.oracleSql.size === 160)
   }
 

@@ -55,4 +55,34 @@ class GridSearchSpec extends AnyFunSuite with SharedSpark {
     assert(a.map(_.getAs[Double]("wss95")).max > 0.0,
       "no model beats random screening on a separable-language corpus")
   }
+
+  test("q176 trained quality gate: threshold replays exactly, gate covers both folds, deterministic") {
+    val rows = MLOps.q176(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("q_score"),
+        r.getAs[Int]("admitted")))
+    val n = Tables.documents(spark, SF).count()
+    assert(rows.length.toLong === n, "the gate must decide EVERY doc")
+    // driver-side replay of the threshold over the op's OWN raw scores:
+    // ascending rank ceil(0.75·n) with (score, doc_id) tiebreak, gate =
+    // value comparison (ties at the cut all kept)
+    val raw = MLOps.qualityScores(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val k = MLOps.QualityGateRank(n)
+    val thr = raw.sortBy { case (id, s) => (s, id) }.apply((k - 1).toInt)._2
+    val expectAdmit = raw.filter(_._2 >= thr).map(_._1).toSet
+    assert(rows.filter(_._3 == 1).map(_._1).toSet === expectAdmit)
+    // the gate genuinely cuts (~bottom three quartiles) and keeps a
+    // non-trivial corpus
+    assert(rows.count(_._3 == 1) >= n / 4)
+    assert(rows.count(_._3 == 0) > 0)
+    // corpus-wide scoring: admitted docs appear in BOTH folds (the fit
+    // is fold-bound, the gate is not)
+    val admitted = rows.filter(_._3 == 1).map(_._1)
+    assert(admitted.exists(_ % 5 == 0) && admitted.exists(_ % 5 != 0))
+    // seeded fit + exact order statistic: identical across runs
+    val b = MLOps.q176(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("q_score"),
+        r.getAs[Int]("admitted")))
+    assert(rows.toSeq === b.toSeq)
+  }
 }

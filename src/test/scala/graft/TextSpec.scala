@@ -285,6 +285,47 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       .foreach(t => assert(topK(t), s"non-vocab token '$t' survived"))
   }
 
+  test("q128 realistic K: the broadcast form equals the literal form, and engages past the threshold") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getString(4))
+    // at the REGISTERED K the two forms agree value-for-value with the
+    // truncation genuinely engaged (OOV > 0 at K = 16, pinned above)
+    val toks = Tables.documents(spark, SF)
+      .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("toks"))
+    val vcAll = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    def vocabDf(k: Int) = vcAll
+      .orderBy(col("c").desc, col("token")).limit(k).select(col("token"))
+    val lit16 = TextOps.q128(spark, SF).collect().map(key)
+    val bc16 = TextOps.vocabTruncBroadcast(toks, vocabDf(TextOps.VocabTruncK))
+      .collect().map(key)
+    assert(bc16.toSeq === lit16.toSeq)
+    // past the threshold the dispatcher picks the broadcast form: the
+    // plan carries a BroadcastHashJoin and NO literal vocab scan
+    val k = 10000
+    assert(k > TextOps.VocabLiteralMax)
+    val wide = TextOps.q128Of(spark, SF, k)
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"realistic-K form must broadcast-join the vocabulary:\n$plan")
+    // and the output still equals the literal form at the same K (the
+    // switch changes the PLAN, never a value)
+    val litWide = TextOps.vocabTruncLiteral(toks,
+      vocabDf(k).collect().map(_.getString(0)).sorted).collect().map(key)
+    assert(wide.collect().map(key).toSeq === litWide.toSeq)
+    // zero-token docs (if any) keep their rows in both forms — pinned
+    // structurally by the row-count equality above plus ONE synthetic doc
+    import spark.implicits._
+    val synth = Seq((1L, Seq("alpha", "beta")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    val out = TextOps.vocabTruncBroadcast(synth,
+      Seq("alpha").toDF("token")).collect().map(key)
+    assert(out.toSeq === Seq((1L, 2L, 1L, 0.5, "alpha <unk>"),
+      (2L, 0L, 0L, 0.0, "")))
+  }
+
   test("q130 incremental BM25: frozen-stats probe, corpus never rescanned, appends additive") {
     import org.apache.spark.sql.functions._
     import graft.operators.{DedupOps, TextOps}
