@@ -45,6 +45,14 @@ HEADLINE = [
     # serves an amortized standing artifact (same note).
     "q158_sequence_pack", "q159_sequence_manifest",
     "q160_ann_index_trained",
+    # r13 widening (r12 VERDICT #6): the loader surface — per-epoch
+    # ordering, the persisted pack artifact (DuckDB replays its manifest
+    # chain; Spark reads the standing artifact — the fairness note's
+    # amortization caveat applies), curriculum scheduling, and
+    # sequence-level decontamination. All full-oracle and
+    # DuckDB-expressible.
+    "q162_epoch_order", "q165_pack_artifact", "q171_curriculum_order",
+    "q173_chunk_decontaminate",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

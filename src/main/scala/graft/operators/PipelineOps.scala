@@ -1834,10 +1834,19 @@ object PipelineOps {
   def q177(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
+    // localCheckpoint (the q125 snapshot rule): the shard collect below
+    // AND the returned join plan both read the step — without it the
+    // epoch-wide PrefixSum ranking would execute once per action. The
+    // snapshot is batch-sized (≤ hi − lo rows); blocks are OWNED and
+    // released per-op via CheckpointRegistry.
     val step = rankEpoch(shuffleKeyed(pack, StepEpoch.toInt))
       .filter(col("seq_rank") > StepLoRank && col("seq_rank") <= StepHiRank)
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
+      .localCheckpoint()
+    step.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
     // batch-bounded by construction: ≤ (StepHiRank − StepLoRank) ids
     val touched = step.select(col("shard")).distinct()
       .collect().map(_.getLong(0)).sorted
