@@ -2137,10 +2137,37 @@ object PipelineOps {
       sequenceManifestOf(packRead(s, base, "packclean")))
   }
 
-  /** FULL oracle: the q158 chain once, the q173 contamination CTEs, the
-    * clean re-pack as a filtered window, two manifest aggregates, the
-    * shared diff tail. */
-  lazy val q174Sql: String = {
+  // --- 178. epoch ordering over the CLEAN artifact (r13) ---------------------
+  /** The decontamination loop closed END TO END: [[q173]] flags, [[q174]]
+    * repacks and publishes, and THIS op is what the trainer actually
+    * consumes afterwards — the [[q162]] seeded per-epoch permutation
+    * computed over the CLEAN artifact read back from disk, so flagged
+    * sequences are structurally absent from every epoch (not filtered
+    * per-epoch: they are not in the relation the permutation ranks).
+    * Epoch keys are the SAME (seed, epoch, doc, chunk) rule as q162 —
+    * a trainer migrating from the contaminated build to the clean one
+    * changes WHICH sequences rank, never the draw rule.
+    *
+    * Scale shape: one artifact scan + [[Epochs]] PrefixSum rank scans
+    * (the q162 cost over the clean relation). FULL oracle: q174's clean
+    * re-pack CTEs crossed with the epoch range under one per-epoch
+    * ROW_NUMBER — the hash compare proves the artifact-backed epoch
+    * stream is exactly the clean build's permutation. */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val clean = packRead(s, q174Ensure(s, dir), "packclean")
+      .select(col("doc_id"), col("chunk_id"), col("shard"))
+    (0 until Epochs).map(e => rankEpoch(shuffleKeyed(clean, e)))
+      .reduce(_ unionAll _)
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
+        col("shard"))
+      .orderBy(col("epoch"), col("seq_rank"))
+  }
+
+  /** The clean re-pack as spliceable CTEs ending in `cpk` (the clean
+    * pack with fresh offsets + shards) — the shared prefix of [[q174Sql]]
+    * (which diffs it against the old build) and [[q178Sql]] (which
+    * orders epochs over it). */
+  private lazy val cleanPackCtesSql: String = {
     val chunkShingles =
       graft.text.Text.shinglesSql("string_split(text_chunk, ' ')",
         ContamShingleK)
@@ -2156,14 +2183,6 @@ object PipelineOps {
        |  JOIN chunks c ON t.doc_id = c.doc_id
        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |    % 1000000 < p.rate_micros),
-       |pk AS (
-       |  SELECT doc_id, chunk_id, n_units, cum_units,
-       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
-       |  FROM (
-       |    SELECT doc_id, chunk_id, n_units,
-       |      CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
-       |    FROM sseq)),
        |dbench AS (
        |  SELECT DISTINCT unnest(list_distinct($benchShinglesSql)) AS sh
        |  FROM ctt WHERE doc_id % 97 = 0),
@@ -2185,7 +2204,22 @@ object PipelineOps {
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
        |    FROM sseq s
        |    WHERE NOT EXISTS (SELECT 1 FROM dflag f
-       |      WHERE f.doc_id = s.doc_id AND f.chunk_id = s.chunk_id))),
+       |      WHERE f.doc_id = s.doc_id AND f.chunk_id = s.chunk_id)))""".stripMargin
+  }
+
+  /** FULL oracle: the q158 chain once, the q173 contamination CTEs, the
+    * clean re-pack as a filtered window, two manifest aggregates, the
+    * shared diff tail. */
+  lazy val q174Sql: String =
+    s"""$cleanPackCtesSql,
+       |pk AS (
+       |  SELECT doc_id, chunk_id, n_units, cum_units,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |  FROM (
+       |    SELECT doc_id, chunk_id, n_units,
+       |      CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
+       |    FROM sseq)),
        |mo AS (
        |  SELECT shard, COUNT(*) AS old_seqs, CAST(SUM(n_units) AS BIGINT) AS old_units,
        |    MAX(cum_units) AS old_end,
@@ -2197,7 +2231,20 @@ object PipelineOps {
        |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS new_ids
        |  FROM cpk GROUP BY shard)
        |$manifestDiffSelectSql""".stripMargin
-  }
+
+  lazy val q178Sql: String =
+    s"""$cleanPackCtesSql
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY okey, doc_id, chunk_id) AS BIGINT) AS seq_rank,
+       |  doc_id, chunk_id, shard
+       |FROM (
+       |  SELECT e.epoch, b.doc_id, b.chunk_id, b.shard,
+       |    CAST(('0x' || substr(md5('ep:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
+       |      CAST(b.doc_id AS VARCHAR) || ':' || CAST(b.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM cpk b CROSS JOIN
+       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e) k
+       |ORDER BY epoch, seq_rank""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
@@ -2227,6 +2274,7 @@ object PipelineOps {
     Op("q177_step_read", q177, Some(q177Sql)),
     Op("q173_chunk_decontaminate", q173, Some(q173Sql)),
     Op("q174_decontam_repack", q174, Some(q174Sql)),
+    Op("q178_clean_epoch_order", q178, Some(q178Sql)),
     Op("q167_manifest_diff", q167, Some(q167Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),

@@ -7,11 +7,11 @@ import graft.multimodal.MultiModal
 class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
-    // r13: +q174/q177 (full oracle), +q175/q176 (trained/artifact —
+    // r13: +q174/q177/q178 (full oracle), +q175/q176 (trained/artifact —
     // rows-only by design, spec-reconciled)
-    assert(SparkEntry.queries.size === 177)
+    assert(SparkEntry.queries.size === 178)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 160)
+    assert(SparkEntry.oracleSql.size === 161)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -909,6 +909,38 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(shipped === cleanKeys ++ flaggedKeys)
   }
 
+  test("q178 clean epoch order: flagged sequences structurally absent from every epoch, each a full permutation") {
+    val flags = PipelineOps.q173(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(5)))
+    val flaggedKeys = flags.filter(_._3 == 1).map(r => (r._1, r._2)).toSet
+    val cleanKeys = flags.filter(_._3 == 0).map(r => (r._1, r._2)).toSet
+    assert(flaggedKeys.nonEmpty, "premise: something was cut")
+    val rows = PipelineOps.q178(spark, SF).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("seq_rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
+    (0L until PipelineOps.Epochs).foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      // every epoch is a full permutation of the CLEAN membership
+      assert(ep.map(r => (r._3, r._4)).toSet === cleanKeys, s"epoch $e membership")
+      assert(ep.map(_._2).sorted.toSeq === (1L to cleanKeys.size).toSeq,
+        s"epoch $e ranks")
+      // and never serves a flagged sequence
+      assert(ep.map(r => (r._3, r._4)).toSet.intersect(flaggedKeys).isEmpty)
+    }
+    // the draw rule is q162's: the clean stream is the q162 stream with
+    // flagged sequences deleted ORDER-PRESERVED (same okey rule, fewer
+    // rows — relative order of surviving keys is identical per epoch)
+    val dirty = PipelineOps.q162(spark, SF).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("seq_rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")))
+    (0L until PipelineOps.Epochs).foreach { e =>
+      val cleanOrder = rows.filter(_._1 == e).sortBy(_._2).map(r => (r._3, r._4))
+      val dirtyOrder = dirty.filter(_._1 == e).sortBy(_._2).map(r => (r._3, r._4))
+        .filter(cleanKeys)
+      assert(cleanOrder.toSeq === dirtyOrder.toSeq, s"epoch $e relative order")
+    }
+  }
+
   test("q177 step read: exact batch vs the epoch stream, scan prunes to only the touched shards") {
     val rows = PipelineOps.q177(spark, SF).collect()
     // the batch is EXACTLY the epoch stream's rank range
