@@ -2154,8 +2154,12 @@ object PipelineOps {
     * ROW_NUMBER — the hash compare proves the artifact-backed epoch
     * stream is exactly the clean build's permutation. */
   def q178(s: SparkSession, dir: String): DataFrame = {
-    val clean = packRead(s, q174Ensure(s, dir), "packclean")
-      .select(col("doc_id"), col("chunk_id"), col("shard"))
+    // the artifact read memoizes (three int64s per clean sequence): the
+    // Epochs rank scans would otherwise each re-scan the parquet — the
+    // sequencePack-memo rule applied to the clean lineage
+    val clean = graft.SharedRelations.getOrBuild("clean_pack_read", dir)(
+      packRead(s, q174Ensure(s, dir), "packclean")
+        .select(col("doc_id"), col("chunk_id"), col("shard")))
     (0 until Epochs).map(e => rankEpoch(shuffleKeyed(clean, e)))
       .reduce(_ unionAll _)
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
