@@ -53,6 +53,15 @@ HEADLINE = [
     # DuckDB-expressible.
     "q162_epoch_order", "q165_pack_artifact", "q171_curriculum_order",
     "q173_chunk_decontaminate",
+    # r13 second widening: the loader-batching / curation wave. q179/
+    # q185 nest the q158 chain and q181/q184 the q144 training chain
+    # (the fairness note's family-memo caveat applies); q180 rides the
+    # LM chain, q182 the shingle pass — both self-contained. q183 is
+    # deliberately EXCLUDED: its oracle embeds the recursive-CTE CC
+    # replay, the class this headline documents as a correctness oracle,
+    # not a fair timing baseline.
+    "q179_length_batches", "q180_ppl_buckets", "q181_tokenizer_fertility",
+    "q182_ngram_novelty", "q184_repeat_plan", "q185_batch_manifest",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -130,7 +139,8 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
             "guard; a pre-guard artifact's mins carry once via the "
             "legacy bootstrap with a loud banner). Fairness: on the "
             "tokenizer/pack-family queries "
-            "(q144/q151/q152/q157/q158/q159) Spark's bench numbers are "
+            "(q144/q151/q152/q157/q158/q159/q179/q181/q184/q185) "
+            "Spark's bench numbers are "
             "family-memo marginal costs (the engine trains once per "
             "corpus snapshot and every readout consumes the artifact), "
             "and on q160 Spark serves a standing on-disk index, while "

@@ -777,10 +777,68 @@ object BpeOps {
     * dropped a merge would hash-mismatch. */
   val q164Sql: String = q151Sql
 
+  // --- 181. per-language tokenizer fertility gate (r13) ---------------------
+  /** The tokenizer RELEASE-GATE readout: before a trained tokenizer
+    * ships (q164's artifact), the release run measures its FERTILITY —
+    * subword units per character — per LANGUAGE, because a tokenizer
+    * trained on a skewed mixture quietly taxes the minority languages
+    * (they segment into near-character units, inflating their token
+    * cost and shrinking their effective context window). One row per
+    * language: doc/token/unit/char masses under the trained merges
+    * ([[q151]]'s mapping — the ONE shared unit rule), the exact ratio6
+    * fertility, and the release gate (1 iff fertility ≤
+    * [[FertilityGateCeiling]]) — the per-language go/no-go a release
+    * pipeline consults next to the q156 drift monitor.
+    *
+    * Scale shape: [[q151]]'s one corpus pass + mapping join (the vocab
+    * rides AQE's broadcast-vs-shuffle choice exactly as there), then ONE
+    * map-side-combined groupBy(lang) — the readout is \|languages\|
+    * rows. Membership: tokens the training snapshot never saw have no
+    * merged form and drop from the join on BOTH engines (q151's rule);
+    * a language consisting only of unseen tokens would vanish from the
+    * readout rather than gate at fertility 0. FULL oracle: the training
+    * chain + the same grouped aggregate. */
+  val FertilityGateCeiling = 0.8292
+
+  def q181(s: SparkSession, dir: String): DataFrame =
+    TextOps.docsWithToks(s, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+      .join(unitMapping(s, dir), "token")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("units")).as("n_units"),
+        sum(length(col("token"))).as("n_chars"))
+      .withColumn("fertility",
+        graft.functions.Num.ratio6(col("n_units"), col("n_chars")))
+      .withColumn("gate_ok",
+        when(col("fertility") <= FertilityGateCeiling, 1L).otherwise(0L))
+      .orderBy(col("lang"))
+
+  val q181Sql: String =
+    s"""$q144Chain,
+       |mapping AS (SELECT replace(w, ' ', '') AS token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds),
+       |f AS (
+       |  SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+       |    CAST(SUM(units) AS BIGINT) AS n_units,
+       |    CAST(SUM(len(token)) AS BIGINT) AS n_chars
+       |  FROM (SELECT doc_id, lang, unnest(${Text.toksSql}) AS token
+       |        FROM documents) t
+       |  JOIN mapping USING (token)
+       |  GROUP BY lang)
+       |SELECT lang, n_docs, n_tokens, n_units, n_chars,
+       |  ${graft.functions.Num.ratio6Sql("n_units", "n_chars")} AS fertility,
+       |  CAST(CASE WHEN ${graft.functions.Num.ratio6Sql("n_units", "n_chars")}
+       |    <= $FertilityGateCeiling THEN 1 ELSE 0 END AS BIGINT) AS gate_ok
+       |FROM f
+       |ORDER BY lang""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("q144_bpe_train", q144, Some(q144Sql)),
     Op("q147_bpe_apply", q147, Some(q147Sql)),
     Op("q151_bpe_segment", q151, Some(q151Sql)),
+    Op("q181_tokenizer_fertility", q181, Some(q181Sql)),
     Op("q156_tokenizer_drift", q156, Some(q156Sql)),
     Op("q157_context_chunks_units", q157, Some(q157Sql)),
     Op("q161_bpe_train_resumed", q161, Some(q161Sql)),

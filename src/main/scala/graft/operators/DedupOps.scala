@@ -661,6 +661,50 @@ object DedupOps {
       |WHERE cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --- 182. n-gram novelty score (r13) ------------------------------------
+  /** The inverse of the duplication signals: how much of each document
+    * is text the REST of the corpus doesn't have — the fraction of its
+    * distinct 3-shingles with corpus document-frequency 1 (novelty 1 =
+    * fully unique prose, novelty 0 = assembled entirely from shared
+    * n-grams). Curation uses this next to q80's repetition ratio and
+    * q45's heuristics: high-novelty documents are the ones dedup can
+    * never reclaim and diversity-aware sampling wants to protect, and a
+    * corpus-wide novelty collapse is the earliest signal of template
+    * flooding. Membership: docs with ≥1 shingle (≥3 tokens) — shorter
+    * docs have no 3-gram evidence either way.
+    *
+    * Scale shape: rides the family's one [[docShingles]] pass; the df
+    * side is a map-side-combined groupBy(sh) (hot shingles arrive as
+    * partials, never as row streams), and the join back is 1:1 per
+    * occurrence on the sh key (no fan-out — df is one row per shingle;
+    * AQE owns broadcast-vs-shuffle and skew splits). The per-doc
+    * readout is one more map-side-combined aggregate. FULL oracle: the
+    * same two aggregates over the shared shingle CTE. */
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        graft.functions.Num.ratio6(col("n_novel"), col("n_shingles")))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q182Sql: String =
+    s"""WITH d AS ($docShSql),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+       |dfc AS (SELECT sh, COUNT(*) AS dfc FROM sh GROUP BY sh)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  ${graft.functions.Num.ratio6Sql(
+            "SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END)", "COUNT(*)")} AS novelty
+       |FROM sh JOIN dfc USING (sh)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --- 91. duplicate-cluster size distribution (r4) ----------------------
   /** The dedup run's diagnostic readout: how much of the corpus sits in
     * duplicate clusters of which size — the number a data-curation team
@@ -2172,6 +2216,7 @@ object DedupOps {
     Op("q74_dedup_pipeline", q74, Some(q74Sql)),
     Op("q75_dedup_embedding_scale", q75, Some(q75Sql)),
     Op("q91_dedup_cluster_stats", q91, Some(q91Sql)),
+    Op("q182_ngram_novelty", q182, Some(q182Sql)),
     Op("q94_dedup_degree", q94, Some(q94Sql)),
     Op("q98_dup_spans", q98, Some(q98Sql)),
     Op("q107_span_clean", q107, Some(q107Sql)),

@@ -2250,6 +2250,341 @@ object PipelineOps {
        |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e) k
        |ORDER BY epoch, seq_rank""".stripMargin
 
+  // --- 179. length-bucketed batch assembly (r13) ----------------------------
+  /** The loader's PADDING-efficiency seam: sequences batched naively in
+    * arrival order pad every member up to the batch max — on a corpus
+    * whose chunk lengths span the whole [1, ChunkUnitBudget] range
+    * (every doc's LAST chunk is a remainder), that's real FLOP waste at
+    * training time. The standard fix every production loader ships
+    * (bucketed batching): group sequences into power-of-two LENGTH
+    * buckets (bucket = ⌊log₂ n_units⌋ — exact via the binary-string
+    * length, no float log), order deterministically within the bucket
+    * (md5 hash key: batches stay decorrelated from corpus order), cut
+    * batches of [[LoaderBatchSeqs]], and report each batch's pad mass
+    * (n_seqs·max − Σ units) and fill ratio. Within a bucket max/min
+    * length differ < 2×, so fill ≥ 0.5 structurally (PipelineSpec pins
+    * it, plus full-batch discipline and exact membership).
+    *
+    * Scale shape: the bucket id folds into the PrefixSum ordering key
+    * (bucket·2⁴⁴ + 44-bit hash — bucket-major, hash-spread within), so
+    * ONE two-level binned scan ranks every bucket at once — never a
+    * per-bucket window (a handful of giant buckets would each sort in
+    * one task). Per-bucket rank = global rank − the bucket's offset,
+    * where offsets cumulate over the ≤64-row bucket aggregate (the
+    * ScalePlanSpec rule: the only unpartitioned window rides aggregated
+    * rows) and broadcast back. The batch readout is one map-side-
+    * combined groupBy. FULL oracle: ROW_NUMBER per bucket over the q158
+    * chain. */
+  val LoaderBatchSeqs = 8L
+
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Num
+    val lb = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_units"))
+      .withColumn("bucket", (length(bin(col("n_units"))) - 1).cast("long"))
+      .withColumn("okey",
+        col("bucket") * lit(1L << 44) +
+          conv(substring(md5(concat(lit("lb:"), col("doc_id"), lit(":"),
+            col("chunk_id"))), 1, 11), 16, 10).cast("long"))
+    val ranked = graft.functions.PrefixSum
+      .withRunningSum(lb.withColumn("one", lit(1L)), "okey",
+        Seq("doc_id", "chunk_id"), "one", "grank")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum(col("bn")).over(w) - col("bn"))
+      .select(col("bucket"), col("off"))
+    ranked.join(broadcast(offs), "bucket")
+      .withColumn("batch_id",
+        expr(s"(grank - off - 1) div ${LoaderBatchSeqs}L"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("n_units")).as("max_units"),
+        sum(col("n_units")).as("sum_units"))
+      .withColumn("pad_units",
+        col("n_seqs") * col("max_units") - col("sum_units"))
+      .withColumn("fill",
+        Num.ratio6(col("sum_units"), col("n_seqs") * col("max_units")))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  lazy val q179Sql: String = {
+    import graft.functions.Num
+    s"""WITH lb AS (
+       |  SELECT doc_id, chunk_id, n_units,
+       |    CAST(length(bin(n_units)) - 1 AS BIGINT) AS bucket,
+       |    CAST(('0x' || substr(md5('lb:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |      CAST(chunk_id AS VARCHAR)), 1, 11)) AS BIGINT) AS hkey
+       |  FROM ($q158Sql) _p),
+       |lbr AS (
+       |  SELECT bucket, n_units,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+       |      ORDER BY hkey, doc_id, chunk_id) - 1) // $LoaderBatchSeqs AS BIGINT)
+       |      AS batch_id
+       |  FROM lb),
+       |bt AS (
+       |  SELECT bucket, batch_id, COUNT(*) AS n_seqs,
+       |    MAX(n_units) AS max_units, CAST(SUM(n_units) AS BIGINT) AS sum_units
+       |  FROM lbr GROUP BY bucket, batch_id)
+       |SELECT bucket, batch_id, n_seqs, max_units, sum_units,
+       |  n_seqs * max_units - sum_units AS pad_units,
+       |  ${Num.ratio6Sql("sum_units", "n_seqs * max_units")} AS fill
+       |FROM bt
+       |ORDER BY bucket, batch_id""".stripMargin
+  }
+
+  // --- 183. duplication-aware loss weights on the pack (r13) ----------------
+  /** SOFT dedup — the alternative to cutting duplicates that production
+    * corpora increasingly ship: keep every near-dup cluster member in
+    * the training stream but DOWNWEIGHT its loss contribution by the
+    * cluster size, so a 40-way boilerplate cluster contributes ~one
+    * document's worth of gradient instead of 40 (and rare text keeps
+    * full weight). Cluster sizes come from the production dedup path's
+    * connected components ([[DedupOps.q74]] — the family-memoized cc50
+    * labels over the MinHash-verified q50 edges); the weight is the
+    * exact half-away micros division 10⁶/csize (singletons = 10⁶ by
+    * construction), landed per SEQUENCE on the q158 pack — the relation
+    * a weighted-loss loader actually reads.
+    *
+    * Scale shape: the label relation is the memoized CC output (one
+    * int64 pair per doc); cluster sizes are a map-side-combined groupBy
+    * on root; both joins are doc_id/root equi-joins (AQE broadcasts the
+    * csize side while it fits). Nothing here adds a corpus pass — the
+    * expensive parts (pack, dedup graph) are the family memos. FULL
+    * oracle: the q50 recursive-CTE CC (OUTER scope — the q158 chain
+    * nests as a subquery, so its q49-CC names shadow cleanly) joined to
+    * the pack chain. */
+  /** The weighted pack relation behind [[q183]] (unordered) and
+    * [[q188]]'s manifest — ONE builder, so the weight rule cannot
+    * drift between the per-sequence readout and its budget aggregate. */
+  private def softWeightedPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val labels = DedupOps.q74(s, dir).select(col("doc_id"), col("root"))
+    val csz = labels.groupBy(col("root")).agg(count(lit(1)).as("csize"))
+    val lbl = labels.join(csz, "root").select(col("doc_id"), col("csize"))
+    sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_units"), col("shard"))
+      .join(lbl, "doc_id")
+      .withColumn("w_micros",
+        Num.idivHalfAway(lit(1000000L), col("csize")))
+  }
+
+  def q183(s: SparkSession, dir: String): DataFrame =
+    softWeightedPack(s, dir).orderBy(col("doc_id"), col("chunk_id"))
+
+  lazy val q183Sql: String = {
+    import graft.functions.Num
+    s"""WITH RECURSIVE ${DedupOps.ccCtesSql(DedupOps.q50PairsSql)},
+       |csz AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM roots GROUP BY root),
+       |lbl AS (SELECT r.doc_id, c.csize FROM roots r JOIN csz c USING (root))
+       |SELECT p.doc_id, p.chunk_id, p.n_units, p.shard, l.csize,
+       |  ${Num.idivHalfAwaySql("1000000", "l.csize")} AS w_micros
+       |FROM ($q158Sql) p JOIN lbl l USING (doc_id)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // --- 188. effective-mass manifest under soft-dedup weights (r13) -----------
+  /** [[q183]]'s budget readout — the number a weighted-loss training run
+    * actually budgets by: per shard, the RAW unit mass next to the
+    * EFFECTIVE unit mass (Σ units·w — what the gradient actually sees
+    * once duplicates are downweighted). The gap between the two columns
+    * IS the corpus' duplication tax, shard by shard; a run that budgets
+    * steps on raw mass over-trains duplicated shards. Sums accumulate
+    * in exact integer unit-micros on the DECIMAL(38,0) lattice (raw
+    * units × 10⁶ at corpus scale overflows int64 — the q184 regime) and
+    * surface as half-away unit integers.
+    *
+    * Scale shape: [[softWeightedPack]]'s plan + ONE map-side-combined
+    * groupBy(shard) — manifest rows are shard-count-sized. FULL oracle:
+    * the q183 body nested (its ORDER BY stripped), same aggregate. */
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    softWeightedPack(s, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_units")).as("raw_units"),
+        Num.idivHalfAwayBig(
+          sum(Num.big(col("n_units")) * Num.big(col("w_micros"))),
+          lit(1000000L)).cast("long").as("effective_units"))
+      .orderBy(col("shard"))
+  }
+
+  lazy val q188Sql: String = {
+    import graft.functions.Num
+    // strip the FINAL ORDER BY only — the nested q158 chain carries its
+    // own "\nORDER BY" lines, so a split-at-first would truncate the body
+    val body = q183Sql.substring(0, q183Sql.lastIndexOf("\nORDER BY"))
+    s"""SELECT shard, COUNT(*) AS n_seqs,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(n_units) AS BIGINT) AS raw_units,
+       |  CAST(${Num.idivHalfAwaySql(
+            "SUM(CAST(n_units AS HUGEINT) * w_micros)", "1000000")}
+       |    AS BIGINT) AS effective_units
+       |FROM ($body) _w
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
+
+  // --- 184. data-constrained repeat planner (r13) ----------------------------
+  /** The pretraining-budget planning readout (the data-constrained
+    * scaling question — Muennighoff et al. 2023, arXiv:2305.16264): given
+    * a token budget of [[RepeatFactor]]× the corpus' own subword mass
+    * and a TARGET mixture ([[RepeatWeights]], explicit policy micros —
+    * the q110 broadcast-policy pattern), how many EPOCHS of each
+    * language does the plan need, where does the repeat cap
+    * ([[MaxRepeats]] — repeated data's value decays fast past a few
+    * epochs) bind,
+    * and how many tokens go unfilled? Everything is exact integer
+    * arithmetic on the DECIMAL(38,0) lattice (corpus token masses at the
+    * 100 TB design point overflow int64 products — the MixDecimalSpec
+    * regime), so the plan replays bit-for-bit in the oracle's HUGEINT.
+    *
+    * Scale shape: ONE map-side-combined groupBy(lang) over the
+    * tokenizer family's per-doc unit relation + a 1-row total and a
+    * ≤\|policy\| literal table, both broadcast. The budget is
+    * PROPORTIONAL to the corpus (factor × measured mass), so the plan
+    * is meaningful at every SF — a fixed absolute budget would go
+    * vacuous at 1000× the data. Languages outside the policy table are
+    * out of the plan's scope by contract (inner join — the policy IS
+    * the plan). */
+  val RepeatFactor = 3L
+  val MaxRepeats = 3L
+  val RepeatWeights: Seq[(String, Long)] = Seq(
+    "en" -> 500000L, "zh" -> 200000L, "es" -> 120000L,
+    "de" -> 100000L, "fr" -> 80000L)
+
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    import s.implicits._
+    val avail = BpeOps.docUnits(s, dir)
+      .join(graft.Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang")).agg(sum(col("n_units")).as("m_units"))
+    val tot = avail.agg(sum(col("m_units")).as("t_units"))
+    val w = RepeatWeights.toDF("lang", "w_micros")
+    avail.join(broadcast(w), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("target_units",
+        Num.idivHalfAwayBig(
+          Num.big(lit(RepeatFactor)) * Num.big(col("t_units")) *
+            Num.big(col("w_micros")), lit(1000000L)).cast("long"))
+      .withColumn("repeats_micros",
+        Num.idivHalfAwayBig(
+          Num.big(col("target_units")) * Num.big(lit(1000000L)),
+          col("m_units")).cast("long"))
+      .withColumn("capped_micros",
+        least(col("repeats_micros"), lit(MaxRepeats * 1000000L)))
+      .withColumn("achievable_units",
+        Num.idivHalfAwayBig(
+          Num.big(col("m_units")) * Num.big(col("capped_micros")),
+          lit(1000000L)).cast("long"))
+      .withColumn("shortfall_units",
+        greatest(col("target_units") - col("achievable_units"), lit(0L)))
+      .select(col("lang"), col("m_units"), col("w_micros"),
+        col("target_units"), col("repeats_micros"), col("capped_micros"),
+        col("achievable_units"), col("shortfall_units"))
+      .orderBy(col("lang"))
+  }
+
+  lazy val q184Sql: String = {
+    import graft.functions.Num
+    val wRows = RepeatWeights
+      .map { case (l, m) => s"('$l', CAST($m AS BIGINT))" }.mkString(", ")
+    s"""WITH ${BpeOps.chainCtesSql},
+       |${BpeOps.docUnitsCtesSql},
+       |rpw(lang, w_micros) AS (SELECT * FROM (VALUES $wRows)),
+       |avail AS (
+       |  SELECT d.lang, CAST(SUM(u.n_units) AS BIGINT) AS m_units
+       |  FROM bpeun u JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang),
+       |rtot AS (SELECT CAST(SUM(m_units) AS BIGINT) AS t_units FROM avail),
+       |plan1 AS (
+       |  SELECT a.lang, a.m_units, w.w_micros,
+       |    CAST(${Num.idivHalfAwaySql(
+              s"$RepeatFactor * CAST(t.t_units AS HUGEINT) * w.w_micros",
+              "1000000")} AS BIGINT) AS target_units
+       |  FROM avail a JOIN rpw w USING (lang) CROSS JOIN rtot t),
+       |plan2 AS (
+       |  SELECT *,
+       |    CAST(${Num.idivHalfAwaySql(
+              "CAST(target_units AS HUGEINT) * 1000000", "m_units")}
+       |      AS BIGINT) AS repeats_micros
+       |  FROM plan1),
+       |plan3 AS (
+       |  SELECT *,
+       |    LEAST(repeats_micros, ${MaxRepeats * 1000000L}) AS capped_micros
+       |  FROM plan2)
+       |SELECT lang, m_units, w_micros, target_units, repeats_micros,
+       |  capped_micros,
+       |  CAST(${Num.idivHalfAwaySql(
+            "CAST(m_units AS HUGEINT) * capped_micros", "1000000")}
+       |    AS BIGINT) AS achievable_units,
+       |  GREATEST(target_units - CAST(${Num.idivHalfAwaySql(
+            "CAST(m_units AS HUGEINT) * capped_micros", "1000000")}
+       |    AS BIGINT), 0) AS shortfall_units
+       |FROM plan3
+       |ORDER BY lang""".stripMargin
+  }
+
+  // --- 185. per-batch loader manifest (r13) ----------------------------------
+  /** The integrity seam at BATCH granularity: q159/q165 manifest the
+    * pack per shard, but what a training job consumes (and what a
+    * reproducibility audit replays) is the per-(epoch, step) BATCH —
+    * this op emits one manifest row per batch of [[LoaderBatchSeqs]]
+    * consecutive sequences in each epoch's [[q162]] order: member
+    * count, unit mass, and an order-independent membership checksum
+    * (Σ of a 48-bit md5 derivation per member — exact int64, so
+    * re-deliveries and reorderings inside a batch cannot slip past it).
+    * Because every epoch permutes the SAME membership, each epoch's
+    * checksum/unit TOTALS are identical while its per-batch rows differ
+    * — exactly the invariant a loader audit checks first (PipelineSpec
+    * pins it).
+    *
+    * Scale shape: the per-epoch PrefixSum rank scans ([[q162]]'s), a
+    * thin n_units column riding the pack memo through [[shuffleKeyed]],
+    * and one map-side-combined groupBy(epoch, batch) — batch rows are
+    * pack/B-sized, never corpus-held. FULL oracle: the q158 chain
+    * nested once, ranked per epoch, grouped by the same batch rule. */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val pack = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_units"))
+    (0 until Epochs).map(e => rankEpoch(shuffleKeyed(pack, e)))
+      .reduce(_ unionAll _)
+      .withColumn("batch_id",
+        expr(s"(seq_rank - 1) div ${LoaderBatchSeqs}L"))
+      .withColumn("ck",
+        conv(substring(md5(concat(lit("bm:"), col("doc_id"), lit(":"),
+          col("chunk_id"))), 1, 12), 16, 10).cast("long"))
+      .groupBy(col("epoch"), col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_units")).as("n_units"),
+        sum(col("ck")).as("checksum"))
+      .orderBy(col("epoch"), col("batch_id"))
+  }
+
+  lazy val q185Sql: String =
+    s"""WITH bpk AS (SELECT doc_id, chunk_id, n_units FROM ($q158Sql) _x),
+       |keyed AS (
+       |  SELECT e.epoch, b.doc_id, b.chunk_id, b.n_units,
+       |    CAST(('0x' || substr(md5('ep:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
+       |      CAST(b.doc_id AS VARCHAR) || ':' || CAST(b.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM bpk b CROSS JOIN
+       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e),
+       |ranked AS (
+       |  SELECT epoch, doc_id, chunk_id, n_units,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY epoch
+       |      ORDER BY okey, doc_id, chunk_id) - 1) // $LoaderBatchSeqs AS BIGINT)
+       |      AS batch_id
+       |  FROM keyed)
+       |SELECT epoch, batch_id, COUNT(*) AS n_seqs,
+       |  CAST(SUM(n_units) AS BIGINT) AS n_units,
+       |  CAST(SUM(CAST(('0x' || substr(md5('bm:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |    CAST(chunk_id AS VARCHAR)), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM ranked
+       |GROUP BY epoch, batch_id
+       |ORDER BY epoch, batch_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -2283,6 +2618,11 @@ object PipelineOps {
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),
     Op("q171_curriculum_order", q171, Some(q171Sql)),
+    Op("q179_length_batches", q179, Some(q179Sql)),
+    Op("q185_batch_manifest", q185, Some(q185Sql)),
+    Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
+    Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
+    Op("q184_repeat_plan", q184, Some(q184Sql)),
     Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )
 

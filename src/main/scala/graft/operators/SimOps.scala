@@ -1388,12 +1388,78 @@ object SimOps {
         TrainedRerank)
         .stripPrefix("WITH ")
 
+  // --- 187. cell-quota diversity sampling (r13) -----------------------------
+  /** The SemDeDup-flavored curation move one level up from pair dedup:
+    * instead of cutting near-identical PAIRS, cap each semantic
+    * region's total contribution — assign every vector to its nearest
+    * centroid cell (the q61 coarse quantizer: zero-shuffle broadcast
+    * argmax) and keep at most [[CellQuota]] members per cell by a
+    * deterministic md5 rank, so a dense cluster of redundant embeddings
+    * contributes a bounded sample while sparse regions survive whole.
+    * The diversity-balanced subset an embedding-training or eval-set
+    * build draws.
+    *
+    * Scale shape: the assignment is the spec-pinned shuffle-free
+    * broadcast argmax; the quota is the q96 rule — a rank ≤ k filter
+    * over Window.partitionBy(cell_id) compiles to a map-side
+    * WindowGroupLimit, so each map task keeps ≤ k rows per cell BEFORE
+    * the shuffle and the exchange carries ≤ k·\|cells\| rows per input
+    * partition regardless of cell skew. FULL oracle: the q61 assignment
+    * replay + the same ROW_NUMBER rule. */
+  val CellQuota = 4
+
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("skey"), col("vec_id"))
+    assignToCells(withNorm(e), cellsAsRow(centroidCells(e)))
+      .withColumn("skey",
+        conv(substring(md5(concat(lit("divs:"), col("vec_id"))), 1, 15),
+          16, 10).cast("long"))
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .filter(col("cell_rank") <= CellQuota)
+      .select(col("vec_id"), col("cell_id"), col("cell_rank"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val q187Sql: String =
+    s"""WITH $embNrmCteSql,
+       |$centroidMeanCtesSql,
+       |cent AS (
+       |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+       |  FROM cmeans GROUP BY label),
+       |centn AS (
+       |  SELECT cell_id, centroid,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
+       |  FROM cent),
+       |cscored AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
+       |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
+       |  FROM e CROSS JOIN centn c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
+       |    FROM cscored) s WHERE rn = 1),
+       |keyed AS (
+       |  SELECT vec_id, cell_id,
+       |    CAST(('0x' || substr(md5('divs:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+       |  FROM assigned)
+       |SELECT vec_id, cell_id, cell_rank FROM (
+       |  SELECT vec_id, cell_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cell_id
+       |      ORDER BY skey, vec_id) AS BIGINT) AS cell_rank
+       |  FROM keyed) r
+       |WHERE cell_rank <= $CellQuota
+       |ORDER BY vec_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q53_knn_brute", q53, Some(q53Sql)),
     Op("q54_ann_lsh", q54, Some(q54Sql)),
     Op("q170_hard_negatives", q170, Some(q170Sql)),
     Op("q55_vector_stats", q55, Some(q55Sql)),
     Op("q61_ann_ivf", q61, Some(q61Sql)),
+    Op("q187_cell_quota_sample", q187, Some(q187Sql)),
     Op("q78_ann_lsh_multi", q78, Some(q78Sql)),
     Op("q84_embed_quantize", q84, Some(q84Sql)),
     Op("q88_ann_pq", q88, Some(q88Sql)),

@@ -911,7 +911,11 @@ object TextOps {
     * per-bigram log-prob is rounded to 6 before a decimal-exact sum, so
     * the per-doc average is aggregation-order-independent and replays
     * bit-for-bit in DuckDB. */
-  def q90(s: SparkSession, dir: String): DataFrame = {
+  /** q90's pre-average per-doc LM aggregate (doc_id, n, s: bigram count
+    * + exact int64 sum of per-bigram log-prob micros) — ONE builder
+    * behind the q90 readout and q180's perplexity bucketing, so the LM
+    * scoring rule cannot drift between them. */
+  private def lmDocAgg(s: SparkSession, dir: String): DataFrame = {
     val d = docsWithToks(s, dir)
     val bg = d.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
     val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
@@ -933,13 +937,23 @@ object TextOps {
           1000000L, 0).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("lpm")).as("s"))
-      .select(col("doc_id"), col("n").as("n_bigrams"),
-        (expr("CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) " +
-          "ELSE -((-2 * s + n) div (2 * n)) END") / 1000000.0).as("avg_logp"))
-      .orderBy(col("doc_id"))
   }
 
-  val q90Sql: String =
+  /** The exact half-away per-doc average in integer micros — the scalar
+    * [[q90]] surfaces as a double and [[q180]] ranks on. */
+  private val lmAvgMicros =
+    expr("CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) " +
+      "ELSE -((-2 * s + n) div (2 * n)) END")
+
+  def q90(s: SparkSession, dir: String): DataFrame =
+    lmDocAgg(s, dir)
+      .select(col("doc_id"), col("n").as("n_bigrams"),
+        (lmAvgMicros / 1000000.0).as("avg_logp"))
+      .orderBy(col("doc_id"))
+
+  /** The q90 scoring chain's CTE list ending in `agg(doc_id, n, s)` —
+    * shared by [[q90Sql]] and [[q180Sql]]. */
+  private val lmCtesSql: String =
     s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |bg AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS bg FROM d),
        |bgc AS (SELECT bg, COUNT(*) AS c_bg, split_part(bg, ' ', 1) AS w1
@@ -953,12 +967,140 @@ object TextOps {
        |      AS BIGINT) AS lpm
        |  FROM bg b JOIN bgc m USING (bg) JOIN w1c w ON m.w1 = w.w1 CROSS JOIN v),
        |agg AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(lpm) AS BIGINT) AS s
-       |  FROM scored GROUP BY doc_id)
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  private val lmAvgMicrosSql: String =
+    """(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+      |    ELSE -((-2 * s + n) // (2 * n)) END)""".stripMargin
+
+  val q90Sql: String =
+    s"""$lmCtesSql
        |SELECT doc_id, n AS n_bigrams,
-       |  (CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
-       |    ELSE -((-2 * s + n) // (2 * n)) END) / 1000000.0 AS avg_logp
+       |  $lmAvgMicrosSql / 1000000.0 AS avg_logp
        |FROM agg
        |ORDER BY doc_id""".stripMargin
+
+  // --- 180. perplexity-bucket corpus partition (r13) ------------------------
+  /** The CCNet curation move (Wenzek et al. 2020, arXiv:1911.00359):
+    * partition each LANGUAGE's documents into head / middle / tail
+    * TERTILES by language-model score (head = most in-distribution
+    * text), so downstream mixing can oversample the head without
+    * dropping the tail outright. Scores are [[q90]]'s exact per-doc
+    * average log-prob micros (ONE shared aggregate — the rule cannot
+    * drift); the bucket rule is the exact rank form (3·rank ≤ n ⇒ head,
+    * ≤ 2n ⇒ middle, else tail — no NTILE, whose tie semantics differ
+    * across engines). Membership = q90's (docs with ≥1 bigram).
+    *
+    * Scale shape: per-language ranking WITHOUT per-language sort tasks —
+    * the language index folds into the PrefixSum ordering key
+    * (lang_idx·2⁴⁰ − sc_micros: language-major, best-score-first
+    * within), so ONE two-level binned scan ranks every language at
+    * once; a giant language (English = half a real corpus) never lands
+    * in one sort task, which is exactly how a partitionBy(lang) window
+    * would execute. The language dim (index + rank offset) cumulates
+    * over the ≤\|langs\| aggregate and broadcasts back. FULL oracle:
+    * ROW_NUMBER per language over the shared LM chain. */
+  /** The bucketed relation behind [[q180]] (unordered) and [[q186]]'s
+    * sampling join — ONE builder, so the tertile rule cannot drift. */
+  private def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = lmDocAgg(s, dir)
+      .select(col("doc_id"), lmAvgMicros.as("sc_micros"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+    val cum = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dim = sc.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("lang_idx",
+        row_number().over(Window.orderBy(col("lang"))).cast("long"))
+      .withColumn("off", sum(col("n_lang")).over(cum) - col("n_lang"))
+    val keyed = sc.join(broadcast(dim), "lang")
+      .withColumn("okey", col("lang_idx") * lit(1L << 40) - col("sc_micros"))
+    graft.functions.PrefixSum
+      .withRunningSum(keyed.withColumn("one", lit(1L)), "okey",
+        Seq("doc_id"), "one", "grank")
+      .withColumn("r", col("grank") - col("off"))
+      .withColumn("bucket",
+        when(col("r") * 3 <= col("n_lang"), "head")
+          .when(col("r") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("sc_micros"), col("bucket"))
+  }
+
+  def q180(s: SparkSession, dir: String): DataFrame =
+    pplBuckets(s, dir).orderBy(col("doc_id"))
+
+  /** The q180 chain as spliceable CTEs ending in
+    * `ppb(doc_id, lang, sc_micros, bucket)` — shared by [[q180Sql]] and
+    * [[q186Sql]]. */
+  private val pplBucketsCtesSql: String =
+    s"""$lmCtesSql,
+       |lms AS (
+       |  SELECT a.doc_id, d.lang, $lmAvgMicrosSql AS sc_micros
+       |  FROM agg a JOIN documents d USING (doc_id)),
+       |lmr AS (
+       |  SELECT doc_id, lang, sc_micros,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY sc_micros DESC, doc_id) AS r,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM lms),
+       |ppb AS (
+       |  SELECT doc_id, lang, sc_micros,
+       |    CASE WHEN r * 3 <= n_lang THEN 'head'
+       |         WHEN r * 3 <= n_lang * 2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM lmr)""".stripMargin
+
+  val q180Sql: String =
+    s"""$pplBucketsCtesSql
+       |SELECT doc_id, lang, sc_micros, bucket
+       |FROM ppb
+       |ORDER BY doc_id""".stripMargin
+
+  // --- 186. perplexity-bucket oversampling (r13) -----------------------------
+  /** [[q180]]'s ACTION — the CCNet sampling step: keep the head in full,
+    * downsample the middle and tail at explicit policy rates
+    * ([[PplMixRates]] micros — the q110 broadcast-policy pattern), with
+    * inverse-propensity weights so downstream statistics stay unbiased
+    * (the q82 rule). The draw is the engine's portable md5 rule on
+    * doc_id under a fresh prefix — deterministic, engine-replayable,
+    * independent of the q82/q123 draws (a doc's fate here shares nothing
+    * with its mixture fate there).
+    *
+    * Scale shape: [[pplBuckets]]'s plan + a ≤3-row broadcast policy join
+    * + a map-side filter — the sample never shuffles. FULL oracle: the
+    * shared bucket CTEs + the same VALUES policy + the same predicate. */
+  val PplMixRates: Seq[(String, Long)] = Seq(
+    "head" -> 1000000L, "middle" -> 500000L, "tail" -> 250000L)
+
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = PplMixRates.toDF("bucket", "rate_micros")
+    pplBuckets(s, dir)
+      .join(broadcast(rates), "bucket")
+      .withColumn("u",
+        conv(substring(md5(concat(lit("pplmix:"), col("doc_id"))), 1, 15),
+          16, 10).cast("long") % 1000000L)
+      .filter(col("u") < col("rate_micros"))
+      .select(col("doc_id"), col("lang"), col("sc_micros"), col("bucket"),
+        graft.functions.Num.ratio6(lit(1000000L), col("rate_micros"))
+          .as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q186Sql: String = {
+    val vals = PplMixRates
+      .map { case (b, r) => s"('$b', CAST($r AS BIGINT))" }.mkString(", ")
+    s"""$pplBucketsCtesSql,
+       |pmr(bucket, rate_micros) AS (SELECT * FROM (VALUES $vals))
+       |SELECT b.doc_id, b.lang, b.sc_micros, b.bucket,
+       |  ${graft.functions.Num.ratio6Sql(
+            "CAST(1000000 AS BIGINT)", "r.rate_micros")} AS weight
+       |FROM ppb b JOIN pmr r USING (bucket)
+       |WHERE CAST(('0x' || substr(md5('pplmix:' || CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |  % 1000000 < r.rate_micros
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // --- 92. vocabulary coverage (Zipf head) (r4) ---------------------------
   /** Tokenizer-planning readout: the minimal number of distinct token
@@ -1552,6 +1694,8 @@ object TextOps {
     Op("q137_confusion_matrix", q137, Some(q137Sql)),
     Op("q80_repetition_ratio", q80, Some(q80Sql)),
     Op("q90_lm_quality", q90, Some(q90Sql)),
+    Op("q180_ppl_buckets", q180, Some(q180Sql)),
+    Op("q186_ppl_mix", q186, Some(q186Sql)),
     Op("q92_vocab_coverage", q92, Some(q92Sql)),
     Op("q101_heavy_hitters", q101, Some(q101Sql)),
     Op("q102_heavy_hitters_grouped", q102, Some(q102Sql)),

@@ -315,4 +315,33 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       assert(syms.length <= tok.length)
     }
   }
+
+  test("q181 fertility gate: reconciles with q151's per-doc segmentation, gate fires both ways") {
+    val langOf = Tables.documents(spark, SF).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent replay: aggregate q151's per-doc readout by language
+    val per = BpeOps.q151(spark, SF).collect()
+      .groupBy(r => langOf(r.getAs[Long]("doc_id")))
+    val rows = BpeOps.q181(spark, SF).collect()
+    assert(rows.map(_.getString(0)).toSet === per.keySet)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val docs = per(lang)
+      assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+      val units = docs.map(_.getAs[Long]("n_units")).sum
+      val chars = docs.map(_.getAs[Long]("n_chars")).sum
+      assert(r.getAs[Long]("n_tokens") === docs.map(_.getAs[Long]("n_tokens")).sum)
+      assert(r.getAs[Long]("n_units") === units)
+      assert(r.getAs[Long]("n_chars") === chars)
+      // exact half-away micros ratio, then the gate is a pure function
+      val fert = ((2L * units * 1000000L + chars) / (2L * chars)) / 1e6
+      assert(r.getAs[Double]("fertility") === fert)
+      assert(r.getAs[Long]("gate_ok") ===
+        (if (fert <= BpeOps.FertilityGateCeiling) 1L else 0L))
+    }
+    // the release gate is non-vacuous at this ceiling: some languages
+    // pass and some fail
+    assert(rows.exists(_.getAs[Long]("gate_ok") === 1L))
+    assert(rows.exists(_.getAs[Long]("gate_ok") === 0L))
+  }
 }

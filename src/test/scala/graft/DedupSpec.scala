@@ -439,4 +439,31 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     // non-vacuous: both decisions occur at this SF
     assert(rows.values.exists(_._5 === 1) && rows.values.exists(_._5 === 0))
   }
+
+  test("q182 novelty: exact df-1 recompute from the shingle sets, bounded, duplicates score zero") {
+    import org.apache.spark.sql.functions.{col, explode}
+    // driver-side replay over the engine's own per-doc shingle sets
+    val shs = DedupOps.docShingles(spark, SF)
+      .select(col("doc_id"), col("shs")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+    val df = shs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val expect = shs.filter(_._2.nonEmpty).map { case (id, s) =>
+      val novel = s.count(df(_) == 1).toLong
+      id -> (s.size.toLong, novel)
+    }.toMap
+    val rows = DedupOps.q182(spark, SF).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === expect.keySet)
+    rows.foreach { r =>
+      val (n, novel) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_shingles") === n)
+      assert(r.getAs[Long]("n_novel") === novel)
+      // exact half-away micros ratio
+      assert(r.getAs[Double]("novelty") ===
+        ((2L * novel * 1000000L + n) / (2L * n)) / 1e6)
+    }
+    // exact-duplicate docs share every shingle => novelty 0; unique
+    // prose scores high — both ends present in this corpus
+    assert(rows.exists(_.getAs[Double]("novelty") === 0.0))
+    assert(rows.exists(_.getAs[Double]("novelty") > 0.3))
+  }
 }

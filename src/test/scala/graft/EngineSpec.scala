@@ -8,10 +8,13 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
     // r13: +q174/q177/q178 (full oracle), +q175/q176 (trained/artifact —
-    // rows-only by design, spec-reconciled)
-    assert(SparkEntry.queries.size === 178)
+    // rows-only by design, spec-reconciled), +q179–q188 (loader batching,
+    // ppl buckets + their sampling action, fertility gate, novelty,
+    // soft-dedup weights + their effective-mass manifest, repeat plan,
+    // batch manifest, cell-quota diversity sample — all full oracle)
+    assert(SparkEntry.queries.size === 188)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 161)
+    assert(SparkEntry.oracleSql.size === 171)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -1065,4 +1065,125 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(byRoot.filter(_._2.size > 1).count { case (_, ms) =>
       ms.map(fold).distinct.size > 1 } === naiveLeaked)
   }
+
+  test("q179 length batches: bucket discipline, full batches, structural fill floor, exact membership") {
+    val pack = PipelineOps.q158(spark, SF).collect()
+    val rows = PipelineOps.q179(spark, SF).collect().map(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("max_units"),
+        r.getAs[Long]("sum_units"), r.getAs[Long]("pad_units"),
+        r.getAs[Double]("fill")))
+    // membership: every pack sequence lands in exactly one batch
+    assert(rows.map(_._3).sum === pack.length.toLong)
+    // unit mass conserved through the batching
+    assert(rows.map(_._5).sum === pack.map(_.getAs[Long]("n_units")).sum)
+    rows.foreach { case (bucket, batch, n, mx, sm, pad, fill) =>
+      // bucket really is the power-of-two bin of its members' lengths
+      assert(mx >= (1L << bucket) && mx < (1L << (bucket + 1)),
+        s"bucket $bucket max $mx")
+      assert(n <= PipelineOps.LoaderBatchSeqs)
+      assert(pad === n * mx - sm)
+      // within a bucket max/min differ < 2x, so fill >= 0.5 structurally
+      assert(fill >= 0.5 && fill <= 1.0, s"bucket $bucket batch $batch fill $fill")
+    }
+    // full-batch discipline: only a bucket's LAST batch may be partial
+    rows.groupBy(_._1).foreach { case (bucket, bs) =>
+      val lastId = bs.map(_._2).max
+      bs.filter(_._2 != lastId).foreach(b =>
+        assert(b._3 === PipelineOps.LoaderBatchSeqs,
+          s"bucket $bucket batch ${b._2} not full"))
+      // batch ids are dense 0..last
+      assert(bs.map(_._2).sorted.toSeq === (0L to lastId).toSeq)
+    }
+    // the corpus genuinely spans several length buckets (non-vacuous)
+    assert(rows.map(_._1).distinct.length >= 3)
+  }
+
+  test("q183 soft-dedup weights: exact pack membership, cluster sizes from the cc50 labels, half-away weights") {
+    val pack = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_units"), r.getAs[Long]("shard"))).toMap
+    val labels = operators.DedupOps.q74(spark, SF)
+      .select(col("doc_id"), col("root")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val csize = labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rows = PipelineOps.q183(spark, SF).collect()
+    // one weighted row per pack sequence, nothing added or dropped
+    assert(rows.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("chunk_id"))).toSet === pack.keySet)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))
+      assert((r.getAs[Long]("n_units"), r.getAs[Long]("shard")) === pack(k))
+      val cs = csize(labels(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("csize") === cs)
+      // exact half-away micros: 10^6 / csize
+      assert(r.getAs[Long]("w_micros") === (2L * 1000000L + cs) / (2L * cs))
+    }
+    // soft dedup is non-vacuous here: real multi-doc clusters downweight
+    assert(rows.exists(_.getAs[Long]("csize") > 1L))
+    assert(rows.exists(_.getAs[Long]("w_micros") === 1000000L))
+  }
+
+  test("q184 repeat plan: exact BigInt replay, cap binds both ways, shortfall reconciles") {
+    val rows = PipelineOps.q184(spark, SF).collect()
+    // independent driver-side replay from the per-doc unit relation
+    val langOf = Tables.documents(spark, SF).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = operators.BpeOps.docUnits(spark, SF).collect()
+      .groupBy(r => langOf(r.getAs[Long]("doc_id")))
+      .view.mapValues(_.map(_.getAs[Long]("n_units")).sum).toMap
+    val tot = m.values.sum
+    def halfAway(p: BigInt, q: BigInt): BigInt = (p * 2 + q) / (q * 2)
+    val w = PipelineOps.RepeatWeights.toMap
+    assert(rows.map(_.getString(0)).toSet === w.keySet.intersect(m.keySet))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val target = halfAway(
+        BigInt(PipelineOps.RepeatFactor) * BigInt(tot) * BigInt(w(lang)),
+        BigInt(1000000L))
+      val rep = halfAway(target * 1000000L, BigInt(m(lang)))
+      val capped = rep.min(BigInt(PipelineOps.MaxRepeats * 1000000L))
+      val ach = halfAway(BigInt(m(lang)) * capped, BigInt(1000000L))
+      assert(r.getAs[Long]("m_units") === m(lang))
+      assert(r.getAs[Long]("target_units") === target.toLong)
+      assert(r.getAs[Long]("repeats_micros") === rep.toLong)
+      assert(r.getAs[Long]("capped_micros") === capped.toLong)
+      assert(r.getAs[Long]("achievable_units") === ach.toLong)
+      assert(r.getAs[Long]("shortfall_units") ===
+        (target - ach).max(BigInt(0)).toLong)
+    }
+    // the cap genuinely BINDS somewhere and genuinely doesn't elsewhere
+    assert(rows.exists(_.getAs[Long]("shortfall_units") > 0L))
+    assert(rows.exists(_.getAs[Long]("shortfall_units") === 0L))
+  }
+
+  test("q185 batch manifest: per-epoch totals identical, full batches, permutations differ across epochs") {
+    val pack = PipelineOps.q158(spark, SF).collect()
+    val rows = PipelineOps.q185(spark, SF).collect().map(r =>
+      (r.getAs[Long]("epoch"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("checksum")))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === (0 until PipelineOps.Epochs).map(_.toLong).toSet)
+    // every epoch manifests the SAME membership: identical totals
+    val totals = byEpoch.values.map(bs =>
+      (bs.map(_._3).sum, bs.map(_._4).sum, bs.map(_._5).sum)).toSeq.distinct
+    assert(totals.size === 1, s"epoch totals diverge: $totals")
+    assert(totals.head._1 === pack.length.toLong)
+    assert(totals.head._2 === pack.map(_.getAs[Long]("n_units")).sum)
+    byEpoch.foreach { case (e, bs) =>
+      val lastId = bs.map(_._2).max
+      // dense batch ids; only the last batch may be partial
+      assert(bs.map(_._2).sorted.toSeq === (0L to lastId).toSeq)
+      bs.filter(_._2 != lastId).foreach(b =>
+        assert(b._3 === PipelineOps.LoaderBatchSeqs, s"epoch $e batch ${b._2}"))
+    }
+    // but the per-batch CONTENT differs epoch to epoch (the q162 shuffle):
+    // checksum sequences are distinct across epochs
+    val sigs = byEpoch.values.map(_.sortBy(_._2).map(_._5).toSeq).toSeq
+    assert(sigs.distinct.size === PipelineOps.Epochs)
+    // deterministic: an audit replays the same manifest
+    assert(PipelineOps.q185(spark, SF).collect().map(_.toSeq.toList).toList ===
+      rows.map(t => List[Any](t._1, t._2, t._3, t._4, t._5)).toList)
+  }
 }

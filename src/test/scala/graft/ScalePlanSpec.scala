@@ -48,6 +48,13 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     assertWindowsAggregated(graft.operators.PipelineOps.q162(spark, SF), "q162")
     assertWindowsAggregated(graft.operators.PipelineOps.q166(spark, SF), "q166")
     assertWindowsAggregated(graft.operators.PipelineOps.q171(spark, SF), "q171")
+    // r13: the loader batching / bucketing ops fold their group id into
+    // the PrefixSum key (bucket-major, lang-major) — one binned scan
+    // ranks every group; the only unpartitioned windows ride the tiny
+    // group dims (≤64 buckets / ≤|langs| rows, both aggregated)
+    assertWindowsAggregated(graft.operators.PipelineOps.q179(spark, SF), "q179")
+    assertWindowsAggregated(TextOps.q180(spark, SF), "q180")
+    assertWindowsAggregated(graft.operators.PipelineOps.q185(spark, SF), "q185")
   }
 
   test("q111 warm readout scans ONE pruned partition of the standing artifact") {

@@ -414,4 +414,34 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     // every non-empty doc is covered
     assert(chunks.map(_._1).toSet === toks.filter(_._2.nonEmpty).keySet)
   }
+
+  test("q180 ppl buckets: q90 membership, exact tertile rule, buckets ordered by score within language") {
+    val q90 = TextOps.q90(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        math.rint(r.getAs[Double]("avg_logp") * 1e6).toLong).toMap
+    val rows = TextOps.q180(spark, SF).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("sc_micros"), r.getAs[String]("bucket")))
+    // membership and scores are exactly q90's (ONE shared aggregate)
+    assert(rows.map(_._1).toSet === q90.keySet)
+    rows.foreach(r => assert(r._3 === q90(r._1), s"doc ${r._1}"))
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      // exact rank-rule tertiles: head floor(n/3), middle floor(2n/3)-head
+      val nHead = rs.count(_._4 == "head")
+      val nMid = rs.count(_._4 == "middle")
+      assert(nHead === n / 3, s"$lang head")
+      assert(nHead + nMid === 2 * n / 3, s"$lang middle")
+      // buckets are score-ordered: min(head) >= max(middle) >= ... under
+      // the deterministic doc_id tiebreak (equal scores may straddle, so
+      // compare weakly)
+      def scores(b: String) = rs.filter(_._4 == b).map(_._3)
+      if (nHead > 0 && nMid > 0)
+        assert(scores("head").min >= scores("middle").max)
+      if (nMid > 0 && rs.exists(_._4 == "tail"))
+        assert(scores("middle").min >= scores("tail").max)
+    }
+    // the corpus genuinely spans several languages here (non-vacuous)
+    assert(rows.map(_._2).distinct.length >= 3)
+  }
 }
