@@ -705,6 +705,100 @@ object DedupOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- 189. incremental novelty vs a persisted shingle index (r13) ---------
+  /** [[q182]] in the ARRIVAL model: a new-docs batch scored for how much
+    * of it the EXISTING corpus has never seen — novelty here = the
+    * fraction of the arrival's distinct 3-shingles ABSENT from the
+    * corpus snapshot (for an arrival, "df = 1" means "not in the
+    * standing index at all"). The curation seam this serves: a
+    * low-novelty arrival is template/dup inflow the admission pipeline
+    * routes to dedup review, a high-novelty batch is genuinely new
+    * text — the q122 admission record's missing quality axis.
+    *
+    * Artifact: the corpus' distinct shingles bucketed on sh
+    * ([[q115Write]]'s pattern at shingle granularity — write pays the
+    * one distinct shuffle; probes are bucket-aligned with NO exchange
+    * on the index side), maintained by the same append +
+    * dedup-compaction lifecycle ([[compactBucketed]]). Probe cost is
+    * arrival-rate-sized: one anti-join on sh + two thin aggregates.
+    * FULL oracle (the split replayed with NOT EXISTS). DedupSpec:
+    * driver replay, and the lifecycle proof that folding the arrivals
+    * INTO the index drives their re-probed novelty to exactly zero. */
+  private var g189SnapshotFor: Option[String] = None
+
+  private[graft] def q189Write(s: SparkSession, oldSh: DataFrame): Unit = {
+    g189SnapshotFor = None
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_shingleindex-${s.sparkContext.applicationId}")
+    graft.TempArtifacts.register(base)
+    Bucketed.reset(s, base, "g189_shingles")
+    oldSh.select(explode(col("shs")).as("sh")).distinct()
+      .write.bucketBy(IndexBuckets, "sh")
+      .option("path", new java.io.File(base, "g189_shingles").getAbsolutePath)
+      .mode("overwrite").saveAsTable("g189_shingles")
+    graft.GenManifest.publish(base, "g189_shingles", 0L)
+  }
+
+  /** Fold a new batch's distinct shingles in by bucketed append —
+    * duplicates are harmless to the anti-join probe and collapse at
+    * [[q189Compact]]. `addSh`: (doc_id, shs). */
+  private[graft] def q189Append(s: SparkSession, addSh: DataFrame): Unit = {
+    g189SnapshotFor = None
+    addSh.select(explode(col("shs")).as("sh")).distinct()
+      .write.bucketBy(IndexBuckets, "sh").mode("append")
+      .saveAsTable("g189_shingles")
+  }
+
+  private[graft] def q189Compact(s: SparkSession): Unit =
+    compactBucketed(s, "graft_shingleindex", "g189_shingles", Seq("sh"), Nil,
+      dedupe = true)
+
+  /** The registered probe: arrivals = doc_id % [[IncrSplitMod]] == 0
+    * (the q108/q115 convention); production probes its own batch. */
+  private[graft] def q189ProbeOf(s: SparkSession, arr: DataFrame): DataFrame = {
+    val occ = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val novel = occ.join(s.table("g189_shingles"), Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    arr.filter(size(col("shs")) > 0)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        graft.functions.Num.ratio6(col("n_novel"), col("n_shingles")))
+  }
+
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    // standing-snapshot reuse (r8) — see q108
+    if (!(g189SnapshotFor.contains(dir) &&
+        s.catalog.tableExists("g189_shingles"))) {
+      q189Write(s, sh.filter(col("doc_id") % IncrSplitMod =!= 0))
+      g189SnapshotFor = Some(dir)
+    }
+    q189ProbeOf(s, sh.filter(col("doc_id") % IncrSplitMod === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q189Sql: String =
+    s"""WITH d AS ($docShSql),
+       |oldsh AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(shs) AS sh FROM d
+       |  WHERE doc_id % $IncrSplitMod <> 0),
+       |arr AS (SELECT doc_id, shs FROM d
+       |  WHERE doc_id % $IncrSplitMod = 0 AND len(shs) > 0),
+       |occ AS (SELECT doc_id, unnest(shs) AS sh FROM arr),
+       |nv AS (
+       |  SELECT doc_id, COUNT(*) AS n_novel FROM occ o
+       |  WHERE NOT EXISTS (SELECT 1 FROM oldsh x WHERE x.sh = o.sh)
+       |  GROUP BY doc_id)
+       |SELECT a.doc_id, CAST(len(a.shs) AS BIGINT) AS n_shingles,
+       |  COALESCE(nv.n_novel, 0) AS n_novel,
+       |  ${graft.functions.Num.ratio6Sql(
+            "COALESCE(nv.n_novel, 0)", "len(a.shs)")} AS novelty
+       |FROM arr a LEFT JOIN nv USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   // --- 91. duplicate-cluster size distribution (r4) ----------------------
   /** The dedup run's diagnostic readout: how much of the corpus sits in
     * duplicate clusters of which size — the number a data-curation team
@@ -2217,6 +2311,7 @@ object DedupOps {
     Op("q75_dedup_embedding_scale", q75, Some(q75Sql)),
     Op("q91_dedup_cluster_stats", q91, Some(q91Sql)),
     Op("q182_ngram_novelty", q182, Some(q182Sql)),
+    Op("q189_novelty_incremental", q189, Some(q189Sql)),
     Op("q94_dedup_degree", q94, Some(q94Sql)),
     Op("q98_dup_spans", q98, Some(q98Sql)),
     Op("q107_span_clean", q107, Some(q107Sql)),

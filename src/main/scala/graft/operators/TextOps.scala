@@ -937,6 +937,15 @@ object TextOps {
           1000000L, 0).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("lpm")).as("s"))
+      // cache(): THIN (three int64s per doc) and referenced 4-5× inside
+      // one q180/q186 plan (the scored relation feeds the lang dim, the
+      // keyed join, and PrefixSum's range + binned scans) plus across
+      // the family's three consumers (q90/q180/q186) — without it the
+      // whole bigram-LM build (explode + two corpus aggregations + the
+      // model join) re-executes per reference: 5 corpus LM passes where
+      // one suffices, the exact multiple a 100 TB run can't pay. Family
+      // cache group discipline (SparkEntry.opGroups) owns the lifetime.
+      .cache()
   }
 
   /** The exact half-away per-doc average in integer micros — the scalar

@@ -429,6 +429,25 @@ object StreamOps {
       sink(graft.operators.DedupOps.attributeVsIndex(batch, idx, k))
     }
 
+  /** Streaming NOVELTY — q189 served per micro-batch: each arriving
+    * doc scored for the fraction of its distinct 3-shingles the
+    * standing corpus index (`DedupOps.q189Write`'s bucketed artifact)
+    * has never seen — the admission pipeline's template-inflow monitor
+    * at the seam. Zero stream state: the probe is stateless against
+    * the persisted artifact (index side bucket-aligned, no exchange),
+    * so the union over micro-batches ≡ the batch q189 relation on the
+    * same split (StreamingSpec pins it), and re-delivery is idempotent
+    * per doc. `newDocs`: streaming (doc_id, text). */
+  def noveltyServe(newDocs: DataFrame)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.DedupOps.q189ProbeOf(batch.sparkSession,
+        batch.select(col("doc_id"),
+          org.apache.spark.sql.functions.array_distinct(
+            graft.text.Text.shingles(
+              graft.text.Text.tokens(col("text")), 3)).as("shs"))))
+    }
+
   /** Streaming ADMISSION — the q122 capstone served per micro-batch:
     * each arriving doc gets its near-dup / cleaned / attribution /
     * admit record against the persisted snapshot artifacts

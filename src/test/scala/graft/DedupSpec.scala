@@ -466,4 +466,43 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(rows.exists(_.getAs[Double]("novelty") === 0.0))
     assert(rows.exists(_.getAs[Double]("novelty") > 0.3))
   }
+
+  test("q189 incremental novelty: exact split replay, appending arrivals drives novelty to zero") {
+    val shs = DedupOps.docShingles(spark, SF)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("shs")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+    val mod = DedupOps.IncrSplitMod
+    val oldSet = shs.filter(_._1 % mod != 0).flatMap(_._2).toSet
+    val expect = shs.filter(p => p._1 % mod == 0 && p._2.nonEmpty)
+      .map { case (id, s2) =>
+        id -> (s2.size.toLong, s2.count(!oldSet.contains(_)).toLong)
+      }.toMap
+    val rows = DedupOps.q189(spark, SF).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === expect.keySet)
+    rows.foreach { r =>
+      val (n, novel) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_shingles") === n)
+      assert(r.getAs[Long]("n_novel") === novel, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Double]("novelty") ===
+        ((2L * novel * 1000000L + n) / (2L * n)) / 1e6)
+    }
+    // novelty genuinely discriminates on this corpus
+    assert(rows.exists(_.getAs[Long]("n_novel") > 0L))
+    // LIFECYCLE: fold the arrivals into the index (append + compaction),
+    // re-probe the same batch — every shingle is now present, so the
+    // re-probed novelty is exactly zero for every doc
+    import org.apache.spark.sql.functions.col
+    val arrivals = DedupOps.docShingles(spark, SF)
+      .filter(col("doc_id") % mod === 0)
+    DedupOps.q189Append(spark, arrivals)
+    DedupOps.q189Compact(spark)
+    val after = DedupOps.q189ProbeOf(spark, arrivals).collect()
+    assert(after.length === rows.length)
+    after.foreach(r => assert(r.getAs[Long]("n_novel") === 0L,
+      s"doc ${r.getAs[Long]("doc_id")} still novel after append"))
+    // rebuild the canonical snapshot for any later consumer in this JVM
+    DedupOps.q189Write(spark, DedupOps.docShingles(spark, SF)
+      .filter(col("doc_id") % mod =!= 0))
+  }
 }

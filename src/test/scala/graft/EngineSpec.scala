@@ -8,13 +8,14 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
     // r13: +q174/q177/q178 (full oracle), +q175/q176 (trained/artifact —
-    // rows-only by design, spec-reconciled), +q179–q188 (loader batching,
+    // rows-only by design, spec-reconciled), +q179–q189 (loader batching,
     // ppl buckets + their sampling action, fertility gate, novelty,
     // soft-dedup weights + their effective-mass manifest, repeat plan,
-    // batch manifest, cell-quota diversity sample — all full oracle)
-    assert(SparkEntry.queries.size === 188)
+    // batch manifest, cell-quota diversity sample, incremental novelty —
+    // all full oracle)
+    assert(SparkEntry.queries.size === 189)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 171)
+    assert(SparkEntry.oracleSql.size === 172)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

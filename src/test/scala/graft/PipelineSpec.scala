@@ -1186,4 +1186,30 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(PipelineOps.q185(spark, SF).collect().map(_.toSeq.toList).toList ===
       rows.map(t => List[Any](t._1, t._2, t._3, t._4, t._5)).toList)
   }
+
+  test("q188 effective-mass manifest: reconciles with q183 per shard, duplication tax visible") {
+    val w = PipelineOps.q183(spark, SF).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_units"), r.getAs[Long]("w_micros")))
+    val rows = PipelineOps.q188(spark, SF).collect()
+    assert(rows.map(_.getAs[Long]("shard")).toSet === w.map(_._1).toSet)
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      val ms = w.filter(_._1 == shard)
+      assert(r.getAs[Long]("n_seqs") === ms.length.toLong)
+      assert(r.getAs[Long]("n_docs") === ms.map(_._2).distinct.length.toLong)
+      val raw = ms.map(_._3).sum
+      assert(r.getAs[Long]("raw_units") === raw)
+      // exact half-away over the unit-micros sum
+      val effMicros = ms.map(m => BigInt(m._3) * BigInt(m._4)).sum
+      val eff = ((effMicros * 2 + 1000000L) / (2L * 1000000L)).toLong
+      assert(r.getAs[Long]("effective_units") === eff)
+      // weights <= 1 => effective never exceeds raw
+      assert(r.getAs[Long]("effective_units") <= raw)
+    }
+    // the duplication tax is visible: some shard's effective mass is
+    // strictly below its raw mass (the corpus carries real dup clusters)
+    assert(rows.exists(r =>
+      r.getAs[Long]("effective_units") < r.getAs[Long]("raw_units")))
+  }
 }

@@ -620,4 +620,43 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       wmean(shifted, "n_idx", "mean_idx_micros"),
       "shifted batch should fit the frozen cells worse")
   }
+
+  test("q187 cell quota: at most CellQuota per cell, deterministic md5 rank, sparse cells survive whole") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, SF)
+    val assigned = SimOps.assignToCells(SimOps.withNorm(e),
+      SimOps.cellsAsRow(SimOps.centroidCells(e)))
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("cell_id").longValue())
+    def skey(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"divs:$id".getBytes("UTF-8"))
+      BigInt(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // driver-side replay: per cell, the CellQuota lowest (skey, vec_id)
+    val expect = assigned.groupBy(_._2).flatMap { case (cell, ms) =>
+      ms.sortBy(m => (skey(m._1), m._1)).take(SimOps.CellQuota)
+        .zipWithIndex.map { case ((id, _), i) => id -> (cell, i + 1L) }.toSeq
+    }
+    val df = SimOps.q187(spark, SF)
+    // scale path: the rank <= quota filter compiles to a map-side
+    // WindowGroupLimit — a dense cell never lands whole on one task
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet === expect.keySet.toSet)
+    rows.foreach { r =>
+      val (cell, rank) = expect(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Number]("cell_id").longValue() === cell)
+      assert(r.getAs[Long]("cell_rank") === rank)
+    }
+    // quota discipline + coverage: every nonempty cell contributes
+    // min(quota, |cell|) members — dense cells capped, sparse kept whole
+    val perCell = rows.groupBy(_.getAs[Number]("cell_id").longValue())
+      .view.mapValues(_.length).toMap
+    assigned.groupBy(_._2).foreach { case (cell, ms) =>
+      assert(perCell(cell) === math.min(SimOps.CellQuota, ms.length), s"cell $cell")
+    }
+    // the cap genuinely binds somewhere (a dense cell exists)
+    assert(assigned.groupBy(_._2).values.exists(_.length > SimOps.CellQuota))
+  }
 }

@@ -543,6 +543,43 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     idx.unpersist()
   }
 
+  test("streaming novelty ≡ batch q189 on the split, zero state, arrival-sized probes") {
+    implicit val ctx = spark.sqlContext
+    val mod = DedupOps.IncrSplitMod
+    // the registered probe builds (or reuses) the standing snapshot
+    // artifact and is the expectation
+    val want = DedupOps.q189(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val mk = Tables.documents(spark, SF)
+      .filter(col("doc_id") % mod === 0)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+      .map { case (id, src, t) => SrcDoc(id, src, t) }.toSeq
+    val (h1, h2) = mk.splitAt(mk.length / 2)
+    val ms = MemoryStream[SrcDoc]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val q = StreamOps.noveltyServe(ms.toDF().select("doc_id", "text")) { out =>
+      buf ++= out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }.start()
+    try {
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+    } finally { q.stop() }
+    // batch-disjoint docs => union over micro-batches ≡ the batch probe
+    assert(buf.toSet === want)
+    assert(buf.nonEmpty)
+    // idempotent re-delivery: the probe is a pure function of the
+    // arrival batch and the standing artifact — re-probing the same
+    // docs yields identical rows (zero stream state to corrupt)
+    val again = DedupOps.q189ProbeOf(spark,
+      DedupOps.docShingles(spark, SF).filter(col("doc_id") % mod === 0))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty"))).toSet
+    assert(again === want)
+  }
+
   test("streaming admission ≡ batch q122 on the split, idempotent per doc") {
     implicit val ctx = spark.sqlContext
     val mod = DedupOps.IncrSplitMod

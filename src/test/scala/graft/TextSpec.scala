@@ -444,4 +444,34 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     // the corpus genuinely spans several languages here (non-vacuous)
     assert(rows.map(_._2).distinct.length >= 3)
   }
+
+  test("q186 ppl mix: head kept whole, draw replays driver-side, inverse-propensity weights exact") {
+    val buckets = TextOps.q180(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("sc_micros"),
+          r.getAs[String]("bucket"))).toMap
+    val rows = TextOps.q186(spark, SF).collect()
+    val rates = TextOps.PplMixRates.toMap
+    def u(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pplmix:$id".getBytes("UTF-8"))
+      (BigInt(d.map("%02x".format(_)).mkString.take(15), 16) % 1000000).toLong
+    }
+    // membership is EXACTLY the q180 bucket relation under the md5 draw
+    val expect = buckets.filter { case (id, (_, _, b)) => u(id) < rates(b) }
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === expect.keySet)
+    rows.foreach { r =>
+      val (lang, sc, b) = buckets(r.getAs[Long]("doc_id"))
+      assert((r.getAs[String]("lang"), r.getAs[Long]("sc_micros"),
+        r.getAs[String]("bucket")) === ((lang, sc, b)))
+      // exact half-away inverse-propensity weight
+      val rate = rates(b)
+      assert(r.getAs[Double]("weight") ===
+        ((2L * 1000000L * 1000000L + rate) / (2L * rate)) / 1e6)
+    }
+    // rate-1.0 bucket keeps EVERY member; the others genuinely downsample
+    val headIds = buckets.collect { case (id, (_, _, "head")) => id }.toSet
+    assert(headIds.subsetOf(rows.map(_.getAs[Long]("doc_id")).toSet))
+    assert(rows.length < buckets.size, "down-sampling must drop something")
+  }
 }
