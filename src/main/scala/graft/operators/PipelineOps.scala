@@ -1677,10 +1677,26 @@ object PipelineOps {
     pack.repartition(col("shard"))
       .write.partitionBy("shard")
       .parquet(packDir(base, next, name).getAbsolutePath)
+    // persist the MANIFEST beside the data (r13 — q190's audit seam):
+    // the stored manifest describes what this publish SHIPPED, so a
+    // later integrity audit can diff the artifact's recomputed manifest
+    // against it without trusting the artifact it is auditing
+    sequenceManifestOf(packReadAt(s, base, next, name))
+      .write.parquet(packDir(base, next, name + "mf").getAbsolutePath)
     graft.GenManifest.publish(base, name, next)
-      .foreach(g => graft.GenManifest.rmTree(packDir(base, g, name)))
+      .foreach { g =>
+        graft.GenManifest.rmTree(packDir(base, g, name))
+        graft.GenManifest.rmTree(packDir(base, g, name + "mf"))
+      }
     next
   }
+
+  /** The manifest persisted with generation `gen` of `name` (what that
+    * publish shipped — [[packWrite]]/[[packCompactArtifact]] write it). */
+  private[graft] def packManifestRead(s: SparkSession, base: java.io.File,
+      name: String = "pack"): DataFrame =
+    s.read.parquet(packDir(base,
+      graft.GenManifest.current(base, name), name + "mf").getAbsolutePath)
 
   /** The artifact's sequences at the CURRENT generation (shard restored
     * to int64 — partition-column inference narrows it — and the build's
@@ -1773,8 +1789,16 @@ object PipelineOps {
       .repartition(col("shard"))
       .write.partitionBy("shard")
       .parquet(packDir(base, next).getAbsolutePath)
+    // compaction re-publishes the artifact's truth: the fresh stored
+    // manifest now DESCRIBES the compacted generation (served appends
+    // absorbed), so q190's audit goes back to all-`same`
+    sequenceManifestOf(packReadAt(s, base, next))
+      .write.parquet(packDir(base, next, "packmf").getAbsolutePath)
     graft.GenManifest.publish(base, "pack", next, retain, Some(cur))
-      .foreach(g => graft.GenManifest.rmTree(packDir(base, g)))
+      .foreach { g =>
+        graft.GenManifest.rmTree(packDir(base, g))
+        graft.GenManifest.rmTree(packDir(base, g, "packmf"))
+      }
   }
 
   /** Artifact round-trip ≡ in-memory build: the oracle replays q159's
@@ -2062,6 +2086,48 @@ object PipelineOps {
        |  FROM pk GROUP BY shard)
        |$manifestDiffSelectSql""".stripMargin
 
+  // --- 190. artifact integrity audit (r13) -----------------------------------
+  /** The trust-but-verify seam a long-lived 100 TB artifact needs: every
+    * publish ([[packWrite]] / [[packCompactArtifact]]) now persists the
+    * manifest BESIDE the data — what that publish shipped — and this op
+    * recomputes the manifest from the artifact's CURRENT files and
+    * diffs it against the stored one through [[manifestDiff]]'s status
+    * rule. `same` everywhere = the artifact still bit-holds what was
+    * published (counts, masses, end offsets, membership fingerprints);
+    * `removed`/`changed` = lost partitions or bit-rot; `changed` on a
+    * shard that took served appends = the documented run-ahead state a
+    * compaction re-publish clears (the stored manifest describes
+    * publishes, not in-flight appends). PipelineSpec drives the whole
+    * lifecycle: clean audit → forged append flags exactly its shard →
+    * compaction republishes truth → audit clean again → a deleted shard
+    * directory reads as `removed` → rebuild recovers.
+    *
+    * Scale shape: one map-side-combined manifest aggregate over the
+    * artifact scan + a manifest-sized full outer join against the
+    * stored parquet (shard-count rows both sides). FULL oracle: both
+    * sides replay as the q158 chain's manifest (fresh artifact), so the
+    * hash compare proves stored ≡ recomputed ≡ the build — through two
+    * independent disk paths. */
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    val base = q165Ensure(s, dir)
+    manifestDiff(packManifestRead(s, base),
+      sequenceManifestOf(packRead(s, base)))
+  }
+
+  lazy val q190Sql: String =
+    s"""WITH pk AS (SELECT * FROM ($q158Sql) x),
+       |mo AS (
+       |  SELECT shard, COUNT(*) AS old_seqs, CAST(SUM(n_units) AS BIGINT) AS old_units,
+       |    MAX(cum_units) AS old_end,
+       |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS old_ids
+       |  FROM pk GROUP BY shard),
+       |mn AS (
+       |  SELECT shard, COUNT(*) AS new_seqs, CAST(SUM(n_units) AS BIGINT) AS new_units,
+       |    MAX(cum_units) AS new_end,
+       |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS new_ids
+       |  FROM pk GROUP BY shard)
+       |$manifestDiffSelectSql""".stripMargin
+
   // --- 174. the decontaminated REPACK (r13) ----------------------------------
   /** [[q173]] closes with a FLAG; this op closes with the ACTION: re-pack
     * the surviving (unflagged) chunks under the shard budget and publish
@@ -2277,7 +2343,10 @@ object PipelineOps {
     * chain. */
   val LoaderBatchSeqs = 8L
 
-  def q179(s: SparkSession, dir: String): DataFrame = {
+  /** The per-batch relation behind [[q179]] (unordered) and [[q191]]'s
+    * epoch scheduling — ONE builder, so the batch-formation rule cannot
+    * drift between the readout and the consumption order. */
+  private def lengthBatches(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Num
     val lb = sequencePack(s, dir)
@@ -2305,12 +2374,16 @@ object PipelineOps {
         col("n_seqs") * col("max_units") - col("sum_units"))
       .withColumn("fill",
         Num.ratio6(col("sum_units"), col("n_seqs") * col("max_units")))
-      .orderBy(col("bucket"), col("batch_id"))
   }
 
-  lazy val q179Sql: String = {
-    import graft.functions.Num
-    s"""WITH lb AS (
+  def q179(s: SparkSession, dir: String): DataFrame =
+    lengthBatches(s, dir).orderBy(col("bucket"), col("batch_id"))
+
+  /** The batch-formation chain as spliceable CTEs ending in
+    * `bt(bucket, batch_id, n_seqs, max_units, sum_units)` — shared by
+    * [[q179Sql]] and [[q191Sql]]. */
+  private lazy val lengthBatchesCtesSql: String =
+    s"""lb AS (
        |  SELECT doc_id, chunk_id, n_units,
        |    CAST(length(bin(n_units)) - 1 AS BIGINT) AS bucket,
        |    CAST(('0x' || substr(md5('lb:' || CAST(doc_id AS VARCHAR) || ':' ||
@@ -2325,13 +2398,65 @@ object PipelineOps {
        |bt AS (
        |  SELECT bucket, batch_id, COUNT(*) AS n_seqs,
        |    MAX(n_units) AS max_units, CAST(SUM(n_units) AS BIGINT) AS sum_units
-       |  FROM lbr GROUP BY bucket, batch_id)
+       |  FROM lbr GROUP BY bucket, batch_id)""".stripMargin
+
+  lazy val q179Sql: String = {
+    import graft.functions.Num
+    s"""WITH $lengthBatchesCtesSql
        |SELECT bucket, batch_id, n_seqs, max_units, sum_units,
        |  n_seqs * max_units - sum_units AS pad_units,
        |  ${Num.ratio6Sql("sum_units", "n_seqs * max_units")} AS fill
        |FROM bt
        |ORDER BY bucket, batch_id""".stripMargin
   }
+
+  // --- 191. per-epoch batch schedule (r13) ------------------------------------
+  /** The consumption order a bucketed-batching loader ACTUALLY runs:
+    * [[q179]] forms padding-efficient batches by length bucket, but
+    * consuming them bucket-by-bucket would feed the model all-short
+    * then all-long sequences (a known curriculum artifact) — so the
+    * loader shuffles the BATCHES, not the sequences, each epoch:
+    * intra-batch locality (and its pad efficiency) is preserved, the
+    * schedule decorrelates from length. Same seeded draw law as
+    * [[q162]] under a fresh prefix: a pure function of (seed, epoch,
+    * bucket, batch), replayable on a fresh cluster.
+    *
+    * Scale shape: the batch relation is corpus/B-sized (still
+    * cluster-scale at 100 TB — never driver-held), ranked by the SAME
+    * per-epoch PrefixSum binned scans as q162 (the md5 okey is the
+    * hash-spread bin key; tiebreak (bucket, batch_id)). FULL oracle:
+    * the shared batch CTEs crossed with the epoch range under one
+    * per-epoch ROW_NUMBER. */
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    val bt = lengthBatches(s, dir)
+      .select(col("bucket"), col("batch_id"), col("n_seqs"), col("sum_units"))
+    (0 until Epochs).map { e =>
+      graft.functions.PrefixSum.withRunningSum(
+        bt.withColumn("epoch", lit(e.toLong))
+          .withColumn("okey",
+            conv(substring(md5(concat(lit(s"bb:$EpochSeed:$e:"), col("bucket"),
+              lit(":"), col("batch_id"))), 1, 15), 16, 10).cast("long"))
+          .withColumn("one", lit(1L)),
+        "okey", Seq("bucket", "batch_id"), "one", "batch_rank")
+    }.reduce(_ unionAll _)
+      .select(col("epoch"), col("batch_rank"), col("bucket"), col("batch_id"),
+        col("n_seqs"), col("sum_units"))
+      .orderBy(col("epoch"), col("batch_rank"))
+  }
+
+  lazy val q191Sql: String =
+    s"""WITH $lengthBatchesCtesSql
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY okey, bucket, batch_id) AS BIGINT) AS batch_rank,
+       |  bucket, batch_id, n_seqs, sum_units
+       |FROM (
+       |  SELECT e.epoch, b.bucket, b.batch_id, b.n_seqs, b.sum_units,
+       |    CAST(('0x' || substr(md5('bb:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
+       |      CAST(b.bucket AS VARCHAR) || ':' || CAST(b.batch_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM bt b CROSS JOIN
+       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e) k
+       |ORDER BY epoch, batch_rank""".stripMargin
 
   // --- 183. duplication-aware loss weights on the pack (r13) ----------------
   /** SOFT dedup — the alternative to cutting duplicates that production
@@ -2615,10 +2740,12 @@ object PipelineOps {
     Op("q174_decontam_repack", q174, Some(q174Sql)),
     Op("q178_clean_epoch_order", q178, Some(q178Sql)),
     Op("q167_manifest_diff", q167, Some(q167Sql)),
+    Op("q190_pack_audit", q190, Some(q190Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),
     Op("q171_curriculum_order", q171, Some(q171Sql)),
     Op("q179_length_batches", q179, Some(q179Sql)),
+    Op("q191_batch_schedule", q191, Some(q191Sql)),
     Op("q185_batch_manifest", q185, Some(q185Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),

@@ -11,11 +11,12 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // rows-only by design, spec-reconciled), +q179–q189 (loader batching,
     // ppl buckets + their sampling action, fertility gate, novelty,
     // soft-dedup weights + their effective-mass manifest, repeat plan,
-    // batch manifest, cell-quota diversity sample, incremental novelty —
+    // batch manifest, cell-quota diversity sample, incremental novelty,
+    // artifact integrity audit —
     // all full oracle)
-    assert(SparkEntry.queries.size === 189)
+    assert(SparkEntry.queries.size === 191)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 172)
+    assert(SparkEntry.oracleSql.size === 174)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -1212,4 +1212,72 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(rows.exists(r =>
       r.getAs[Long]("effective_units") < r.getAs[Long]("raw_units")))
   }
+
+  test("q190 pack audit lifecycle: clean, forged append flags its shard, compaction republishes, lost shard removed, rebuild recovers") {
+    import spark.implicits._
+    val base = PipelineOps.q165Ensure(spark, SF)
+    // 1. a fresh artifact audits clean: stored ≡ recomputed on every shard
+    val a0 = PipelineOps.q190(spark, SF).collect()
+    assert(a0.nonEmpty)
+    assert(a0.forall(_.getAs[String]("status") == "same"), a0.mkString("\n"))
+    // 2. a served append lands in shard 0 WITHOUT a manifest republish:
+    // the audit flags exactly that shard as the documented run-ahead
+    val served = Seq((-1L, 0L, 1L, 5L, 5L, 0L))
+      .toDF("doc_id", "chunk_id", "n_tokens", "n_units", "cum_units", "shard")
+    val langs = Seq((-1L, "en")).toDF("doc_id", "lang")
+    PipelineOps.packAppendServed(spark, base, served, langs)
+    val a1 = PipelineOps.q190(spark, SF).collect()
+    assert(a1.filter(_.getAs[Long]("shard") == 0L)
+      .forall(_.getAs[String]("status") == "changed"))
+    assert(a1.filter(_.getAs[Long]("shard") != 0L)
+      .forall(_.getAs[String]("status") == "same"))
+    // 3. compaction re-publishes the artifact's truth (forged row and
+    // all): the fresh stored manifest describes it — audit clean again
+    PipelineOps.packCompactArtifact(spark, base)
+    val a2 = PipelineOps.q190(spark, SF).collect()
+    assert(a2.forall(_.getAs[String]("status") == "same"), a2.mkString("\n"))
+    // 4. a lost shard directory (bit-rot / partial restore) reads as
+    // `removed`: the stored manifest still lists what was published
+    val cur = graft.GenManifest.current(base, "pack")
+    graft.GenManifest.rmTree(
+      new java.io.File(PipelineOps.packDir(base, cur), "shard=0"))
+    val a3 = PipelineOps.q190(spark, SF).collect()
+    assert(a3.filter(_.getAs[Long]("shard") == 0L)
+      .forall(_.getAs[String]("status") == "removed"))
+    assert(a3.filter(_.getAs[Long]("shard") != 0L)
+      .forall(_.getAs[String]("status") == "same"))
+    // 5. a rebuild publishes a fresh generation — audit recovers, and
+    // the artifact again holds exactly the build's sequences
+    PipelineOps.packWrite(spark, base, PipelineOps.q158(spark, SF))
+    val a4 = PipelineOps.q190(spark, SF).collect()
+    assert(a4.forall(_.getAs[String]("status") == "same"))
+    assert(a4.map(_.getAs[Long]("new_seqs")).sum ===
+      PipelineOps.q158(spark, SF).count())
+  }
+
+  test("q191 batch schedule: exact q179 membership per epoch, dense ranks, buckets interleave, distinct permutations") {
+    val batches = PipelineOps.q179(spark, SF).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("batch_id")) ->
+        (r.getAs[Long]("n_seqs"), r.getAs[Long]("sum_units"))).toMap
+    val rows = PipelineOps.q191(spark, SF).collect().map(r =>
+      (r.getAs[Long]("epoch"), r.getAs[Long]("batch_rank"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("sum_units")))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === (0 until PipelineOps.Epochs).map(_.toLong).toSet)
+    byEpoch.foreach { case (e, bs) =>
+      // every epoch schedules EXACTLY q179's batches, masses intact
+      assert(bs.map(b => (b._3, b._4)).toSet === batches.keySet, s"epoch $e")
+      bs.foreach(b => assert((b._5, b._6) === batches((b._3, b._4))))
+      // dense 1..N ranks
+      assert(bs.map(_._2).sorted.toSeq === (1L to batches.size).toSeq)
+      // the POINT of the batch shuffle: the schedule is not
+      // bucket-sorted — short and long batches interleave
+      val order = bs.sortBy(_._2).map(_._3)
+      assert(order.toSeq !== order.sorted.toSeq, s"epoch $e is bucket-sorted")
+    }
+    // distinct permutations across epochs
+    val sigs = byEpoch.values.map(_.sortBy(_._2).map(b => (b._3, b._4)).toSeq).toSeq
+    assert(sigs.distinct.size === PipelineOps.Epochs)
+  }
 }
