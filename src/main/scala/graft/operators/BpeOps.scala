@@ -809,8 +809,13 @@ object BpeOps {
         count(lit(1)).as("n_tokens"),
         sum(col("units")).as("n_units"),
         sum(length(col("token"))).as("n_chars"))
+      // ratio6Big, not ratio6: per-LANGUAGE unit/char masses are
+      // corpus-scale (a majority language at the 100 TB design point
+      // exceeds ratio6's int64 |p| ≤ ~4.6e12 product bound — the q184/
+      // q188 regime); bit-identical to ratio6 wherever both are in
+      // range (MixDecimalSpec), so the oracle hash is unchanged
       .withColumn("fertility",
-        graft.functions.Num.ratio6(col("n_units"), col("n_chars")))
+        graft.functions.Num.ratio6Big(col("n_units"), col("n_chars")))
       .withColumn("gate_ok",
         when(col("fertility") <= FertilityGateCeiling, 1L).otherwise(0L))
       .orderBy(col("lang"))
@@ -828,8 +833,10 @@ object BpeOps {
        |  JOIN mapping USING (token)
        |  GROUP BY lang)
        |SELECT lang, n_docs, n_tokens, n_units, n_chars,
-       |  ${graft.functions.Num.ratio6Sql("n_units", "n_chars")} AS fertility,
-       |  CAST(CASE WHEN ${graft.functions.Num.ratio6Sql("n_units", "n_chars")}
+       |  ${graft.functions.Num.ratio6Sql(
+            "CAST(n_units AS HUGEINT)", "n_chars")} AS fertility,
+       |  CAST(CASE WHEN ${graft.functions.Num.ratio6Sql(
+            "CAST(n_units AS HUGEINT)", "n_chars")}
        |    <= $FertilityGateCeiling THEN 1 ELSE 0 END AS BIGINT) AS gate_ok
        |FROM f
        |ORDER BY lang""".stripMargin

@@ -2374,6 +2374,12 @@ object PipelineOps {
         col("n_seqs") * col("max_units") - col("sum_units"))
       .withColumn("fill",
         Num.ratio6(col("sum_units"), col("n_seqs") * col("max_units")))
+      // cache(): THIN (five int64s + a double per batch, corpus/B rows)
+      // and referenced Epochs times inside one q191 plan plus by q179 —
+      // without it the whole batch-formation chain (PrefixSum ranked
+      // scan + offset join + aggregate) re-executes per reference
+      // (the lmDocAgg rule). Family cache group owns the lifetime.
+      .cache()
   }
 
   def q179(s: SparkSession, dir: String): DataFrame =
