@@ -1183,6 +1183,49 @@ object PipelineOps {
        |   OR (epoch = $ResumeEpoch AND seq_rank > $ResumeRank)
        |ORDER BY epoch, seq_rank""".stripMargin
 
+  // --- 193. data-parallel worker shard of the epoch stream (r13) -------------
+  /** The DDP loader contract the epoch stream is consumed UNDER: with W
+    * data-parallel workers, worker w reads exactly the ranks ≡ w
+    * (mod W) of each epoch's [[q162]] permutation — slices are disjoint
+    * by construction, their union is the epoch, and each worker's
+    * stream is a pure function of (seed, epoch, W, w): a re-spawned
+    * worker recomputes its slice with no coordination (the q166 resume
+    * rule, horizontally). The registered entry stands in worker
+    * [[WorkerId]] of [[Workers]]; `worker_step` renumbers the slice
+    * densely (the worker's own step counter — global step =
+    * worker_step for every worker, which is what keeps gradient
+    * accumulation aligned).
+    *
+    * Scale shape: [[epochOrdered]]'s per-epoch PrefixSum scans + a
+    * map-side modulo filter — the slice never shuffles again. FULL
+    * oracle: the q162 body under the same predicate with the same
+    * renumbering. */
+  val Workers = 4L
+  val WorkerId = 1L
+
+  def q193(s: SparkSession, dir: String): DataFrame =
+    workerSlice(s, dir, Workers, WorkerId)
+      .orderBy(col("epoch"), col("worker_step"))
+
+  /** Worker `w`'s slice of the epoch stream — [[q193]]'s core, exposed
+    * so PipelineSpec can quantify over all W workers. */
+  private[graft] def workerSlice(s: SparkSession, dir: String, workers: Long,
+      w: Long): DataFrame =
+    epochOrdered(s, dir)
+      .filter((col("seq_rank") - 1) % workers === w)
+      .withColumn("worker_step",
+        expr(s"(seq_rank - 1 - $w) div ${workers}L + 1L"))
+      .select(col("epoch"), col("worker_step"), col("seq_rank"),
+        col("doc_id"), col("chunk_id"), col("shard"))
+
+  lazy val q193Sql: String =
+    s"""SELECT epoch,
+       |  CAST((seq_rank - 1 - $WorkerId) // $Workers + 1 AS BIGINT) AS worker_step,
+       |  seq_rank, doc_id, chunk_id, shard
+       |FROM ($epochOrderedSql) r
+       |WHERE (seq_rank - 1) % $Workers = $WorkerId
+       |ORDER BY epoch, worker_step""".stripMargin
+
   // --- 171. curriculum epoch ordering (r12) ---------------------------------
   /** The CURRICULUM data schedule loaders actually run: epoch 0 consumes
     * the pack's sequences in QUALITY order — highest stopword-ratio
@@ -2558,6 +2601,79 @@ object PipelineOps {
        |ORDER BY shard""".stripMargin
   }
 
+  // --- 192. shard-level mixture skew report (r13) -----------------------------
+  /** The mixture-preservation QA a loader-facing build ships with: the
+    * q120 fixpoint fixes the CORPUS-level language mixture, but a
+    * training step reads SHARDS ([[q172]]/[[q177]]) — if the pack's
+    * hash order ever correlated with language, per-step batches would
+    * see a skewed mixture even though the corpus total is exact. One
+    * row per (shard, lang): the shard's unit share of that language vs
+    * the pack-wide share, and the absolute skew in micros — the number
+    * a build report alarms on. Shares are exact half-away micros on
+    * the DECIMAL(38,0) lattice (shard and corpus unit masses — the
+    * q184 regime).
+    *
+    * Scale shape: two map-side-combined aggregates over the pack memo
+    * ((shard, lang) and lang) + a broadcast of the ≤\|langs\| global
+    * share relation + a shard-keyed thin join of per-shard totals.
+    * FULL oracle: the q158 chain nested once, same three aggregates. */
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val pack = sequencePack(s, dir)
+      .select(col("shard"), col("lang"), col("n_units"))
+    val cell = pack.groupBy(col("shard"), col("lang"))
+      .agg(sum(col("n_units")).as("units"))
+    val perShard = cell.groupBy(col("shard"))
+      .agg(sum(col("units")).as("shard_units"))
+    val global = cell.groupBy(col("lang"))
+      .agg(sum(col("units")).as("lang_units"))
+      .crossJoin(broadcast(
+        pack.agg(sum(col("n_units")).as("total_units"))))
+      .select(col("lang"),
+        Num.idivHalfAwayBig(
+          Num.big(col("lang_units")) * Num.big(lit(1000000L)),
+          col("total_units")).cast("long").as("global_micros"))
+    cell.join(perShard, "shard")
+      .withColumn("share_micros",
+        Num.idivHalfAwayBig(
+          Num.big(col("units")) * Num.big(lit(1000000L)),
+          col("shard_units")).cast("long"))
+      .join(broadcast(global), "lang")
+      .withColumn("skew_micros",
+        abs(col("share_micros") - col("global_micros")))
+      .select(col("shard"), col("lang"), col("units"), col("share_micros"),
+        col("global_micros"), col("skew_micros"))
+      .orderBy(col("shard"), col("lang"))
+  }
+
+  lazy val q192Sql: String = {
+    import graft.functions.Num
+    s"""WITH pk AS (SELECT shard, lang, n_units FROM ($q158Sql) _x),
+       |cell AS (
+       |  SELECT shard, lang, CAST(SUM(n_units) AS BIGINT) AS units
+       |  FROM pk GROUP BY shard, lang),
+       |pshard AS (
+       |  SELECT shard, CAST(SUM(units) AS BIGINT) AS shard_units
+       |  FROM cell GROUP BY shard),
+       |gtot AS (SELECT CAST(SUM(n_units) AS BIGINT) AS total_units FROM pk),
+       |gshare AS (
+       |  SELECT lang,
+       |    CAST(${Num.idivHalfAwaySql(
+              "CAST(SUM(units) AS HUGEINT) * 1000000",
+              "(SELECT total_units FROM gtot)")} AS BIGINT) AS global_micros
+       |  FROM cell GROUP BY lang)
+       |SELECT c.shard, c.lang, c.units,
+       |  CAST(${Num.idivHalfAwaySql(
+            "CAST(c.units AS HUGEINT) * 1000000", "p.shard_units")}
+       |    AS BIGINT) AS share_micros,
+       |  g.global_micros,
+       |  ABS(CAST(${Num.idivHalfAwaySql(
+            "CAST(c.units AS HUGEINT) * 1000000", "p.shard_units")}
+       |    AS BIGINT) - g.global_micros) AS skew_micros
+       |FROM cell c JOIN pshard p USING (shard) JOIN gshare g USING (lang)
+       |ORDER BY shard, lang""".stripMargin
+  }
+
   // --- 184. data-constrained repeat planner (r13) ----------------------------
   /** The pretraining-budget planning readout (the data-constrained
     * scaling question — Muennighoff et al. 2023, arXiv:2305.16264): given
@@ -2749,12 +2865,14 @@ object PipelineOps {
     Op("q190_pack_audit", q190, Some(q190Sql)),
     Op("q162_epoch_order", q162, Some(q162Sql)),
     Op("q166_loader_resume", q166, Some(q166Sql)),
+    Op("q193_worker_shard", q193, Some(q193Sql)),
     Op("q171_curriculum_order", q171, Some(q171Sql)),
     Op("q179_length_batches", q179, Some(q179Sql)),
     Op("q191_batch_schedule", q191, Some(q191Sql)),
     Op("q185_batch_manifest", q185, Some(q185Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
+    Op("q192_shard_mix_report", q192, Some(q192Sql)),
     Op("q184_repeat_plan", q184, Some(q184Sql)),
     Op("q150_split_leakage_free", q150, Some(q150Sql)),
   )

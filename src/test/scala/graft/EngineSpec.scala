@@ -14,9 +14,9 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // batch manifest, cell-quota diversity sample, incremental novelty,
     // artifact integrity audit —
     // all full oracle)
-    assert(SparkEntry.queries.size === 191)
+    assert(SparkEntry.queries.size === 193)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 174)
+    assert(SparkEntry.oracleSql.size === 176)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

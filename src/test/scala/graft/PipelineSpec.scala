@@ -1280,4 +1280,74 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val sigs = byEpoch.values.map(_.sortBy(_._2).map(b => (b._3, b._4)).toSeq).toSeq
     assert(sigs.distinct.size === PipelineOps.Epochs)
   }
+
+  test("q192 shard mix report: exact BigInt share replay, shares sum to ~1 per shard, skew reconciles") {
+    val pack = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_units")))
+    def halfAway(p2: BigInt, q2: BigInt): BigInt = (p2 * 2 + q2) / (q2 * 2)
+    val cell = pack.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val perShard = pack.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val total = pack.map(_._3).sum
+    val globalM = pack.groupBy(_._2).view.mapValues(ms =>
+      halfAway(BigInt(ms.map(_._3).sum) * 1000000L, BigInt(total)).toLong).toMap
+    val rows = PipelineOps.q192(spark, SF).collect()
+    assert(rows.map(r => (r.getAs[Long]("shard"), r.getAs[String]("lang")))
+      .toSet === cell.keySet)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("shard"), r.getAs[String]("lang"))
+      assert(r.getAs[Long]("units") === cell(k))
+      val share = halfAway(BigInt(cell(k)) * 1000000L,
+        BigInt(perShard(k._1))).toLong
+      assert(r.getAs[Long]("share_micros") === share)
+      assert(r.getAs[Long]("global_micros") === globalM(k._2))
+      assert(r.getAs[Long]("skew_micros") === math.abs(share - globalM(k._2)))
+    }
+    // per-shard shares sum to 1 within rounding slack (#langs half-aways)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val sum = rs.map(_.getAs[Long]("share_micros")).sum
+      assert(math.abs(sum - 1000000L) <= rs.length.toLong, s"shard $sh: $sum")
+    }
+    // the hash pack order genuinely decorrelates language: no shard is
+    // single-language (skew never hits the 10^6 degenerate corner)
+    assert(rows.forall(_.getAs[Long]("skew_micros") < 1000000L))
+  }
+
+  test("q193 worker shard: W slices partition every epoch, steps dense, each slice recompute-deterministic") {
+    val full = PipelineOps.q162(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val w = PipelineOps.Workers
+    val slices = (0L until w).map(i =>
+      i -> PipelineOps.workerSlice(spark, SF, w, i).collect()
+        .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("worker_step"),
+          r.getAs[Long]("seq_rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("chunk_id"))))
+    // DISJOINT slices whose union is exactly the epoch stream — no
+    // sequence trains twice, none is dropped, for every worker id
+    val allKeys = slices.flatMap(_._2.map(t => (t._1, t._3))).toList
+    assert(allKeys.distinct.size === allKeys.size, "overlapping slices")
+    assert(allKeys.toSet === full.map(t => (t._1, t._2)).toSet)
+    slices.foreach { case (i, rows) =>
+      // the slice is exactly the ranks ≡ i (mod W), with dense 1..n
+      // per-worker step numbers in rank order
+      rows.foreach(t => assert((t._3 - 1) % w === i))
+      rows.groupBy(_._1).foreach { case (e, es) =>
+        val sorted = es.sortBy(_._3)
+        assert(sorted.map(_._2).toSeq === (1L to es.length.toLong), s"w$i e$e")
+      }
+      // pure function of (seed, epoch, W, w): a re-spawned worker
+      // recomputes its slice identically
+      assert(PipelineOps.workerSlice(spark, SF, w, i).collect()
+        .map(_.toSeq.toList).toList === rows.map(t =>
+          List[Any](t._1, t._2, t._3, t._4, t._5,
+            full.find(f => f._1 == t._1 && f._2 == t._3).get._5)).toList)
+    }
+    // the registered entry is one of these slices
+    val reg = PipelineOps.q193(spark, SF).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("seq_rank"))).toSet
+    assert(reg === slices(PipelineOps.WorkerId.toInt)._2
+      .map(t => (t._1, t._3)).toSet)
+  }
 }
