@@ -8,12 +8,12 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
 
   test("driver contract: every op is registered, oracles reference registered ops") {
     // r13: +q174/q177/q178 (full oracle), +q175/q176 (trained/artifact —
-    // rows-only by design, spec-reconciled), +q179–q189 (loader batching,
-    // ppl buckets + their sampling action, fertility gate, novelty,
-    // soft-dedup weights + their effective-mass manifest, repeat plan,
-    // batch manifest, cell-quota diversity sample, incremental novelty,
-    // artifact integrity audit —
-    // all full oracle)
+    // rows-only by design, spec-reconciled), +q179–q193 (loader batching +
+    // its per-epoch batch schedule, ppl buckets + their sampling action,
+    // fertility gate, novelty + its arrival-seam probe, soft-dedup
+    // weights + their effective-mass manifest, repeat plan, batch
+    // manifest, cell-quota diversity sample, artifact integrity audit,
+    // shard mixture-skew report, DDP worker shard — all full oracle)
     assert(SparkEntry.queries.size === 193)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.oracleSql.size === 176)

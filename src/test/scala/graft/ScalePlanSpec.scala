@@ -55,6 +55,8 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     assertWindowsAggregated(graft.operators.PipelineOps.q179(spark, SF), "q179")
     assertWindowsAggregated(TextOps.q180(spark, SF), "q180")
     assertWindowsAggregated(graft.operators.PipelineOps.q185(spark, SF), "q185")
+    assertWindowsAggregated(graft.operators.PipelineOps.q191(spark, SF), "q191")
+    assertWindowsAggregated(graft.operators.PipelineOps.q193(spark, SF), "q193")
   }
 
   test("q111 warm readout scans ONE pruned partition of the standing artifact") {
