@@ -225,8 +225,66 @@ object Events {
        |GROUP BY win_start
        |ORDER BY win_start""".stripMargin
 
+  // --- 194. cohort retention (r13) ------------------------------------------
+  /** The classic event-analytics readout the family was missing: bucket
+    * users into COHORTS by their first-activity week and report, per
+    * (cohort, week offset), how many came back — the retention matrix
+    * every product/engagement dashboard draws. Weeks are exact integer
+    * day arithmetic against a fixed epoch anchor (day div 7 — no
+    * calendar/locale semantics to disagree cross-engine; the anchor
+    * only phases the buckets).
+    *
+    * Scale shape: one map-side-combined min per user (the cohort
+    * assignment), one distinct over (user, week) — the only
+    * user-keyed shuffles, both ∝ active (user, week) pairs, never raw
+    * events (the distinct pre-aggregates map-side) — then a
+    * cohort-keyed aggregate and a ≤\|cohorts\| broadcast join for the
+    * denominators. FULL oracle (same integer week rule). */
+  private val CohortEpoch = "2024-01-01"
+
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      expr(s"datediff(to_date(ts), DATE'$CohortEpoch') div 7").as("wk"))
+    val firstWk = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val activeWk = ev.distinct().join(firstWk, "user_id")
+    val cohorts = firstWk.groupBy(col("cwk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activeWk
+      .groupBy(col("cwk").as("cohort_week"),
+        (col("wk") - col("cwk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohorts.withColumnRenamed("cwk", "cohort_week")),
+        "cohort_week")
+      .withColumn("retention",
+        Num.ratio6(col("n_active"), col("cohort_size")))
+      .select(col("cohort_week").cast("long"),
+        col("week_offset").cast("long"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q194Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CAST((CAST(ts AS DATE) - DATE '$CohortEpoch') AS BIGINT) // 7 AS wk
+       |  FROM events),
+       |fw AS (SELECT user_id, MIN(wk) AS cwk FROM ev GROUP BY user_id),
+       |aw AS (SELECT DISTINCT e.user_id, f.cwk, e.wk
+       |  FROM ev e JOIN fw f USING (user_id)),
+       |cs AS (SELECT cwk, COUNT(*) AS cohort_size FROM fw GROUP BY cwk)
+       |SELECT CAST(a.cwk AS BIGINT) AS cohort_week,
+       |  CAST(a.wk - a.cwk AS BIGINT) AS week_offset,
+       |  COUNT(*) AS n_active, ANY_VALUE(c.cohort_size) AS cohort_size,
+       |  ${graft.functions.Num.ratio6Sql(
+            "COUNT(*)", "ANY_VALUE(c.cohort_size)")} AS retention
+       |FROM aw a JOIN cs c USING (cwk)
+       |GROUP BY a.cwk, a.wk - a.cwk
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q27_tumbling_window", q27, Some(q27Sql)),
+    Op("q194_cohort_retention", q194, Some(q194Sql)),
     Op("q28_sessionize", q28, Some(q28Sql)),
     Op("q29_json_extract", q29, Some(q29Sql)),
     Op("q30_event_funnel", q30, Some(q30Sql)),

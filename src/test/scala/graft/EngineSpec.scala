@@ -14,9 +14,9 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // weights + their effective-mass manifest, repeat plan, batch
     // manifest, cell-quota diversity sample, artifact integrity audit,
     // shard mixture-skew report, DDP worker shard — all full oracle)
-    assert(SparkEntry.queries.size === 193)
+    assert(SparkEntry.queries.size === 194)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 176)
+    assert(SparkEntry.oracleSql.size === 177)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -68,4 +68,37 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p75"))
     }
   }
+
+  test("q194 cohort retention: driver replay, offset-0 is definitionally 1.0, bounded rates") {
+    import graft.operators.Events
+    val rows = Events.q194(spark, SF).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getAs[Long]("n_active"),
+        r.getAs[Long]("cohort_size"), r.getAs[Double]("retention")))
+    assert(rows.nonEmpty)
+    // independent driver-side replay of the integer week rule
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val ev = Tables.events(spark, SF)
+      .select("user_id", "ts").collect()
+      .map { r =>
+        val d = r.getTimestamp(1).toLocalDateTime.toLocalDate
+        (r.getLong(0),
+          java.time.temporal.ChronoUnit.DAYS.between(epoch, d) / 7)
+      }
+    val first = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val active = ev.distinct
+    val cohSize = first.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val expect = active.map { case (u, w) => (first(u), w - first(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(t => (t._1, t._2)).toSet === expect.keySet)
+    rows.foreach { case (cw, off, na, cs, ret) =>
+      assert(na === expect((cw, off)))
+      assert(cs === cohSize(cw))
+      assert(ret === ((2L * na * 1000000L + cs) / (2L * cs)) / 1e6)
+      assert(na <= cs && ret > 0.0 && ret <= 1.0)
+      // every cohort member is active in their own first week
+      if (off == 0L) assert(na === cs && ret === 1.0)
+    }
+    // (no decay assert: the dense synthetic stream keeps every user
+    // active every week at this SF — a constant-1 matrix is correct)
+  }
 }
