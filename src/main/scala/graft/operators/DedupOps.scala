@@ -636,22 +636,7 @@ object DedupOps {
       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm
       |  FROM embeddings),
       |${SimOps.centroidMeanCtesSql},
-      |cent AS (
-      |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
-      |  FROM cmeans GROUP BY label),
-      |centn AS (
-      |  SELECT cell_id, centroid,
-      |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
-      |  FROM cent),
-      |scored AS (
-      |  SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
-      |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
-      |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
-      |  FROM e CROSS JOIN centn c),
-      |assigned AS (
-      |  SELECT vec_id, embedding, nrm, cell_id FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
-      |    FROM scored) s WHERE rn <= 2)
+      |${SimOps.cellAssignCtesSql(Seq("embedding", "nrm"), nprobe = 2)}
       |SELECT DISTINCT id_a, id_b, cos FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)

@@ -230,9 +230,12 @@ object Events {
     * users into COHORTS by their first-activity week and report, per
     * (cohort, week offset), how many came back — the retention matrix
     * every product/engagement dashboard draws. Weeks are exact integer
-    * day arithmetic against a fixed epoch anchor (day div 7 — no
-    * calendar/locale semantics to disagree cross-engine; the anchor
-    * only phases the buckets).
+    * day arithmetic against a fixed epoch anchor with FLOOR division
+    * (a plain `div`/`//` truncates toward zero, which would collapse
+    * days −6..+6 around the anchor into one double-width bucket for a
+    * corpus with pre-anchor timestamps — r13 review), so the anchor
+    * genuinely only phases the buckets; no calendar/locale semantics
+    * to disagree cross-engine.
     *
     * Scale shape: one map-side-combined min per user (the cohort
     * assignment), one distinct over (user, week) — the only
@@ -245,7 +248,11 @@ object Events {
   def q194(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Num
     val ev = Tables.events(s, dir).select(col("user_id"),
-      expr(s"datediff(to_date(ts), DATE'$CohortEpoch') div 7").as("wk"))
+      // exact integer FLOOR division: d - pmod(d, 7) is divisible by 7
+      expr("CAST(datediff(to_date(ts), " +
+        s"DATE'$CohortEpoch') AS BIGINT)").as("d"))
+      .select(col("user_id"),
+        expr("(d - ((d % 7) + 7) % 7) div 7L").as("wk"))
     val firstWk = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
     val activeWk = ev.distinct().join(firstWk, "user_id")
     val cohorts = firstWk.groupBy(col("cwk"))
@@ -265,10 +272,12 @@ object Events {
   }
 
   val q194Sql: String =
-    s"""WITH ev AS (
+    s"""WITH evd AS (
        |  SELECT user_id,
-       |    CAST((CAST(ts AS DATE) - DATE '$CohortEpoch') AS BIGINT) // 7 AS wk
+       |    CAST((CAST(ts AS DATE) - DATE '$CohortEpoch') AS BIGINT) AS d
        |  FROM events),
+       |ev AS (
+       |  SELECT user_id, (d - ((d % 7) + 7) % 7) // 7 AS wk FROM evd),
        |fw AS (SELECT user_id, MIN(wk) AS cwk FROM ev GROUP BY user_id),
        |aw AS (SELECT DISTINCT e.user_id, f.cwk, e.wk
        |  FROM ev e JOIN fw f USING (user_id)),

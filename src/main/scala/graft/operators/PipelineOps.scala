@@ -1720,11 +1720,13 @@ object PipelineOps {
     pack.repartition(col("shard"))
       .write.partitionBy("shard")
       .parquet(packDir(base, next, name).getAbsolutePath)
-    // persist the MANIFEST beside the data (r13 — q190's audit seam):
-    // the stored manifest describes what this publish SHIPPED, so a
-    // later integrity audit can diff the artifact's recomputed manifest
-    // against it without trusting the artifact it is auditing
-    sequenceManifestOf(packReadAt(s, base, next, name))
+    // persist the MANIFEST beside the data (r13 — q190's audit seam),
+    // computed from the IN-MEMORY relation, not a read-back of the
+    // files just written: a write-time corruption (bit flip, partial
+    // row group) must NOT notarize itself into the stored manifest —
+    // the first audit catches it instead (r13 review). Also saves one
+    // full artifact scan per publish.
+    sequenceManifestOf(pack)
       .write.parquet(packDir(base, next, name + "mf").getAbsolutePath)
     graft.GenManifest.publish(base, name, next)
       .foreach { g =>
@@ -1827,15 +1829,17 @@ object PipelineOps {
     // pick an arbitrary row if the same key ever landed with different
     // attributes (e.g. a re-serve at a different base after a rebuild) —
     // a genuine conflict must instead survive to the manifest hash-check
-    packReadAt(s, base, cur)
-      .dropDuplicates()
+    val deduped = packReadAt(s, base, cur).dropDuplicates()
+    deduped
       .repartition(col("shard"))
       .write.partitionBy("shard")
       .parquet(packDir(base, next).getAbsolutePath)
     // compaction re-publishes the artifact's truth: the fresh stored
     // manifest now DESCRIBES the compacted generation (served appends
-    // absorbed), so q190's audit goes back to all-`same`
-    sequenceManifestOf(packReadAt(s, base, next))
+    // absorbed), so q190's audit goes back to all-`same`. Computed from
+    // the deduped SOURCE relation, not a read-back of the new files —
+    // a corrupted compaction write must not self-bless (r13 review)
+    sequenceManifestOf(deduped)
       .write.parquet(packDir(base, next, "packmf").getAbsolutePath)
     graft.GenManifest.publish(base, "pack", next, retain, Some(cur))
       .foreach { g =>
@@ -2165,10 +2169,9 @@ object PipelineOps {
        |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS old_ids
        |  FROM pk GROUP BY shard),
        |mn AS (
-       |  SELECT shard, COUNT(*) AS new_seqs, CAST(SUM(n_units) AS BIGINT) AS new_units,
-       |    MAX(cum_units) AS new_end,
-       |    CAST(SUM(CASE WHEN chunk_id = 0 THEN $sidSql ELSE 0 END) AS BIGINT) AS new_ids
-       |  FROM pk GROUP BY shard)
+       |  SELECT shard, old_seqs AS new_seqs, old_units AS new_units,
+       |    old_end AS new_end, old_ids AS new_ids
+       |  FROM mo)
        |$manifestDiffSelectSql""".stripMargin
 
   // --- 174. the decontaminated REPACK (r13) ----------------------------------

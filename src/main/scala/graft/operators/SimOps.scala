@@ -390,10 +390,17 @@ object SimOps {
 
   /** The q75-oracle assignment replay (rounded-cosine argmax over the
     * decimal-exact centroids) at nprobe = 1, then the in-cell top-k. */
-  lazy val q61Sql: String =
-    s"""WITH $embNrmCteSql,
-       |$centroidMeanCtesSql,
-       |cent AS (
+  /** `cent`/`centn`/`cscored`/`assigned` CTE block over `cmeans` + `e`
+    * — ONE definition of the rounded-cosine argmax cell-assignment
+    * replay behind [[q61Sql]], [[DedupOps.q75Sql]], [[q187Sql]] and the
+    * persisted-index oracles (r13 review: the tie rule lived in three
+    * verbatim copies, free to drift). `carry` threads extra e.* columns
+    * through into `assigned`; `nprobe` widens the kept ranks. */
+  private[operators] def cellAssignCtesSql(carry: Seq[String] = Nil,
+      nprobe: Int = 1): String = {
+    val ccols = carry.map(c => s"e.$c, ").mkString
+    val acols = carry.map(c => s"$c, ").mkString
+    s"""cent AS (
        |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
        |  FROM cmeans GROUP BY label),
        |centn AS (
@@ -401,14 +408,20 @@ object SimOps {
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
        |  FROM cent),
        |cscored AS (
-       |  SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
+       |  SELECT e.vec_id, ${ccols}c.cell_id,
        |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
        |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
        |  FROM e CROSS JOIN centn c),
        |assigned AS (
-       |  SELECT vec_id, embedding, nrm, cell_id FROM (
+       |  SELECT vec_id, ${acols}cell_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
-       |    FROM cscored) s WHERE rn = 1),
+       |    FROM cscored) s WHERE rn <= $nprobe)""".stripMargin
+  }
+
+  lazy val q61Sql: String =
+    s"""WITH $embNrmCteSql,
+       |$centroidMeanCtesSql,
+       |${cellAssignCtesSql(Seq("embedding", "nrm"))},
        |pairs AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.cell_id,
        |    ${pairCosSql("q", "c")} AS cos
@@ -1155,22 +1168,7 @@ object SimOps {
        |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN cvec]) AS csq
        |  FROM cw),
        |$embNrmCteSql,
-       |cent AS (
-       |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
-       |  FROM cmeans GROUP BY label),
-       |centn AS (
-       |  SELECT cell_id, centroid,
-       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
-       |  FROM cent),
-       |cscored AS (
-       |  SELECT e.vec_id, c.cell_id,
-       |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
-       |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
-       |  FROM e CROSS JOIN centn c),
-       |assigned AS (
-       |  SELECT vec_id, cell_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
-       |    FROM cscored) s WHERE rn = 1),
+       |${cellAssignCtesSql()},
        |probed AS (
        |  SELECT vec_id, cell_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
@@ -1425,22 +1423,7 @@ object SimOps {
   lazy val q187Sql: String =
     s"""WITH $embNrmCteSql,
        |$centroidMeanCtesSql,
-       |cent AS (
-       |  SELECT label AS cell_id, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
-       |  FROM cmeans GROUP BY label),
-       |centn AS (
-       |  SELECT cell_id, centroid,
-       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN centroid])) AS cn
-       |  FROM cent),
-       |cscored AS (
-       |  SELECT e.vec_id, c.cell_id,
-       |    round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)
-       |        FOR i IN range(1, len(e.embedding) + 1)]) / (e.nrm * c.cn), 6) AS ccos
-       |  FROM e CROSS JOIN centn c),
-       |assigned AS (
-       |  SELECT vec_id, cell_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rn
-       |    FROM cscored) s WHERE rn = 1),
+       |${cellAssignCtesSql()},
        |keyed AS (
        |  SELECT vec_id, cell_id,
        |    CAST(('0x' || substr(md5('divs:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
