@@ -330,4 +330,42 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       assert(rows.length === banded.size, s"corpus $i")
     }
   }
+
+  test("key-folded group ranking equals per-group ROW_NUMBER on arbitrary skew (the r13 grouped-rank rule)") {
+    import org.apache.spark.sql.expressions.Window
+    // the rule q179/q180 ship: rank within SKEWED groups via ONE
+    // PrefixSum scan over okey = group·2^40 + in-group key, recovering
+    // per-group ranks by subtracting offsets cumulated over the group
+    // dim — must equal Window.partitionBy(group) exactly, for any skew
+    // (incl. one group holding ~all rows) and any partitioning
+    val rowGen = Gen.listOfN(300, Gen.zip(
+      Gen.frequency(6 -> Gen.const(0L), 2 -> Gen.chooseNum(1L, 3L),
+        1 -> Gen.chooseNum(4L, 15L)),           // Zipf-ish group skew
+      Gen.chooseNum(0L, (1L << 40) - 1)))       // in-group hash key
+    samples(Gen.zip(rowGen, Gen.chooseNum(1, 7)), 6).foreach {
+      case (rs, parts) =>
+        val rows = rs.zipWithIndex.map { case ((g, h), i) => (g, h, i.toLong) }
+        val df = rows.toDF("g", "h", "id").repartition(parts)
+          .withColumn("okey", col("g") * (1L << 40) + col("h"))
+        val ranked = graft.functions.PrefixSum
+          .withRunningSum(df.withColumn("one", lit(1L)), "okey",
+            Seq("id"), "one", "grank")
+        val cum = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"))
+          .withColumn("off", sum(col("n")).over(cum) - col("n"))
+          .select(col("g"), col("off"))
+        val got = ranked.join(broadcast(offs), "g")
+          .select(col("g"), col("id"), (col("grank") - col("off")).as("r"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        val want = df.withColumn("r",
+            row_number().over(Window.partitionBy(col("g"))
+              .orderBy(col("okey"), col("id"))).cast("long"))
+          .select(col("g"), col("id"), col("r"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        assert(got === want, s"parts=$parts")
+    }
+  }
 }
