@@ -1192,9 +1192,13 @@ object PipelineOps {
     * worker recomputes its slice with no coordination (the q166 resume
     * rule, horizontally). The registered entry stands in worker
     * [[WorkerId]] of [[Workers]]; `worker_step` renumbers the slice
-    * densely (the worker's own step counter — global step =
-    * worker_step for every worker, which is what keeps gradient
-    * accumulation aligned).
+    * densely (the worker's own step counter). Global step ≡
+    * worker_step across workers only up to the last FULL step: when
+    * the epoch size is not divisible by W the trailing workers have
+    * one fewer row, so a trainer either drops the last partial step or
+    * pads it — this relation deliberately ships the raw slices
+    * (disjoint, union-exact; PipelineSpec pins both) and leaves the
+    * drop-last/pad choice to the loader, as real DDP samplers do.
     *
     * Scale shape: [[epochOrdered]]'s per-epoch PrefixSum scans + a
     * map-side modulo filter — the slice never shuffles again. FULL
@@ -2161,6 +2165,13 @@ object PipelineOps {
       sequenceManifestOf(packRead(s, base)))
   }
 
+  // NB: the oracle's stored-manifest CTE (mn) is a verbatim copy of the
+  // recomputed one (mo) — valid ONLY under Verify's fresh-artifact
+  // premise (q165Ensure just published, so stored ≡ recomputed ≡ the
+  // q158 chain and every status is 'same'). The non-'same' branches of
+  // manifestDiffSelectSql (added/removed/changed after appends or a
+  // trimmed directory) are pinned by PipelineSpec's lifecycle tests,
+  // not by this oracle.
   lazy val q190Sql: String =
     s"""WITH pk AS (SELECT * FROM ($q158Sql) x),
        |mo AS (
@@ -2785,8 +2796,15 @@ object PipelineOps {
     * this op emits one manifest row per batch of [[LoaderBatchSeqs]]
     * consecutive sequences in each epoch's [[q162]] order: member
     * count, unit mass, and an order-independent membership checksum
-    * (Σ of a 48-bit md5 derivation per member — exact int64, so
-    * re-deliveries and reorderings inside a batch cannot slip past it).
+    * (Σ of a 48-bit md5 derivation per member — exact int64). The sum
+    * detects membership, count, and mass changes within a batch
+    * (re-delivered = double-counted members shift it); its ORDER
+    * independence is intentional — intra-batch reordering is
+    * checksum-invariant by design (batches are sets to the optimizer
+    * step), and a compensating membership swap across two batches of
+    * the same epoch moves both batch rows even though the epoch total
+    * is unchanged — which is why the audit reads per-batch rows, not
+    * just the per-epoch totals.
     * Because every epoch permutes the SAME membership, each epoch's
     * checksum/unit TOTALS are identical while its per-batch rows differ
     * — exactly the invariant a loader audit checks first (PipelineSpec
