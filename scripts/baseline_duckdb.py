@@ -82,6 +82,46 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
             ts.append(time.perf_counter() - t0)
         res[q] = round(min(ts), 3)
         print(f"{q}: {res[q]}s", file=sys.stderr)
+    # --- artifact-amortized pass (r13 VERDICT #4) -------------------------
+    # Second ratio: materialize the tokenizer/pack shared chains ONCE per
+    # session (CREATE TABLE — DuckDB's equivalent of Spark's family memo /
+    # standing artifact), then time only the rewritten readouts. Chain
+    # creation is deliberately untimed (it's the artifact build both
+    # engines amortize); each rewritten query is first VERIFIED to return
+    # exactly its cold oracle's rows — a drifted rewrite drops the query
+    # with a loud banner instead of committing a wrong ratio.
+    res_am, am_md5 = {}, {}
+    am_path = os.path.join(os.path.dirname(os.path.abspath(oracle_json)),
+                           "amortized_sql.json")
+    if os.path.exists(am_path):
+        am = json.load(open(am_path))
+        for name, csql in am["chains"]:
+            t0 = time.perf_counter()
+            con.sql(f"CREATE TABLE {name} AS {csql}")
+            print(f"chain {name}: built in "
+                  f"{time.perf_counter() - t0:.2f}s (untimed)", file=sys.stderr)
+        for q in HEADLINE:
+            if q not in am["queries"]:
+                continue
+            asql = am["queries"][q]
+            cold = sorted(map(str, con.sql(oracle[q]).fetchall()))
+            warm = sorted(map(str, con.sql(asql).fetchall()))
+            if cold != warm:
+                print(f"AMORTIZED REWRITE MISMATCH: {q} — rewritten result "
+                      "differs from cold oracle; query dropped from the "
+                      "amortized set (fix AmortizedSql)", file=sys.stderr)
+                continue
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(asql).fetchall()
+                ts.append(time.perf_counter() - t0)
+            res_am[q] = round(min(ts), 3)
+            import hashlib as _h
+            am_md5[q] = _h.md5(asql.encode()).hexdigest()
+            print(f"{q} (amortized): {res_am[q]}s", file=sys.stderr)
+    else:
+        print(f"no {am_path} — amortized pass skipped", file=sys.stderr)
     # host + date markers (r7 ADVICE): Bench warns when the committed
     # baseline was timed on a different host than the bench run — a
     # cross-host wall-clock ratio is not comparable.
@@ -127,6 +167,13 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
                 elif q in pq:
                     print(f"{q}: oracle SQL changed — min history restarted",
                           file=sys.stderr)
+            # amortized mins merge under their OWN sql-hash guard (a
+            # rewrite-rule change restarts that query's amortized history)
+            pam = prev.get("queries_amortized", {})
+            pamh = prev.get("query_amortized_md5", {})
+            for q in list(res_am):
+                if q in pam and pamh.get(q) == am_md5[q]:
+                    res_am[q] = min(res_am[q], pam[q])
             print(f"merged mins with existing {out_path} "
                   f"(per-query histories now {sorted(set(qruns.values()))})",
                   file=sys.stderr)
@@ -154,14 +201,26 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
     # regex (r11 ADVICE): `queries` must appear before any free-text
     # field that could contain a literal `"queries": {` — keep the note
     # AFTER the queries object (python dicts serialize insertion-ordered)
+    note += (" Amortized pass (r14): queries_amortized re-times the "
+             "tokenizer/pack-family subset against once-per-session "
+             "CREATE TABLE materializations of the shared chains "
+             "(amortized_sql.json, rewrites verified result-equal to the "
+             "cold oracles before timing) — the cold ratio charges DuckDB "
+             "full chain replays Spark memoizes, the amortized ratio "
+             "grants DuckDB standing artifacts everywhere (including "
+             "q173's chunk text, which Spark re-reads); the honest "
+             "comparison brackets between the two.")
     out = {"engine": "duckdb", "version": duckdb.__version__,
            "sf": os.path.basename(os.path.normpath(sf_dir)),
            "host": socket.gethostname(),
            "date": datetime.date.today().isoformat(),
            "runs": runs,
            "queries": res, "total": round(sum(res.values()), 3),
+           "queries_amortized": res_am,
+           "total_amortized": round(sum(res_am.values()), 3),
            "note": note,
-           "query_runs": qruns, "query_sql_md5": sql_md5}
+           "query_runs": qruns, "query_sql_md5": sql_md5,
+           "query_amortized_md5": am_md5}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -219,7 +219,23 @@ object Bench {
           duckNames = duckQ.keySet
           val duckTotal = duckQ.values.sum
           val hostField = if (hostOk) "" else s""","host_match":false"""
-          s""","baseline":{"engine":"duckdb","n":${duckQ.size},"duck_sec":${d3(duckTotal)},"spark_sec":${d3(mine.sum)},"ratio":${d3(mine.sum / duckTotal)}$hostField}"""
+          // SECOND ratio (r13 VERDICT #4): the artifact-amortized DuckDB
+          // pass, when present — chains materialized once per session,
+          // readouts timed against them. Spark's numbers are already
+          // memo-marginal, so the same spark times pair with both duck
+          // modes; the two ratios bracket the fair comparison.
+          val amSection = """"queries_amortized"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          val amQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+            .findAllMatchIn(amSection)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap -- Seq("total")
+          val byName = results.collect {
+            case (k, v, _) if v >= 0 => k -> v }.toMap
+          val amMine = amQ.keys.toSeq.flatMap(byName.get)
+          val amField =
+            if (amQ.isEmpty || amMine.size != amQ.size) ""
+            else s""","baseline_amortized":{"n":${amQ.size},"duck_sec":${d3(amQ.values.sum)},"spark_sec":${d3(amMine.sum)},"ratio":${d3(amMine.sum / amQ.values.sum)}}"""
+          s""","baseline":{"engine":"duckdb","n":${duckQ.size},"duck_sec":${d3(duckTotal)},"spark_sec":${d3(mine.sum)},"ratio":${d3(mine.sum / duckTotal)}$hostField}$amField"""
         }
       }
     } catch { case e: Throwable =>
@@ -257,6 +273,17 @@ object Bench {
       (compactLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"BENCH_COMPACT.json write failed: ${e.getMessage}") }
+    // FULL-SUITE FILE (r13 VERDICT #2-nit / r14 #5): the driver's ~2000-
+    // char stdout tail head-truncates the full-registry line at 194 ops
+    // (r13's artifact lost its first ~77 entries), so the complete
+    // per-query map — (min, other-pass corroborator) at full precision,
+    // plus every canary sample — lands in a file committed per round.
+    // Same content as the BENCH_DETAIL stdout line, tail-proof.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (s"""{"value":$total,"queries":$detail,"canary":[${canaries.map(d3).mkString(",")}],"sf":"$sfDir","passes":$ranPasses}""" + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_FULL.json write failed: ${e.getMessage}") }
     spark.stop()
     // after stop(): nothing of Spark's prints past this line
     println(compactLine)

@@ -48,6 +48,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Artifact-amortized twin dump (r13 VERDICT #4): the tokenizer/pack
+    // chains as once-per-session CREATE TABLE sources plus each family
+    // oracle rewritten to read them — scripts/baseline_duckdb.py times
+    // these as the second (amortized) ratio after verifying each
+    // rewritten query's result equals its cold oracle's.
+    val am = graft.operators.AmortizedSql
+    val amJson = "{\"chains\": [" +
+      am.chains.map { case (n, sql) => s"[${q(n)}, ${q(sql)}]" }
+        .mkString(",") +
+      "], \"queries\": " +
+      am.amortized.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}") + "}"
+    Files.writeString(Paths.get(s"$outDir/amortized_sql.json"), amJson)
     spark.stop()
   }
 }

@@ -532,12 +532,18 @@ object BpeOps {
     * n_units, text_chunk)` — ONE builder behind [[q157Sql]] and the
     * q158/q159 sequence-pack oracles, so the chunking rule cannot
     * drift between the readout and its pack. */
+  /** The tokenized-docs CTE body alone — shared by [[chunkCtesSql]] and
+    * the amortized-baseline rewrite (which must rebind `ctt` after
+    * collapsing the chunk chain to its standing table). */
+  private[operators] lazy val cttCteSql: String =
+    s"""ctt AS (SELECT doc_id, toks, len(toks) AS n
+       |  FROM (SELECT doc_id, ${Text.toksSql} AS toks FROM documents)
+       |  WHERE len(toks) > 0)""".stripMargin
+
   private[operators] lazy val chunkCtesSql: String =
     s"""cmap AS (SELECT replace(w, ' ', '') AS token,
        |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units FROM v$Rounds),
-       |ctt AS (SELECT doc_id, toks, len(toks) AS n
-       |  FROM (SELECT doc_id, ${Text.toksSql} AS toks FROM documents)
-       |  WHERE len(toks) > 0),
+       |$cttCteSql,
        |ctk AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, toks[u.pos] AS token
        |  FROM ctt, unnest(generate_series(1, n)) AS u(pos)),
        |ccu AS (SELECT doc_id, pos, token, units,

@@ -755,11 +755,15 @@ object DedupOps {
 
   def q189(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
-    // standing-snapshot reuse (r8) — see q108
-    if (!(g189SnapshotFor.contains(dir) &&
-        s.catalog.tableExists("g189_shingles"))) {
-      q189Write(s, sh.filter(col("doc_id") % IncrSplitMod =!= 0))
-      g189SnapshotFor = Some(dir)
+    // standing-snapshot reuse (r8) — see q108. The check-then-publish is
+    // synchronized (the q165Ensure discipline): without it two concurrent
+    // q189 calls could double-build or probe a half-written index.
+    this.synchronized {
+      if (!(g189SnapshotFor.contains(dir) &&
+          s.catalog.tableExists("g189_shingles"))) {
+        q189Write(s, sh.filter(col("doc_id") % IncrSplitMod =!= 0))
+        g189SnapshotFor = Some(dir)
+      }
     }
     q189ProbeOf(s, sh.filter(col("doc_id") % IncrSplitMod === 0))
       .orderBy(col("doc_id"))

@@ -615,7 +615,7 @@ object PipelineOps {
 
   /** CTE chain through the micros policy — `t`(doc_id, lang, rt, ct) and
     * `policy`(lang, …, rate_micros); shared by q114 and q116. */
-  private lazy val q114CtesSql: String = {
+  private[operators] lazy val q114CtesSql: String = {
     val eighthsSql = "CASE lang " +
       MixRates.map { case (l, r) => s"WHEN '$l' THEN ${(r * 8).toLong}" }
         .mkString(" ") + s" ELSE ${(MixDefaultRate * 8).toLong} END"
@@ -851,7 +851,7 @@ object PipelineOps {
 
   /** CTE chain ending in `fxp`(lang, n_docs, raw_tokens, clean_tokens,
     * share_micros, rate_micros, alloc_tokens); shared by q120/q123. */
-  private lazy val q120CtesSql: String = {
+  private[operators] lazy val q120CtesSql: String = {
     val allocSql = (tRef: String) => "LEAST(clean_tokens, " +
       graft.functions.Num.idivHalfAwaySql(s"share_micros * $tRef", "1000000") + ")"
     // every fxtᵢ is referenced ≥2× downstream and DuckDB inlines plain
