@@ -35,7 +35,7 @@ object GraftExtensions {
       FloatVecDot(children.head, children(1))
     })
 
-  /** `graft_tokens(text)` — the native [a-z0-9]+ tokenizer. */
+  /** `graft_tokens(text)` — the native Unicode `[\p{L}\p{N}]+` tokenizer. */
   val tokensDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_tokens"),
     new ExpressionInfo(classOf[TokensOf].getName, "graft_tokens"),

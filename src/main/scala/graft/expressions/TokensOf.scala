@@ -9,26 +9,47 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native tokenizer: maximal `[a-z0-9]+` runs of the lowercased input.
+/** Native tokenizer: maximal `[\p{L}\p{N}]+` runs of the lowercased
+  * input — Unicode letter/number runs (r13 VERDICT #1: the ASCII-only
+  * `[a-z0-9]+` class left CJK/Cyrillic/Arabic documents tokenizing to
+  * NOTHING, blinding every text gate on the multilingual majority of a
+  * real corpus).
   *
   * Semantically IDENTICAL to the declarative form
-  * `regexp_extract_all(lower(text), "[a-z0-9]+", 0)` for every input —
-  * same lowercasing (`UTF8String.toLowerCase`, what `Lower` compiles
-  * to), and the token class is pure ASCII, so a byte scan over the
-  * lowercased UTF-8 finds exactly the regex's maximal runs (multi-byte
-  * sequences use bytes ≥ 0x80, never inside the class). The payoff is
-  * skipping the regex engine on the single hottest primitive in the
-  * library — tokenization feeds ~40 text/span/dedup operators — with a
-  * tight byte loop inside whole-stage codegen instead of per-row
-  * `java.util.regex` matcher iteration (measured ~6 % end-to-end on
-  * tokenize-dominated operators at sf0.1, A/B same host — modest
-  * because downstream shingling/aggregation dominates those plans, but
-  * free and strictly per-row-cheaper at any scale). The DuckDB oracle
-  * keeps replaying the regex form
-  * ([[graft.text.Text.toksSql]]); the driver's hash compare across all
-  * token-consuming operators is the cross-engine equivalence proof,
-  * and a property spec fuzzes the two forms against each other on
-  * mixed ASCII/Unicode inputs.
+  * `regexp_extract_all(lower(text), "[\\p{L}\\p{N}]+", 0)` for every
+  * valid-UTF-8 input: same lowercasing — `CollationSupport.Lower` at
+  * UTF8_BINARY, which is what `Lower` compiles to, with the
+  * `spark.sql.icu.caseMappings.enabled` flag mirrored at expression
+  * construction exactly as `Lower` captures it (Spark 4's default is
+  * the ICU mapping, whose final-sigma CONTEXT rule differs from
+  * `UTF8String.toLowerCase` on inputs like `"_Σ!"` — PropertySpec's
+  * fuzzer caught that; `String.toLowerCase` is NOT the reference
+  * implementation here) — and the token class
+  * is the Unicode general-category union L ∪ N (Lu Ll Lt Lm Lo Nd Nl
+  * No), exactly what Java regex `\p{L}\p{N}` matches
+  * (`Character.getType` backs both). The scan stays a tight byte loop
+  * inside whole-stage codegen: ASCII bytes classify inline (the
+  * pre-r14 fast path, bit-identical on ASCII-only input — AsciiSpec
+  * pins it), multi-byte sequences decode to one codepoint and classify
+  * by category — still no per-row `java.util.regex` matcher on the
+  * library's hottest primitive (~40 text/span/dedup consumers).
+  *
+  * Cross-engine contract: the DuckDB oracle replays
+  * `regexp_extract_all(lower(text), '[\p{L}\p{N}]+')`
+  * ([[graft.text.Text.toksSql]] — RE2's \p{L}/\p{N} are the same
+  * category unions). The driver's hash compare across all
+  * token-consuming operators plus the q195 transliterated-corpus
+  * oracle is the equivalence proof on LIVE data; PropertySpec fuzzes
+  * this expression against Spark's own regex form over mixed-script
+  * inputs. Two DOCUMENTED divergence edges vs DuckDB (pinned with
+  * expected outputs in UnicodeTokenSpec, kept out of oracle fixtures):
+  * full-vs-simple case mapping — Java lowers a word-final Greek Σ to ς
+  * where utf8proc yields σ, and Turkish İ (U+0130) to i+U+0307 (the
+  * combining dot splits the run) where utf8proc yields bare i — and
+  * Unicode-version skew on codepoints assigned after the JDK's table
+  * (they classify Cn here until the JDK catches up). Invalid UTF-8
+  * (impossible for Spark-ingested strings) breaks a run at the invalid
+  * byte rather than throwing.
   */
 case class TokensOf(child: Expression) extends UnaryExpression {
 
@@ -38,37 +59,92 @@ case class TokensOf(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string input, got ${other.simpleString}")
   }
 
+  // captured at expression construction, the way Lower captures it —
+  // eval and codegen then agree with lower() under either conf value
+  private lazy val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString("spark.sql.icu.caseMappings.enabled", "true").toBoolean
+
   // containsNull = true: schema-identical to regexp_extract_all, so
   // swapping the implementations never changes a dumped parquet schema
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_tokens"
 
   override protected def nullSafeEval(s: Any): Any =
-    TokensOf.tokenize(s.asInstanceOf[UTF8String])
+    TokensOf.tokenize(s.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.TokensOf.tokenize($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TokensOf.tokenize($c, $useICU)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object TokensOf {
-  /** Maximal [a-z0-9]+ runs of `s.toLowerCase`, as an array of strings. */
-  def tokenize(s: UTF8String): ArrayData = {
-    val bytes = s.toLowerCase.getBytes
+
+  /** Is `cp` in Unicode general category L or N — the exact set Java
+    * regex `[\p{L}\p{N}]` (and RE2's, same category data) matches. */
+  private def isTokenCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+    t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+    t == Character.OTHER_LETTER || t == Character.DECIMAL_DIGIT_NUMBER ||
+    t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+  }
+
+  /** Maximal `[\p{L}\p{N}]+` runs of the `Lower`-lowercased input, as
+    * an array of strings. One pass over the lowercased UTF-8 bytes:
+    * ASCII classifies inline (letters upper+lower and digits —
+    * post-lowercase input is a–z0–9 in practice, but A–Z are Lu and
+    * must classify as tokens for regex equivalence on exotic mappings),
+    * multi-byte sequences decode to a codepoint for the category test.
+    * `useICU` selects the same mapping `Lower` would use under the
+    * session conf (both agree on every script's simple mappings; they
+    * differ only in the final-sigma context rule's ignorable set). */
+  def tokenize(s: UTF8String, useICU: Boolean = true): ArrayData = {
+    val lowered =
+      if (useICU)
+        org.apache.spark.sql.catalyst.util.CollationSupport.Lower.exec(s, 0, true)
+      else s.toLowerCase
+    val bytes = lowered.getBytes
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     var start = -1
     while (i < bytes.length) {
       val b = bytes(i)
-      val tok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      var step = 1
+      var tok = false
+      if ((b & 0x80) == 0) {
+        tok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+          (b >= 'A' && b <= 'Z')
+      } else {
+        // decode one UTF-8 sequence; an invalid lead/continuation byte
+        // advances a single byte as a non-token (run boundary)
+        var cp = -1
+        var len = 0
+        if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+        else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+        else if ((b & 0xF8) == 0xF0) { cp = b & 0x07; len = 4 }
+        if (cp >= 0 && i + len <= bytes.length) {
+          var k = 1
+          while (k < len && cp >= 0) {
+            val c = bytes(i + k)
+            if ((c & 0xC0) == 0x80) cp = (cp << 6) | (c & 0x3F)
+            else cp = -1
+            k += 1
+          }
+        } else cp = -1
+        if (cp >= 0) {
+          step = len
+          tok = isTokenCp(cp)
+        }
+      }
       if (tok) { if (start < 0) start = i }
       else if (start >= 0) {
         out += UTF8String.fromBytes(bytes, start, i - start)
         start = -1
       }
-      i += 1
+      i += step
     }
     if (start >= 0) out += UTF8String.fromBytes(bytes, start, bytes.length - start)
     new GenericArrayData(out.toArray)

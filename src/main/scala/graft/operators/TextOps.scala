@@ -1680,8 +1680,82 @@ object TextOps {
        |FROM r
        |ORDER BY doc_id""".stripMargin
 
+  // --- 195. Unicode tokenization oracle (r14 VERDICT #1) --------------------
+  /** The cross-engine PROOF that the r14 Unicode token class
+    * (`[\p{L}\p{N}]+`, [[graft.expressions.TokensOf]]) agrees between
+    * the native Spark expression and the DuckDB oracle on live
+    * multilingual data: the corpus (pure ASCII by construction —
+    * TESTDATA.md) is deterministically transliterated letter→script
+    * via `translate` (Cyrillic incl. UPPERCASE targets to exercise
+    * non-ASCII case folding, Greek lowercase — word-final Σ/ς is a
+    * documented full-vs-simple mapping divergence so capitals stay out,
+    * Arabic/Hebrew/CJK Lo letters with no case, a Devanagari Nd digit),
+    * then tokenized and 3-shingled on BOTH engines; per doc: token
+    * count, token-codepoint mass, and exact int64 sums of 48-bit md5
+    * prefixes over every token and every shingle. The driver's hash
+    * compare therefore pins token BYTES (md5 is over UTF-8), run
+    * boundaries, multi-byte lowercasing, and shingle joins across
+    * engines — the multilingual analogue of the ASCII proof the other
+    * ~40 token consumers provide.
+    *
+    * Scale shape: one corpus pass per readout branch over the cached
+    * tokenized projection (the [[docsWithToks]] treatment), two
+    * map-side-combined groupBy(doc_id) aggregates, one doc-keyed join
+    * — embarrassingly parallel, no corpus-wide window. */
+  private val UniFrom = "abcdefghijklmnopqrstuvwxyz"
+  private val UniTo = "абвГдежηθικλμمرسЖρσ東京५Дבыш"
+
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        tokens(translate(lower(col("text")), UniFrom, UniTo)).as("toks"))
+      .cache()
+    def fp48(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val ta = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).cast("long").as("n_chars"),
+        sum(fp48(col("tok"))).cast("long").as("tok_fp"))
+    val sa = toked.select(col("doc_id"),
+        explode(shingles(col("toks"), 3)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(fp48(col("sh"))).cast("long").as("sh_fp"))
+    ta.join(sa, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("tok_fp"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("sh_fp"), lit(0L)).as("sh_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q195Sql: String = {
+    def fp48Sql(x: String) =
+      s"CAST(('0x' || substr(md5($x), 1, 12)) AS BIGINT)"
+    s"""WITH uni AS (SELECT doc_id,
+       |    ${toksSqlOf(s"translate(lower(text), '$UniFrom', '$UniTo')")} AS toks
+       |  FROM documents),
+       |tk AS (SELECT doc_id, unnest(toks) AS tok FROM uni),
+       |ta AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(${fp48Sql("tok")}) AS BIGINT) AS tok_fp
+       |  FROM tk GROUP BY doc_id),
+       |shx AS (SELECT doc_id, unnest(${Text.shinglesSql("toks", 3)}) AS sh
+       |  FROM uni),
+       |sa AS (SELECT doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(${fp48Sql("sh")}) AS BIGINT) AS sh_fp
+       |  FROM shx GROUP BY doc_id)
+       |SELECT ta.doc_id, n_tokens, n_chars, tok_fp,
+       |  COALESCE(n_shingles, 0) AS n_shingles,
+       |  COALESCE(sh_fp, 0) AS sh_fp
+       |FROM ta LEFT JOIN sa USING (doc_id)
+       |ORDER BY ta.doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
+    Op("q195_unicode_tokens", q195, Some(q195Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
     Op("q35_ngrams", q35, Some(q35Sql)),
     Op("q36_tfidf", q36, Some(q36Sql)),

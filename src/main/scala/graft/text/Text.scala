@@ -15,15 +15,23 @@ object Text {
 
   val StopwordsSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** Tokenize: lowercase, alnum runs. `[a-z0-9]+` on lowered text. */
-  /** Native byte-scan tokenizer ([[graft.expressions.TokensOf]]) —
-    * provably ≡ `regexp_extract_all(lower(text), "[a-z0-9]+")` (the
-    * form the DuckDB oracle replays, [[toksSql]]) without the regex
-    * engine on the library's hottest primitive. */
+  /** Tokenize: lowercase, Unicode letter/number runs — `[\p{L}\p{N}]+`
+    * on lowered text (r14: Unicode-capable; ASCII-only inputs tokenize
+    * bit-identically to the pre-r14 `[a-z0-9]+` class — AsciiSpec).
+    * Native byte-scan tokenizer ([[graft.expressions.TokensOf]]) —
+    * provably ≡ `regexp_extract_all(lower(text), "[\\p{L}\\p{N}]+")`
+    * (the form the DuckDB oracle replays, [[toksSql]]; RE2 and Java
+    * share the category tables) without the regex engine on the
+    * library's hottest primitive. Cross-engine case-mapping edges
+    * (final Σ, Turkish İ) documented at [[graft.expressions.TokensOf]]. */
   def tokens(text: Column): Column =
     graft.expressions.TokensOf.tokens(text)
 
-  val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  /** The oracle-side tokenizer over an arbitrary column expression. */
+  def toksSqlOf(c: String): String =
+    s"regexp_extract_all(lower($c), '[\\p{L}\\p{N}]+')"
+
+  val toksSql: String = toksSqlOf("text")
 
   /** BPE-ish token classes (letter runs / digit runs / single symbols) —
     * the ONE definition q46 and q83 share on both engines; editing it in

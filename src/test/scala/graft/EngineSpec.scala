@@ -14,9 +14,11 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // weights + their effective-mass manifest, repeat plan, batch
     // manifest, cell-quota diversity sample, artifact integrity audit,
     // shard mixture-skew report, DDP worker shard — all full oracle)
-    assert(SparkEntry.queries.size === 194)
+    // r14: +q195 unicode-tokenization oracle (full oracle — the
+    // cross-engine proof of the [\p{L}\p{N}]+ token class)
+    assert(SparkEntry.queries.size === 195)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 177)
+    assert(SparkEntry.oracleSql.size === 178)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -57,7 +57,8 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .select(graft.text.Text.tokens(col("text")).as("t"))
       .as[Seq[String]].collect()
     texts.zip(got).foreach { case (t, g) =>
-      assert(g === "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq, s"input=<$t>")
+      assert(g === "[\\p{L}\\p{N}]+".r.findAllIn(t.toLowerCase).toSeq,
+        s"input=<$t>")
     }
   }
 
@@ -72,7 +73,8 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         .as[Seq[String]].collect()(0)
       // identifiers may contain '_' which the tokenizer splits — derive
       // the expected token stream from the tokenizer contract itself
-      val flat = "[a-z0-9]+".r.findAllIn(toks.mkString(" ").toLowerCase).toSeq
+      val flat =
+        "[\\p{L}\\p{N}]+".r.findAllIn(toks.mkString(" ").toLowerCase).toSeq
       val expect =
         if (flat.length < k) Seq()
         else flat.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
@@ -145,11 +147,14 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("native tokenizer ≡ regexp_extract_all(lower, '[a-z0-9]+') on mixed ASCII/Unicode inputs") {
+  test("native tokenizer ≡ regexp_extract_all(lower, '[\\p{L}\\p{N}]+') on mixed ASCII/Unicode inputs") {
     // charset mixes token runs, ASCII delimiters, multi-byte scripts,
     // and case-folding edge cases (Turkish İ lowers to i + combining
     // dot via String.toLowerCase — both paths must agree because both
-    // lowercase FIRST with the same method)
+    // lowercase FIRST with the same method; the combining dot is Mn,
+    // not L/N, so it splits the run identically on both paths). The
+    // arbitrary-BMP-char generator also fuzzes the category test
+    // itself against Java regex's \p{L}\p{N} across every script.
     val charGen = Gen.frequency(
       6 -> Gen.alphaNumChar,
       2 -> Gen.oneOf(' ', '\t', '\n', ',', '.', '-', '_', '!', '№'),
@@ -163,7 +168,8 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     val got = df.select(graft.text.Text.tokens(col("text")).as("t"))
       .collect().map(_.getSeq[String](0).toList)
     val want = df.select(
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("t"))
+        regexp_extract_all(lower(col("text")), lit("[\\p{L}\\p{N}]+"),
+          lit(0)).as("t"))
       .collect().map(_.getSeq[String](0).toList)
     got.zip(want).zip(cases).foreach { case ((g, w), c) =>
       assert(g === w, s"tokenizer divergence on ${c.take(60)}") }
@@ -173,7 +179,13 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         org.apache.spark.unsafe.types.UTF8String.fromString(c))
       val evList = (0 until ev.numElements())
         .map(i => ev.getUTF8String(i).toString).toList
-      val re = "[a-z0-9]+".r.findAllIn(c.toLowerCase).toList
+      // reference lowering must be Lower's (ICU at UTF8_BINARY), not
+      // String.toLowerCase — their final-sigma ignorable sets differ
+      // on inputs like "_Σ!" (this fuzzer found exactly that)
+      val low = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+        .exec(org.apache.spark.unsafe.types.UTF8String.fromString(c), 0, true)
+        .toString
+      val re = "[\\p{L}\\p{N}]+".r.findAllIn(low).toList
       assert(evList === re, s"eval divergence on ${c.take(60)}")
     }
   }

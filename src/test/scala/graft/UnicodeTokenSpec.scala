@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the r14 Unicode token class (`[\p{L}\p{N}]+` runs of the
+  * lowercased input, [[graft.expressions.TokensOf]]):
+  *
+  *  1. the ASCII SUBSET is bit-identical to the pre-r14 `[a-z0-9]+`
+  *     class — every committed oracle hash over the (pure-ASCII)
+  *     corpus is unchanged by construction;
+  *  2. CJK / Cyrillic / Arabic / Greek / Devanagari fixtures produce
+  *     non-empty tokens and shingles (the r13 VERDICT #1 gap: these
+  *     scripts tokenized to NOTHING, blinding every text gate);
+  *  3. the two documented cross-engine divergence edges (full Java
+  *     case mapping here vs utf8proc simple mapping in DuckDB) have
+  *     pinned Spark-side outputs, so a behavior change is loud;
+  *  4. category boundaries: Nl/No digits are tokens, combining marks
+  *     (Mn) split runs, punctuation/symbols split runs.
+  *
+  * Cross-engine agreement on live data is proven by the driver oracle:
+  * q195 transliterates the corpus into five scripts and hash-compares
+  * token/shingle md5 fingerprints between the native expression and
+  * DuckDB's `regexp_extract_all(lower(..), '[\p{L}\p{N}]+')`.
+  */
+class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def toks(s: String): List[String] = {
+    val a = graft.expressions.TokensOf.tokenize(UTF8String.fromString(s))
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toList
+  }
+
+  test("ASCII subset is bit-identical to the pre-r14 [a-z0-9]+ class") {
+    // the exact pre-r14 contract, as a reference implementation
+    def old(s: String): List[String] =
+      "[a-z0-9]+".r.findAllIn(s.toLowerCase).toList
+    val asciiGen = Gen.listOfN(60, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', ',', '.', '-', '_', '!', '@', '#',
+        '/', '\\', '\'', '"', '(', ')', '[', ']'),
+      1 -> Gen.choose(0, 127).map(_.toChar))).map(_.mkString)
+    val cases = (0 until 200)
+      .flatMap(i => asciiGen.apply(Gen.Parameters.default, Seed(7L + i))) ++
+      Seq("", " ", "a", "A1b2", "Hello, World! 42", "__x__", "0")
+    cases.foreach { c =>
+      assert(toks(c) === old(c), s"ASCII drift on <$c>")
+    }
+  }
+
+  test("CJK/Cyrillic/Arabic/Greek/Devanagari fixtures tokenize and shingle non-empty") {
+    val fixtures = Seq(
+      "東京は日本の首都です 2025年",             // CJK (Lo, no case)
+      "Привет мир это тестовый документ",        // Cyrillic
+      "مرحبا بالعالم هذا مستند تجريبي",          // Arabic (RTL, Lo)
+      "γειά σου κόσμε αυτό είναι δοκιμή",        // Greek lowercase
+      "नमस्ते दुनिया यह परीक्षण है ५")           // Devanagari + Nd digit
+    val got = fixtures.toDF("text")
+      .select(graft.text.Text.tokens(col("text")).as("t"),
+        graft.text.Text.shingles(
+          graft.text.Text.tokens(col("text")), 2).as("s"))
+      .collect()
+    got.zip(fixtures).foreach { case (r, f) =>
+      val t = r.getSeq[String](0)
+      val sh = r.getSeq[String](1)
+      assert(t.nonEmpty, s"no tokens for <$f>")
+      assert(sh.nonEmpty, s"no shingles for <$f>")
+      assert(sh.head === s"${t(0)} ${t(1)}", s"shingle join for <$f>")
+    }
+    // CJK has no spaces between ideographs — each whitespace-delimited
+    // run is one token (no dictionary segmentation; documented scope)
+    assert(toks("東京は日本の首都です") === List("東京は日本の首都です"))
+    // mixed-script runs stay single tokens (all \p{L})
+    assert(toks("naïve café résumé") === List("naïve", "café", "résumé"))
+  }
+
+  test("uppercase non-ASCII folds before classification (Cyrillic/Greek/fullwidth)") {
+    assert(toks("МИР ПРИВЕТ") === List("мир", "привет"))
+    assert(toks("Ωμέγα") === List("ωμέγα"))
+    // fullwidth Latin (Lu/Ll) lowers to fullwidth lowercase, stays L
+    assert(toks("ＡＢＣ") === List("ａｂｃ"))
+  }
+
+  test("documented cross-engine divergence edges are pinned (Spark side)") {
+    // Java FULL case mapping lowers word-final Σ to ς (U+03C2); DuckDB's
+    // utf8proc simple mapping yields σ (U+03C3) — divergent token BYTES.
+    // Oracle fixtures (q195's translate targets) therefore avoid capital
+    // Greek; a change here means the lowercasing engine changed.
+    assert(toks("ΑΒΓΟΣ") === List("αβγος"))
+    assert(toks("ΣΣ") === List("σς"))
+    // Turkish İ (U+0130) lowers to i + combining dot (U+0307, Mn) under
+    // full mapping — the mark SPLITS the run; utf8proc yields bare "i"
+    // and would keep "istanbul" whole. Divergent token BOUNDARIES.
+    assert(toks("İstanbul") === List("i", "stanbul"))
+  }
+
+  test("category boundaries: N subcategories are tokens, marks/symbols split") {
+    // Nd beyond ASCII (Devanagari ५), No (superscript ², vulgar ½),
+    // Nl (Roman numeral Ⅻ → lowercase ⅻ) are all \p{N}
+    assert(toks("५") === List("५"))
+    assert(toks("x²y") === List("x²y"))
+    assert(toks("1½") === List("1½"))
+    assert(toks("Ⅻ42") === List("ⅻ42"))
+    // combining mark (Mn) splits; standalone marks produce nothing
+    assert(toks("i̇x") === List("i", "x"))
+    assert(toks("̇́") === List())
+    // currency/symbols/punctuation split runs exactly like ASCII
+    assert(toks("€100·賞金¥42") === List("100", "賞金", "42"))
+    // empty and whitespace-only stay empty
+    assert(toks("") === List())
+    assert(toks(" 　\t") === List())
+  }
+
+  test("the q195 transliteration exercises every intended script class") {
+    // one char per target class, through the same translate the op uses:
+    // Cyrillic upper+lower, Greek lower, Arabic, Hebrew, CJK, Devanagari
+    val from = "abcdefghijklmnopqrstuvwxyz"
+    val to = "абвГдежηθικλμمرسЖρσ東京५Дבыш"
+    assert(to.codePointCount(0, to.length) === 26,
+      "translate targets must map 1:1")
+    val got = Seq("the quick brown fox jumps over a lazy dog 99")
+      .toDF("text")
+      .select(graft.text.Text.tokens(
+        translate(lower(col("text")), from, to)).as("t"))
+      .as[Seq[String]].collect()(0)
+    // 10 tokens survive transliteration with boundaries intact
+    assert(got.size === 10, got.mkString(","))
+    // uppercase targets (d→Г, q→Ж, w→Д) came back lowercased
+    assert(got.forall(t => t == t.toLowerCase), got.mkString(","))
+    // digits unchanged
+    assert(got.last === "99")
+  }
+}
