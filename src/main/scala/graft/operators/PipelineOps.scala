@@ -1741,11 +1741,16 @@ object PipelineOps {
   }
 
   /** The manifest persisted with generation `gen` of `name` (what that
-    * publish shipped — [[packWrite]]/[[packCompactArtifact]] write it). */
+    * publish shipped — [[packWrite]]/[[packCompactArtifact]] write it).
+    * Read through the `graftpack` table (manifest dirs live beside the
+    * data at the same generation, as the `<lineage>mf` lineage). */
   private[graft] def packManifestRead(s: SparkSession, base: java.io.File,
       name: String = "pack"): DataFrame =
-    s.read.parquet(packDir(base,
-      graft.GenManifest.current(base, name), name + "mf").getAbsolutePath)
+    s.read.format("graftpack")
+      .option("base", base.getAbsolutePath)
+      .option("lineage", name + "mf")
+      .option("generation", graft.GenManifest.current(base, name))
+      .load()
 
   /** The artifact's sequences at the CURRENT generation (shard restored
     * to int64 — partition-column inference narrows it — and the build's
@@ -1754,9 +1759,20 @@ object PipelineOps {
       name: String = "pack"): DataFrame =
     packReadAt(s, base, graft.GenManifest.current(base, name), name)
 
+  /** All artifact consumers (q165/q172/q174/q177/q178/q190, the serve
+    * loops) read THROUGH the [[graft.sources.GraftPackDataSource]]
+    * table (r14) — `generation` pinned here so a concurrent publish
+    * between `current()` and the scan cannot retarget the read; the
+    * scan below it is Spark's own ParquetScan (pruning/pushdown/
+    * vectorization unchanged — PipelineSpec re-pins PartitionFilters
+    * on this path). */
   private[graft] def packReadAt(s: SparkSession, base: java.io.File,
       gen: Long, name: String = "pack"): DataFrame =
-    s.read.parquet(packDir(base, gen, name).getAbsolutePath)
+    s.read.format("graftpack")
+      .option("base", base.getAbsolutePath)
+      .option("lineage", name)
+      .option("generation", gen)
+      .load()
       .withColumn("shard", col("shard").cast("long"))
       .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
         col("n_units"), col("cum_units"), col("shard"))
