@@ -2869,6 +2869,147 @@ object PipelineOps {
        |GROUP BY epoch, batch_id
        |ORDER BY epoch, batch_id""".stripMargin
 
+  // --- 196. multimodal-interleaved pack (r14 VERDICT #2) ----------------------
+  /** The two halves the engine already had, composed: q135/q136 decode
+    * image/audio payloads and q158 packs text sequences — this op packs
+    * BOTH modalities into ONE budgeted sequence stream, the shape a
+    * multimodal pretraining loader actually consumes. Payload BYTES stay
+    * out of the pack: each non-text row carries a LOCATOR (the
+    * binaryFile-path seam — `img://<doc>` / `wav://<doc>` here, an
+    * object-store URI in production) plus its unit cost, and the loader
+    * fetches payloads at read time. Unit costs are the decode
+    * pipelines' own geometry, token-equivalent by construction:
+    *  - image: ViT-style patch count over the [[graft.multimodal.MultiModal.ImgWidth]]-
+    *    wide gray8 render q135 decodes — height = ⌈bytes/32⌉ (min 1,
+    *    [[graft.multimodal.MultiModal]].grayImageOf's floor), patches =
+    *    (32/[[MmPatch]]) · ⌈h/[[MmPatch]]⌉;
+    *  - audio: frame count over q136's PCM16 encode — ⌈bytes/[[MmHop]]⌉
+    *    (one unit per 10 ms hop at 16 kHz).
+    * Membership rides the mixture-sampled corpus (the q152 build —
+    * a doc's image trains only if the doc was admitted), with
+    * deterministic modality coverage (doc_id ≡ 0 mod [[MmImgMod]] has
+    * an image, mod [[MmAudMod]] audio — both for their lcm, so shards
+    * interleave all three modalities). The pack tail is q158's
+    * verbatim: one exact [[graft.functions.PrefixSum]] over n_units on
+    * the md5 bkey rule (modality folded into the key string so the
+    * interleave is deterministic), shard = the start-offset rule under
+    * the SAME [[ShardUnitBudget]] — text chunks, patch grids and audio
+    * frames draw on one budget, which is exactly what keeps a
+    * multimodal batch's step cost flat.
+    *
+    * FULL oracle despite the codecs: the unit ACCOUNTING is pure
+    * geometry over payload byte length (strlen ↔ octet_length), so
+    * DuckDB replays membership, unit costs, the interleave and the
+    * shard boundaries exactly — the hash compare pins all of it. The
+    * spec reconciles each modality's packed mass against the decode
+    * pipeline's own features (patch count from the REAL q135 decode
+    * geometry) and pins that no payload bytes enter the relation.
+    *
+    * Scale shape: the pack memo + one thin doc-keyed join per modality
+    * (locators and byte lengths — never payloads) + the two-level
+    * PrefixSum scan; modality rows are O(member docs), the stream
+    * never holds a pixel. */
+  val MmImgMod = 3L
+  val MmAudMod = 5L
+  val MmPatch = 16L
+  val MmHop = 160L
+
+  /** (doc_id, seq_id, modality, locator, n_units) rows for all three
+    * modalities — [[q196]]'s input, exposed for PipelineSpec's per-
+    * modality mass reconciliation. */
+  private[graft] def multimodalRows(s: SparkSession, dir: String): DataFrame = {
+    val txt = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id").as("seq_id"),
+        lit("text").as("modality"),
+        concat(lit("txt://"), col("doc_id"), lit(":"), col("chunk_id"))
+          .as("locator"),
+        col("n_units"))
+    val members = packedBuild(s, dir).select(col("doc_id")).distinct()
+    val bytes = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long")
+        .as("n_bytes"))
+      .join(members, "doc_id")
+    val img = bytes.filter(pmod(col("doc_id"), lit(MmImgMod)) === 0)
+      .select(col("doc_id"), lit(0L).as("seq_id"),
+        lit("image").as("modality"),
+        concat(lit("img://"), col("doc_id")).as("locator"),
+        expr(s"(${graft.multimodal.MultiModal.ImgWidth}L div ${MmPatch}L) * " +
+          s"((greatest((n_bytes + ${graft.multimodal.MultiModal.ImgWidth - 1}L) div " +
+          s"${graft.multimodal.MultiModal.ImgWidth}L, 1L) + ${MmPatch - 1}L) div ${MmPatch}L)")
+          .as("n_units"))
+    val aud = bytes.filter(pmod(col("doc_id"), lit(MmAudMod)) === 0)
+      .select(col("doc_id"), lit(0L).as("seq_id"),
+        lit("audio").as("modality"),
+        concat(lit("wav://"), col("doc_id")).as("locator"),
+        expr(s"(n_bytes + ${MmHop - 1}L) div ${MmHop}L").as("n_units"))
+    txt.unionAll(img).unionAll(aud)
+  }
+
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val keyed = multimodalRows(s, dir)
+      .withColumn("bkey",
+        conv(substring(md5(concat(lit("mm:"), col("modality"), lit(":"),
+          col("doc_id"), lit(":"), col("seq_id"))), 1, 15), 16, 10)
+          .cast("long"))
+    graft.functions.PrefixSum
+      .withRunningSum(keyed, "bkey", Seq("modality", "doc_id", "seq_id"),
+        "n_units", "cum_units")
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
+        col("n_units"), col("cum_units"),
+        expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+      .orderBy(col("doc_id"), col("modality"), col("seq_id"))
+  }
+
+  /** FULL oracle: the q158 chain (membership + chunk units) + the two
+    * modality CTEs' geometry arithmetic + the same windowed prefix sum. */
+  lazy val q196Sql: String = {
+    val w = graft.multimodal.MultiModal.ImgWidth
+    s"""$q120CtesSql,
+       |${BpeOps.chainCtesSql},
+       |${BpeOps.chunkCtesSql},
+       |msel AS (
+       |  SELECT t.doc_id FROM t JOIN fxp p USING (lang)
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |mtxt AS (
+       |  SELECT m.doc_id, c.chunk_id AS seq_id, 'text' AS modality,
+       |    'txt://' || m.doc_id || ':' || c.chunk_id AS locator, c.n_units
+       |  FROM msel m JOIN chunks c ON m.doc_id = c.doc_id),
+       |mbytes AS (
+       |  SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes
+       |  FROM documents d JOIN msel USING (doc_id)),
+       |mimg AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS seq_id, 'image' AS modality,
+       |    'img://' || doc_id AS locator,
+       |    CAST(($w // $MmPatch) *
+       |      ((GREATEST((n_bytes + ${w - 1}) // $w, 1) + ${MmPatch - 1})
+       |        // $MmPatch) AS BIGINT) AS n_units
+       |  FROM mbytes WHERE doc_id % $MmImgMod = 0),
+       |maud AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS seq_id, 'audio' AS modality,
+       |    'wav://' || doc_id AS locator,
+       |    CAST((n_bytes + ${MmHop - 1}) // $MmHop AS BIGINT) AS n_units
+       |  FROM mbytes WHERE doc_id % $MmAudMod = 0),
+       |mall AS (
+       |  SELECT * FROM mtxt UNION ALL SELECT * FROM mimg
+       |  UNION ALL SELECT * FROM maud),
+       |mkey AS (
+       |  SELECT *, CAST(('0x' || substr(md5('mm:' || modality || ':' ||
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS bkey
+       |  FROM mall),
+       |mcum AS (
+       |  SELECT doc_id, seq_id, modality, locator, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, modality, doc_id, seq_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_units
+       |  FROM mkey)
+       |SELECT doc_id, seq_id, modality, locator, n_units, cum_units,
+       |  CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |FROM mcum
+       |ORDER BY doc_id, modality, seq_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -2907,6 +3048,7 @@ object PipelineOps {
     Op("q179_length_batches", q179, Some(q179Sql)),
     Op("q191_batch_schedule", q191, Some(q191Sql)),
     Op("q185_batch_manifest", q185, Some(q185Sql)),
+    Op("q196_multimodal_pack", q196, Some(q196Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
     Op("q192_shard_mix_report", q192, Some(q192Sql)),

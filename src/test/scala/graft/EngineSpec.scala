@@ -15,10 +15,12 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // manifest, cell-quota diversity sample, artifact integrity audit,
     // shard mixture-skew report, DDP worker shard — all full oracle)
     // r14: +q195 unicode-tokenization oracle (full oracle — the
-    // cross-engine proof of the [\p{L}\p{N}]+ token class)
-    assert(SparkEntry.queries.size === 195)
+    // cross-engine proof of the [\p{L}\p{N}]+ token class), +q196
+    // multimodal-interleaved pack (full oracle — geometry-derived unit
+    // accounting, locators only)
+    assert(SparkEntry.queries.size === 196)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 178)
+    assert(SparkEntry.oracleSql.size === 179)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -1350,4 +1350,71 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(reg === slices(PipelineOps.WorkerId.toInt)._2
       .map(t => (t._1, t._3)).toSet)
   }
+
+  test("q196 multimodal pack: modality masses reconcile with the decode pipelines, one budget, locators only") {
+    val df = PipelineOps.q196(spark, SF)
+    // payload bytes stay OUT of the pack — no binary column anywhere
+    assert(df.schema.fields.forall(
+      _.dataType != org.apache.spark.sql.types.BinaryType))
+    val rows = df.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("seq_id"), r.getAs[String]("modality"),
+      r.getAs[String]("locator"), r.getAs[Long]("n_units"),
+      r.getAs[Long]("cum_units"), r.getAs[Long]("shard")))
+    val byMod = rows.groupBy(_._3)
+    assert(byMod.keySet === Set("text", "image", "audio"),
+      "premise: all three modalities present at this SF")
+    // TEXT mass and membership are exactly the q158 pack's
+    val pack = PipelineOps.q158(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        r.getAs[Long]("n_units")).toMap
+    val txt = byMod("text")
+    assert(txt.map(t => (t._1, t._2)).toSet === pack.keySet)
+    txt.foreach(t => assert(t._5 === pack((t._1, t._2))))
+    // membership: modality rows ride the mixture-sampled corpus
+    val members = PipelineOps.q152(spark, SF).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // IMAGE units == the REAL q135 decode pipeline's patch grid
+    // (ceil(w/P) * ceil(h/P) over the decoded PNG's geometry)
+    val imgGeo = graft.multimodal.MultiModal.imageFeatures(spark, SF)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    val p = PipelineOps.MmPatch
+    val img = byMod("image")
+    assert(img.map(_._1).toSet ===
+      members.filter(_ % PipelineOps.MmImgMod == 0))
+    img.foreach { t =>
+      val (w, h) = imgGeo(t._1)
+      val patches = ((w + p - 1) / p) * ((h + p - 1) / p)
+      assert(t._5 === patches, s"image units for doc ${t._1}")
+      assert(t._4 === s"img://${t._1}")
+    }
+    // AUDIO units == the REAL q136 decode pipeline's frame count
+    // (ceil(n_samples / hop) over the decoded WAV)
+    val audGeo = graft.multimodal.MultiModal.audioFeatures(spark, SF)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_samples")).toMap
+    val aud = byMod("audio")
+    assert(aud.map(_._1).toSet ===
+      members.filter(_ % PipelineOps.MmAudMod == 0))
+    aud.foreach { t =>
+      val frames =
+        (audGeo(t._1) + PipelineOps.MmHop - 1) / PipelineOps.MmHop
+      assert(t._5 === frames, s"audio units for doc ${t._1}")
+      assert(t._4 === s"wav://${t._1}")
+    }
+    // ONE budget: cum_units is the exact prefix sum over the md5-keyed
+    // interleave, shard = the start-offset rule — and shards MIX
+    // modalities (the interleave is real, not segregated blocks)
+    val total = rows.map(_._5).sum
+    assert(rows.map(_._6).max === total)
+    rows.foreach(t =>
+      assert(t._7 === (t._6 - t._5) / PipelineOps.ShardUnitBudget))
+    val shardsWithAllThree = rows.groupBy(_._7).values
+      .count(_.map(_._3).toSet.size >= 2)
+    assert(shardsWithAllThree > 0, "premise: some shard interleaves modalities")
+    // every single row fits far inside the shard budget at this SF (a
+    // production pipeline resizes huge images to a fixed grid; the
+    // geometry here bounds units ≪ budget for realistic payloads)
+    assert(rows.map(_._5).max < PipelineOps.ShardUnitBudget)
+  }
 }
