@@ -62,6 +62,13 @@ HEADLINE = [
     # not a fair timing baseline.
     "q179_length_batches", "q180_ppl_buckets", "q181_tokenizer_fertility",
     "q182_ngram_novelty", "q184_repeat_plan", "q185_batch_manifest",
+    # r14 widening: the Unicode-tokenization oracle (the new token
+    # class's cross-engine proof — self-contained) and the multimodal
+    # pack (rides the q158 chain; the amortized pass covers it). NB the
+    # r14 token-class change rewrote toksSql inside many headline
+    # oracles — their min histories restart under the sql-md5 guard,
+    # by design.
+    "q195_unicode_tokens", "q196_multimodal_pack",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
