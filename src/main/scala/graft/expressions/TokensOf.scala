@@ -59,9 +59,12 @@ case class TokensOf(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string input, got ${other.simpleString}")
   }
 
-  // captured at expression construction, the way Lower captures it —
-  // eval and codegen then agree with lower() under either conf value
-  private lazy val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
+  // captured EAGERLY at expression construction (driver-side analysis),
+  // the way Lower captures it — eval and codegen then agree with
+  // lower() under either conf value. A lazy val would defer the read
+  // to first use, which for interpreted eval is an executor, where
+  // SQLConf.get may not carry the session override.
+  private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
     .getConfString("spark.sql.icu.caseMappings.enabled", "true").toBoolean
 
   // containsNull = true: schema-identical to regexp_extract_all, so
