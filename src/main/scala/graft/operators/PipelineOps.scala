@@ -1718,7 +1718,8 @@ object PipelineOps {
     * manifest rename; aged-out generations GC'd). Returns the published
     * gen. */
   private[graft] def packWrite(s: SparkSession, base: java.io.File,
-      pack: DataFrame, name: String = "pack"): Long = {
+      pack: DataFrame, name: String = "pack",
+      manifestOf: DataFrame => DataFrame = sequenceManifestOf): Long = {
     val next =
       graft.GenManifest.read(base, name).map(_.current).getOrElse(0L) + 1
     pack.repartition(col("shard"))
@@ -1729,8 +1730,10 @@ object PipelineOps {
     // files just written: a write-time corruption (bit flip, partial
     // row group) must NOT notarize itself into the stored manifest —
     // the first audit catches it instead (r13 review). Also saves one
-    // full artifact scan per publish.
-    sequenceManifestOf(pack)
+    // full artifact scan per publish. `manifestOf` selects the
+    // manifest AGGREGATE for the lineage's schema (sequence packs use
+    // [[sequenceManifestOf]]; the multimodal pack its [[mmManifestOf]]).
+    manifestOf(pack)
       .write.parquet(packDir(base, next, name + "mf").getAbsolutePath)
     graft.GenManifest.publish(base, name, next)
       .foreach { g =>
@@ -3010,6 +3013,108 @@ object PipelineOps {
        |ORDER BY doc_id, modality, seq_id""".stripMargin
   }
 
+  // --- 197. the PERSISTED multimodal-pack artifact (r14) ----------------------
+  /** [[q196]] closed the multimodal build; this op closes its
+    * LIFECYCLE — the q165 treatment for the multimodal stream: the pack
+    * persisted shard-partitioned under its own [[graft.GenManifest]]
+    * lineage (`mmpack`, own artifact base), read back through the
+    * `graftpack` DSv2 table, and manifested by [[mmManifestOf]] — one
+    * row per shard carrying row/doc counts, PER-MODALITY unit masses
+    * (the number a multimodal loader budgets each modality's step cost
+    * by), total mass, end offset, and an order-independent 40-bit
+    * member fingerprint over (modality, doc, seq) — every row counted
+    * exactly once (the triple is unique by construction, so no chunk-0
+    * attribution rule is needed).
+    *
+    * Registered readout = the manifest over the PERSISTED artifact;
+    * oracle = the same aggregate over the q196 chain — the hash compare
+    * IS the artifact round-trip contract (locators, modality masses,
+    * offsets and fingerprints all survive the disk hop), q165's proof
+    * shape at the multimodal granularity. packWrite persists the
+    * manifest beside the data from the in-memory relation (the q190
+    * audit seam — corruption cannot notarize itself), under the same
+    * atomic generation flip + GC contract; a pinned loader keeps its
+    * generation across rebuilds.
+    *
+    * Scale shape: one pack-sized shuffle at write (repartition on
+    * shard → one file per shard), then the manifest is one
+    * map-side-combined groupBy(shard) over the partition-pruned
+    * artifact scan. */
+  private var mmArtDir: Option[String] = None
+
+  private[graft] def q197Base(s: SparkSession): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_mmpack-${s.sparkContext.applicationId}")
+
+  /** The multimodal-manifest AGGREGATE over an arbitrary [[q196]]-shaped
+    * relation `(doc_id, seq_id, modality, locator, n_units, cum_units,
+    * shard)` — ONE definition behind the registered readout, the
+    * persisted manifest, and PipelineSpec's reconciliations. */
+  private[graft] def mmManifestOf(pack: DataFrame): DataFrame =
+    pack
+      .withColumn("mmid",
+        conv(substring(md5(concat(lit("mmid:"), col("modality"), lit(":"),
+          col("doc_id"), lit(":"), col("seq_id"))), 1, 10), 16, 10)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("modality") === "text", col("n_units"))
+          .otherwise(lit(0L))).as("text_units"),
+        sum(when(col("modality") === "image", col("n_units"))
+          .otherwise(lit(0L))).as("image_units"),
+        sum(when(col("modality") === "audio", col("n_units"))
+          .otherwise(lit(0L))).as("audio_units"),
+        sum(col("n_units")).as("n_units"),
+        max(col("cum_units")).as("end_offset"),
+        sum(col("mmid")).as("ids_sum"))
+      .orderBy(col("shard"))
+
+  /** Pack + publish the multimodal artifact unless the live one already
+    * describes `dir` (the q165Ensure discipline, synchronized). */
+  private[graft] def q197Ensure(s: SparkSession, dir: String): java.io.File =
+    this.synchronized {
+      val base = q197Base(s)
+      if (!mmArtDir.contains(dir) ||
+          graft.GenManifest.read(base, "mmpack").isEmpty) {
+        graft.TempArtifacts.register(base)
+        packWrite(s, base, q196(s, dir), "mmpack", mmManifestOf)
+        mmArtDir = Some(dir)
+      }
+      base
+    }
+
+  /** The persisted multimodal pack at the current generation, through
+    * the `graftpack` table (shard restored to int64, build column
+    * order restored). */
+  private[graft] def mmPackRead(s: SparkSession, base: java.io.File): DataFrame =
+    s.read.format("graftpack")
+      .option("base", base.getAbsolutePath)
+      .option("lineage", "mmpack")
+      .option("generation", graft.GenManifest.current(base, "mmpack"))
+      .load()
+      .withColumn("shard", col("shard").cast("long"))
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
+        col("n_units"), col("cum_units"), col("shard"))
+
+  def q197(s: SparkSession, dir: String): DataFrame =
+    mmManifestOf(mmPackRead(s, q197Ensure(s, dir)))
+
+  lazy val q197Sql: String =
+    s"""SELECT shard, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(CASE WHEN modality = 'text' THEN n_units ELSE 0 END) AS BIGINT) AS text_units,
+       |  CAST(SUM(CASE WHEN modality = 'image' THEN n_units ELSE 0 END) AS BIGINT) AS image_units,
+       |  CAST(SUM(CASE WHEN modality = 'audio' THEN n_units ELSE 0 END) AS BIGINT) AS audio_units,
+       |  CAST(SUM(n_units) AS BIGINT) AS n_units,
+       |  MAX(cum_units) AS end_offset,
+       |  CAST(SUM(CAST(('0x' || substr(md5('mmid:' || modality || ':' ||
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)), 1, 10))
+       |    AS BIGINT)) AS BIGINT) AS ids_sum
+       |FROM ($q196Sql) b
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -3049,6 +3154,7 @@ object PipelineOps {
     Op("q191_batch_schedule", q191, Some(q191Sql)),
     Op("q185_batch_manifest", q185, Some(q185Sql)),
     Op("q196_multimodal_pack", q196, Some(q196Sql)),
+    Op("q197_multimodal_artifact", q197, Some(q197Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
     Op("q192_shard_mix_report", q192, Some(q192Sql)),

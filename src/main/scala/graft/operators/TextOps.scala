@@ -1753,9 +1753,99 @@ object TextOps {
        |ORDER BY ta.doc_id""".stripMargin
   }
 
+  // --- 198. script profile / routing readout (r14) --------------------------
+  /** The multilingual ROUTING primitive the Unicode token class (r14)
+    * enables: classify each document by its dominant Unicode SCRIPT —
+    * the decision a 100 TB pipeline makes before anything else
+    * (per-script tokenizer/quality/LM models; q44's marker-word lang-id
+    * is Latin-bound by construction). Per doc: codepoint counts for the
+    * seven scripts the corpus exercises (via the q195 transliteration —
+    * the shipped corpus is pure-ASCII Latin), dominant = the greatest
+    * count with alphabetical tiebreak ('none' when no script codepoint
+    * occurs); registered readout = the per-script rollup a router
+    * budgets by: doc count, dominant-script codepoint mass, all-script
+    * mass, and exact ratio6 PURITY (dominant/all — low purity flags
+    * mixed-script docs that need span-level routing).
+    *
+    * Script classes are Unicode script properties — Java spells them
+    * `\p{IsCyrillic}`, RE2 `\p{Cyrillic}`; both read the same Unicode
+    * script data, so the oracle is FULL. Scale shape: one corpus pass,
+    * seven codegen'd class-match scans per row + one map-side-combined
+    * groupBy(script) over ≤ 8 keys; if script profiling ever became the
+    * hot path, the seven scans fuse into one native codepoint-category
+    * expression (the TokensOf treatment) — kept declarative here for
+    * cross-engine parity at zero custom code. */
+  private val Scripts: Seq[String] =
+    Seq("arabic", "cyrillic", "devanagari", "greek", "han", "hebrew",
+      "latin")
+  private def scriptClassJava(s: String): String =
+    s"\\p{Is${s.capitalize}}"
+  private def scriptClassRe2(s: String): String =
+    s"\\p{${s.capitalize}}"
+
+  def q198(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val uni = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        translate(lower(col("text")), UniFrom, UniTo).as("utext"))
+    val counted = uni.select(
+      (col("doc_id") +: Scripts.map(n =>
+        regexp_count(col("utext"), lit(scriptClassJava(n))).cast("long")
+          .as(s"c_$n"))): _*)
+      .withColumn("g", greatest(Scripts.map(n => col(s"c_$n")): _*))
+      .withColumn("all_chars",
+        Scripts.map(n => col(s"c_$n")).reduce(_ + _))
+    val dom = Scripts.tail.foldLeft(
+      when(col(s"c_${Scripts.head}") === col("g") && col("g") > 0,
+        lit(Scripts.head))) { (acc, n) =>
+      acc.when(col(s"c_$n") === col("g") && col("g") > 0, lit(n))
+    }.otherwise(lit("none"))
+    counted.withColumn("script", dom)
+      .groupBy(col("script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("g")).as("dom_chars"),
+        sum(col("all_chars")).as("script_chars"))
+      .withColumn("purity",
+        when(col("script_chars") === 0, lit(0.0))
+          .otherwise(Num.ratio6(col("dom_chars"), col("script_chars"))))
+      .select(col("script"), col("n_docs"), col("dom_chars"),
+        col("script_chars"), col("purity"))
+      .orderBy(col("script"))
+  }
+
+  lazy val q198Sql: String = {
+    import graft.functions.Num
+    val counts = Scripts.map(n =>
+      s"CAST(len(regexp_extract_all(utext, '${scriptClassRe2(n)}')) AS BIGINT) AS c_$n")
+      .mkString(",\n    ")
+    val g = "GREATEST(" + Scripts.map(n => s"c_$n").mkString(", ") + ")"
+    val all = Scripts.map(n => s"c_$n").mkString(" + ")
+    val dom = "CASE " + Scripts.map(n =>
+      s"WHEN c_$n = g AND g > 0 THEN '$n'").mkString(" ") +
+      " ELSE 'none' END"
+    s"""WITH uni AS (SELECT doc_id,
+       |    translate(lower(text), '$UniFrom', '$UniTo') AS utext
+       |  FROM documents),
+       |cnt AS (SELECT doc_id,
+       |    $counts
+       |  FROM uni),
+       |dm AS (SELECT *, $g AS g, $all AS all_chars FROM cnt),
+       |cl AS (SELECT doc_id, $dom AS script, g, all_chars FROM dm)
+       |SELECT script, COUNT(*) AS n_docs,
+       |  CAST(SUM(g) AS BIGINT) AS dom_chars,
+       |  CAST(SUM(all_chars) AS BIGINT) AS script_chars,
+       |  CASE WHEN SUM(all_chars) = 0 THEN 0.0
+       |    ELSE ${Num.ratio6Sql("SUM(g)", "SUM(all_chars)")} END AS purity
+       |FROM cl
+       |GROUP BY script
+       |ORDER BY script""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q33_tokenize", q33, Some(q33Sql)),
     Op("q195_unicode_tokens", q195, Some(q195Sql)),
+    Op("q198_script_profile", q198, Some(q198Sql)),
     Op("q34_stopword_tf", q34, Some(q34Sql)),
     Op("q35_ngrams", q35, Some(q35Sql)),
     Op("q36_tfidf", q36, Some(q36Sql)),

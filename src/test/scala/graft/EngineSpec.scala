@@ -17,10 +17,13 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // r14: +q195 unicode-tokenization oracle (full oracle — the
     // cross-engine proof of the [\p{L}\p{N}]+ token class), +q196
     // multimodal-interleaved pack (full oracle — geometry-derived unit
-    // accounting, locators only)
-    assert(SparkEntry.queries.size === 196)
+    // accounting, locators only), +q197 its persisted artifact +
+    // per-modality manifest (full oracle — the q165 round-trip proof
+    // shape), +q198 script profile / routing readout (full oracle —
+    // Unicode script properties, Java Is-spelling vs RE2 spelling)
+    assert(SparkEntry.queries.size === 198)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 179)
+    assert(SparkEntry.oracleSql.size === 181)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -1417,4 +1417,36 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     // geometry here bounds units ≪ budget for realistic payloads)
     assert(rows.map(_._5).max < PipelineOps.ShardUnitBudget)
   }
+
+  test("q197 multimodal artifact: read-back ≡ the build, per-modality manifest reconciles, standing reuse") {
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList.toString
+    val mem = PipelineOps.q196(spark, SF).collect().map(key).sorted
+    val base = PipelineOps.q197Ensure(spark, SF)
+    // every row (incl. locators) survives the disk hop through the
+    // graftpack table, byte for byte
+    val art = PipelineOps.mmPackRead(spark, base).collect().map(key).sorted
+    assert(art === mem)
+    assert(art.nonEmpty)
+    // the registered manifest reconciles per shard per modality with a
+    // direct aggregate over the in-memory build
+    val mf = PipelineOps.q197(spark, SF).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("text_units"),
+          r.getAs[Long]("image_units"), r.getAs[Long]("audio_units"),
+          r.getAs[Long]("n_units"))).toMap
+    val direct = PipelineOps.q196(spark, SF).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[String]("modality"),
+        r.getAs[Long]("n_units")))
+      .groupBy(_._1)
+    assert(mf.keySet === direct.keySet)
+    direct.foreach { case (shard, rs) =>
+      def mass(m: String) = rs.filter(_._2 == m).map(_._3).sum
+      assert(mf(shard) === ((rs.length.toLong, mass("text"), mass("image"),
+        mass("audio"), rs.map(_._3).sum)), s"shard $shard")
+    }
+    // standing reuse: a second registered call must not re-publish
+    val gen = GenManifest.current(base, "mmpack")
+    PipelineOps.q197(spark, SF).collect()
+    assert(GenManifest.current(base, "mmpack") === gen)
+  }
 }

@@ -114,6 +114,51 @@ class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
     assert(toks(" 　\t") === List())
   }
 
+  test("q198 script profile equals a driver-side replay (counts, dominance, tiebreak, purity)") {
+    val got = graft.operators.TextOps.q198(spark, SF).collect()
+      .map(r => r.getAs[String]("script") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("dom_chars"),
+          r.getAs[Long]("script_chars"), r.getAs[Double]("purity"))).toMap
+    assert(got.nonEmpty)
+    // replay: same transliteration, Java script properties, same
+    // alphabetical-tiebreak dominance rule, exact half-up purity
+    val from = "abcdefghijklmnopqrstuvwxyz"
+    val to = "абвГдежηθικλμمرسЖρσ東京५Дבыш"
+    val scripts = Seq("Arabic", "Cyrillic", "Devanagari", "Greek", "Han",
+      "Hebrew", "Latin")
+    val docs = Tables.documents(spark, SF).select("doc_id", "text").collect()
+    val perDoc = docs.map { r =>
+      val lowered = r.getString(1).toLowerCase
+      val utext = lowered.map { ch =>
+        val i = from.indexOf(ch)
+        if (i >= 0) to(i) else ch
+      }
+      val counts = scripts.map(sc =>
+        sc.toLowerCase -> utext.codePoints().toArray.count(cp =>
+          Character.UnicodeScript.of(cp) ==
+            Character.UnicodeScript.forName(sc)).toLong)
+      val g = counts.map(_._2).max
+      val dom = counts.find { case (_, c) => c == g && g > 0 }
+        .map(_._1).getOrElse("none")
+      (dom, g, counts.map(_._2).sum)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (sc, rs) =>
+      val domC = rs.map(_._2).sum
+      val allC = rs.map(_._3).sum
+      val purity = if (allC == 0) 0.0
+        else new java.math.BigDecimal(domC)
+          .divide(new java.math.BigDecimal(allC), 6,
+            java.math.RoundingMode.HALF_UP).doubleValue()
+      sc -> ((rs.length.toLong, domC, allC, purity))
+    }
+    assert(got === expect)
+    // purity is a real signal: mixed-script transliterated docs sit
+    // strictly below 1; every purity is in (0, 1]
+    got.filterNot(_._1 == "none").values.foreach { case (_, _, _, p) =>
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
   test("the q195 transliteration exercises every intended script class") {
     // one char per target class, through the same translate the op uses:
     // Cyrillic upper+lower, Greek lower, Arabic, Hebrew, CJK, Devanagari
