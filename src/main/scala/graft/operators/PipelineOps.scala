@@ -619,7 +619,10 @@ object PipelineOps {
     val eighthsSql = "CASE lang " +
       MixRates.map { case (l, r) => s"WHEN '$l' THEN ${(r * 8).toLong}" }
         .mkString(" ") + s" ELSE ${(MixDefaultRate * 8).toLong} END"
-    val bpeCt = """len(regexp_extract_all(lower(ctext), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
+    // the ONE BpeTokenRegex definition, over the cleaned-text column
+    // (r14 — this was an inline copy; routing through Text.bpeCountSqlOf
+    // makes the q46/q83/q114 class set structurally undivergeable)
+    val bpeCt = graft.text.Text.bpeCountSqlOf("ctext")
     s"""WITH RECURSIVE ${DedupOps.q49CcCtesSql},
        |${DedupOps.dupSpanCtesSql(DedupOps.DupSpanK)},
        |${DedupOps.spanCleanCtesSql},

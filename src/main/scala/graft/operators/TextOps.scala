@@ -1691,8 +1691,10 @@ object TextOps {
     * documented full-vs-simple mapping divergence so capitals stay out,
     * Arabic/Hebrew/CJK Lo letters with no case, a Devanagari Nd digit),
     * then tokenized and 3-shingled on BOTH engines; per doc: token
-    * count, token-codepoint mass, and exact int64 sums of 48-bit md5
-    * prefixes over every token and every shingle. The driver's hash
+    * count, token-codepoint mass, exact int64 sums of 48-bit md5
+    * prefixes over every token and every shingle, and (r14) the
+    * [[Text.BpeTokenRegex]] class count over the same text — the
+    * cross-engine proof for the Unicode BPE classes too. The driver's hash
     * compare therefore pins token BYTES (md5 is over UTF-8), run
     * boundaries, multi-byte lowercasing, and shingle joins across
     * engines — the multilingual analogue of the ASCII proof the other
@@ -1713,11 +1715,20 @@ object TextOps {
       .cache()
     def fp48(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    // the BPE class set over the same transliterated text — the
+    // cross-engine proof for Text.BpeTokenRegex's r14 Unicode classes
+    // (letter runs / number runs / single symbols), joined in beside
+    // the token fingerprints
+    val bpe = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        bpeTokenCount(translate(lower(col("text")), UniFrom, UniTo))
+          .as("n_bpe"))
     val ta = toked.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(length(col("tok"))).cast("long").as("n_chars"),
         sum(fp48(col("tok"))).cast("long").as("tok_fp"))
+      .join(bpe, "doc_id")
     val sa = toked.select(col("doc_id"),
         explode(shingles(col("toks"), 3)).as("sh"))
       .groupBy(col("doc_id"))
@@ -1725,6 +1736,7 @@ object TextOps {
         sum(fp48(col("sh"))).cast("long").as("sh_fp"))
     ta.join(sa, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("tok_fp"),
+        col("n_bpe"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("sh_fp"), lit(0L)).as("sh_fp"))
       .orderBy(col("doc_id"))
@@ -1741,15 +1753,20 @@ object TextOps {
        |    CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
        |    CAST(SUM(${fp48Sql("tok")}) AS BIGINT) AS tok_fp
        |  FROM tk GROUP BY doc_id),
+       |bpe AS (SELECT doc_id,
+       |    CAST(${Text.bpeCountSqlOf(
+              s"translate(lower(text), '$UniFrom', '$UniTo')")} AS BIGINT)
+       |      AS n_bpe
+       |  FROM documents),
        |shx AS (SELECT doc_id, unnest(${Text.shinglesSql("toks", 3)}) AS sh
        |  FROM uni),
        |sa AS (SELECT doc_id, COUNT(*) AS n_shingles,
        |    CAST(SUM(${fp48Sql("sh")}) AS BIGINT) AS sh_fp
        |  FROM shx GROUP BY doc_id)
-       |SELECT ta.doc_id, n_tokens, n_chars, tok_fp,
+       |SELECT ta.doc_id, n_tokens, n_chars, tok_fp, n_bpe,
        |  COALESCE(n_shingles, 0) AS n_shingles,
        |  COALESCE(sh_fp, 0) AS sh_fp
-       |FROM ta LEFT JOIN sa USING (doc_id)
+       |FROM ta JOIN bpe USING (doc_id) LEFT JOIN sa USING (doc_id)
        |ORDER BY ta.doc_id""".stripMargin
   }
 

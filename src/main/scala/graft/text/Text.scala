@@ -34,15 +34,26 @@ object Text {
   val toksSql: String = toksSqlOf("text")
 
   /** BPE-ish token classes (letter runs / digit runs / single symbols) —
-    * the ONE definition q46 and q83 share on both engines; editing it in
-    * one consumer must not diverge the other's Spark↔oracle parity. */
-  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    * the ONE definition q46/q83/q114 share on both engines; editing it
+    * in one consumer must not diverge the others' Spark↔oracle parity.
+    * r14: Unicode like [[tokens]] — `\p{L}+|\p{N}+` runs plus one token
+    * per non-letter/number/whitespace codepoint (Java and RE2 share the
+    * category tables, and both read `\s` as ASCII whitespace without a
+    * Unicode flag, so the classes agree cross-engine); on ASCII input
+    * the classes are byte-identical to the pre-r14 ASCII form, so every
+    * committed oracle hash over the shipped corpus is unchanged.
+    * Cross-engine Unicode proof: q195's `n_bpe` column. */
+  val BpeTokenRegex = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeTokenRegex), lit(0))).cast("long")
 
-  /** Same class set, single-quoted for DuckDB (`\s` stays literal). */
-  val bpeCountSql = """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
+  /** Same class set over an arbitrary column expression, single-quoted
+    * for DuckDB (`\s`/`\p` stay literal). */
+  def bpeCountSqlOf(c: String): String =
+    s"len(regexp_extract_all(lower($c), '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))"
+
+  val bpeCountSql: String = bpeCountSqlOf("text")
 
   /** Word k-shingles of a token array (k ≥ 2), joined with single spaces.
     *

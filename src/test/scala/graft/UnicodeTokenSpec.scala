@@ -114,6 +114,36 @@ class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
     assert(toks(" 　\t") === List())
   }
 
+  test("BPE token classes: ASCII subset bit-identical, Unicode classes segment per category") {
+    import org.apache.spark.sql.functions.col
+    // ASCII identity vs the pre-r14 class set
+    val asciiGen = Gen.listOfN(50, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', ',', '.', '-', '!', '@', '(', ')')))
+      .map(_.mkString)
+    val cases = (0 until 120)
+      .flatMap(i => asciiGen.apply(Gen.Parameters.default, Seed(3L + i))) ++
+      Seq("", "a1!", "Hello, World!", "  .. ")
+    val got = cases.toDF("text")
+      .select(graft.text.Text.bpeTokenCount(col("text"))).as[Long].collect()
+    val oldRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    cases.zip(got).foreach { case (c, g) =>
+      assert(g === oldRe.findAllIn(c.toLowerCase).size.toLong,
+        s"BPE ASCII drift on <$c>")
+    }
+    // Unicode classes: letter runs, number runs, one token per symbol
+    val uni = Seq(
+      "Привет, мир!" -> 4L,   // [привет][,][мир][!]
+      "東京42" -> 2L,          // [東京42 splits L-run/N-run] -> [東京][42]
+      "५½ x" -> 2L,            // N-run [५½] + [x]
+      "a†b" -> 3L)             // symbol † is So -> its own token
+    val gotU = uni.map(_._1).toDF("text")
+      .select(graft.text.Text.bpeTokenCount(col("text"))).as[Long].collect()
+    uni.map(_._2).zip(gotU).zip(uni.map(_._1)).foreach {
+      case ((want, g), c) => assert(g === want, s"BPE classes on <$c>")
+    }
+  }
+
   test("q198 script profile equals a driver-side replay (counts, dominance, tiebreak, purity)") {
     val got = graft.operators.TextOps.q198(spark, SF).collect()
       .map(r => r.getAs[String]("script") ->
