@@ -960,7 +960,17 @@ object SimOps {
 
   private[graft] def annIndexVecsOf(s: SparkSession, base: java.io.File,
       gen: Long): DataFrame =
-    s.read.parquet(annIndexVecsDir(base, gen).getAbsolutePath)
+    // through the graftpack DSv2 table (r14): the ANN index shares the
+    // pack artifact's `<lineage>_g<gen>` + GenManifest convention, so
+    // the same named-table read (lineage "vecs", generation pinned at
+    // resolution) serves it — the scan below is the identical
+    // cell-partitioned ParquetScan, PartitionFilters pins unchanged
+    // (SimilaritySpec re-pins them on the V2 plan)
+    s.read.format("graftpack")
+      .option("base", base.getAbsolutePath)
+      .option("lineage", "vecs")
+      .option("generation", gen)
+      .load()
 
   /** The frozen model of the artifact at `base`: (cellsRow, cbRow). */
   private[graft] def annIndexModel(s: SparkSession,
