@@ -2920,21 +2920,16 @@ object PipelineOps {
   val MmPatch = 16L
   val MmHop = 160L
 
-  /** (doc_id, seq_id, modality, locator, n_units) rows for all three
-    * modalities — [[q196]]'s input, exposed for PipelineSpec's per-
-    * modality mass reconciliation. */
-  private[graft] def multimodalRows(s: SparkSession, dir: String): DataFrame = {
-    val txt = sequencePack(s, dir)
-      .select(col("doc_id"), col("chunk_id").as("seq_id"),
-        lit("text").as("modality"),
-        concat(lit("txt://"), col("doc_id"), lit(":"), col("chunk_id"))
-          .as("locator"),
-        col("n_units"))
-    val members = packedBuild(s, dir).select(col("doc_id")).distinct()
-    val bytes = graft.Tables.documents(s, dir)
+  /** IMAGE/AUDIO modality rows `(doc_id, seq_id, modality, locator,
+    * n_units)` for an arbitrary `(doc_id, text)` relation — the q196
+    * geometry rules as ONE definition, shared by the batch build
+    * ([[multimodalRows]]) and the serve seam
+    * ([[graft.streaming.StreamOps.mmPackFold]]), the chunkReadout rule
+    * applied to modality rows: the two paths cannot drift. */
+  private[graft] def modalityRowsOf(docs: DataFrame): DataFrame = {
+    val bytes = docs
       .select(col("doc_id"), octet_length(col("text")).cast("long")
         .as("n_bytes"))
-      .join(members, "doc_id")
     val img = bytes.filter(pmod(col("doc_id"), lit(MmImgMod)) === 0)
       .select(col("doc_id"), lit(0L).as("seq_id"),
         lit("image").as("modality"),
@@ -2948,15 +2943,36 @@ object PipelineOps {
         lit("audio").as("modality"),
         concat(lit("wav://"), col("doc_id")).as("locator"),
         expr(s"(n_bytes + ${MmHop - 1}L) div ${MmHop}L").as("n_units"))
-    txt.unionAll(img).unionAll(aud)
+    img.unionAll(aud)
   }
+
+  /** (doc_id, seq_id, modality, locator, n_units) rows for all three
+    * modalities — [[q196]]'s input, exposed for PipelineSpec's per-
+    * modality mass reconciliation. */
+  private[graft] def multimodalRows(s: SparkSession, dir: String): DataFrame = {
+    val txt = sequencePack(s, dir)
+      .select(col("doc_id"), col("chunk_id").as("seq_id"),
+        lit("text").as("modality"),
+        concat(lit("txt://"), col("doc_id"), lit(":"), col("chunk_id"))
+          .as("locator"),
+        col("n_units"))
+    val members = packedBuild(s, dir).select(col("doc_id")).distinct()
+    val mm = modalityRowsOf(graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).join(members, "doc_id"))
+    txt.unionAll(mm)
+  }
+
+  /** The q196 interleave KEY — md5 over (modality, doc, seq), ONE
+    * definition for the batch build and the serve fold. */
+  private[graft] def mmKey(modality: Column, docId: Column,
+      seqId: Column): Column =
+    conv(substring(md5(concat(lit("mm:"), modality, lit(":"), docId,
+      lit(":"), seqId)), 1, 15), 16, 10).cast("long")
 
   def q196(s: SparkSession, dir: String): DataFrame = {
     val keyed = multimodalRows(s, dir)
       .withColumn("bkey",
-        conv(substring(md5(concat(lit("mm:"), col("modality"), lit(":"),
-          col("doc_id"), lit(":"), col("seq_id"))), 1, 15), 16, 10)
-          .cast("long"))
+        mmKey(col("modality"), col("doc_id"), col("seq_id")))
     graft.functions.PrefixSum
       .withRunningSum(keyed, "bkey", Seq("modality", "doc_id", "seq_id"),
         "n_units", "cum_units")

@@ -420,8 +420,7 @@ object TextOps {
     docsWithToks(s, dir)
       .withColumn("n_toks", size(col("toks")))
       .withColumn("n_stop", size(filter(col("toks"), t => t.isin(Stopwords: _*))))
-      .withColumn("alnum_len",
-        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .withColumn("alnum_len", Text.alnumLen(col("text")))
       .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
         graft.functions.Num.ratio6(col("n_stop"), col("n_toks")).as("stop_ratio"),
         graft.functions.Num.ratio6(length(col("text")) - col("alnum_len"),
@@ -437,7 +436,7 @@ object TextOps {
        |FROM (
        |  SELECT doc_id, text, len($toksSql) AS n_toks,
        |    len(list_filter($toksSql, t -> t IN $StopwordsSqlList)) AS n_stop,
-       |    LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_len
+       |    ${Text.alnumLenSql("text")} AS alnum_len
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 

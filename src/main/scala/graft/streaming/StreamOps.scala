@@ -882,6 +882,75 @@ object StreamOps {
   /** One [[packServe]] micro-batch — factored out so StreamingSpec can
     * drive a re-delivered batchId directly (foreachBatch won't
     * re-deliver under MemoryStream's in-process happy path). */
+  /** [[packServe]] for the MULTIMODAL stream (r14 — the q196 build at
+    * the arrival seam): each arriving doc batch packs its text chunks
+    * AND its image/audio locator rows under ONE running unit offset.
+    * Text rows price exactly like [[packFold]] (merge replay →
+    * chunkReadout); modality rows come from the SAME geometry builder
+    * as the batch op
+    * ([[graft.operators.PipelineOps.modalityRowsOf]] — one definition,
+    * the two paths cannot drift), and the interleave key is the shared
+    * [[graft.operators.PipelineOps.mmKey]]. Payload bytes never enter
+    * the stream — locators only, the q196 contract. Every packFold
+    * guarantee holds verbatim: idempotent re-delivery at the original
+    * base, gapless offsets over what WAS packed, open-shard append,
+    * deterministic emit order. */
+  def mmPackServe(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], baseOffset: Long = 0L,
+      lastCommitted: Option[(Long, Long)] = None)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = new PackServeState(baseOffset, lastCommitted)
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mmPackFold(batch, merges, state, batchId)(sink)
+    }
+  }
+
+  private[graft] def mmPackFold(batch: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
+      batchId: Long)(sink: DataFrame => Unit): Unit = {
+    import graft.operators.{BpeOps, PipelineOps}
+    val (toks, mapping) = batchToksAndMapping(batch, merges)
+    val rows =
+      try {
+        val txt = BpeOps.chunkReadout(toks, mapping)
+          .select(col("doc_id"), col("chunk_id").as("seq_id"),
+            lit("text").as("modality"),
+            concat(lit("txt://"), col("doc_id"), lit(":"), col("chunk_id"))
+              .as("locator"),
+            col("n_units"))
+        txt.unionAll(PipelineOps.modalityRowsOf(
+            batch.select(col("doc_id"), col("text"))))
+          .withColumn("bkey",
+            PipelineOps.mmKey(col("modality"), col("doc_id"), col("seq_id")))
+          .cache()
+      } catch { case t: Throwable => toks.unpersist(); throw t }
+    try {
+      val base = {
+        val (lastId, lastBase) = state.last
+        if (batchId == lastId) lastBase
+        else {
+          val b = state.offset.get()
+          state.last = (batchId, b)
+          b
+        }
+      }
+      val packed = graft.functions.PrefixSum
+        .withRunningSum(rows, "bkey", Seq("modality", "doc_id", "seq_id"),
+          "n_units", "cum_batch")
+        .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
+          col("n_units"), (col("cum_batch") + base).as("cum_units"))
+        .withColumn("shard", expr(
+          s"(cum_units - n_units) div ${PipelineOps.ShardUnitBudget}L"))
+        .orderBy(col("cum_units"))
+      val total = rows.agg(coalesce(sum(col("n_units")), lit(0L)))
+        .head().getLong(0)
+      sink(packed)
+      state.offset.updateAndGet(cur => math.max(cur, base + total))
+      ()
+    } finally { rows.unpersist(); toks.unpersist() }
+  }
+
   private[graft] def packFold(batch: DataFrame,
       merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
       batchId: Long, gate: Option[DataFrame] = None)

@@ -55,6 +55,18 @@ object Text {
 
   val bpeCountSql: String = bpeCountSqlOf("text")
 
+  /** Letter/number codepoint count of the lowered text — the q45
+    * quality family's alnum mass. r14: Unicode (`[^\p{L}\p{N}]`
+    * stripped — same category tables on both engines), so the
+    * non-alnum ratio stops mis-scoring every non-Latin document as
+    * pure punctuation; byte-identical to the old `[^a-z0-9]` form on
+    * ASCII input (oracle hashes unchanged over the shipped corpus). */
+  def alnumLen(text: Column): Column =
+    length(regexp_replace(lower(text), "[^\\p{L}\\p{N}]", ""))
+
+  def alnumLenSql(c: String): String =
+    s"LENGTH(regexp_replace(lower($c), '[^\\p{L}\\p{N}]', '', 'g'))"
+
   /** Word k-shingles of a token array (k ≥ 2), joined with single spaces.
     *
     * Implemented as `arrays_zip` over k shifted slices + filter + join,

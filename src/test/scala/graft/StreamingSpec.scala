@@ -1046,6 +1046,90 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(st.offset.get() === offAfterFirst + second.map(_._4).sum)
   }
 
+  test("streaming multimodal packing: fold ≡ local geometry replay, interleaved modalities, idempotent re-delivery") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(24).toSeq
+    val batchesIn = Seq(docs.take(10), docs.slice(10, 24))
+    val base = 777L
+    val ms = MemoryStream[(Long, String)]
+    type MmRow = (Long, Long, String, String, Long, Long, Long)
+    def rowsOf(p: org.apache.spark.sql.DataFrame): List[MmRow] =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    val out = scala.collection.mutable.ArrayBuffer[List[MmRow]]()
+    val q = StreamOps.mmPackServe(
+        ms.toDF().toDF("doc_id", "text"), merges, base) { p => out += rowsOf(p) }
+      .start()
+    try batchesIn.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    assert(out.length === 2)
+    // local replay: text chunks priced by merge replay (the packServe
+    // test's rule), image/audio rows by the q196 geometry over byte
+    // length, interleaved on md5("mm:modality:doc:seq") with the
+    // (modality, doc, seq) tiebreak, carried offset, start-offset shard
+    val re = "[\\p{L}\\p{N}]+".r
+    def mmkey(mod: String, id: Long, seq: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mm:$mod:$id:$seq".getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def textRows(id: Long, text: String): Seq[(Long, String, String, Long)] = {
+      val ts = re.findAllIn(text.toLowerCase).toSeq
+      val units = ts.map(t => BpeOps.applyMerges(t, merges).length.toLong)
+      var cum = 0L
+      ts.indices.map { i =>
+        val start = cum; cum += units(i)
+        (start / BpeOps.ChunkUnitBudget, units(i))
+      }.groupBy(_._1).toSeq.map { case (cid, rs) =>
+        (cid, "text", s"txt://$id:$cid", rs.map(_._2).sum)
+      }
+    }
+    def geoRows(id: Long, text: String): Seq[(Long, String, String, Long)] = {
+      val nb = text.getBytes("UTF-8").length.toLong
+      val h = math.max((nb + 31) / 32, 1L)
+      val img = if (id % PipelineOps.MmImgMod == 0)
+        Seq((0L, "image", s"img://$id", 2L * ((h + 15) / 16))) else Seq()
+      val aud = if (id % PipelineOps.MmAudMod == 0)
+        Seq((0L, "audio", s"wav://$id",
+          (nb + PipelineOps.MmHop - 1) / PipelineOps.MmHop)) else Seq()
+      img ++ aud
+    }
+    var carried = base
+    val replay = batchesIn.map { b =>
+      val rs = b.flatMap { case (id, t) =>
+        (textRows(id, t) ++ geoRows(id, t)).map { case (sq, m, loc, nu) =>
+          (id, sq, m, loc, nu) } }
+        .sortBy { case (id, sq, m, _, _) => (mmkey(m, id, sq), m, id, sq) }
+      rs.map { case (id, sq, m, loc, nu) =>
+        carried += nu
+        (id, sq, m, loc, nu, carried,
+          (carried - nu) / PipelineOps.ShardUnitBudget)
+      }.toList
+    }
+    assert(out.toList === replay)
+    // modalities genuinely interleave in the served stream
+    assert(out.flatten.map(_._3).toSet === Set("text", "image", "audio"))
+    // gapless across batches; offsets strictly advance
+    val all = out.toList.flatten
+    assert(all.map(_._5).sum === all.last._6 - base)
+    // no payload bytes in the schema — locator strings only
+    assert(all.forall(r => r._4.length < 64))
+    // re-delivery at the ORIGINAL base, byte-identical, offset untouched
+    val st = new StreamOps.PackServeState(100L)
+    var got1: List[MmRow] = null
+    StreamOps.mmPackFold(docs.take(5).toDF("doc_id", "text"), merges, st, 0L) {
+      p => got1 = rowsOf(p) }
+    val off1 = st.offset.get()
+    var got2: List[MmRow] = null
+    StreamOps.mmPackFold(docs.take(5).toDF("doc_id", "text"), merges, st, 0L) {
+      p => got2 = rowsOf(p) }
+    assert(got2 === got1, "re-delivery must be idempotent")
+    assert(st.offset.get() === off1, "re-delivery must not advance")
+  }
+
   test("serve-vs-rebuild manifest reconciliation: one-batch serve ≡ static q159, multi-batch totals exact") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

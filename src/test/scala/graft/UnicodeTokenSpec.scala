@@ -144,6 +144,30 @@ class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("alnum mass (q45 quality): ASCII subset identical, Unicode letters/digits count") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq("Hello, World! 42", "a_b-c", "", "...", "Привет, мир!",
+      "東京 2025年", "naïve café", "५½")
+    val got = cases.toDF("text")
+      .select(graft.text.Text.alnumLen(col("text"))).as[Int].collect()
+    cases.zip(got).foreach { case (c, g) =>
+      // reference: count codepoints in category L or N of the lowered text
+      val want = c.toLowerCase.codePoints().toArray.count { cp =>
+        val t = Character.getType(cp)
+        t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+        t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+        t == Character.OTHER_LETTER || t == Character.DECIMAL_DIGIT_NUMBER ||
+        t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+      }
+      assert(g === want, s"alnumLen on <$c>")
+      // ASCII inputs: identical to the pre-r14 [^a-z0-9] strip
+      if (c.forall(_ < 128))
+        assert(g === c.toLowerCase.count(ch =>
+          (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')),
+          s"ASCII drift on <$c>")
+    }
+  }
+
   test("q198 script profile equals a driver-side replay (counts, dominance, tiebreak, purity)") {
     val got = graft.operators.TextOps.q198(spark, SF).collect()
       .map(r => r.getAs[String]("script") ->
