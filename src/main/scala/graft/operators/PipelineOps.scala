@@ -3119,6 +3119,71 @@ object PipelineOps {
   def q197(s: SparkSession, dir: String): DataFrame =
     mmManifestOf(mmPackRead(s, q197Ensure(s, dir)))
 
+  // --- 199. the multimodal loader's per-step batch fetch (r14) ----------------
+  /** [[q177]]'s proof shape over the MULTIMODAL artifact: a multimodal
+    * training step consumes a rank range of one epoch's seeded
+    * permutation of the q196 stream — text chunks AND modality locator
+    * rows arrive interleaved in the same batch, which is exactly what a
+    * multimodal loader feeds a step (the locators then drive the
+    * payload fetches outside the metadata plane). The permutation is a
+    * pure function of (seed, epoch, modality, doc, seq) under a fresh
+    * `mmep:` key prefix; the rank range resolves to a
+    * (modality, doc, seq, shard) set with no loader state, the touched-
+    * shard set is step-size-bounded (the q177/q105 driver class), and
+    * the payload fetch carries `shard IN (touched)` on the partition
+    * column of the PERSISTED mmpack artifact — PipelineSpec pins the
+    * scan's PartitionFilters to exactly the touched shards.
+    *
+    * Scale shape: one per-epoch PrefixSum ranking over the thin
+    * artifact projection (a real loader amortizes it across the
+    * epoch's steps), one driver-bounded distinct-shard collect, one
+    * partition-pruned artifact scan joined batch-to-artifact on
+    * (modality, doc, seq, shard). FULL oracle: one ROW_NUMBER over the
+    * q196 chain under the same key, rank-range filtered — payload
+    * columns ride the single pass (value-equal to the pruned-fetch
+    * composition the Spark side executes). */
+  def q199(s: SparkSession, dir: String): DataFrame = {
+    val base = q197Ensure(s, dir)
+    val thin = mmPackRead(s, base)
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("shard"))
+      .withColumn("okey",
+        conv(substring(md5(concat(lit(s"mmep:$EpochSeed:$StepEpoch:"),
+          col("modality"), lit(":"), col("doc_id"), lit(":"),
+          col("seq_id"))), 1, 15), 16, 10).cast("long"))
+    // the q177 snapshot rule: the shard collect and the returned join
+    // both read the step — one ranking execution, blocks owned per-op
+    val step = graft.functions.PrefixSum
+      .withRunningSum(thin.withColumn("one", lit(1L)), "okey",
+        Seq("modality", "doc_id", "seq_id"), "one", "seq_rank")
+      .filter(col("seq_rank") > StepLoRank && col("seq_rank") <= StepHiRank)
+      .select(col("seq_rank"), col("doc_id"), col("seq_id"), col("modality"),
+        col("shard"))
+      .localCheckpoint()
+    step.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(r => graft.CheckpointRegistry.register(r))
+    val touched = step.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val art = mmPackRead(s, base).filter(col("shard").isin(touched: _*))
+    step.join(art, Seq("doc_id", "seq_id", "modality", "shard"))
+      .select(col("seq_rank"), col("doc_id"), col("seq_id"), col("modality"),
+        col("locator"), col("n_units"), col("cum_units"), col("shard"))
+      .orderBy(col("seq_rank"))
+  }
+
+  lazy val q199Sql: String =
+    s"""SELECT seq_rank, doc_id, seq_id, modality, locator, n_units,
+       |  cum_units, shard
+       |FROM (
+       |  SELECT b.*, CAST(ROW_NUMBER() OVER (ORDER BY
+       |      CAST(('0x' || substr(md5('mmep:$EpochSeed:$StepEpoch:' ||
+       |        modality || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(seq_id AS VARCHAR)), 1, 15)) AS BIGINT),
+       |      modality, doc_id, seq_id) AS BIGINT) AS seq_rank
+       |  FROM ($q196Sql) b) r
+       |WHERE seq_rank > $StepLoRank AND seq_rank <= $StepHiRank
+       |ORDER BY seq_rank""".stripMargin
+
   lazy val q197Sql: String =
     s"""SELECT shard, COUNT(*) AS n_rows,
        |  COUNT(DISTINCT doc_id) AS n_docs,
@@ -3174,6 +3239,7 @@ object PipelineOps {
     Op("q185_batch_manifest", q185, Some(q185Sql)),
     Op("q196_multimodal_pack", q196, Some(q196Sql)),
     Op("q197_multimodal_artifact", q197, Some(q197Sql)),
+    Op("q199_multimodal_step_read", q199, Some(q199Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
     Op("q192_shard_mix_report", q192, Some(q192Sql)),

@@ -20,10 +20,12 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // accounting, locators only), +q197 its persisted artifact +
     // per-modality manifest (full oracle — the q165 round-trip proof
     // shape), +q198 script profile / routing readout (full oracle —
-    // Unicode script properties, Java Is-spelling vs RE2 spelling)
-    assert(SparkEntry.queries.size === 198)
+    // Unicode script properties, Java Is-spelling vs RE2 spelling),
+    // +q199 multimodal per-step batch fetch (full oracle — the q177
+    // proof shape over the mmpack artifact)
+    assert(SparkEntry.queries.size === 199)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 181)
+    assert(SparkEntry.oracleSql.size === 182)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -1449,4 +1449,50 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     PipelineOps.q197(spark, SF).collect()
     assert(GenManifest.current(base, "mmpack") === gen)
   }
+
+  test("q199 multimodal step read: exact rank range over the artifact, scan prunes to the touched shards") {
+    val rows = PipelineOps.q199(spark, SF).collect()
+    assert(rows.nonEmpty, "premise: the rank range is non-empty at this SF")
+    // the batch is exactly the rank range of the seeded permutation of
+    // the q196 stream — replayed driver-side over the build itself
+    def key(m: String, d: Long, sq: Long): (BigInt, String, Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((s"mmep:${PipelineOps.EpochSeed}:${PipelineOps.StepEpoch}:" +
+          s"$m:$d:$sq").getBytes("UTF-8"))
+      (BigInt(md.map("%02x".format(_)).mkString.take(15), 16), m, d, sq)
+    }
+    val build = PipelineOps.q196(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+        r.getAs[String]("modality"), r.getAs[String]("locator"),
+        r.getAs[Long]("n_units"), r.getAs[Long]("cum_units"),
+        r.getAs[Long]("shard")))
+    val want = build.sortBy(t => key(t._3, t._1, t._2))
+      .zipWithIndex
+      .map { case (t, i) => (i + 1L, t) }
+      .filter { case (rk, _) =>
+        rk > PipelineOps.StepLoRank && rk <= PipelineOps.StepHiRank }
+    assert(rows.map(r => (r.getAs[Long]("seq_rank"), (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("seq_id"), r.getAs[String]("modality"),
+      r.getAs[String]("locator"), r.getAs[Long]("n_units"),
+      r.getAs[Long]("cum_units"), r.getAs[Long]("shard")))).toSeq ===
+      want.toSeq)
+    // the artifact scan prunes to exactly the touched shards
+    val touched = rows.map(_.getAs[Long]("shard")).distinct.sorted.toSeq
+    val pf = PipelineOps.q199(spark, SF).queryExecution.executedPlan
+      .toString.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .find(_.contains("shard")).getOrElse("")
+    assert(pf.nonEmpty, "q199 must carry a partition-pruned artifact scan")
+    val listed = "\\b\\d+\\b".r
+      .findAllIn(pf.replaceAll("#\\d+L?", "#x")
+        .replaceAll(".*PartitionFilters: \\[", "").replaceAll("\\].*", ""))
+      .map(_.toLong).toSeq.distinct.sorted
+    assert(listed === touched,
+      s"scan must prune to exactly $touched, got filter: $pf")
+    // a step batch mixes modalities when the range spans them — at this
+    // SF the 6-rank window lands on at least one non-text row premise
+    // is too strong; assert only that modality values are valid
+    assert(rows.map(_.getAs[String]("modality")).toSet
+      .subsetOf(Set("text", "image", "audio")))
+  }
 }
