@@ -102,6 +102,24 @@ def main(sf_dir, oracle_json, out_path="BASELINE_DUCKDB.json"):
                            "amortized_sql.json")
     if os.path.exists(am_path):
         am = json.load(open(am_path))
+        # MEMBERSHIP GUARD (r14 ADVICE): AmortizedSql's fragment rules are
+        # exact-string matches over the Scala SQL builders — a formatting
+        # change in a builder silently DROPS queries from the amortized
+        # set by omission. Log the set and warn loudly when a query that
+        # was amortized in the committed artifact is no longer rewritten,
+        # so baseline_amortized can't quietly cover a different subset
+        # across rounds under the same label.
+        cur_am = sorted(q for q in HEADLINE if q in am["queries"])
+        print(f"amortized set ({len(cur_am)}): {', '.join(cur_am)}",
+              file=sys.stderr)
+        if os.path.exists(out_path):
+            prev_am = set(json.load(open(out_path))
+                          .get("queries_amortized", {}))
+            for q in sorted(prev_am - set(cur_am)):
+                print(f"AMORTIZED SET SHRANK: {q} was amortized in the "
+                      "committed artifact but amortized_sql.json no longer "
+                      "rewrites it — check AmortizedSql's fragment rules "
+                      "against the SQL builders", file=sys.stderr)
         for name, csql in am["chains"]:
             t0 = time.perf_counter()
             con.sql(f"CREATE TABLE {name} AS {csql}")

@@ -196,7 +196,11 @@ object Bench {
         // (baseline_duckdb.py, r11 ADVICE); a zero-entry parse of an
         // existing file is a format break, not an empty baseline —
         // fail loudly instead of silently omitting the ratio.
-        val qSection = """"queries"\s*:\s*\{([^}]*)\}""".r
+        // line-start anchored under the writer's indent=1 serialization
+        // (r14 ADVICE): an un-anchored scan could match a literal
+        // `"queries": {` inside a free-text field; the key at nesting
+        // depth 1 always starts its own line with exactly one space
+        val qSection = """(?m)^ "queries"\s*:\s*\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         val duckQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
           .findAllMatchIn(qSection)
@@ -224,7 +228,11 @@ object Bench {
           // readouts timed against them. Spark's numbers are already
           // memo-marginal, so the same spark times pair with both duck
           // modes; the two ratios bracket the fair comparison.
-          val amSection = """"queries_amortized"\s*:\s*\{([^}]*)\}""".r
+          // same line-start indent=1 anchor as qSection (r14 ADVICE:
+          // the note field mentions `queries_amortized` in free text —
+          // correctness must rest on the serialization shape, not on
+          // the note's phrasing staying clear of the anchor)
+          val amSection = """(?m)^ "queries_amortized"\s*:\s*\{([^}]*)\}""".r
             .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
           val amQ = """"(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
             .findAllMatchIn(amSection)

@@ -59,11 +59,17 @@ case class TokensOf(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string input, got ${other.simpleString}")
   }
 
-  // captured EAGERLY at expression construction (driver-side analysis),
-  // the way Lower captures it — eval and codegen then agree with
-  // lower() under either conf value. A lazy val would defer the read
-  // to first use, which for interpreted eval is an executor, where
-  // SQLConf.get may not carry the session override.
+  // captured EAGERLY at expression construction (driver-side analysis) —
+  // eval and codegen then agree with lower() under either conf value. A
+  // lazy val would defer the read to first use, which for interpreted
+  // eval is an executor, where SQLConf.get may not carry the session
+  // override. KNOWN capture-time difference vs Lower itself (r14
+  // ADVICE): Spark's Lower resolves the flag through a lazy val at
+  // FIRST USE, so if the session conf changes between plan construction
+  // and first evaluation the two expressions could disagree — only
+  // under a mid-plan change of the non-default
+  // spark.sql.icu.caseMappings.enabled, which nothing in this engine
+  // (or a sane session) does; eager capture is the executor-safe choice.
   private val useICU: Boolean = org.apache.spark.sql.internal.SQLConf.get
     .getConfString("spark.sql.icu.caseMappings.enabled", "true").toBoolean
 

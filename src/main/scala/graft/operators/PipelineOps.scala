@@ -1087,22 +1087,61 @@ object PipelineOps {
     * nothing with epoch 1's beyond the seed rule (PipelineSpec pins
     * permutation-not-identity and exact membership).
     *
-    * Scale shape: epochs are consumed one at a time by a loader, and
-    * each epoch's rank is the [[graft.functions.PrefixSum]] two-level
-    * binned scan over the hash-spread okey (running sum of ones — a
-    * distributed ROW_NUMBER with no global window); the union stacks
-    * [[Epochs]] independent scans. FULL oracle: one ROW_NUMBER PER
-    * EPOCH over the q158 chain crossed with the epoch range. */
+    * Scale shape: epochs are consumed one at a time by a loader, but
+    * ALL epochs rank in ONE [[graft.functions.PrefixSum]] two-level
+    * binned scan (running sum of ones — a distributed ROW_NUMBER with
+    * no global window) via [[rankEpochsFolded]]'s epoch-major key fold
+    * (r14 VERDICT #6 — one scan over the [[Epochs]]×pack union instead
+    * of a 3-job scan wave per epoch). FULL oracle: one ROW_NUMBER PER
+    * EPOCH over the q158 chain crossed with the epoch range —
+    * byte-identical to the folded ranks by the fold's stratum rule. */
   val Epochs = 3
   val EpochSeed = 42L
 
   /** One epoch's PrefixSum ranking of a keyed pack relation (must carry
-    * `epoch` and `okey`) — the shared ranking tail behind [[q162]],
-    * [[q166]], and [[q171]]'s per-epoch scans. */
+    * `epoch` and `okey`) — the single-epoch ranking behind [[q177]]'s
+    * step fetch (one epoch by contract; the multi-epoch ops rank ALL
+    * epochs in one scan via [[rankEpochsFolded]]). */
   private def rankEpoch(keyed: DataFrame): DataFrame =
     graft.functions.PrefixSum
       .withRunningSum(keyed.withColumn("one", lit(1L)), "okey",
         Seq("doc_id", "chunk_id"), "one", "seq_rank")
+
+  /** Rank EVERY epoch of a keyed union in ONE two-level PrefixSum scan
+    * (r14 VERDICT #6 — the q179 bucket-folding rule applied to the
+    * epoch dimension): fold the epoch into the ordering key as
+    * epoch·2⁶⁰ + okey. Epoch-major, and every okey under this rule is
+    * < 2⁶⁰ (the 15-hex-char md5 keys by width; q171's quality key by
+    * construction, (10⁶−q)·2⁴⁰ + 40 bits < 2⁶⁰), so the fold is
+    * collision-free and the WITHIN-epoch order is exactly the unfolded
+    * (okey, tiebreak…) order — the per-epoch ROW_NUMBER oracles are
+    * byte-identical, only the job count changes. Per-epoch rank =
+    * global rank − the epoch's start offset, where offsets cumulate
+    * over the ≤[[Epochs]]-row per-epoch COUNTS (aggregated off the
+    * pre-ranking keyed union — never a second ranking execution; the
+    * unpartitioned window rides aggregated rows, the ScalePlanSpec
+    * rule) and broadcast back. Replaces one 3-job PrefixSum scan PER
+    * EPOCH with one scan total — the scheduling-floor cost the
+    * amortized baseline ratio pays at local scale, and one fewer stage
+    * wave per epoch on a cluster. Max folded key = ([[Epochs]]−1)·2⁶⁰ +
+    * 2⁶⁰ ≤ 4·2⁶⁰ — inside int64 and inside PrefixSum's span guard. */
+  private def rankEpochsFolded(keyed: DataFrame, tiebreak: Seq[String],
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val folded = keyed
+      .withColumn("__fkey", col("epoch") * lit(1L << 60) + col("okey"))
+      .withColumn("__one", lit(1L))
+    val ranked = graft.functions.PrefixSum
+      .withRunningSum(folded, "__fkey", tiebreak, "__one", "__grank")
+    val w = Window.orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = keyed.groupBy(col("epoch")).agg(count(lit(1)).as("__en"))
+      .withColumn("__off", sum(col("__en")).over(w) - col("__en"))
+      .select(col("epoch"), col("__off"))
+    ranked.join(broadcast(offs), "epoch")
+      .withColumn(out, col("__grank") - col("__off"))
+      .drop("__fkey", "__one", "__grank", "__off")
+  }
 
   /** The seeded-shuffle key for epoch `e` (the q162 permutation rule). */
   private def shuffleKeyed(pack: DataFrame, e: Int): DataFrame =
@@ -1117,8 +1156,9 @@ object PipelineOps {
   private[graft] def epochOrdered(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
-    (0 until Epochs).map(e => rankEpoch(shuffleKeyed(pack, e)))
+    val keyed = (0 until Epochs).map(e => shuffleKeyed(pack, e))
       .reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
   }
@@ -1158,7 +1198,7 @@ object PipelineOps {
     * two-long checkpoint — the packServeResumable rule at the
     * consumption end of the pipeline.
     *
-    * Scale shape: [[epochOrdered]]'s per-epoch PrefixSum scans with the
+    * Scale shape: [[epochOrdered]]'s one folded PrefixSum scan with the
     * resume predicate applied AFTER ranking (the rank must be the full
     * epoch's rank, not the suffix's) — epochs before the checkpoint
     * never rank (filtered at the union source, not post-hoc: the
@@ -1170,9 +1210,10 @@ object PipelineOps {
   def q166(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
-    (ResumeEpoch.toInt until Epochs)
-      .map(e => rankEpoch(shuffleKeyed(pack, e)))
+    val keyed = (ResumeEpoch.toInt until Epochs)
+      .map(e => shuffleKeyed(pack, e))
       .reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
       .filter(col("epoch") > ResumeEpoch ||
         (col("epoch") === ResumeEpoch && col("seq_rank") > ResumeRank))
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
@@ -1203,7 +1244,7 @@ object PipelineOps {
     * (disjoint, union-exact; PipelineSpec pins both) and leaves the
     * drop-last/pad choice to the loader, as real DDP samplers do.
     *
-    * Scale shape: [[epochOrdered]]'s per-epoch PrefixSum scans + a
+    * Scale shape: [[epochOrdered]]'s one folded PrefixSum scan + a
     * map-side modulo filter — the slice never shuffles again. FULL
     * oracle: the q162 body under the same predicate with the same
     * renumbering. */
@@ -1250,7 +1291,7 @@ object PipelineOps {
     *
     * Scale shape: the pack memo + ONE corpus-linear quality aggregate
     * (doc-keyed thin join onto the pack — two int64s per doc) + the
-    * per-epoch PrefixSum two-level scans (the hash tiebreak spreads the
+    * epoch-folded PrefixSum two-level scan (the hash tiebreak spreads the
     * bins even inside one quality level; never a global window). FULL
     * oracle: the quality CTE + the keyed union replayed under one
     * per-epoch ROW_NUMBER. */
@@ -1265,15 +1306,16 @@ object PipelineOps {
       .select(col("doc_id"), graft.functions.Num
         .idivHalfAway(col("n_stop") * lit(1000000L), col("n_toks"))
         .as("q_micros"))
-    val e0 = rankEpoch(pack.join(qm, Seq("doc_id"))
+    val e0 = pack.join(qm, Seq("doc_id"))
       .withColumn("epoch", lit(0L))
       .withColumn("okey",
         (lit(1000000L) - col("q_micros")) * lit(1099511627776L) +
           conv(substring(md5(concat(lit("cur:"), col("doc_id"), lit(":"),
             col("chunk_id"))), 1, 10), 16, 10).cast("long"))
-      .drop("q_micros"))
-    (e0 +: (1 until Epochs).map(e => rankEpoch(shuffleKeyed(pack, e))).toList)
+      .drop("q_micros")
+    val keyed = (e0 +: (1 until Epochs).map(e => shuffleKeyed(pack, e)).toList)
       .reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
       .orderBy(col("epoch"), col("seq_rank"))
@@ -2293,7 +2335,7 @@ object PipelineOps {
     * a trainer migrating from the contaminated build to the clean one
     * changes WHICH sequences rank, never the draw rule.
     *
-    * Scale shape: one artifact scan + [[Epochs]] PrefixSum rank scans
+    * Scale shape: one artifact scan + ONE epoch-folded PrefixSum rank scan
     * (the q162 cost over the clean relation). FULL oracle: q174's clean
     * re-pack CTEs crossed with the epoch range under one per-epoch
     * ROW_NUMBER — the hash compare proves the artifact-backed epoch
@@ -2305,8 +2347,9 @@ object PipelineOps {
     val clean = graft.SharedRelations.getOrBuild("clean_pack_read", dir)(
       packRead(s, q174Ensure(s, dir), "packclean")
         .select(col("doc_id"), col("chunk_id"), col("shard")))
-    (0 until Epochs).map(e => rankEpoch(shuffleKeyed(clean, e)))
+    val keyed = (0 until Epochs).map(e => shuffleKeyed(clean, e))
       .reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
       .orderBy(col("epoch"), col("seq_rank"))
@@ -2508,22 +2551,20 @@ object PipelineOps {
     *
     * Scale shape: the batch relation is corpus/B-sized (still
     * cluster-scale at 100 TB — never driver-held), ranked by the SAME
-    * per-epoch PrefixSum binned scans as q162 (the md5 okey is the
+    * epoch-folded PrefixSum binned scan as q162 (the md5 okey is the
     * hash-spread bin key; tiebreak (bucket, batch_id)). FULL oracle:
     * the shared batch CTEs crossed with the epoch range under one
     * per-epoch ROW_NUMBER. */
   def q191(s: SparkSession, dir: String): DataFrame = {
     val bt = lengthBatches(s, dir)
       .select(col("bucket"), col("batch_id"), col("n_seqs"), col("sum_units"))
-    (0 until Epochs).map { e =>
-      graft.functions.PrefixSum.withRunningSum(
-        bt.withColumn("epoch", lit(e.toLong))
-          .withColumn("okey",
-            conv(substring(md5(concat(lit(s"bb:$EpochSeed:$e:"), col("bucket"),
-              lit(":"), col("batch_id"))), 1, 15), 16, 10).cast("long"))
-          .withColumn("one", lit(1L)),
-        "okey", Seq("bucket", "batch_id"), "one", "batch_rank")
+    val keyed = (0 until Epochs).map { e =>
+      bt.withColumn("epoch", lit(e.toLong))
+        .withColumn("okey",
+          conv(substring(md5(concat(lit(s"bb:$EpochSeed:$e:"), col("bucket"),
+            lit(":"), col("batch_id"))), 1, 15), 16, 10).cast("long"))
     }.reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("bucket", "batch_id"), "batch_rank")
       .select(col("epoch"), col("batch_rank"), col("bucket"), col("batch_id"),
         col("n_seqs"), col("sum_units"))
       .orderBy(col("epoch"), col("batch_rank"))
@@ -2832,7 +2873,7 @@ object PipelineOps {
     * — exactly the invariant a loader audit checks first (PipelineSpec
     * pins it).
     *
-    * Scale shape: the per-epoch PrefixSum rank scans ([[q162]]'s), a
+    * Scale shape: the epoch-folded PrefixSum rank scan ([[q162]]'s), a
     * thin n_units column riding the pack memo through [[shuffleKeyed]],
     * and one map-side-combined groupBy(epoch, batch) — batch rows are
     * pack/B-sized, never corpus-held. FULL oracle: the q158 chain
@@ -2840,8 +2881,9 @@ object PipelineOps {
   def q185(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("n_units"))
-    (0 until Epochs).map(e => rankEpoch(shuffleKeyed(pack, e)))
+    val keyed = (0 until Epochs).map(e => shuffleKeyed(pack, e))
       .reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
       .withColumn("batch_id",
         expr(s"(seq_rank - 1) div ${LoaderBatchSeqs}L"))
       .withColumn("ck",

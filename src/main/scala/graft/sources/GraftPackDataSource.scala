@@ -69,8 +69,20 @@ class GraftPackDataSource extends FileDataSourceV2 {
         throw new IllegalArgumentException(
           s"graftpack: no published generation for lineage '$lineage' " +
             s"at $base — packWrite publishes one")))
-    val dir = new java.io.File(baseF, s"${lineage}_g$gen").getAbsolutePath
+    val dirF = new java.io.File(baseF, s"${lineage}_g$gen")
+    // A pinned `generation` older than the manifest's retain depth has
+    // been GC'd ([[graft.GenManifest.publish]] removes aged-out dirs):
+    // without this check the read falls through to ParquetTable's raw
+    // path error (r14 VERDICT #2 — the GC contract says pinned readers
+    // within the retain depth are honored, so a reader pinning PAST it
+    // gets the same loud named error the other load seams raise).
+    if (!dirF.isDirectory)
+      throw new IllegalArgumentException(
+        s"graftpack: generation $gen of lineage '$lineage' at $base does " +
+          "not exist on disk — either it was never published or it aged " +
+          "out of the manifest's retain depth and was GC'd; pin a " +
+          "generation the manifest still retains")
     ParquetTable(s"graftpack:$lineage@g$gen", sparkSession,
-      options, Seq(dir), None, fallbackFileFormat)
+      options, Seq(dirF.getAbsolutePath), None, fallbackFileFormat)
   }
 }

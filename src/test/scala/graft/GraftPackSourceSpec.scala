@@ -42,29 +42,54 @@ class GraftPackSourceSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("explicit generation pins a read across a later publish (time travel)") {
-    val genBefore = GenManifest.current(base, "pack")
-    val rowsBefore = spark.read.format("graftpack")
-      .option("base", base.getAbsolutePath).load().count()
-    // publish a NEW generation with one shard only — the current-gen
-    // read must follow it, the pinned read must not
-    val oneShard = PipelineOps.packRead(spark, base)
-      .filter(col("shard") === 0)
-    val genAfter = PipelineOps.packWrite(spark, base, oneShard)
+    // PRIVATE artifact base (r14 ADVICE): the old form mutated the
+    // shared q165 artifact and restored it in a finally — if that
+    // restore write ever failed, every later suite would read a
+    // one-shard pack far from the cause. Same content, throwaway base.
+    val tmp = java.nio.file.Files.createTempDirectory("graftpack_tt").toFile
     try {
+      val full = PipelineOps.packRead(spark, base)
+      val genBefore = PipelineOps.packWrite(spark, tmp, full)
+      val rowsBefore = spark.read.format("graftpack")
+        .option("base", tmp.getAbsolutePath).load().count()
+      // publish a NEW generation with one shard only — the current-gen
+      // read must follow it, the pinned read must not
+      val oneShard = full.filter(col("shard") === 0)
+      val genAfter = PipelineOps.packWrite(spark, tmp, oneShard)
       assert(genAfter === genBefore + 1)
       val current = spark.read.format("graftpack")
-        .option("base", base.getAbsolutePath).load()
+        .option("base", tmp.getAbsolutePath).load()
       assert(current.count() === oneShard.count())
       val pinned = spark.read.format("graftpack")
-        .option("base", base.getAbsolutePath)
+        .option("base", tmp.getAbsolutePath)
         .option("generation", genBefore).load()
       assert(pinned.count() === rowsBefore)
-    } finally {
-      // restore the full pack as the newest generation so later suites
-      // (and the standing-reuse premise) see the build's content
-      PipelineOps.packWrite(spark, base,
-        PipelineOps.packReadAt(spark, base, genBefore))
-    }
+    } finally GenManifest.rmTree(tmp)
+  }
+
+  test("time travel past the retain depth is a loud named error, not a raw path error") {
+    // publish DefaultRetain + 1 generations on a private base so gen 1
+    // ages out and is GC'd; pinning it must raise the connector's own
+    // error (the GC contract honors pinned readers only within the
+    // retain depth — r14 VERDICT #2)
+    val tmp = java.nio.file.Files.createTempDirectory("graftpack_gc").toFile
+    try {
+      val full = PipelineOps.packRead(spark, base)
+      (0 to GenManifest.DefaultRetain).foreach(_ =>
+        PipelineOps.packWrite(spark, tmp, full))
+      val e = intercept[Exception] {
+        spark.read.format("graftpack")
+          .option("base", tmp.getAbsolutePath)
+          .option("generation", 1L).load()
+      }
+      assert(e.getMessage.contains("retain depth"),
+        s"expected the named GC error, got: ${e.getMessage}")
+      // a generation inside the retain depth still reads
+      val cur = GenManifest.current(tmp, "pack")
+      assert(spark.read.format("graftpack")
+        .option("base", tmp.getAbsolutePath)
+        .option("generation", cur - 1).load().count() > 0)
+    } finally GenManifest.rmTree(tmp)
   }
 
   test("lineage option selects manifest and packclean lines") {
