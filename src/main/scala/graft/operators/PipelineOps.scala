@@ -1049,6 +1049,35 @@ object PipelineOps {
           expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
     }
 
+  /** The q158 pack TAIL as spliceable CTEs over the chain scope
+    * (`t`/`fxp`/`chunks` must be in scope), ending in `pkfin(doc_id,
+    * chunk_id, lang, n_tokens, n_units, cum_units, shard)` (pkt-fresh
+    * names: several oracles alias their own `pk`/`sseq` around a nested
+    * `($q158Sql)`, and DuckDB rejects outer/nested alias collisions) — factored
+    * out (r15) so [[q200Sql]] can read the gen-N pack from the SAME
+    * CTE scope it derives arrivals in: DuckDB rejects re-splicing the
+    * chain CTE names inside a nested `($q158Sql)` subquery of a scope
+    * that already carries them ("Duplicate alias"), and duplicating
+    * the tail text would let the two drift. */
+  private lazy val packTailCtesSql: String =
+    s"""pkseq AS (
+       |  SELECT t.doc_id, t.lang, c.chunk_id, c.n_tokens, c.n_units,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR) || ':' ||
+       |      CAST(c.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM t JOIN fxp p USING (lang)
+       |  JOIN chunks c ON t.doc_id = c.doc_id
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 < p.rate_micros),
+       |pkcum AS (
+       |  SELECT doc_id, chunk_id, lang, n_tokens, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
+       |  FROM pkseq),
+       |pkfin AS (
+       |  SELECT doc_id, chunk_id, lang, n_tokens, n_units, cum_units,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |  FROM pkcum)""".stripMargin
+
   /** FULL oracle: the q120 fixpoint chain + the q144 training chain +
     * the chunk CTEs ([[BpeOps.chunkCtesSql]]) spliced into one
     * `WITH RECURSIVE` scope, then the pack tail over (doc, chunk) rows
@@ -1057,22 +1086,9 @@ object PipelineOps {
     s"""$q120CtesSql,
        |${BpeOps.chainCtesSql},
        |${BpeOps.chunkCtesSql},
-       |sseq AS (
-       |  SELECT t.doc_id, t.lang, c.chunk_id, c.n_tokens, c.n_units,
-       |    CAST(('0x' || substr(md5('ord:' || CAST(t.doc_id AS VARCHAR) || ':' ||
-       |      CAST(c.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
-       |  FROM t JOIN fxp p USING (lang)
-       |  JOIN chunks c ON t.doc_id = c.doc_id
-       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-       |    % 1000000 < p.rate_micros),
-       |cseq AS (
-       |  SELECT doc_id, chunk_id, lang, n_tokens, n_units,
-       |    CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_units
-       |  FROM sseq)
-       |SELECT doc_id, chunk_id, lang, n_tokens, n_units, cum_units,
-       |  CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
-       |FROM cseq
+       |$packTailCtesSql
+       |SELECT doc_id, chunk_id, lang, n_tokens, n_units, cum_units, shard
+       |FROM pkfin
        |ORDER BY doc_id, chunk_id""".stripMargin
 
   // --- 162. deterministic per-epoch sequence ordering (r11 VERDICT #2) -----
@@ -1124,12 +1140,15 @@ object PipelineOps {
     * EPOCH with one scan total — the scheduling-floor cost the
     * amortized baseline ratio pays at local scale, and one fewer stage
     * wave per epoch on a cluster. Max folded key = ([[Epochs]]−1)·2⁶⁰ +
-    * 2⁶⁰ ≤ 4·2⁶⁰ — inside int64 and inside PrefixSum's span guard. */
+    * 2⁶⁰ ≤ 4·2⁶⁰ — inside int64 and inside PrefixSum's span guard.
+    * `strideBits` widens the epoch stride for callers that pre-fold an
+    * extra dimension into okey ([[q200]]'s arrival flag at bit 60 —
+    * okey < 2⁶¹, stride 61, max key 3·2⁶¹: still inside int64). */
   private def rankEpochsFolded(keyed: DataFrame, tiebreak: Seq[String],
-      out: String): DataFrame = {
+      out: String, strideBits: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val folded = keyed
-      .withColumn("__fkey", col("epoch") * lit(1L << 60) + col("okey"))
+      .withColumn("__fkey", col("epoch") * lit(1L << strideBits) + col("okey"))
       .withColumn("__one", lit(1L))
     val ranked = graft.functions.PrefixSum
       .withRunningSum(folded, "__fkey", tiebreak, "__one", "__grank")
@@ -3241,6 +3260,145 @@ object PipelineOps {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // --- 200. epoch continuity over a GROWING artifact (r15 — r13 #7) ----------
+  /** The contract a CONTINUOUSLY-FED pretraining job consumes: the q165
+    * artifact grows mid-epoch (serve appends —
+    * [[graft.streaming.StreamOps.packServe]] → [[packAppendServed]]) and
+    * the running job must NOT re-derive its epoch stream from scratch —
+    * re-ranking the prefix would re-order sequences the job already
+    * consumed (double-train/silent-skip corruption: the q166 failure
+    * mode at the corpus seam). The epoch-stream-over-generations rule:
+    *
+    *  - generation-N sequences keep their [[q162]] ranks VERBATIM (the
+    *    prefix is closed the moment the epoch starts);
+    *  - served arrivals append to the epoch TAIL, ordered among
+    *    themselves by the SAME (seed, epoch, doc, chunk) draw law —
+    *    rank = |gen N| + their q162-rule rank within the arrival set.
+    *
+    * Both halves are pure functions of (seed, epoch, membership), so a
+    * preempted job recomputes the stream with no loader state beyond
+    * the q166 two-long checkpoint — and a job that consumed ranks ≤ k
+    * before the append resumes at k+1 into a stream whose first k
+    * entries are provably what it already consumed (PipelineSpec pins
+    * prefix ≡ q162 rank-for-rank; StreamingSpec drives a REAL mid-epoch
+    * append through the serve seam into a private artifact and proves
+    * the prefix never re-ranks).
+    *
+    * The registered entry stands in the arrival-model convention for
+    * the served batch: NON-member docs (mixture draw ≥ rate — docs the
+    * snapshot build did not sample, so (doc, chunk) keys are disjoint
+    * from gen N by construction) with doc_id %
+    * [[DedupOps.IncrSplitMod]] == 0 arrive between rebuilds, chunk
+    * under the shipped tokenizer, and pack at the gen-N end offset —
+    * [[graft.streaming.StreamOps.packFold]]'s law over one batch, so
+    * the relation is exactly what the serve seam would have appended.
+    * FULL oracle: the q158 chain (gen N) ∪ the arrival pack under one
+    * per-epoch ROW_NUMBER ordered (is_arrival, okey, doc, chunk).
+    *
+    * Scale shape: the pack memo + one thin non-member chunk join + one
+    * batch-sized PrefixSum for the arrival offsets + ONE epoch-folded
+    * ranking scan ([[rankEpochsFolded]] at stride 2⁶¹: the arrival flag
+    * pre-folds into bit 60 of okey, epochs above it — prefix-before-
+    * tail inside each epoch falls out of the key order; max folded key
+    * 3·2⁶¹, inside int64). Nothing ranks per epoch; nothing ever
+    * re-ranks the prefix. */
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    val gen = sequencePack(s, dir)
+    val genThin = gen.select(col("doc_id"), col("chunk_id"), col("shard"))
+      .withColumn("is_arrival", lit(0L))
+    val endOff = gen.agg(max(col("cum_units")).as("base_off"))
+    val arrThin = arrivalPack(s, dir, endOff)
+      .select(col("doc_id"), col("chunk_id"), col("shard"))
+      .withColumn("is_arrival", lit(1L))
+    val unioned = genThin.unionAll(arrThin)
+    val keyed = (0 until Epochs).map { e =>
+      shuffleKeyed(unioned, e)
+        .withColumn("okey", col("is_arrival") * lit(1L << 60) + col("okey"))
+    }.reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank",
+        strideBits = 61)
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
+        col("shard"), col("is_arrival"))
+      .orderBy(col("epoch"), col("seq_rank"))
+  }
+
+  /** The arrival-model batch packed at `endOff` — the q200 arrival set
+    * (non-member docs, doc_id % [[DedupOps.IncrSplitMod]] == 0) chunked
+    * and packed exactly as the serve seam would
+    * ([[graft.streaming.StreamOps.packFold]]'s one-batch law: md5-bkey
+    * order, offsets continuing from the handoff). Exposed so
+    * PipelineSpec can reconcile it against a REAL packServe run. */
+  private[graft] def arrivalPack(s: SparkSession, dir: String,
+      endOff: DataFrame): DataFrame = {
+    val docs = q114DocsShared(s, dir)
+    val policy = q120PolicyOf(q114PolicyOf(docs))
+      .select(col("lang"), col("rate_micros"))
+    val arrd = docs.join(broadcast(policy), Seq("lang"))
+      .withColumn("u", mixU)
+      .filter(col("u") >= col("rate_micros") &&
+        col("doc_id") % DedupOps.IncrSplitMod === 0)
+      .select(col("doc_id"))
+    val arrc = BpeOps.chunkMasses(s, dir)
+      .join(arrd, "doc_id")
+      .withColumn("bkey",
+        conv(substring(md5(concat(lit("ord:"), col("doc_id"), lit(":"),
+          col("chunk_id"))), 1, 15), 16, 10).cast("long"))
+    graft.functions.PrefixSum
+      .withRunningSum(arrc, "bkey", Seq("doc_id", "chunk_id"),
+        "n_units", "cum_arr")
+      .crossJoin(broadcast(endOff))
+      .withColumn("cum_units", col("cum_arr") + col("base_off"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("n_units"), col("cum_units"),
+        expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+  }
+
+  lazy val q200Sql: String =
+    s"""$q120CtesSql,
+       |${BpeOps.chainCtesSql},
+       |${BpeOps.chunkCtesSql},
+       |$packTailCtesSql,
+       |gen AS (SELECT doc_id, chunk_id, shard, cum_units,
+       |    CAST(0 AS BIGINT) AS is_arrival
+       |  FROM pkfin),
+       |boff AS (SELECT MAX(cum_units) AS base_off FROM gen),
+       |arrd AS (
+       |  SELECT t.doc_id FROM t JOIN fxp p USING (lang)
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 >= p.rate_micros
+       |    AND t.doc_id % ${DedupOps.IncrSplitMod} = 0),
+       |arrc AS (
+       |  SELECT c.doc_id, c.chunk_id, c.n_units,
+       |    CAST(('0x' || substr(md5('ord:' || CAST(c.doc_id AS VARCHAR) || ':' ||
+       |      CAST(c.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS bkey
+       |  FROM chunks c JOIN arrd a ON c.doc_id = a.doc_id),
+       |arrp AS (
+       |  SELECT doc_id, chunk_id, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      + (SELECT base_off FROM boff) AS cum_units
+       |  FROM arrc),
+       |arr AS (
+       |  SELECT doc_id, chunk_id,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard,
+       |    CAST(1 AS BIGINT) AS is_arrival
+       |  FROM arrp),
+       |unioned AS (
+       |  SELECT doc_id, chunk_id, shard, is_arrival FROM gen
+       |  UNION ALL SELECT doc_id, chunk_id, shard, is_arrival FROM arr),
+       |keyed AS (
+       |  SELECT e.epoch, u.doc_id, u.chunk_id, u.shard, u.is_arrival,
+       |    CAST(('0x' || substr(md5('ep:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
+       |      CAST(u.doc_id AS VARCHAR) || ':' || CAST(u.chunk_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM unioned u CROSS JOIN
+       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e)
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY is_arrival, okey, doc_id, chunk_id) AS BIGINT) AS seq_rank,
+       |  doc_id, chunk_id, shard, is_arrival
+       |FROM keyed
+       |ORDER BY epoch, seq_rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q77_corpus_select", q77, Some(q77Sql)),
     Op("q82_corpus_mix", q82, Some(q82Sql)),
@@ -3282,6 +3440,7 @@ object PipelineOps {
     Op("q196_multimodal_pack", q196, Some(q196Sql)),
     Op("q197_multimodal_artifact", q197, Some(q197Sql)),
     Op("q199_multimodal_step_read", q199, Some(q199Sql)),
+    Op("q200_epoch_continuity", q200, Some(q200Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
     Op("q192_shard_mix_report", q192, Some(q192Sql)),

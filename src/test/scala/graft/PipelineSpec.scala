@@ -1495,4 +1495,46 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getAs[String]("modality")).toSet
       .subsetOf(Set("text", "image", "audio")))
   }
+
+  test("q200 epoch continuity: gen-N keeps its q162 ranks verbatim, arrivals are a dense disjoint tail under the shard-continuation rule") {
+    val cont = PipelineOps.q200(spark, SF).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("seq_rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("is_arrival")))
+    val prefix = cont.filter(_._6 == 0L).map(t => (t._1, t._2, t._3, t._4, t._5))
+    val tail = cont.filter(_._6 == 1L)
+    assert(tail.nonEmpty, "premise: the arrival model is non-empty at this SF")
+    // (1) the PREFIX is q162 rank-for-rank — the append NEVER re-ranks
+    // what a running job already consumed (the continuity contract)
+    val q162r = PipelineOps.q162(spark, SF).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("seq_rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("shard")))
+    assert(prefix.sorted.toSeq === q162r.sorted.toSeq)
+    // (2) arrivals are DISJOINT from gen N (non-members by construction)
+    val genKeys = prefix.map(t => (t._3, t._4)).toSet
+    assert(tail.forall(t => !genKeys.contains((t._3, t._4))))
+    // (3) each epoch's tail is dense right after the prefix: ranks
+    // |gen|+1 .. |gen|+|arrivals| — a job that consumed ranks <= k
+    // resumes at k+1 into the stream it already knows
+    val nGen = q162r.count(_._1 == 0L).toLong
+    (0L until PipelineOps.Epochs.toLong).foreach { e =>
+      val ranks = tail.filter(_._1 == e).map(_._2).sorted.toSeq
+      assert(ranks === (nGen + 1 to nGen + ranks.size).toSeq,
+        s"epoch $e arrival ranks must be the dense tail after $nGen")
+    }
+    // (4) every epoch shuffles the SAME membership (prefix and tail)
+    val byEpoch = cont.groupBy(_._1).view.mapValues(
+      _.map(t => (t._3, t._4, t._6)).toSet).toMap
+    assert(byEpoch.values.toSet.size === 1)
+    // but distinct permutations across epochs (the q162 seeded draw)
+    val perm0 = cont.filter(_._1 == 0L).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+    val perm1 = cont.filter(_._1 == 1L).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+    assert(perm0 !== perm1)
+    // (5) arrival shards CONTINUE the artifact's unit stream: they pack
+    // at the gen-N end offset, so no arrival shard precedes the last
+    // gen shard (open-shard append, never a rewrite of emitted ranges)
+    val lastGenShard = prefix.map(_._5).max
+    assert(tail.forall(_._5 >= lastGenShard))
+  }
 }

@@ -1494,4 +1494,75 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .as[(Long, Long)].collect().toMap
     assert(got === want)
   }
+
+  test("epoch continuity (q200) at the REAL serve seam: a mid-epoch append lands the q200 tail in the artifact and never re-ranks the prefix") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    // PRIVATE artifact base (the graftpack-spec discipline): gen 1 = the
+    // q158 snapshot build — the "generation N" a running job consumes
+    val base = java.nio.file.Files.createTempDirectory("graft_epochcont").toFile
+    try {
+      val gen = PipelineOps.q158(spark, SF)
+      PipelineOps.packWrite(spark, base, gen)
+      val endOffset = gen.agg(max(col("cum_units"))).head().getLong(0)
+      // the arrival set is the registered op's own model — the docs whose
+      // TEXT now arrives through the real stream, as ONE served batch at
+      // the rebuild→serve handoff offset
+      val arrIds = PipelineOps.q200(spark, SF)
+        .filter(col("is_arrival") === 1L).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(arrIds.nonEmpty, "premise: arrival model non-empty at this SF")
+      val arrDocs = Tables.documents(spark, SF).select("doc_id", "text")
+        .filter(col("doc_id").isin(arrIds.toSeq: _*))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val langs = Tables.documents(spark, SF).select("doc_id", "lang")
+      type PackRow = (Long, Long, Long, Long, Long, Long)
+      val served = scala.collection.mutable.ArrayBuffer[PackRow]()
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamOps.packServe(
+          ms.toDF().toDF("doc_id", "text"), merges, endOffset) { p =>
+        val cached = p.cache()
+        try {
+          PipelineOps.packAppendServed(spark, base, cached, langs)
+          served ++= cached.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        } finally cached.unpersist()
+      }.start()
+      try { ms.addData(arrDocs); q.processAllAvailable() } finally q.stop()
+      // (1) the REAL served rows are byte-identical to the registered
+      // op's arrival model (packFold's one-batch law at the handoff):
+      // the q200 tail IS what the serve seam appended
+      val modeled = PipelineOps.arrivalPack(spark, SF,
+          gen.agg(max(col("cum_units")).as("base_off")))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_units"), r.getAs[Long]("cum_units"),
+          r.getAs[Long]("shard")))
+      assert(served.sorted.toSeq === modeled.sorted.toSeq)
+      // (2) the landed artifact's membership is exactly q200's (gen ∪
+      // arrivals) — the epoch stream ranks precisely what is on disk
+      val artKeys = PipelineOps.packRead(spark, base)
+        .select("doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val contKeys = PipelineOps.q200(spark, SF)
+        .filter(col("epoch") === 0L).select("doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(artKeys === contKeys)
+      // (3) NO prefix re-ranking across the append: the continuity
+      // stream's gen-N half carries q162's ranks verbatim (PipelineSpec
+      // pins rank-for-rank equality; here pin it THROUGH the append —
+      // the artifact grew, q162 over the snapshot is unchanged)
+      val prefixRanks = PipelineOps.q200(spark, SF)
+        .filter(col("is_arrival") === 0L)
+        .select("epoch", "seq_rank", "doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val q162Ranks = PipelineOps.q162(spark, SF)
+        .select("epoch", "seq_rank", "doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(prefixRanks === q162Ranks)
+    } finally GenManifest.rmTree(base)
+  }
 }
