@@ -3168,14 +3168,69 @@ object PipelineOps {
     * the `graftpack` table (shard restored to int64, build column
     * order restored). */
   private[graft] def mmPackRead(s: SparkSession, base: java.io.File): DataFrame =
+    mmPackReadAt(s, base, graft.GenManifest.current(base, "mmpack"))
+
+  /** The multimodal artifact pinned at generation `gen` (the packReadAt
+    * twin for the `mmpack` lineage). */
+  private[graft] def mmPackReadAt(s: SparkSession, base: java.io.File,
+      gen: Long): DataFrame =
     s.read.format("graftpack")
       .option("base", base.getAbsolutePath)
       .option("lineage", "mmpack")
-      .option("generation", graft.GenManifest.current(base, "mmpack"))
+      .option("generation", gen)
       .load()
       .withColumn("shard", col("shard").cast("long"))
       .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
         col("n_units"), col("cum_units"), col("shard"))
+
+  /** The SERVE half of the multimodal artifact lifecycle (r14 VERDICT
+    * #2 — the [[packAppendServed]] treatment for the `mmpack` lineage):
+    * append a served multimodal batch
+    * ([[graft.streaming.StreamOps.mmPackServe]]'s sink payload — or its
+    * gated twin's, which is what a production seam runs) into the
+    * artifact's CURRENT generation. Each row lands inside its shard's
+    * partition directory, so the q199 partition pruning is preserved
+    * verbatim; batch cost ∝ batch size; existing files are never read
+    * or moved. No lang side-channel is needed here — the mmpack schema
+    * carries no lang column (modality rows are language-free by
+    * construction). At-least-once: a re-delivered batch replays
+    * byte-identically (the mmPackFold contract) and its duplicate
+    * append rows are absorbed at [[mmCompactArtifact]]. */
+  private[graft] def mmAppendServed(s: SparkSession, base: java.io.File,
+      served: DataFrame): Unit =
+    served
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
+        col("n_units"), col("cum_units"), col("shard"))
+      .write.mode("append").partitionBy("shard")
+      .parquet(packDir(base,
+        graft.GenManifest.current(base, "mmpack"), "mmpack").getAbsolutePath)
+
+  /** Multimodal artifact COMPACTION — [[packCompactArtifact]] for the
+    * `mmpack` lineage: rewrite the current generation to ONE file per
+    * shard at a fresh generation, dropping byte-identical duplicate
+    * rows from at-least-once re-deliveries, and re-publish the stored
+    * per-modality manifest so it DESCRIBES the compacted generation
+    * (served appends absorbed — the q197 audit goes back to all-same).
+    * Computed from the deduped source relation, never a read-back of
+    * the new files (write-time corruption must not notarize itself). */
+  private[graft] def mmCompactArtifact(s: SparkSession,
+      base: java.io.File,
+      retain: Int = graft.GenManifest.DefaultRetain): Unit = {
+    val cur = graft.GenManifest.current(base, "mmpack")
+    val next = cur + 1
+    val deduped = mmPackReadAt(s, base, cur).dropDuplicates()
+    deduped
+      .repartition(col("shard"))
+      .write.partitionBy("shard")
+      .parquet(packDir(base, next, "mmpack").getAbsolutePath)
+    mmManifestOf(deduped)
+      .write.parquet(packDir(base, next, "mmpackmf").getAbsolutePath)
+    graft.GenManifest.publish(base, "mmpack", next, retain, Some(cur))
+      .foreach { g =>
+        graft.GenManifest.rmTree(packDir(base, g, "mmpack"))
+        graft.GenManifest.rmTree(packDir(base, g, "mmpackmf"))
+      }
+  }
 
   def q197(s: SparkSession, dir: String): DataFrame =
     mmManifestOf(mmPackRead(s, q197Ensure(s, dir)))

@@ -700,14 +700,23 @@ object StreamOps {
     * can no longer bypass the gate the rebuild enforces (r12 VERDICT
     * #2). Stateless: the bench set is static and eval-sized by premise
     * (one broadcast semi-join per micro-batch; zero stream state). */
-  private def decontamGate(chunks: DataFrame, benchSh: DataFrame): DataFrame = {
+  private def decontamGate(chunks: DataFrame, benchSh: DataFrame): DataFrame =
+    chunks.join(contamFlaggedKeys(chunks, benchSh),
+      Seq("doc_id", "chunk_id"), "left_anti")
+
+  /** The (doc_id, chunk_id) keys the q173 rule flags in a batch's chunk
+    * readout — factored out of [[decontamGate]] (r15) so the multimodal
+    * gate can ALSO drop a flagged doc's image/audio rows (the payload
+    * belongs to the doc whose text overlapped the benchmark — locators
+    * of a contaminated doc must not train either). */
+  private def contamFlaggedKeys(chunks: DataFrame,
+      benchSh: DataFrame): DataFrame = {
     import graft.operators.PipelineOps
-    val flagged = PipelineOps.contamCountsOf(
+    PipelineOps.contamCountsOf(
       chunks.select(col("doc_id"), col("chunk_id"), col("text_chunk")),
       benchSh)
       .filter(col("n_shared") >= PipelineOps.ContamMinShared)
       .select(col("doc_id"), col("chunk_id"))
-    chunks.join(flagged, Seq("doc_id", "chunk_id"), "left_anti")
   }
 
   /** [[chunkServe]] with the eval-overlap gate: contaminated chunks are
@@ -906,21 +915,61 @@ object StreamOps {
     }
   }
 
+  /** [[mmPackServe]] with the q173 eval-overlap gate INSIDE the fold
+    * (r14 VERDICT #2 — the 32p treatment for the multimodal seam):
+    * contaminated TEXT chunks drop before the batch's running offsets
+    * are assigned, exactly as [[packServeDecontam]], and additionally
+    * the image/audio locator rows of any doc with ≥1 flagged chunk
+    * drop too — a doc whose text overlaps a benchmark item must not
+    * smuggle that item's pixels/samples into the stream through its
+    * payload locators. The gate is deterministic and batch-local, so
+    * every packFold guarantee (idempotent re-delivery at the original
+    * base, gapless offsets over what WAS packed, open-shard append,
+    * deterministic emit order) holds verbatim over the gated stream —
+    * and arrivals landed via
+    * [[graft.operators.PipelineOps.mmAppendServed]] can no longer
+    * bypass the gate the rebuild enforces. */
+  def mmPackServeDecontam(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], benchSh: DataFrame,
+      baseOffset: Long = 0L,
+      lastCommitted: Option[(Long, Long)] = None)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = new PackServeState(baseOffset, lastCommitted)
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mmPackFold(batch, merges, state, batchId, Some(benchSh))(sink)
+    }
+  }
+
   private[graft] def mmPackFold(batch: DataFrame,
       merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
-      batchId: Long)(sink: DataFrame => Unit): Unit = {
+      batchId: Long, gate: Option[DataFrame] = None)
+      (sink: DataFrame => Unit): Unit = {
     import graft.operators.{BpeOps, PipelineOps}
     val (toks, mapping) = batchToksAndMapping(batch, merges)
     val rows =
       try {
-        val txt = BpeOps.chunkReadout(toks, mapping)
+        val readout = BpeOps.chunkReadout(toks, mapping)
+        // both gate references live inside the ONE cached `rows` plan
+        // below, so the flagged-key subplan executes at most twice
+        // within a single batch-sized materialization — never per action
+        val flagged = gate.map(contamFlaggedKeys(readout, _))
+        val gated = flagged
+          .map(f => readout.join(f, Seq("doc_id", "chunk_id"), "left_anti"))
+          .getOrElse(readout)
+        val txt = gated
           .select(col("doc_id"), col("chunk_id").as("seq_id"),
             lit("text").as("modality"),
             concat(lit("txt://"), col("doc_id"), lit(":"), col("chunk_id"))
               .as("locator"),
             col("n_units"))
-        txt.unionAll(PipelineOps.modalityRowsOf(
-            batch.select(col("doc_id"), col("text"))))
+        val mm = PipelineOps.modalityRowsOf(
+          batch.select(col("doc_id"), col("text")))
+        val mmGated = flagged
+          .map(f => mm.join(f.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti"))
+          .getOrElse(mm)
+        txt.unionAll(mmGated)
           .withColumn("bkey",
             PipelineOps.mmKey(col("modality"), col("doc_id"), col("seq_id")))
           .cache()

@@ -1565,4 +1565,107 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(prefixRanks === q162Ranks)
     } finally GenManifest.rmTree(base)
   }
+
+  test("multimodal serve parity: gated arrivals land in the mmpack artifact, planted arrival fully dropped, manifest audit green, compaction absorbs re-delivery") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    val benchSh = PipelineOps.benchShingles(spark, SF)
+    // PRIVATE mmpack artifact: generation 1 = the q196 build
+    val base = java.nio.file.Files.createTempDirectory("graft_mmserve").toFile
+    try {
+      val build = PipelineOps.q196(spark, SF)
+      PipelineOps.packWrite(spark, base, build, "mmpack",
+        PipelineOps.mmManifestOf)
+      val endOffset = build.agg(max(col("cum_units"))).head().getLong(0)
+      // arrivals: clean docs + a PLANTED benchmark quote on an id that
+      // carries BOTH modality rows (divisible by MmImgMod and MmAudMod) —
+      // the gate must drop its text chunks AND its locators
+      val corpus = Tables.documents(spark, SF).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val benchDoc = corpus.filter(_._1 % 97 == 0)
+        .maxBy(_._2.split("\\s+").length)
+      val planted = (900015L, benchDoc._2)
+      assert(planted._1 % PipelineOps.MmImgMod == 0 &&
+        planted._1 % PipelineOps.MmAudMod == 0)
+      val clean = corpus.filterNot(_._1 % 97 == 0).take(12).toSeq
+      type MmRow = (Long, Long, String, String, Long, Long, Long)
+      def mmKeyOf(r: org.apache.spark.sql.Row): MmRow =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      val served = scala.collection.mutable.ArrayBuffer[MmRow]()
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamOps.mmPackServeDecontam(
+          ms.toDF().toDF("doc_id", "text"), merges, benchSh, endOffset) { p =>
+        val cached = p.cache() // two consumers: append job + the probe
+        try {
+          PipelineOps.mmAppendServed(spark, base, cached)
+          served ++= cached.collect().map(mmKeyOf)
+        } finally cached.unpersist()
+      }.start()
+      try { ms.addData(clean :+ planted); q.processAllAvailable() }
+      finally q.stop()
+      // the planted arrival is FULLY dropped — no chunks, no locators
+      assert(served.nonEmpty && !served.exists(_._1 == planted._1))
+      // ...and the drop is the GATE's doing: the ungated seam serves the
+      // same doc's text + image + audio rows
+      val served2 = scala.collection.mutable.ArrayBuffer[MmRow]()
+      val ms2 = MemoryStream[(Long, String)]
+      val q2 = StreamOps.mmPackServe(
+          ms2.toDF().toDF("doc_id", "text"), merges) { p =>
+        served2 ++= p.collect().map(mmKeyOf); ()
+      }.start()
+      try { ms2.addData(Seq(planted)); q2.processAllAvailable() }
+      finally q2.stop()
+      assert(served2.map(_._3).toSet === Set("text", "image", "audio"))
+      // clean arrivals' modality rows serve through the gate
+      assert(served.exists(r => r._3 == "image" || r._3 == "audio"),
+        "premise: some clean arrival carries a modality row")
+      // the artifact now holds rebuild ∪ served, byte-exact per modality
+      val buildRows = build.collect().map(mmKeyOf)
+      val expected = (buildRows.toSeq ++ served).sorted
+      def artRows() = PipelineOps.mmPackRead(spark, base).collect()
+        .map(mmKeyOf).toSeq.sorted
+      assert(artRows() === expected)
+      // served rows landed PARTITIONED inside generation 1
+      served.map(_._7).distinct.foreach { k =>
+        assert(new java.io.File(PipelineOps.packDir(base, 1L, "mmpack"),
+          s"shard=$k").isDirectory,
+          s"served shard $k must land in its partition dir")
+      }
+      // q197's manifest audit is green over the LANDED artifact: the
+      // per-modality aggregate over the artifact read ≡ over the
+      // in-memory union (same mmManifestOf, the q190 audit seam)
+      def manifestRows(df: org.apache.spark.sql.DataFrame) =
+        PipelineOps.mmManifestOf(df).collect()
+          .map(_.toSeq.map(String.valueOf)).toList
+      val unionDf = expected
+        .map(identity[(Long, Long, String, String, Long, Long, Long)])
+        .toDF("doc_id", "seq_id", "modality",
+          "locator", "n_units", "cum_units", "shard")
+      assert(manifestRows(PipelineOps.mmPackRead(spark, base)) ===
+        manifestRows(unionDf))
+      // AT-LEAST-ONCE: a re-delivered batch appends byte-identical rows
+      // again — absorbed at compaction, one file per shard restored
+      PipelineOps.mmAppendServed(spark, base,
+        served.toSeq
+          .map(identity[(Long, Long, String, String, Long, Long, Long)])
+          .toDF("doc_id", "seq_id", "modality", "locator",
+            "n_units", "cum_units", "shard"))
+      assert(PipelineOps.mmPackRead(spark, base).count() ===
+        (expected.size + served.size).toLong)
+      PipelineOps.mmCompactArtifact(spark, base)
+      assert(GenManifest.current(base, "mmpack") === 2L)
+      assert(artRows() === expected)
+      val gen2 = PipelineOps.packDir(base, 2L, "mmpack")
+      gen2.listFiles().filter(_.getName.startsWith("shard=")).foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+          s"${d.getName} must compact to one file")
+      }
+      // a reader pinned at generation 1 is undisturbed by the publish —
+      // it still sees the duplicate append
+      assert(PipelineOps.mmPackReadAt(spark, base, 1L).count() ===
+        (expected.size + served.size).toLong)
+    } finally GenManifest.rmTree(base)
+  }
 }
