@@ -69,6 +69,14 @@ HEADLINE = [
     # oracles — their min histories restart under the sql-md5 guard,
     # by design.
     "q195_unicode_tokens", "q196_multimodal_pack",
+    # r15 widening: epoch continuity over a growing artifact (rides the
+    # q158 chain — the amortized pass covers it), the unsegmented-script
+    # segmentation readout and the script-routed gate (self-contained —
+    # and the r15 segmentation change rewrote toksSql inside every
+    # token-bearing headline oracle, restarting those min histories
+    # under the sql-md5 guard, by design).
+    "q200_epoch_continuity", "q201_cjk_segmentation",
+    "q202_script_routed_gate",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -13,11 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * input — Unicode letter/number runs (r13 VERDICT #1: the ASCII-only
   * `[a-z0-9]+` class left CJK/Cyrillic/Arabic documents tokenizing to
   * NOTHING, blinding every text gate on the multilingual majority of a
-  * real corpus).
+  * real corpus) — EXCEPT codepoints of scripts written without word
+  * delimiters ([[graft.text.Text.UnsegmentedScripts]]: Han, Hiragana,
+  * Katakana, Thai, Lao, Khmer, Myanmar), each of which is its own
+  * token (r15 — r14 VERDICT #3: a letter run over such text is a whole
+  * CLAUSE, so BPE's word-keyed vocab explodes and shingle/BM25
+  * semantics degrade to near-document granularity; the per-codepoint
+  * fallback is what byte/char-level tokenizers ship, and dictionary
+  * segmentation stays a declared non-goal).
   *
   * Semantically IDENTICAL to the declarative form
-  * `regexp_extract_all(lower(text), "[\\p{L}\\p{N}]+", 0)` for every
-  * valid-UTF-8 input: same lowercasing — `CollationSupport.Lower` at
+  * `regexp_extract_all(Text.segSpaced(text), "[\\p{L}\\p{N}]+", 0)` —
+  * spacing out each unsegmented codepoint of the lowered text, then
+  * extracting runs — for every valid-UTF-8 input: same lowercasing —
+  * `CollationSupport.Lower` at
   * UTF8_BINARY, which is what `Lower` compiles to, with the
   * `spark.sql.icu.caseMappings.enabled` flag mirrored at expression
   * construction exactly as `Lower` captures it (Spark 4's default is
@@ -35,9 +44,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * library's hottest primitive (~40 text/span/dedup consumers).
   *
   * Cross-engine contract: the DuckDB oracle replays
-  * `regexp_extract_all(lower(text), '[\p{L}\p{N}]+')`
-  * ([[graft.text.Text.toksSql]] — RE2's \p{L}/\p{N} are the same
-  * category unions). The driver's hash compare across all
+  * `regexp_extract_all(regexp_replace(lower(text), '([\p{Han}…])',
+  * ' \1 ', 'g'), '[\p{L}\p{N}]+')` ([[graft.text.Text.toksSql]] —
+  * RE2's \p{L}/\p{N} are the same category unions and its script
+  * classes the same script data). The driver's hash compare across all
   * token-consuming operators plus the q195 transliterated-corpus
   * oracle is the equivalence proof on LIVE data; PropertySpec fuzzes
   * this expression against Spark's own regex form over mixed-script
@@ -101,8 +111,29 @@ object TokensOf {
     t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
   }
 
-  /** Maximal `[\p{L}\p{N}]+` runs of the `Lower`-lowercased input, as
-    * an array of strings. One pass over the lowercased UTF-8 bytes:
+  /** Is `cp` in a script written without word delimiters
+    * ([[graft.text.Text.UnsegmentedScripts]] — Han, Hiragana, Katakana,
+    * Thai, Lao, Khmer, Myanmar): such codepoints tokenize one-per-token
+    * (r15 — the per-codepoint fallback byte/char-level tokenizers ship;
+    * a `\p{L}+` run over them is a whole clause). `UnicodeScript.of`
+    * reads the same Unicode script data Java's `\p{IsHan}` and RE2's
+    * `\p{Han}` classes do, so the three spellings agree. Only reached
+    * for multi-byte codepoints — the ASCII fast path never gets here. */
+  private def isUnsegmentedCp(cp: Int): Boolean = {
+    import Character.UnicodeScript
+    UnicodeScript.of(cp) match {
+      case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
+           UnicodeScript.KATAKANA | UnicodeScript.THAI |
+           UnicodeScript.LAO | UnicodeScript.KHMER |
+           UnicodeScript.MYANMAR => true
+      case _ => false
+    }
+  }
+
+  /** Maximal `[\p{L}\p{N}]+` runs of the `Lower`-lowercased input —
+    * with each unsegmented-script codepoint emitted as its own token
+    * ([[isUnsegmentedCp]], r15) — as an array of strings. One pass over
+    * the lowercased UTF-8 bytes:
     * ASCII classifies inline (letters upper+lower and digits —
     * post-lowercase input is a–z0–9 in practice, but A–Z are Lu and
     * must classify as tokens for regex equivalence on exotic mappings),
@@ -123,6 +154,7 @@ object TokensOf {
       val b = bytes(i)
       var step = 1
       var tok = false
+      var solo = false // an unsegmented-script codepoint: its own token
       if ((b & 0x80) == 0) {
         tok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
           (b >= 'A' && b <= 'Z')
@@ -146,9 +178,20 @@ object TokensOf {
         if (cp >= 0) {
           step = len
           tok = isTokenCp(cp)
+          solo = tok && isUnsegmentedCp(cp)
         }
       }
-      if (tok) { if (start < 0) start = i }
+      if (solo) {
+        // close any open run, emit the codepoint alone (r15: the
+        // per-codepoint rule for scripts without word delimiters —
+        // exactly what spacing the codepoint out before the run scan
+        // would produce, which is the oracle's declarative form)
+        if (start >= 0) {
+          out += UTF8String.fromBytes(bytes, start, i - start)
+          start = -1
+        }
+        out += UTF8String.fromBytes(bytes, i, step)
+      } else if (tok) { if (start < 0) start = i }
       else if (start >= 0) {
         out += UTF8String.fromBytes(bytes, start, i - start)
         start = -1

@@ -15,13 +15,50 @@ object Text {
 
   val StopwordsSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Unicode scripts written WITHOUT word delimiters (r15 — r14 VERDICT
+    * #3): a `[\p{L}\p{N}]+` run over Han/Kana/Thai/Lao/Khmer/Myanmar
+    * text is a whole CLAUSE, so BPE's word-keyed vocab treats each
+    * distinct sentence as a distinct word (vocab explosion at scale)
+    * and shingle/BM25/stopword semantics degrade to near-document
+    * granularity. The engine's segmentation rule for these scripts is
+    * the per-CODEPOINT fallback byte/char-level tokenizers ship —
+    * each such codepoint is its own token; dictionary segmentation
+    * stays out of scope (SURVEY §7). ONE list, three spellings: the
+    * native scan tests `Character.UnicodeScript.of`, the Java regex
+    * twin spells `\p{IsHan}`, the RE2 oracle `\p{Han}` — all three
+    * read the same Unicode script data (the q198 precedent). */
+  val UnsegmentedScripts: Seq[String] =
+    Seq("Han", "Hiragana", "Katakana", "Thai", "Lao", "Khmer", "Myanmar")
+
+  /** Java-regex class of the unsegmented scripts, capturing. */
+  val UnsegmentedClassJava: String =
+    UnsegmentedScripts.map(s => s"\\p{Is$s}").mkString("([", "", "])")
+
+  /** RE2 twin (DuckDB oracle spelling). */
+  val UnsegmentedClassRe2: String =
+    UnsegmentedScripts.map(s => s"\\p{$s}").mkString("([", "", "])")
+
+  /** Lowered text with every unsegmented-script codepoint spaced out —
+    * the declarative twin of the native scan's segmentation rule
+    * (PropertySpec fuzzes [[tokens]] against extract-over-this), and
+    * the preprocessing the BPE class counter shares. */
+  def segSpaced(text: Column): Column =
+    regexp_replace(lower(text), UnsegmentedClassJava, " $1 ")
+
+  def segSpacedSql(c: String): String =
+    s"regexp_replace(lower($c), '$UnsegmentedClassRe2', ' \\1 ', 'g')"
+
   /** Tokenize: lowercase, Unicode letter/number runs — `[\p{L}\p{N}]+`
     * on lowered text (r14: Unicode-capable; ASCII-only inputs tokenize
-    * bit-identically to the pre-r14 `[a-z0-9]+` class — AsciiSpec).
-    * Native byte-scan tokenizer ([[graft.expressions.TokensOf]]) —
-    * provably ≡ `regexp_extract_all(lower(text), "[\\p{L}\\p{N}]+")`
-    * (the form the DuckDB oracle replays, [[toksSql]]; RE2 and Java
-    * share the category tables) without the regex engine on the
+    * bit-identically to the pre-r14 `[a-z0-9]+` class — AsciiSpec) —
+    * except codepoints of [[UnsegmentedScripts]], each of which is its
+    * OWN token (r15: the per-codepoint fallback for scripts with no
+    * word delimiters — CJK/Thai clauses stop tokenizing as one giant
+    * "word"). Native byte-scan tokenizer
+    * ([[graft.expressions.TokensOf]]) — provably ≡
+    * `regexp_extract_all(segSpaced(text), "[\\p{L}\\p{N}]+")` (the form
+    * the DuckDB oracle replays, [[toksSql]]; RE2 and Java share the
+    * category AND script tables) without the regex engine on the
     * library's hottest primitive. Cross-engine case-mapping edges
     * (final Σ, Turkish İ) documented at [[graft.expressions.TokensOf]]. */
   def tokens(text: Column): Column =
@@ -29,7 +66,7 @@ object Text {
 
   /** The oracle-side tokenizer over an arbitrary column expression. */
   def toksSqlOf(c: String): String =
-    s"regexp_extract_all(lower($c), '[\\p{L}\\p{N}]+')"
+    s"regexp_extract_all(${segSpacedSql(c)}, '[\\p{L}\\p{N}]+')"
 
   val toksSql: String = toksSqlOf("text")
 
@@ -37,21 +74,27 @@ object Text {
     * the ONE definition q46/q83/q114 share on both engines; editing it
     * in one consumer must not diverge the others' Spark↔oracle parity.
     * r14: Unicode like [[tokens]] — `\p{L}+|\p{N}+` runs plus one token
-    * per non-letter/number/whitespace codepoint (Java and RE2 share the
-    * category tables, and both read `\s` as ASCII whitespace without a
-    * Unicode flag, so the classes agree cross-engine); on ASCII input
-    * the classes are byte-identical to the pre-r14 ASCII form, so every
+    * per non-letter/number/whitespace codepoint; on ASCII input the
+    * classes are byte-identical to the pre-r14 ASCII form, so every
     * committed oracle hash over the shipped corpus is unchanged.
+    * r15: the whitespace class is spelled EXPLICITLY (r14 ADVICE #1 —
+    * Java's `\s` includes vertical tab U+000B, RE2's does not; on
+    * input containing U+000B the two engines would silently diverge,
+    * so both now carry the Java set ` \t\n\x0B\f\r` literally), and
+    * counts run over [[segSpaced]] text so unsegmented-script
+    * codepoints price one unit each, exactly like [[tokens]].
     * Cross-engine Unicode proof: q195's `n_bpe` column. */
-  val BpeTokenRegex = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  val BpeTokenRegex = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]"
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit(BpeTokenRegex), lit(0))).cast("long")
+    size(regexp_extract_all(segSpaced(text), lit(BpeTokenRegex), lit(0)))
+      .cast("long")
 
   /** Same class set over an arbitrary column expression, single-quoted
-    * for DuckDB (`\s`/`\p` stay literal). */
+    * for DuckDB (`\p`/`\t`/`\x` stay literal for RE2). */
   def bpeCountSqlOf(c: String): String =
-    s"len(regexp_extract_all(lower($c), '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))"
+    s"len(regexp_extract_all(${segSpacedSql(c)}, " +
+      "'\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]'))"
 
   val bpeCountSql: String = bpeCountSqlOf("text")
 

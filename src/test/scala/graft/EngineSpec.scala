@@ -23,9 +23,15 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // Unicode script properties, Java Is-spelling vs RE2 spelling),
     // +q199 multimodal per-step batch fetch (full oracle — the q177
     // proof shape over the mmpack artifact)
-    assert(SparkEntry.queries.size === 199)
+    // r15: +q200 epoch continuity over a growing artifact (full oracle
+    // — gen-N ranks verbatim, served arrivals at the epoch tail),
+    // +q201 unsegmented-script segmentation readout (full oracle — the
+    // per-codepoint rule's bounded-vocab proof vs the clause-run
+    // counterfactual), +q202 script-routed quality gate (full oracle —
+    // the q198 routing primitive's consumer; flips counted)
+    assert(SparkEntry.queries.size === 202)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 182)
+    assert(SparkEntry.oracleSql.size === 185)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -147,7 +147,7 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("native tokenizer ≡ regexp_extract_all(lower, '[\\p{L}\\p{N}]+') on mixed ASCII/Unicode inputs") {
+  test("native tokenizer ≡ regexp_extract_all(segSpaced, '[\\p{L}\\p{N}]+') on mixed ASCII/Unicode inputs") {
     // charset mixes token runs, ASCII delimiters, multi-byte scripts,
     // and case-folding edge cases (Turkish İ lowers to i + combining
     // dot via String.toLowerCase — both paths must agree because both
@@ -167,9 +167,11 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     val df = cases.toDF("text")
     val got = df.select(graft.text.Text.tokens(col("text")).as("t"))
       .collect().map(_.getSeq[String](0).toList)
+    // the declarative twin (r15): unsegmented-script codepoints are
+    // spaced out before the run extract — the oracle's exact form
     val want = df.select(
-        regexp_extract_all(lower(col("text")), lit("[\\p{L}\\p{N}]+"),
-          lit(0)).as("t"))
+        regexp_extract_all(graft.text.Text.segSpaced(col("text")),
+          lit("[\\p{L}\\p{N}]+"), lit(0)).as("t"))
       .collect().map(_.getSeq[String](0).toList)
     got.zip(want).zip(cases).foreach { case ((g, w), c) =>
       assert(g === w, s"tokenizer divergence on ${c.take(60)}") }
@@ -185,7 +187,9 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       val low = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
         .exec(org.apache.spark.unsafe.types.UTF8String.fromString(c), 0, true)
         .toString
-      val re = "[\\p{L}\\p{N}]+".r.findAllIn(low).toList
+      val spaced = low.replaceAll(
+        graft.text.Text.UnsegmentedClassJava, " $1 ")
+      val re = "[\\p{L}\\p{N}]+".r.findAllIn(spaced).toList
       assert(evList === re, s"eval divergence on ${c.take(60)}")
     }
   }

@@ -70,9 +70,11 @@ class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
       assert(sh.nonEmpty, s"no shingles for <$f>")
       assert(sh.head === s"${t(0)} ${t(1)}", s"shingle join for <$f>")
     }
-    // CJK has no spaces between ideographs — each whitespace-delimited
-    // run is one token (no dictionary segmentation; documented scope)
-    assert(toks("東京は日本の首都です") === List("東京は日本の首都です"))
+    // unsegmented scripts (no word delimiters) tokenize PER CODEPOINT
+    // (r15 — the byte/char-level fallback; dictionary segmentation
+    // stays out of scope, SURVEY §7)
+    assert(toks("東京は日本の首都です") ===
+      List("東", "京", "は", "日", "本", "の", "首", "都", "で", "す"))
     // mixed-script runs stay single tokens (all \p{L})
     assert(toks("naïve café résumé") === List("naïve", "café", "résumé"))
   }
@@ -108,7 +110,7 @@ class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
     assert(toks("i̇x") === List("i", "x"))
     assert(toks("̇́") === List())
     // currency/symbols/punctuation split runs exactly like ASCII
-    assert(toks("€100·賞金¥42") === List("100", "賞金", "42"))
+    assert(toks("€100·賞金¥42") === List("100", "賞", "金", "42"))
     // empty and whitespace-only stay empty
     assert(toks("") === List())
     assert(toks(" 　\t") === List())
@@ -134,7 +136,7 @@ class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
     // Unicode classes: letter runs, number runs, one token per symbol
     val uni = Seq(
       "Привет, мир!" -> 4L,   // [привет][,][мир][!]
-      "東京42" -> 2L,          // [東京42 splits L-run/N-run] -> [東京][42]
+      "東京42" -> 3L,          // Han per codepoint -> [東][京][42]
       "५½ x" -> 2L,            // N-run [५½] + [x]
       "a†b" -> 3L)             // symbol † is So -> its own token
     val gotU = uni.map(_._1).toDF("text")
@@ -225,11 +227,108 @@ class UnicodeTokenSpec extends AnyFunSuite with SharedSpark {
       .select(graft.text.Text.tokens(
         translate(lower(col("text")), from, to)).as("t"))
       .as[Seq[String]].collect()(0)
-    // 10 tokens survive transliteration with boundaries intact
-    assert(got.size === 10, got.mkString(","))
+    // expected stream via the declarative segmentation twin: the Han
+    // targets (s→東, t→京) are solo tokens, everything else keeps its
+    // transliterated word boundaries
+    val trans = "the quick brown fox jumps over a lazy dog 99"
+      .map(c => { val i = from.indexOf(c); if (i >= 0) to(i) else c })
+    val spaced = trans.toLowerCase  // the expression lowers again (Г/Ж/Д)
+      .replaceAll(graft.text.Text.UnsegmentedClassJava, " $1 ")
+    val want = "[\\p{L}\\p{N}]+".r.findAllIn(spaced).toList
+    assert(got.toList === want, got.mkString(","))
+    assert(got.count(_ == "東") ===
+      "the quick brown fox jumps over a lazy dog 99".count(_ == 's'))
     // uppercase targets (d→Г, q→Ж, w→Д) came back lowercased
     assert(got.forall(t => t == t.toLowerCase), got.mkString(","))
     // digits unchanged
     assert(got.last === "99")
+  }
+
+  test("unsegmented-script rule: per-codepoint for Han/Kana/Thai/Lao/Khmer/Myanmar, run-based for everything else, cross-engine spellings agree") {
+    // per-codepoint classes
+    assert(toks("ไทยทดสอบ") === "ไทยทดสอบ".map(_.toString).toList) // Thai
+    assert(toks("カタカナ") === List("カ", "タ", "カ", "ナ"))
+    assert(toks("ພາສາລາວ") === "ພາສາລາວ".map(_.toString).toList)  // Lao
+    // segmented scripts keep their runs: Hangul IS space-delimited,
+    // Devanagari and Cyrillic too — NOT in the unsegmented set
+    assert(toks("한국어 단어") === List("한국어", "단어"))
+    assert(toks("नमस्ते") === List("नमस", "त"))  // Mn signs split runs
+    assert(toks("привет") === List("привет"))
+    // mixed: runs break cleanly around solo codepoints
+    assert(toks("abc漢def") === List("abc", "漢", "def"))
+    assert(toks("12東34") === List("12", "東", "34"))
+    // the three spellings of the script set agree codepoint-by-codepoint
+    // over the BMP: the native scan (UnicodeScript.of), the Java regex
+    // twin (\p{IsHan}…), and — by the shared Unicode script data — the
+    // RE2 oracle class; sampled across the BMP
+    val javaRe = graft.text.Text.UnsegmentedClassJava.r
+    (0 until 0xFFFF by 7).map(_.toChar).filter(c =>
+      !Character.isSurrogate(c) && Character.isLetterOrDigit(c))
+      .foreach { c =>
+        val nat = toks(s"x${c}x")
+        val viaRegex = javaRe.findFirstIn(c.toString).isDefined
+        if (viaRegex)
+          assert(nat.contains(c.toString.toLowerCase) ||
+            nat.contains(c.toString),
+            s"U+${c.toInt.toHexString}: regex says unsegmented, scan disagrees: $nat")
+        else
+          assert(nat.size === 1,
+            s"U+${c.toInt.toHexString}: run must not split: $nat")
+      }
+  }
+
+  test("CJK fixture: BPE's word-keyed vocab stays bounded; the clause-run counterfactual explodes") {
+    import graft.operators.TextOps
+    val ct = Tables.documents(spark, SF)
+      .select(translate(lower(col("text")),
+        TextOps.CjkFrom + " ", TextOps.CjkTo).as("ctext"))
+    val segVocab = ct
+      .select(explode(graft.text.Text.tokens(col("ctext"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    // every Han-bearing token is a single codepoint, and the Han
+    // alphabet is exactly the 26 mapped ideographs — the relation BPE
+    // keys its vocab by can never exceed alphabet + digit runs
+    val hanToks = segVocab.filter(_.exists(c =>
+      Character.UnicodeScript.of(c.toInt) == Character.UnicodeScript.HAN))
+    assert(hanToks.forall(_.codePointCount(0, 1) == 1) &&
+      hanToks.forall(_.length == 1))
+    assert(hanToks.length <= 26)
+    // the clause-run counterfactual (pre-r15): one "word" per distinct
+    // clause — the vocab-explosion mode the per-codepoint rule prevents
+    val clauseVocab = ct
+      .select(explode(regexp_extract_all(lower(col("ctext")),
+        lit("[\\p{L}\\p{N}]+"), lit(0))).as("w"))
+      .distinct().count()
+    assert(clauseVocab > 10L * segVocab.length,
+      s"clause vocab $clauseVocab vs segmented ${segVocab.length}")
+  }
+
+  test("CJK shingle-dedup sanity: docs sharing a Han clause share shingles (q49/q50 granularity restored)") {
+    // pre-r15 a shared clause was ONE token, so k=3 shingles needed 3
+    // whole clauses to overlap; per-codepoint segmentation restores
+    // sub-clause granularity — the near-dup signal shingle dedup needs
+    val docs = Seq("前文 東京は日本の首都です 後文",
+      "別の 東京は日本の首都です 結び").toDF("text")
+    val sh = docs
+      .select(graft.text.Text.shingles(
+        graft.text.Text.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()
+    val common = sh(0).toSet intersect sh(1).toSet
+    assert(common.size >= 8, s"shared-clause shingles: ${common.size}")
+  }
+
+  test("q202 routing reconciliation: Latin-only input is one script, routed ≡ global, nothing flips") {
+    import graft.operators.TextOps
+    val latin = Tables.documents(spark, SF)
+      .select(col("doc_id"), lower(col("text")).as("utext"))
+    val rows = TextOps.scriptRoutedGateOf(latin).collect()
+    assert(rows.length === 1 && rows(0).getString(0) === "latin")
+    assert(rows(0).getAs[Long]("n_pass_routed") ===
+      rows(0).getAs[Long]("n_pass_global"))
+    assert(rows(0).getAs[Long]("n_flipped") === 0L)
+    // ...and on the transliterated corpus the routing CHANGES decisions
+    // (the primitive earns its place — r14 VERDICT #7's done-condition)
+    val routed = TextOps.q202(spark, SF).collect()
+    assert(routed.map(_.getAs[Long]("n_flipped")).sum > 0L)
   }
 }
