@@ -37,15 +37,23 @@ object PrefixSum {
     * @param v        long value column to accumulate
     */
   def withRunningSum(df: DataFrame, bkey: String, tiebreak: Seq[String],
-      v: String, outCol: String): DataFrame =
-    withRunningSums(df, bkey, tiebreak, Seq(v -> outCol))
+      v: String, outCol: String, span: Option[(Long, Long)] = None): DataFrame =
+    withRunningSums(df, bkey, tiebreak, Seq(v -> outCol), span)
 
   /** [[withRunningSum]] for SEVERAL value columns in ONE two-level scan
     * (one binning pass, one bin-offset window, one partitioned local
     * window) — a caller needing rank AND a cumulative flag count (q133)
-    * pays the scan once instead of per column. */
+    * pays the scan once instead of per column.
+    *
+    * `span`: when the caller KNOWS the key range statically (every
+    * md5-derived key here is a fixed bit-width — 60-bit hashes, the
+    * epoch/bucket folds), pass `(lo, hi)` and the range-probe aggregate
+    * (one extra job + a broadcast per call) is skipped: the bin width
+    * computes at the driver. Correctness does not depend on the span
+    * being tight — a key outside it still bins monotonically (the bin
+    * formula extends linearly); a loose span only wastes bins. */
   def withRunningSums(df: DataFrame, bkey: String, tiebreak: Seq[String],
-      vs: Seq[(String, String)]): DataFrame = {
+      vs: Seq[(String, String)], span: Option[(Long, Long)] = None): DataFrame = {
     // intermediates (__bsum_$v/__off_$v) are keyed by SOURCE column name,
     // so the same source listed twice would collide into ambiguous
     // columns mid-plan — fail at the API boundary with the real cause
@@ -53,22 +61,36 @@ object PrefixSum {
       s"PrefixSum.withRunningSums: duplicate source value columns in " +
         s"${vs.map(_._1).mkString("[", ", ", "]")}; alias the column and " +
         "list each source once")
-    val rng = df.agg(min(col(bkey)).as("lo"), max(col(bkey)).as("hi"))
-    // exact integer bin: (bkey - lo) div width, width ≥ span/NumBins.
-    // `hi - lo` overflows when the span exceeds Long.MaxValue (hi > 0,
-    // lo < 0): ANSI mode raises an opaque ARITHMETIC_OVERFLOW from
-    // whichever task hits it first, non-ANSI SILENTLY wraps and breaks
-    // the bin↔order monotonicity the two-level scan depends on. Callers
-    // use ≤ 60-bit hash keys, but the contract is enforced, not
-    // assumed: try_subtract is NULL on overflow in BOTH modes, so the
-    // assert_true guard raises the named error before the raw
-    // subtraction can (coalesce(NULL-on-success, bin) keeps the type).
-    val binExpr = expr(
-      s"coalesce(assert_true(try_subtract(hi, lo) IS NOT NULL, " +
-        s"'PrefixSum: $bkey span exceeds Long.MaxValue'), " +
-        s"($bkey - lo) div (((hi - lo) div ${NumBins}L) + 1L))")
-    val binned = df.crossJoin(broadcast(rng))
-      .withColumn("__bin", binExpr).drop("lo", "hi")
+    val binned = span match {
+      case Some((lo, hi)) =>
+        // static span: width at the driver, no range-probe job. The
+        // overflow guard is a plain driver-side check here (Math.
+        // subtractExact throws the same named condition the in-plan
+        // assert raises on the dynamic path).
+        require(hi >= lo, s"PrefixSum: static span ($lo, $hi) inverted")
+        val width =
+          try Math.subtractExact(hi, lo) / NumBins + 1L
+          catch { case _: ArithmeticException => throw new IllegalArgumentException(
+            s"PrefixSum: $bkey span exceeds Long.MaxValue") }
+        df.withColumn("__bin", expr(s"($bkey - ${lo}L) div ${width}L"))
+      case None =>
+        val rng = df.agg(min(col(bkey)).as("lo"), max(col(bkey)).as("hi"))
+        // exact integer bin: (bkey - lo) div width, width ≥ span/NumBins.
+        // `hi - lo` overflows when the span exceeds Long.MaxValue (hi > 0,
+        // lo < 0): ANSI mode raises an opaque ARITHMETIC_OVERFLOW from
+        // whichever task hits it first, non-ANSI SILENTLY wraps and breaks
+        // the bin↔order monotonicity the two-level scan depends on. Callers
+        // use ≤ 60-bit hash keys, but the contract is enforced, not
+        // assumed: try_subtract is NULL on overflow in BOTH modes, so the
+        // assert_true guard raises the named error before the raw
+        // subtraction can (coalesce(NULL-on-success, bin) keeps the type).
+        val binExpr = expr(
+          s"coalesce(assert_true(try_subtract(hi, lo) IS NOT NULL, " +
+            s"'PrefixSum: $bkey span exceeds Long.MaxValue'), " +
+            s"($bkey - lo) div (((hi - lo) div ${NumBins}L) + 1L))")
+        df.crossJoin(broadcast(rng))
+          .withColumn("__bin", binExpr).drop("lo", "hi")
+    }
     val offsets = binned.groupBy(col("__bin"))
       .agg(vs.map { case (v, _) => sum(col(v)).as(s"__bsum_$v") }.head,
         vs.tail.map { case (v, _) => sum(col(v)).as(s"__bsum_$v") }: _*)

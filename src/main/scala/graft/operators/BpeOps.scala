@@ -272,12 +272,18 @@ object BpeOps {
     * the packing mass q152 budgets shards by (r9 VERDICT #1). Same one
     * corpus pass + mapping join as [[q151]], without the segmentation
     * readout's extra aggregates. */
+  /** Per-doc unit totals under the trained merges — memoized (r15):
+    * THIN (one int64 per doc) but derived through a corpus token
+    * explode + mapping join per reference, and three consumers read it
+    * (the q152 build, q181's fertility gate, q184's repeat planner) —
+    * the docsWithToks treatment one step downstream. */
   def docUnits(s: SparkSession, dir: String): DataFrame =
-    TextOps.docsWithToks(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .join(unitMapping(s, dir), "token")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("units")).as("n_units"))
+    graft.SharedRelations.getOrBuild("doc_units", dir)(
+      TextOps.docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .join(unitMapping(s, dir), "token")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("units")).as("n_units")))
 
   /** The q144 training chain's CTE list WITHOUT the leading WITH — the
     * composition form q152's oracle splices under the q120 chain's

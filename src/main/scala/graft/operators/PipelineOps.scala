@@ -961,7 +961,8 @@ object PipelineOps {
           conv(substring(md5(concat(lit("ord:"), col("doc_id"))), 1, 15), 16, 10)
             .cast("long").as("bkey"))
       graft.functions.PrefixSum
-        .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_units", "cum_units")
+        .withRunningSum(sampled, "bkey", Seq("doc_id"), "n_units",
+          "cum_units", span = Some((0L, 1L << 60)))
         .select(col("doc_id"), col("lang"), col("weight"), col("n_units"),
           col("cum_units"),
           expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
@@ -1043,7 +1044,7 @@ object PipelineOps {
             col("chunk_id"))), 1, 15), 16, 10).cast("long"))
       graft.functions.PrefixSum
         .withRunningSum(seqs, "bkey", Seq("doc_id", "chunk_id"),
-          "n_units", "cum_units")
+          "n_units", "cum_units", span = Some((0L, 1L << 60)))
         .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tokens"),
           col("n_units"), col("cum_units"),
           expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
@@ -1121,7 +1122,8 @@ object PipelineOps {
   private def rankEpoch(keyed: DataFrame): DataFrame =
     graft.functions.PrefixSum
       .withRunningSum(keyed.withColumn("one", lit(1L)), "okey",
-        Seq("doc_id", "chunk_id"), "one", "seq_rank")
+        Seq("doc_id", "chunk_id"), "one", "seq_rank",
+        span = Some((0L, 1L << 60)))
 
   /** Rank EVERY epoch of a keyed union in ONE two-level PrefixSum scan
     * (r14 VERDICT #6 — the q179 bucket-folding rule applied to the
@@ -1151,7 +1153,8 @@ object PipelineOps {
       .withColumn("__fkey", col("epoch") * lit(1L << strideBits) + col("okey"))
       .withColumn("__one", lit(1L))
     val ranked = graft.functions.PrefixSum
-      .withRunningSum(folded, "__fkey", tiebreak, "__one", "__grank")
+      .withRunningSum(folded, "__fkey", tiebreak, "__one", "__grank",
+        span = Some((0L, Epochs.toLong * (1L << strideBits))))
     val w = Window.orderBy(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = keyed.groupBy(col("epoch")).agg(count(lit(1)).as("__en"))
@@ -1170,9 +1173,21 @@ object PipelineOps {
         conv(substring(md5(concat(lit(s"ep:$EpochSeed:$e:"), col("doc_id"),
           lit(":"), col("chunk_id"))), 1, 15), 16, 10).cast("long"))
 
-  /** The per-epoch ordered sequence stream behind [[q162]] and [[q166]]:
-    * one PrefixSum ranking per epoch over the `sequence_pack` memo. */
-  private[graft] def epochOrdered(s: SparkSession, dir: String): DataFrame = {
+  /** The per-epoch ordered sequence stream behind [[q162]]/[[q166]]/
+    * [[q193]]/[[q185]]/[[q200]] — MEMOIZED per (family run, dir) (r15):
+    * this is the engine's own documented premise made real ("a real
+    * loader amortizes the ranking across the epoch's steps", q177) —
+    * the epoch order is a pure function of (seed, corpus snapshot), so
+    * its five consumers share one materialization exactly like the pack
+    * build they rank. The memo's localCheckpoint also truncates the
+    * fold's plan, the q191 plan-cost rule. */
+  private[graft] def epochOrdered(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("epoch_ordered", dir)(
+      epochOrderedPlan(s, dir))
+
+  /** The unmemoized epoch-ordering plan (ScalePlanSpec pins the window
+    * discipline here — the memo readout is a LogicalRDD leaf). */
+  private[graft] def epochOrderedPlan(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
     val keyed = (0 until Epochs).map(e => shuffleKeyed(pack, e))
@@ -1226,19 +1241,18 @@ object PipelineOps {
   val ResumeEpoch = 1L
   val ResumeRank = 5L
 
-  def q166(s: SparkSession, dir: String): DataFrame = {
-    val pack = sequencePack(s, dir)
-      .select(col("doc_id"), col("chunk_id"), col("shard"))
-    val keyed = (ResumeEpoch.toInt until Epochs)
-      .map(e => shuffleKeyed(pack, e))
-      .reduce(_ unionAll _)
-    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
+  def q166(s: SparkSession, dir: String): DataFrame =
+    // the resume suffix FILTERS the standing epoch stream (r15: one
+    // memoized ranking, the q177 amortization premise) — the rank must
+    // be the full epoch's rank, which the memo carries by construction;
+    // epochs before the checkpoint drop at the filter, and the memoized
+    // scan is the same one every other loader readout consumes
+    epochOrdered(s, dir)
       .filter(col("epoch") > ResumeEpoch ||
         (col("epoch") === ResumeEpoch && col("seq_rank") > ResumeRank))
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
       .orderBy(col("epoch"), col("seq_rank"))
-  }
 
   lazy val q166Sql: String =
     s"""SELECT * FROM ($epochOrderedSql) r
@@ -1314,7 +1328,15 @@ object PipelineOps {
     * bins even inside one quality level; never a global window). FULL
     * oracle: the quality CTE + the keyed union replayed under one
     * per-epoch ROW_NUMBER. */
-  def q171(s: SparkSession, dir: String): DataFrame = {
+  def q171(s: SparkSession, dir: String): DataFrame =
+    // memoized like [[epochOrdered]] (r15) — the curriculum schedule is
+    // the same standing per-snapshot relation a loader derives once
+    graft.SharedRelations.getOrBuild("curriculum_ordered", dir)(
+      q171Plan(s, dir)).orderBy(col("epoch"), col("seq_rank"))
+
+  /** The unmemoized curriculum-ordering plan (ScalePlanSpec pins the
+    * window discipline here). */
+  private[graft] def q171Plan(s: SparkSession, dir: String): DataFrame = {
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("shard"))
     val qm = TextOps.docsWithToks(s, dir)
@@ -1337,7 +1359,6 @@ object PipelineOps {
     rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
-      .orderBy(col("epoch"), col("seq_rank"))
   }
 
   lazy val q171Sql: String =
@@ -2486,8 +2507,25 @@ object PipelineOps {
 
   /** The per-batch relation behind [[q179]] (unordered) and [[q191]]'s
     * epoch scheduling — ONE builder, so the batch-formation rule cannot
-    * drift between the readout and the consumption order. */
-  private def lengthBatches(s: SparkSession, dir: String): DataFrame = {
+    * drift between the readout and the consumption order. Memoized via
+    * [[graft.SharedRelations]] (r15): the relation is THIN (five int64s
+    * + a double per batch) but its LINEAGE is the whole batch-formation
+    * chain (PrefixSum ranked scan + offset window + aggregate), and
+    * q191's epoch union referenced that lineage several times per plan
+    * — `.cache()` reused the DATA but Catalyst still re-analyzed the
+    * full tree per reference (measured: q191 warm 2.4 s at 10 jobs,
+    * pure driver planning). The memo's localCheckpoint truncates the
+    * plan to a LogicalRDD leaf, the sequencePack treatment one level
+    * up; blocks owned by the family memo, released at the group
+    * boundary. */
+  private def lengthBatches(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("length_batches", dir)(
+      lengthBatchesPlan(s, dir))
+
+  /** The unmemoized batch-formation plan (ScalePlanSpec pins the window
+    * discipline here — the memo readout is a LogicalRDD with no windows
+    * to inspect). */
+  private[graft] def lengthBatchesPlan(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Num
     val lb = sequencePack(s, dir)
@@ -2499,7 +2537,8 @@ object PipelineOps {
             col("chunk_id"))), 1, 11), 16, 10).cast("long"))
     val ranked = graft.functions.PrefixSum
       .withRunningSum(lb.withColumn("one", lit(1L)), "okey",
-        Seq("doc_id", "chunk_id"), "one", "grank")
+        Seq("doc_id", "chunk_id"), "one", "grank",
+        span = Some((0L, 64L << 44)))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
@@ -2515,12 +2554,6 @@ object PipelineOps {
         col("n_seqs") * col("max_units") - col("sum_units"))
       .withColumn("fill",
         Num.ratio6(col("sum_units"), col("n_seqs") * col("max_units")))
-      // cache(): THIN (five int64s + a double per batch, corpus/B rows)
-      // and referenced Epochs times inside one q191 plan plus by q179 —
-      // without it the whole batch-formation chain (PrefixSum ranked
-      // scan + offset join + aggregate) re-executes per reference
-      // (the lmDocAgg rule). Family cache group owns the lifetime.
-      .cache()
   }
 
   def q179(s: SparkSession, dir: String): DataFrame =
@@ -2898,11 +2931,13 @@ object PipelineOps {
     * pack/B-sized, never corpus-held. FULL oracle: the q158 chain
     * nested once, ranked per epoch, grouped by the same batch rule. */
   def q185(s: SparkSession, dir: String): DataFrame = {
+    // r15: consume the MEMOIZED epoch stream (one ranking per corpus
+    // snapshot, the q177 amortization premise) and join the thin unit
+    // masses back on (doc, chunk) — AQE broadcasts the pack side
     val pack = sequencePack(s, dir)
       .select(col("doc_id"), col("chunk_id"), col("n_units"))
-    val keyed = (0 until Epochs).map(e => shuffleKeyed(pack, e))
-      .reduce(_ unionAll _)
-    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
+    epochOrdered(s, dir)
+      .join(pack, Seq("doc_id", "chunk_id"))
       .withColumn("batch_id",
         expr(s"(seq_rank - 1) div ${LoaderBatchSeqs}L"))
       .withColumn("ck",
@@ -3030,17 +3065,27 @@ object PipelineOps {
     conv(substring(md5(concat(lit("mm:"), modality, lit(":"), docId,
       lit(":"), seqId)), 1, 15), 16, 10).cast("long")
 
-  def q196(s: SparkSession, dir: String): DataFrame = {
+  def q196(s: SparkSession, dir: String): DataFrame =
+    mmPack(s, dir).orderBy(col("doc_id"), col("modality"), col("seq_id"))
+
+  /** The multimodal pack, memoized per (family run, dir) — the
+    * packedBuild/sequencePack treatment one modality wider (r15):
+    * q196's registered readout, q197's artifact write, and the spec
+    * reconciliations all consume ONE materialization. */
+  private def mmPack(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("mm_pack", dir)(mmPackPlan(s, dir))
+
+  /** The unmemoized multimodal-pack plan. */
+  private[graft] def mmPackPlan(s: SparkSession, dir: String): DataFrame = {
     val keyed = multimodalRows(s, dir)
       .withColumn("bkey",
         mmKey(col("modality"), col("doc_id"), col("seq_id")))
     graft.functions.PrefixSum
       .withRunningSum(keyed, "bkey", Seq("modality", "doc_id", "seq_id"),
-        "n_units", "cum_units")
+        "n_units", "cum_units", span = Some((0L, 1L << 60)))
       .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
         col("n_units"), col("cum_units"),
         expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
-      .orderBy(col("doc_id"), col("modality"), col("seq_id"))
   }
 
   /** FULL oracle: the q158 chain (membership + chunk units) + the two
@@ -3158,7 +3203,7 @@ object PipelineOps {
       if (!mmArtDir.contains(dir) ||
           graft.GenManifest.read(base, "mmpack").isEmpty) {
         graft.TempArtifacts.register(base)
-        packWrite(s, base, q196(s, dir), "mmpack", mmManifestOf)
+        packWrite(s, base, mmPack(s, dir), "mmpack", mmManifestOf)
         mmArtDir = Some(dir)
       }
       base
@@ -3359,21 +3404,32 @@ object PipelineOps {
     * re-ranks the prefix. */
   def q200(s: SparkSession, dir: String): DataFrame = {
     val gen = sequencePack(s, dir)
-    val genThin = gen.select(col("doc_id"), col("chunk_id"), col("shard"))
-      .withColumn("is_arrival", lit(0L))
-    val endOff = gen.agg(max(col("cum_units")).as("base_off"))
-    val arrThin = arrivalPack(s, dir, endOff)
-      .select(col("doc_id"), col("chunk_id"), col("shard"))
-      .withColumn("is_arrival", lit(1L))
-    val unioned = genThin.unionAll(arrThin)
-    val keyed = (0 until Epochs).map { e =>
-      shuffleKeyed(unioned, e)
-        .withColumn("okey", col("is_arrival") * lit(1L << 60) + col("okey"))
-    }.reduce(_ unionAll _)
-    rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank",
-        strideBits = 61)
+    // the PREFIX is literally the standing epoch order — the memoized
+    // q162 relation (r15: reading it IS the contract — the running
+    // job's consumed stream can never re-rank, because nothing here
+    // recomputes it)
+    val prefix = epochOrdered(s, dir)
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
-        col("shard"), col("is_arrival"))
+        col("shard"))
+      .withColumn("is_arrival", lit(0L))
+    // the arrival pack memoizes like the build it continues (it is a
+    // standing per-snapshot relation — what the serve seam appended)
+    val arr = graft.SharedRelations.getOrBuild("q200_arrivals", dir)(
+        arrivalPack(s, dir, gen.agg(max(col("cum_units")).as("base_off"))))
+      .select(col("doc_id"), col("chunk_id"), col("shard"))
+    // tail ranks = |gen N| + the q162-rule rank WITHIN the arrival set:
+    // the fold runs over the batch-sized arrivals only (never the
+    // corpus), and the gen count rides a 1-row broadcast
+    val nGen = gen.agg(count(lit(1)).as("__n_gen"))
+    val arrKeyed = (0 until Epochs).map(e => shuffleKeyed(arr, e))
+      .reduce(_ unionAll _)
+    val tail = rankEpochsFolded(arrKeyed, Seq("doc_id", "chunk_id"),
+        "arr_rank")
+      .crossJoin(broadcast(nGen))
+      .select(col("epoch"), (col("arr_rank") + col("__n_gen")).as("seq_rank"),
+        col("doc_id"), col("chunk_id"), col("shard"))
+      .withColumn("is_arrival", lit(1L))
+    prefix.unionAll(tail)
       .orderBy(col("epoch"), col("seq_rank"))
   }
 
@@ -3385,14 +3441,16 @@ object PipelineOps {
     * PipelineSpec can reconcile it against a REAL packServe run. */
   private[graft] def arrivalPack(s: SparkSession, dir: String,
       endOff: DataFrame): DataFrame = {
-    val docs = q114DocsShared(s, dir)
-    val policy = q120PolicyOf(q114PolicyOf(docs))
-      .select(col("lang"), col("rate_micros"))
-    val arrd = docs.join(broadcast(policy), Seq("lang"))
-      .withColumn("u", mixU)
-      .filter(col("u") >= col("rate_micros") &&
-        col("doc_id") % DedupOps.IncrSplitMod === 0)
-      .select(col("doc_id"))
+    // NON-members via anti-join against the memoized build's member set
+    // instead of re-deriving the q120 policy fixpoint per call (the
+    // fixpoint is a multi-job driver iteration — measured ~2.4 s of
+    // q200's cost at sf0.1; membership ≡ draw < rate over `t`⋈fxp, so
+    // t-docs minus members IS the draw ≥ rate complement, exactly the
+    // oracle's arrd)
+    val arrd = q114DocsShared(s, dir).select(col("doc_id"))
+      .join(packedBuild(s, dir).select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .filter(col("doc_id") % DedupOps.IncrSplitMod === 0)
     val arrc = BpeOps.chunkMasses(s, dir)
       .join(arrd, "doc_id")
       .withColumn("bkey",
@@ -3400,7 +3458,7 @@ object PipelineOps {
           col("chunk_id"))), 1, 15), 16, 10).cast("long"))
     graft.functions.PrefixSum
       .withRunningSum(arrc, "bkey", Seq("doc_id", "chunk_id"),
-        "n_units", "cum_arr")
+        "n_units", "cum_arr", span = Some((0L, 1L << 60)))
       .crossJoin(broadcast(endOff))
       .withColumn("cum_units", col("cum_arr") + col("base_off"))
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),

@@ -46,13 +46,24 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     // so their executing plans carry the PrefixSum windows — same
     // discipline: per-epoch binned scans, never a raw global window
     assertWindowsAggregated(graft.operators.PipelineOps.q162(spark, SF), "q162")
+    // r15: the epoch ordering memoizes (the q177 amortization premise),
+    // so pin the BUILD plan — the registered entries read a LogicalRDD
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.epochOrderedPlan(spark, SF), "q162 build")
     assertWindowsAggregated(graft.operators.PipelineOps.q166(spark, SF), "q166")
     assertWindowsAggregated(graft.operators.PipelineOps.q171(spark, SF), "q171")
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.q171Plan(spark, SF), "q171 build")
     // r13: the loader batching / bucketing ops fold their group id into
     // the PrefixSum key (bucket-major, lang-major) — one binned scan
     // ranks every group; the only unpartitioned windows ride the tiny
     // group dims (≤64 buckets / ≤|langs| rows, both aggregated)
     assertWindowsAggregated(graft.operators.PipelineOps.q179(spark, SF), "q179")
+    // r15: q179/q191 now read the batch relation through the
+    // length_batches memo (a LogicalRDD leaf — plan-cost fix), so pin
+    // the BUILD plan too, the packedBuildPlan treatment
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.lengthBatchesPlan(spark, SF), "q179 build")
     assertWindowsAggregated(TextOps.q180(spark, SF), "q180")
     assertWindowsAggregated(graft.operators.PipelineOps.q185(spark, SF), "q185")
     assertWindowsAggregated(graft.operators.PipelineOps.q191(spark, SF), "q191")
