@@ -1999,9 +1999,10 @@ object PipelineOps {
     * PipelineSpec pins that the scan's PartitionFilters covers exactly
     * the touched shards, never the whole artifact.
     *
-    * Scale shape: one per-epoch PrefixSum ranking (the q162 cost — a
-    * real loader amortizes it: the epoch order is computed once and
-    * consumed by every step), one driver-bounded distinct-shard collect,
+    * Scale shape: a filter over the MEMOIZED epoch stream (r15 — the
+    * amortization premise made literal: the epoch order is computed
+    * once per corpus snapshot and every step reads it), one
+    * driver-bounded distinct-shard collect,
     * one partition-pruned multi-directory scan joined batch-to-artifact
     * on (doc, chunk, shard). FULL oracle: the q162 body under the rank
     * range, joined to the q158 chain for the payload columns — the hash
@@ -2011,21 +2012,17 @@ object PipelineOps {
   val StepHiRank = 9L
 
   def q177(s: SparkSession, dir: String): DataFrame = {
-    val pack = sequencePack(s, dir)
-      .select(col("doc_id"), col("chunk_id"), col("shard"))
-    // localCheckpoint (the q125 snapshot rule): the shard collect below
-    // AND the returned join plan both read the step — without it the
-    // epoch-wide PrefixSum ranking would execute once per action. The
-    // snapshot is batch-sized (≤ hi − lo rows); blocks are OWNED and
-    // released per-op via CheckpointRegistry.
-    val step = rankEpoch(shuffleKeyed(pack, StepEpoch.toInt))
-      .filter(col("seq_rank") > StepLoRank && col("seq_rank") <= StepHiRank)
+    // r15: the step reads the MEMOIZED epoch stream — the doc's own
+    // amortization premise ("the epoch order is computed once and
+    // consumed by every step") made literal. The memo is already a
+    // materialized LogicalRDD, so the shard collect and the returned
+    // join share one ranking execution with no per-op localCheckpoint
+    // (the snapshot rule is satisfied by the leaf itself).
+    val step = epochOrdered(s, dir)
+      .filter(col("epoch") === StepEpoch &&
+        col("seq_rank") > StepLoRank && col("seq_rank") <= StepHiRank)
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
-      .localCheckpoint()
-    step.queryExecution.analyzed
-      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-      .foreach(r => graft.CheckpointRegistry.register(r))
     // batch-bounded by construction: ≤ (StepHiRank − StepLoRank) ids
     val touched = step.select(col("shard")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -2380,9 +2377,16 @@ object PipelineOps {
     * re-pack CTEs crossed with the epoch range under one per-epoch
     * ROW_NUMBER — the hash compare proves the artifact-backed epoch
     * stream is exactly the clean build's permutation. */
-  def q178(s: SparkSession, dir: String): DataFrame = {
+  def q178(s: SparkSession, dir: String): DataFrame =
+    // the clean epoch stream memoizes like [[epochOrdered]] (r15 — the
+    // same standing per-snapshot relation, over the clean lineage)
+    graft.SharedRelations.getOrBuild("clean_epoch_ordered", dir)(
+      q178Plan(s, dir)).orderBy(col("epoch"), col("seq_rank"))
+
+  /** The unmemoized clean-epoch-ordering plan. */
+  private[graft] def q178Plan(s: SparkSession, dir: String): DataFrame = {
     // the artifact read memoizes (three int64s per clean sequence): the
-    // Epochs rank scans would otherwise each re-scan the parquet — the
+    // rank scan would otherwise re-scan the parquet — the
     // sequencePack-memo rule applied to the clean lineage
     val clean = graft.SharedRelations.getOrBuild("clean_pack_read", dir)(
       packRead(s, q174Ensure(s, dir), "packclean")
@@ -2392,7 +2396,6 @@ object PipelineOps {
     rankEpochsFolded(keyed, Seq("doc_id", "chunk_id"), "seq_rank")
       .select(col("epoch"), col("seq_rank"), col("doc_id"), col("chunk_id"),
         col("shard"))
-      .orderBy(col("epoch"), col("seq_rank"))
   }
 
   /** The clean re-pack as spliceable CTEs ending in `cpk` (the clean
@@ -3280,6 +3283,25 @@ object PipelineOps {
   def q197(s: SparkSession, dir: String): DataFrame =
     mmManifestOf(mmPackRead(s, q197Ensure(s, dir)))
 
+  /** The step epoch's seeded permutation of the PERSISTED multimodal
+    * pack, ranked ONCE per (family run, dir) — the [[epochOrdered]]
+    * treatment over the mmpack artifact (r15): every q199-style step
+    * fetch reads the standing ranking instead of re-ranking per call. */
+  private def mmEpochRanked(s: SparkSession, dir: String,
+      base: java.io.File): DataFrame =
+    graft.SharedRelations.getOrBuild("mm_epoch_ranked", dir) {
+      val thin = mmPackRead(s, base)
+        .select(col("doc_id"), col("seq_id"), col("modality"), col("shard"))
+        .withColumn("okey",
+          conv(substring(md5(concat(lit(s"mmep:$EpochSeed:$StepEpoch:"),
+            col("modality"), lit(":"), col("doc_id"), lit(":"),
+            col("seq_id"))), 1, 15), 16, 10).cast("long"))
+      graft.functions.PrefixSum
+        .withRunningSum(thin.withColumn("one", lit(1L)), "okey",
+          Seq("modality", "doc_id", "seq_id"), "one", "seq_rank",
+          span = Some((0L, 1L << 60)))
+    }
+
   // --- 199. the multimodal loader's per-step batch fetch (r14) ----------------
   /** [[q177]]'s proof shape over the MULTIMODAL artifact: a multimodal
     * training step consumes a rank range of one epoch's seeded
@@ -3305,24 +3327,15 @@ object PipelineOps {
     * composition the Spark side executes). */
   def q199(s: SparkSession, dir: String): DataFrame = {
     val base = q197Ensure(s, dir)
-    val thin = mmPackRead(s, base)
-      .select(col("doc_id"), col("seq_id"), col("modality"), col("shard"))
-      .withColumn("okey",
-        conv(substring(md5(concat(lit(s"mmep:$EpochSeed:$StepEpoch:"),
-          col("modality"), lit(":"), col("doc_id"), lit(":"),
-          col("seq_id"))), 1, 15), 16, 10).cast("long"))
-    // the q177 snapshot rule: the shard collect and the returned join
-    // both read the step — one ranking execution, blocks owned per-op
-    val step = graft.functions.PrefixSum
-      .withRunningSum(thin.withColumn("one", lit(1L)), "okey",
-        Seq("modality", "doc_id", "seq_id"), "one", "seq_rank")
+    // r15: the step's epoch permutation memoizes (the q177 treatment at
+    // multimodal granularity — a loader ranks the epoch once and every
+    // step reads it); the memo leaf also satisfies the snapshot rule,
+    // so the shard collect and the returned join share one ranking
+    // with no per-op localCheckpoint
+    val step = mmEpochRanked(s, dir, base)
       .filter(col("seq_rank") > StepLoRank && col("seq_rank") <= StepHiRank)
       .select(col("seq_rank"), col("doc_id"), col("seq_id"), col("modality"),
         col("shard"))
-      .localCheckpoint()
-    step.queryExecution.analyzed
-      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-      .foreach(r => graft.CheckpointRegistry.register(r))
     val touched = step.select(col("shard")).distinct()
       .collect().map(_.getLong(0)).sorted
     val art = mmPackRead(s, base).filter(col("shard").isin(touched: _*))
