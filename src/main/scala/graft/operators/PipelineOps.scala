@@ -1146,7 +1146,7 @@ object PipelineOps {
     * `strideBits` widens the epoch stride for callers that pre-fold an
     * extra dimension into okey ([[q200]]'s arrival flag at bit 60 —
     * okey < 2⁶¹, stride 61, max key 3·2⁶¹: still inside int64). */
-  private def rankEpochsFolded(keyed: DataFrame, tiebreak: Seq[String],
+  private[graft] def rankEpochsFolded(keyed: DataFrame, tiebreak: Seq[String],
       out: String, strideBits: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val folded = keyed
@@ -1166,7 +1166,7 @@ object PipelineOps {
   }
 
   /** The seeded-shuffle key for epoch `e` (the q162 permutation rule). */
-  private def shuffleKeyed(pack: DataFrame, e: Int): DataFrame =
+  private[graft] def shuffleKeyed(pack: DataFrame, e: Int): DataFrame =
     pack
       .withColumn("epoch", lit(e.toLong))
       .withColumn("okey",

@@ -1000,6 +1000,67 @@ object StreamOps {
     } finally { rows.unpersist(); toks.unpersist() }
   }
 
+  /** The q200 epoch TAIL at the arrival seam (r15 — 32t): arriving docs
+    * chunk and pack exactly like [[packServe]] (same fold, same offset
+    * state machine), and each served sequence ALSO gets its per-epoch
+    * tail rank — `seq_rank = nGenPrefix + served-so-far + its q162-law
+    * rank within the batch` — so a running training job can consume
+    * arrivals straight into the open epoch without re-deriving anything
+    * (the q200 contract, streaming). vs the batch op: q200 ranks ALL
+    * arrivals in one okey order; the serve path necessarily appends
+    * batch-by-batch (earlier served ranks are immutable), so the
+    * divergence is ORDER ONLY across batches — a single batch covering
+    * the same arrivals is byte-identical to q200's tail (StreamingSpec
+    * reconciles exactly that, plus cross-batch density and the
+    * within-batch draw law).
+    *
+    * At-least-once: BOTH states (unit offset, rank base) key by batchId
+    * through the same [[PackServeState]] idempotency rule — a
+    * re-delivered batch replays its rows byte-identically at the
+    * original offset AND the original rank base. Scale shape: the
+    * packFold costs + one batch-sized epoch fold (Epochs × batch rows,
+    * never the corpus) + a 1-row count. */
+  def epochTailServe(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], nGenPrefix: Long,
+      baseOffset: Long = 0L)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.PipelineOps
+    val state = new PackServeState(baseOffset)
+    val rankState = new PackServeState(0L)
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      packFold(batch, merges, state, batchId) { packed =>
+        val cached = packed.cache()
+        try {
+          val rankBase = {
+            val (lastId, lastBase) = rankState.last
+            if (batchId == lastId) lastBase
+            else {
+              val b = rankState.offset.get()
+              rankState.last = (batchId, b)
+              b
+            }
+          }
+          val thin = cached.select(col("doc_id"), col("chunk_id"),
+            col("shard"))
+          val keyed = (0 until PipelineOps.Epochs)
+            .map(e => PipelineOps.shuffleKeyed(thin, e))
+            .reduce(_ unionAll _)
+          val ranked = PipelineOps.rankEpochsFolded(keyed,
+              Seq("doc_id", "chunk_id"), "arr_rank")
+            .select(col("epoch"),
+              (col("arr_rank") + nGenPrefix + rankBase).as("seq_rank"),
+              col("doc_id"), col("chunk_id"), col("shard"))
+            .orderBy(col("epoch"), col("seq_rank"))
+          val n = cached.count()
+          sink(ranked)
+          rankState.offset.updateAndGet(cur => math.max(cur, rankBase + n))
+          ()
+        } finally cached.unpersist()
+      }
+    }
+  }
+
   private[graft] def packFold(batch: DataFrame,
       merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
       batchId: Long, gate: Option[DataFrame] = None)

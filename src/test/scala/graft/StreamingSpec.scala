@@ -1668,4 +1668,62 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         (expected.size + served.size).toLong)
     } finally GenManifest.rmTree(base)
   }
+
+  test("epochTailServe (32t): one batch ≡ q200's tail byte-exact; split batches stay dense per epoch under the draw law") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    val gen = PipelineOps.q158(spark, SF)
+    val endOffset = gen.agg(max(col("cum_units"))).head().getLong(0)
+    val nGen = gen.count()
+    type TailRow = (Long, Long, Long, Long, Long)
+    def key(r: org.apache.spark.sql.Row): TailRow =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val want = PipelineOps.q200(spark, SF).filter(col("is_arrival") === 1L)
+      .select("epoch", "seq_rank", "doc_id", "chunk_id", "shard")
+      .collect().map(key).toSeq.sorted
+    assert(want.nonEmpty)
+    val arrIds = want.map(_._3).distinct
+    val arrDocs = Tables.documents(spark, SF).select("doc_id", "text")
+      .filter(col("doc_id").isin(arrIds: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def run(batches: Seq[Seq[(Long, String)]]): Seq[TailRow] = {
+      val got = scala.collection.mutable.ArrayBuffer[TailRow]()
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamOps.epochTailServe(
+          ms.toDF().toDF("doc_id", "text"), merges, nGen, endOffset) { out =>
+        got ++= out.collect().map(key); ()
+      }.start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      got.toSeq
+    }
+    // ONE batch covering all arrivals ≡ the registered q200 tail —
+    // ranks, shards, membership, everything
+    assert(run(Seq(arrDocs)).sorted === want)
+    // TWO batches: earlier served ranks are immutable, so batch 1's
+    // sequences occupy the first slots of every epoch and batch 2
+    // appends after them — per epoch the ranks stay DENSE from nGen+1
+    // and each batch is internally ordered by the q162 draw law
+    val (b1, b2) = arrDocs.splitAt(arrDocs.size / 2)
+    val two = run(Seq(b1, b2))
+    val perEpochSeqs = want.count(_._1 == 0L)
+    (0L until PipelineOps.Epochs.toLong).foreach { e =>
+      val ranks = two.filter(_._1 == e).map(_._2).sorted
+      assert(ranks === (nGen + 1 to nGen + perEpochSeqs).map(identity),
+        s"epoch $e tail ranks must stay dense across batches")
+      // batch-1 docs hold the low ranks in EVERY epoch
+      val b1Docs = b1.map(_._1).toSet
+      val lowRankDocs = two.filter(t => t._1 == e)
+        .sortBy(_._2).map(_._3)
+      val nB1 = two.count(t => t._1 == e && b1Docs.contains(t._3))
+      assert(lowRankDocs.take(nB1).forall(b1Docs.contains))
+    }
+    // same membership as the batch op. Shard boundaries are excluded
+    // deliberately: split batches pack at their own running offsets, so
+    // the unit stream's shard cuts differ from the all-at-once pack —
+    // the SAME order-only divergence packServe documents vs q158
+    assert(two.map(t => (t._1, t._3, t._4)).sorted ===
+      want.map(t => (t._1, t._3, t._4)).sorted)
+  }
 }
