@@ -4,6 +4,15 @@ shipped library is pure Scala/Spark). Runs DuckDB on the oracle SQL dumped
 by graft.Verify and compares with the Spark parquet outputs:
 columns sorted by name, rows sorted, values normalized, then compared.
 
+DTYPE-FAITHFUL (r16): the driver materializes both sides as pandas frames
+and its hash is dtype-sensitive — an uncast DuckDB HUGEINT (e.g. a SUM or
+`//` chain) arrives as float64 and hash-fails against Spark's int64 even
+when every value is numerically equal (that is exactly how r15's q202
+shipped red). So this gate now (a) fetches both sides via .df() and
+compares per-column pandas dtypes, and (b) normalizes values FROM the
+pandas frame so 2375343.0 (float64) != 2375343 (int64) fails loudly here
+before it can fail on the driver.
+
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob
@@ -14,17 +23,27 @@ def norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        # repr-level compare; engines should be bit-identical by design
+        # repr-level compare; engines should be bit-identical by design.
+        # An int64-vs-float64 dtype slip also shows up here ("1" vs "1.0").
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort()
-    return sorted(c for c in cols), out
+def canon(rel):
+    """Canonicalize a DuckDB relation the way the driver does: through a
+    pandas frame (dtype-sensitive), columns sorted by name, rows sorted."""
+    df = rel.df()
+    cols = list(df.columns)
+    dtypes = {c: str(df[c].dtype) for c in cols}
+    order = sorted(cols)
+    # .tolist() converts numpy scalars to Python values; NULL-bearing int
+    # columns become float64 on BOTH sides (both go through DuckDB→pandas),
+    # so only genuine oracle-vs-Spark dtype divergence trips the gate.
+    lists = [df[c].tolist() for c in order]
+    rows = [tuple(norm(v) for v in vals) for vals in zip(*lists)]
+    rows.sort()
+    return order, rows, dtypes
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -37,21 +56,23 @@ def main(sf_dir, out_dir):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
             continue
-        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-        g_cols, g_rows = canon(got.fetchall(), got.columns)
+        g_cols, g_rows, g_dt = canon(con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
         if name not in oracle:
             print(f"ROWS  {name}: {len(g_rows)} rows (no oracle)")
             n_rows_only += 1
             continue
         try:
-            want = con.sql(oracle[name])
-            w_cols, w_rows = canon(want.fetchall(), want.columns)
+            w_cols, w_rows, w_dt = canon(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {str(e)[:200]}")
             n_fail += 1
             continue
         if g_cols != w_cols:
             print(f"FAIL  {name}: cols {g_cols} != {w_cols}")
+            n_fail += 1
+        elif g_dt != w_dt:
+            bad = {c: (g_dt[c], w_dt[c]) for c in g_cols if g_dt[c] != w_dt[c]}
+            print(f"FAIL  {name}: dtype mismatch (spark, oracle): {bad}")
             n_fail += 1
         elif g_rows != w_rows:
             # zip_longest: plain zip truncates to the shorter side, hiding

@@ -1142,19 +1142,16 @@ object PipelineOps {
     * EPOCH with one scan total — the scheduling-floor cost the
     * amortized baseline ratio pays at local scale, and one fewer stage
     * wave per epoch on a cluster. Max folded key = ([[Epochs]]−1)·2⁶⁰ +
-    * 2⁶⁰ ≤ 4·2⁶⁰ — inside int64 and inside PrefixSum's span guard.
-    * `strideBits` widens the epoch stride for callers that pre-fold an
-    * extra dimension into okey ([[q200]]'s arrival flag at bit 60 —
-    * okey < 2⁶¹, stride 61, max key 3·2⁶¹: still inside int64). */
+    * 2⁶⁰ ≤ 4·2⁶⁰ — inside int64 and inside PrefixSum's span guard. */
   private[graft] def rankEpochsFolded(keyed: DataFrame, tiebreak: Seq[String],
-      out: String, strideBits: Int = 60): DataFrame = {
+      out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val folded = keyed
-      .withColumn("__fkey", col("epoch") * lit(1L << strideBits) + col("okey"))
+      .withColumn("__fkey", col("epoch") * lit(1L << 60) + col("okey"))
       .withColumn("__one", lit(1L))
     val ranked = graft.functions.PrefixSum
       .withRunningSum(folded, "__fkey", tiebreak, "__one", "__grank",
-        span = Some((0L, Epochs.toLong * (1L << strideBits))))
+        span = Some((0L, Epochs.toLong * (1L << 60))))
     val w = Window.orderBy(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = keyed.groupBy(col("epoch")).agg(count(lit(1)).as("__en"))
@@ -3410,11 +3407,12 @@ object PipelineOps {
     *
     * Scale shape: the pack memo + one thin non-member chunk join + one
     * batch-sized PrefixSum for the arrival offsets + ONE epoch-folded
-    * ranking scan ([[rankEpochsFolded]] at stride 2⁶¹: the arrival flag
-    * pre-folds into bit 60 of okey, epochs above it — prefix-before-
-    * tail inside each epoch falls out of the key order; max folded key
-    * 3·2⁶¹, inside int64). Nothing ranks per epoch; nothing ever
-    * re-ranks the prefix. */
+    * ranking scan over the ARRIVALS ONLY ([[rankEpochsFolded]] on the
+    * batch-sized arrival set; the prefix is READ from the memoized
+    * [[epochOrdered]] relation and its ranks are never recomputed, and
+    * prefix-before-tail falls out of the +|gen N| offset, a 1-row
+    * broadcast). Nothing ranks per epoch; nothing ever re-ranks the
+    * prefix. */
   def q200(s: SparkSession, dir: String): DataFrame = {
     val gen = sequencePack(s, dir)
     // the PREFIX is literally the standing epoch order — the memoized

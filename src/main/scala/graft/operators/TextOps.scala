@@ -1905,6 +1905,10 @@ object TextOps {
   def q201(s: SparkSession, dir: String): DataFrame = {
     require(CjkTo.codePointCount(0, CjkTo.length) == 26 &&
       CjkTo.distinct.length == CjkTo.length)
+    // localCheckpoint + registry-owned blocks (the q50/q139 pattern)
+    // rather than .cache(): three aggregates read ct, and the registry
+    // releases the blocks at the op boundary instead of letting them
+    // linger until the family-boundary clearCache (r15 ADVICE).
     val ct = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
@@ -1912,7 +1916,12 @@ object TextOps {
         // engines DELETE it (PostgreSQL translate semantics) — the
         // fixture is genuinely delimiter-free, like real CJK text
         translate(lower(col("text")), CjkFrom + " ", CjkTo).as("ctext"))
-      .cache()
+      .localCheckpoint()
+    ct.queryExecution.analyzed
+      .collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      .foreach(r => graft.CheckpointRegistry.register(r))
     val seg = ct.select(explode(tokens(col("ctext"))).as("tok"))
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("n_vocab"),
@@ -2024,7 +2033,7 @@ object TextOps {
        |      THEN 1 ELSE 0 END AS pg
        |  FROM dq d JOIN sm s USING (script))
        |SELECT script, COUNT(*) AS n_docs,
-       |  MIN(mean_micros) AS mean_len_micros,
+       |  CAST(MIN(mean_micros) AS BIGINT) AS mean_len_micros,
        |  CAST(SUM(pr) AS BIGINT) AS n_pass_routed,
        |  CAST(SUM(pg) AS BIGINT) AS n_pass_global,
        |  CAST(SUM(CASE WHEN pr <> pg THEN 1 ELSE 0 END) AS BIGINT)
