@@ -853,6 +853,382 @@ object BpeOps {
        |FROM f
        |ORDER BY lang""".stripMargin
 
+  // --- 203. per-script BPE training (r16 — r15 VERDICT #4) ------------------
+  /** The routing family's missing ACTION: [[q181]] flags the
+    * per-language fertility tax and [[TextOps.q198]] routes by script,
+    * but through r15 the engine shipped ONE merge table trained on the
+    * mixed corpus — exactly the skewed-mixture tax q181 exists to
+    * catch. q203 trains a merge table PER dominant-script class (the
+    * q198 classification, shared via [[TextOps.scriptDocs]] so router
+    * and trainer can never disagree), with the q102 grouped-sketch
+    * pattern applied to the q144 trainer: every round runs ONE
+    * pair-aggregate scan over the grouped vocab and picks each
+    * script's argmax pair with a script-PARTITIONED row_number (window
+    * over the aggregated (script, pair) relation — never corpus rows),
+    * so \|scripts\| tokenizers train in Rounds scan waves TOTAL instead
+    * of \|scripts\|·Rounds (at 100 TB: the difference between one
+    * training sweep and eight). The driver collects ≤ \|scripts\| rows
+    * per round; merges apply as ONE broadcast-literal CASE over the
+    * script column. A script whose pair pool exhausts simply stops
+    * contributing (the oracle's LEFT-JOIN pass-through — per-script
+    * round sequences stay contiguous from 1, the trainFrom rule).
+    *
+    * FULL oracle: the q144 unrolled chain with a `script` stratum on
+    * every stage (GROUP BY script everywhere, argmax via PARTITION BY
+    * script) over the transliterated corpus. Ties break (n DESC, pair)
+    * — pair strings are BMP codepoints and both engines compare
+    * UTF-8/UTF-16 binary, which agree on codepoint order. */
+  private def scriptWordCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.scriptDocs(s, dir)
+      .select(col("script"), explode(Text.tokens(col("utext"))).as("t"))
+      .groupBy(col("script"), col("t")).agg(count(lit(1)).as("f"))
+      .select(col("script"), spaced(col("t")).as("w"), col("f"))
+      .cache()
+
+  /** The mixture COUNTERFACTUAL's word counts: the same transliterated
+    * corpus, ONE training class — what shipping a single shared table
+    * over multilingual data means ([[q204]]'s baseline side). */
+  private def uniWordCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.scriptDocs(s, dir)
+      .select(lit("all").as("script"),
+        explode(Text.tokens(col("utext"))).as("t"))
+      .groupBy(col("script"), col("t")).agg(count(lit(1)).as("f"))
+      .select(col("script"), spaced(col("t")).as("w"), col("f"))
+      .cache()
+
+  /** One grouped merge applied per script as a broadcast-literal CASE
+    * (the [[applyMerge]] replace, dispatched on the script column —
+    * scripts absent from `byScript` pass through). */
+  private def applyMergesGrouped(v: DataFrame,
+      byScript: Seq[(String, String)]): DataFrame = {
+    val applied = byScript.foldLeft(when(lit(false), col("w"))) {
+      case (acc, (sc, pair)) =>
+        acc.when(col("script") === sc,
+          trim(replace(concat(lit(" "), col("w"), lit(" ")),
+            lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))))
+    }.otherwise(col("w"))
+    v.withColumn("w", applied)
+  }
+
+  /** The grouped round loop over a (script, w, f) relation: per round,
+    * one pair aggregate + per-script argmax (collect ≤ \|scripts\|
+    * rows), one grouped CASE replace. Ends when EVERY script's pair
+    * pool is empty. */
+  private[graft] def trainGroupedOn(v0: DataFrame, rounds: Int)
+      : Seq[(String, BpeMerge)] = {
+    import org.apache.spark.sql.expressions.Window
+    var vocab = v0
+    val out = Seq.newBuilder[(String, BpeMerge)]
+    var r = 1
+    var live = true
+    while (r <= rounds && live) {
+      val best = vocab
+        .select(col("script"),
+          explode(Text.shingles(split(col("w"), " "), 2)).as("pair"),
+          col("f"))
+        .groupBy(col("script"), col("pair")).agg(sum(col("f")).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("script"))
+            .orderBy(col("n").desc, col("pair"))))
+        .filter(col("rn") === 1)
+        .select(col("script"), col("pair"), col("n"))
+        .collect()
+      if (best.isEmpty) live = false
+      else {
+        val picked = best
+          .map(b => (b.getString(0), b.getString(1), b.getLong(2)))
+          .sortBy(_._1)
+        picked.foreach { case (sc, pair, n) =>
+          out += ((sc, BpeMerge(r, pair, pair.replace(" ", ""), n)))
+        }
+        vocab = applyMergesGrouped(vocab, picked.map(p => (p._1, p._2)))
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Per-script merge tables, trained once per (family run, dir) — the
+    * trainShared memo treatment. Relation: (script, round, pair,
+    * merged, n). */
+  private[graft] def trainPerScriptShared(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("bpe_merges_script", dir) {
+      import s.implicits._
+      trainGroupedOn(scriptWordCounts(s, dir), Rounds)
+        .map { case (sc, m) => (sc, m.round, m.pair, m.merged, m.n) }
+        .toDF("script", "round", "pair", "merged", "n")
+    }
+
+  /** The mixture counterfactual's merge table (trained on ALL
+    * transliterated docs as one class), memoized like the per-script
+    * tables it baselines. Driver-sized by construction (≤ Rounds). */
+  private def trainUniShared(s: SparkSession, dir: String): Seq[BpeMerge] =
+    graft.SharedRelations.getOrBuild("bpe_merges_uni", dir) {
+      import s.implicits._
+      trainGroupedOn(uniWordCounts(s, dir), Rounds)
+        .map { case (_, m) => (m.round, m.pair, m.merged, m.n) }
+        .toDF("round", "pair", "merged", "n")
+    }.collect()
+      .map(r => BpeMerge(r.getAs[Int]("round"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("n")))
+      .sortBy(_.round).toSeq
+
+  def q203(s: SparkSession, dir: String): DataFrame =
+    trainPerScriptShared(s, dir)
+      .orderBy(col("script"), col("round"))
+
+  /** The q144 chain with a `script` stratum on every stage — ${p}v0 →
+    * ${p}v[[Rounds]] with per-round ${p}pN (grouped pair counts) and
+    * ${p}mN (per-script argmax via PARTITION BY). `v0Body` supplies the
+    * grouped char-spaced word counts (routed classes or the 'all'
+    * mixture). */
+  private def groupedChainCtes(p: String, v0Body: String): String = {
+    val init = s"${p}v0 AS ($v0Body)"
+    val rounds = (1 to Rounds).map { r =>
+      s"""${p}p$r AS (SELECT script, pair, CAST(SUM(f) AS BIGINT) AS n FROM (
+         |  SELECT script, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair, f
+         |  FROM (SELECT script, string_split(w, ' ') AS l, f FROM ${p}v${r - 1})) GROUP BY script, pair),
+         |${p}m$r AS (SELECT script, pair, n FROM (
+         |  SELECT script, pair, n, ROW_NUMBER() OVER (PARTITION BY script ORDER BY n DESC, pair) AS rn
+         |  FROM ${p}p$r) WHERE rn = 1),
+         |${p}v$r AS (SELECT v.script, CASE WHEN m.pair IS NULL THEN v.w
+         |    ELSE trim(replace(' ' || v.w || ' ', ' ' || m.pair || ' ',
+         |      ' ' || replace(m.pair, ' ', '') || ' ')) END AS w, v.f
+         |  FROM ${p}v${r - 1} v LEFT JOIN ${p}m$r m ON v.script = m.script)""".stripMargin
+    }
+    s"$init,\n${rounds.mkString(",\n")}"
+  }
+
+  /** Routed v0: per-(script, token) counts over the transliterated
+    * corpus, char-spaced — the scriptWordCounts SQL twin. */
+  private lazy val v0RoutedSql: String =
+    s"""SELECT script, array_to_string([t[i] FOR i IN range(1, len(t)+1)], ' ') AS w, f
+       |  FROM (SELECT c.script, tok AS t, CAST(COUNT(*) AS BIGINT) AS f
+       |    FROM (SELECT doc_id, unnest(${Text.toksSqlOf("utext")}) AS tok FROM uni) tq
+       |    JOIN cl c ON tq.doc_id = c.doc_id
+       |    GROUP BY c.script, tok)""".stripMargin
+
+  /** Mixture v0: the same counts with one 'all' class. */
+  private lazy val v0UniSql: String =
+    s"""SELECT 'all' AS script, array_to_string([t[i] FOR i IN range(1, len(t)+1)], ' ') AS w, f
+       |  FROM (SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS f
+       |    FROM (SELECT unnest(${Text.toksSqlOf("utext")}) AS tok FROM uni)
+       |    GROUP BY tok)""".stripMargin
+
+  lazy val q203Sql: String = {
+    val sel = (1 to Rounds).map(r =>
+      s"SELECT script, $r AS round, pair, replace(pair, ' ', '') AS merged, n FROM gm$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${TextOps.scriptClCtesSql},
+       |${groupedChainCtes("g", v0RoutedSql)}
+       |$sel
+       |ORDER BY script, round""".stripMargin
+  }
+
+  // --- 204. per-script tokenizer RELEASE + routed fertility proof -----------
+  /** The closed loop for the per-script tables — [[q164]]'s artifact
+    * lifecycle plus the readout that proves routing EARNS its place
+    * (the q202 flip-count pattern at the tokenizer layer): the q203
+    * tables are PUBLISHED per script under a [[graft.GenManifest]]
+    * generation (relation `merges_script`, same atomic-rename /
+    * aged-GC / gapped-artifact-error contract as the shared table),
+    * LOADED back, and replayed over each script class's token stream
+    * next to the mixture counterfactual (one table trained on
+    * everything — what the engine shipped through r15). Per script:
+    * masses and exact fertility under BOTH tables, the release gate
+    * under both ([[FertilityGateCeiling]]), and `n_flipped` — the docs
+    * whose PER-DOC fertility gate decision routing changes.
+    *
+    * Scale shape: training memoizes (one grouped run + one mixture run
+    * per family run); the mappings are distinct-(script,)token-sized
+    * relations through ≤ [[Rounds]] broadcast-literal CASE replaces
+    * (AQE owns broadcast-vs-shuffle on the mapping joins, the q151
+    * rule); then ONE corpus token pass with a map-side per-doc
+    * aggregate and a ≤ \|scripts\|-row readout groupBy. FULL oracle:
+    * both grouped chains + the mapping join + the same per-doc and
+    * per-script aggregates — segmentation THROUGH the persisted
+    * artifact must hash-match the oracle's straight-through replay
+    * (the q164 round-trip contract, per script). Membership is total:
+    * each class's tokens were all seen by its own trainer AND the
+    * mixture trainer, so neither join drops rows. */
+  private[graft] def tokenizerScriptDir(base: java.io.File,
+      gen: Long): java.io.File =
+    new java.io.File(base, s"merges_script_g$gen")
+
+  /** Publish the per-script merge tables as the next `merges_script`
+    * generation (atomic manifest rename; aged-out generations GC'd). */
+  private[graft] def tokenizerWriteScripts(s: SparkSession,
+      base: java.io.File, merges: Seq[(String, BpeMerge)]): Long = {
+    import s.implicits._
+    val next = graft.GenManifest.read(base, "merges_script")
+      .map(_.current).getOrElse(0L) + 1
+    merges.map { case (sc, m) => (sc, m.round, m.pair, m.merged, m.n) }
+      .toDF("script", "round", "pair", "merged", "n").coalesce(1)
+      .write.parquet(tokenizerScriptDir(base, next).getAbsolutePath)
+    graft.GenManifest.publish(base, "merges_script", next)
+      .foreach(g => graft.GenManifest.rmTree(tokenizerScriptDir(base, g)))
+    next
+  }
+
+  /** Load the CURRENT per-script generation. A script whose rounds are
+    * not contiguous from 1 is a named error ([[tokenizerLoad]]'s
+    * gapped-model rule, per script). */
+  private[graft] def tokenizerLoadScripts(s: SparkSession,
+      base: java.io.File): Map[String, Seq[BpeMerge]] = {
+    val gen = graft.GenManifest.current(base, "merges_script")
+    val byScript = s.read
+      .parquet(tokenizerScriptDir(base, gen).getAbsolutePath)
+      .collect()
+      .map(r => (r.getAs[String]("script"),
+        BpeMerge(r.getAs[Int]("round"), r.getAs[String]("pair"),
+          r.getAs[String]("merged"), r.getAs[Long]("n"))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_.round).toSeq).toMap
+    byScript.foreach { case (sc, ms) =>
+      if (ms.map(_.round) != (1 to ms.size))
+        sys.error(s"gapped per-script tokenizer artifact at $base " +
+          s"(gen $gen, script $sc): rounds " +
+          ms.map(_.round).mkString("[", ",", "]") +
+          " are not contiguous from 1")
+    }
+    byScript
+  }
+
+  // session-lifetime guard: which corpus the per-script artifact describes
+  private var tokScriptArtDir: Option[String] = None
+
+  /** Train (family-memoized) + publish unless the live per-script
+    * artifact already describes `dir` — the q164Ensure contract for the
+    * `merges_script` relation. */
+  private[graft] def q204Ensure(s: SparkSession, dir: String): java.io.File =
+    this.synchronized {
+      val base = q164Base(s)
+      if (!tokScriptArtDir.contains(dir) ||
+          graft.GenManifest.read(base, "merges_script").isEmpty) {
+        graft.TempArtifacts.register(base)
+        val ms = trainPerScriptShared(s, dir).collect()
+          .map(r => (r.getAs[String]("script"),
+            BpeMerge(r.getAs[Int]("round"), r.getAs[String]("pair"),
+              r.getAs[String]("merged"), r.getAs[Long]("n")))).toSeq
+        tokenizerWriteScripts(s, base, ms)
+        tokScriptArtDir = Some(dir)
+      }
+      base
+    }
+
+  /** (script, token) → unit count under a LOADED per-script table: the
+    * [[unitMappingOf]] replay rule dispatched per script (round r
+    * applies each script's round-r merge through one grouped CASE). */
+  private[graft] def unitMappingGrouped(keys: DataFrame,
+      perScript: Map[String, Seq[BpeMerge]]): DataFrame = {
+    val maxR = if (perScript.isEmpty) 0 else perScript.values.map(_.size).max
+    (1 to maxR).foldLeft(
+      keys.select(col("script"), col("token"),
+        spaced(col("token")).as("w"))) { (v, r) =>
+      val byScript = perScript.toSeq.sortBy(_._1)
+        .flatMap { case (sc, ms) =>
+          ms.find(_.round == r).map(m => (sc, m.pair))
+        }
+      applyMergesGrouped(v, byScript)
+    }.select(col("script"), col("token"),
+      size(split(col("w"), " ")).cast("long").as("units"))
+  }
+
+  def q204(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val perScript = tokenizerLoadScripts(s, q204Ensure(s, dir))
+    val toks = TextOps.scriptDocs(s, dir)
+      .select(col("doc_id"), col("script"),
+        explode(Text.tokens(col("utext"))).as("token"))
+    val routed = unitMappingGrouped(
+      toks.select(col("script"), col("token")).distinct(), perScript)
+      .withColumnRenamed("units", "units_r")
+    val shared = unitMappingOf(
+      toks.select(col("token")).distinct(), trainUniShared(s, dir))
+      .withColumnRenamed("units", "units_s")
+    val dd = toks
+      .join(routed, Seq("script", "token"))
+      .join(shared, "token")
+      .groupBy(col("script"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("units_r")).as("ur"),
+        sum(col("units_s")).as("us"),
+        sum(length(col("token"))).as("ch"))
+    val dg = dd
+      .withColumn("gr",
+        when(Num.ratio6(col("ur"), col("ch")) <= FertilityGateCeiling, 1L)
+          .otherwise(0L))
+      .withColumn("gs",
+        when(Num.ratio6(col("us"), col("ch")) <= FertilityGateCeiling, 1L)
+          .otherwise(0L))
+    dg.groupBy(col("script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"),
+        sum(col("us")).as("n_units_shared"),
+        sum(col("ur")).as("n_units_routed"),
+        sum(when(col("gr") =!= col("gs"), 1L).otherwise(0L)).as("n_flipped"))
+      // ratio6Big (the q181 rule): per-SCRIPT unit/char masses are
+      // corpus-scale at the 100 TB design point
+      .withColumn("fertility_shared",
+        Num.ratio6Big(col("n_units_shared"), col("n_chars")))
+      .withColumn("fertility_routed",
+        Num.ratio6Big(col("n_units_routed"), col("n_chars")))
+      .withColumn("gate_shared",
+        when(col("fertility_shared") <= FertilityGateCeiling, 1L)
+          .otherwise(0L))
+      .withColumn("gate_routed",
+        when(col("fertility_routed") <= FertilityGateCeiling, 1L)
+          .otherwise(0L))
+      .select(col("script"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_units_shared"), col("n_units_routed"),
+        col("fertility_shared"), col("fertility_routed"),
+        col("gate_shared"), col("gate_routed"), col("n_flipped"))
+      .orderBy(col("script"))
+  }
+
+  lazy val q204Sql: String = {
+    import graft.functions.Num
+    val ceil = FertilityGateCeiling
+    def fert(u: String) = Num.ratio6Sql(s"CAST($u AS HUGEINT)", "n_chars")
+    s"""WITH ${TextOps.scriptClCtesSql},
+       |${groupedChainCtes("g", v0RoutedSql)},
+       |${groupedChainCtes("u", v0UniSql)},
+       |gmap AS (SELECT script, replace(w, ' ', '') AS token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units_r FROM gv$Rounds),
+       |umap AS (SELECT replace(w, ' ', '') AS token,
+       |  CAST(len(string_split(w, ' ')) AS BIGINT) AS units_s FROM uv$Rounds),
+       |tkc AS (SELECT c.script, t.doc_id, t.token
+       |  FROM (SELECT doc_id, unnest(${Text.toksSqlOf("utext")}) AS token FROM uni) t
+       |  JOIN cl c ON t.doc_id = c.doc_id),
+       |dd AS (SELECT script, doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(units_r) AS BIGINT) AS ur,
+       |    CAST(SUM(units_s) AS BIGINT) AS us,
+       |    CAST(SUM(len(token)) AS BIGINT) AS ch
+       |  FROM tkc JOIN gmap USING (script, token) JOIN umap USING (token)
+       |  GROUP BY script, doc_id),
+       |dg AS (SELECT script, n_tokens, ur, us, ch,
+       |    CASE WHEN ${Num.ratio6Sql("ur", "ch")} <= $ceil THEN 1 ELSE 0 END AS gr,
+       |    CASE WHEN ${Num.ratio6Sql("us", "ch")} <= $ceil THEN 1 ELSE 0 END AS gs
+       |  FROM dd),
+       |ag AS (SELECT script, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(ch) AS BIGINT) AS n_chars,
+       |    CAST(SUM(us) AS BIGINT) AS n_units_shared,
+       |    CAST(SUM(ur) AS BIGINT) AS n_units_routed,
+       |    CAST(SUM(CASE WHEN gr <> gs THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped
+       |  FROM dg GROUP BY script)
+       |SELECT script, n_docs, n_tokens, n_chars, n_units_shared,
+       |  n_units_routed,
+       |  ${fert("n_units_shared")} AS fertility_shared,
+       |  ${fert("n_units_routed")} AS fertility_routed,
+       |  CAST(CASE WHEN ${fert("n_units_shared")} <= $ceil THEN 1 ELSE 0 END AS BIGINT) AS gate_shared,
+       |  CAST(CASE WHEN ${fert("n_units_routed")} <= $ceil THEN 1 ELSE 0 END AS BIGINT) AS gate_routed,
+       |  n_flipped
+       |FROM ag
+       |ORDER BY script""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q144_bpe_train", q144, Some(q144Sql)),
     Op("q147_bpe_apply", q147, Some(q147Sql)),
@@ -862,5 +1238,7 @@ object BpeOps {
     Op("q157_context_chunks_units", q157, Some(q157Sql)),
     Op("q161_bpe_train_resumed", q161, Some(q161Sql)),
     Op("q163_bpe_train_to_vocab", q163, Some(q163Sql)),
-    Op("q164_tokenizer_artifact", q164, Some(q164Sql)))
+    Op("q164_tokenizer_artifact", q164, Some(q164Sql)),
+    Op("q203_bpe_train_per_script", q203, Some(q203Sql)),
+    Op("q204_tokenizer_routed_fertility", q204, Some(q204Sql)))
 }

@@ -1821,6 +1821,15 @@ object TextOps {
         col("all_chars"))
   }
 
+  /** The classified transliterated corpus — `(doc_id, utext, script)`,
+    * the q198 routing decision attached to each doc. Exposed to the
+    * operators package so the per-script tokenizer trainer
+    * ([[BpeOps.q203]]) consumes the SAME classification rule as the
+    * routing readout and the routed quality gate. */
+  private[operators] def scriptDocs(s: SparkSession, dir: String): DataFrame =
+    scriptOf(uniDocs(s, dir))
+      .select(col("doc_id"), col("utext"), col("script"))
+
   /** The transliterated corpus (the q195/q198 fixture relation). */
   private def uniDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1845,8 +1854,10 @@ object TextOps {
 
   /** The transliterated-corpus + per-doc classification CTEs — `uni`
     * then `cl(doc_id, script, g, all_chars)` — ONE fragment behind
-    * [[q198Sql]] and [[q202Sql]] (the scriptOf rule's SQL twin). */
-  private lazy val scriptClCtesSql: String = {
+    * [[q198Sql]], [[q202Sql]] and the per-script trainer oracles
+    * ([[BpeOps.q203Sql]]/[[BpeOps.q204Sql]]) (the scriptOf rule's SQL
+    * twin). */
+  private[operators] lazy val scriptClCtesSql: String = {
     val counts = Scripts.map(n =>
       s"CAST(len(regexp_extract_all(utext, '${scriptClassRe2(n)}')) AS BIGINT) AS c_$n")
       .mkString(",\n    ")

@@ -344,4 +344,85 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     assert(rows.exists(_.getAs[Long]("gate_ok") === 1L))
     assert(rows.exists(_.getAs[Long]("gate_ok") === 0L))
   }
+
+  test("q203 grouped trainer ≡ independent per-class local training; no cross-class leakage; exhausted class stops") {
+    import spark.implicits._
+    // distinct per-class distributions, plus a class ('z') whose words
+    // are single symbols — no pair ever exists, so it must contribute
+    // NO merges while the other classes keep training
+    val fix = Seq(
+      ("x", "a b a b", 6L), ("x", "a b c", 4L), ("x", "c c a", 2L),
+      ("y", "d e d e", 5L), ("y", "d e f", 3L), ("y", "f f d", 1L),
+      ("z", "q", 9L))
+      .toDF("script", "w", "f")
+    val grouped = BpeOps.trainGroupedOn(fix, 8)
+    val gx = grouped.filter(_._1 == "x").map(_._2)
+    val gy = grouped.filter(_._1 == "y").map(_._2)
+    // independent LOCAL replays per class (different code path)
+    val lx = localTrain(Seq("abab" -> 6L, "abc" -> 4L, "cca" -> 2L), 8)._1
+    val ly = localTrain(Seq("dede" -> 5L, "def" -> 3L, "ffd" -> 1L), 8)._1
+    assert(gx === lx)
+    assert(gy === ly)
+    assert(gx.nonEmpty && gy.nonEmpty)
+    assert(!grouped.exists(_._1 == "z"),
+      "a pairless class must train zero merges")
+    // per-class round sequences are contiguous from 1 (the artifact
+    // loader's gapped-model precondition holds by construction)
+    Seq(gx, gy).foreach(g => assert(g.map(_.round) === (1 to g.size)))
+    // no leakage: training each class ALONE reproduces its grouped table
+    val xOnly = BpeOps.trainGroupedOn(
+      fix.filter(org.apache.spark.sql.functions.col("script") === "x"), 8)
+    assert(xOnly.map(_._2) === gx)
+  }
+
+  test("q204 per-script artifact: round-trip, generation lifecycle, gapped per-script load is a named error") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tokart_script").toFile
+    graft.TempArtifacts.register(base)
+    val ms = Seq(
+      "x" -> BpeMerge(1, "a b", "ab", 10L), "x" -> BpeMerge(2, "ab c", "abc", 4L),
+      "y" -> BpeMerge(1, "d e", "de", 7L))
+    assert(BpeOps.tokenizerWriteScripts(spark, base, ms) === 1L)
+    assert(BpeOps.tokenizerLoadScripts(spark, base) ===
+      Map("x" -> ms.take(2).map(_._2), "y" -> ms.drop(2).map(_._2)))
+    // a re-publish bumps the generation and the loader follows it
+    assert(BpeOps.tokenizerWriteScripts(spark, base, ms.take(1)) === 2L)
+    assert(BpeOps.tokenizerLoadScripts(spark, base) ===
+      Map("x" -> ms.take(1).map(_._2)))
+    // a third publish ages generation 1 out (retain = current + previous)
+    assert(BpeOps.tokenizerWriteScripts(spark, base, ms) === 3L)
+    assert(!BpeOps.tokenizerScriptDir(base, 1L).exists(),
+      "aged-out generation must be GC'd")
+    assert(BpeOps.tokenizerScriptDir(base, 2L).exists(),
+      "previous generation must be retained")
+    // one script gapped (rounds 1,3) fails loudly even though the other
+    // script's table is whole
+    BpeOps.tokenizerWriteScripts(spark, base, Seq(
+      "x" -> BpeMerge(1, "a b", "ab", 10L), "x" -> BpeMerge(3, "c d", "cd", 2L),
+      "y" -> BpeMerge(1, "d e", "de", 7L)))
+    val e = intercept[RuntimeException](BpeOps.tokenizerLoadScripts(spark, base))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
+  test("q204 grouped unit mapping dispatches each script to ITS table, ≡ the local applyMerges replay") {
+    import spark.implicits._
+    val tables = Map(
+      "x" -> Seq(BpeMerge(1, "a b", "ab", 5L), BpeMerge(2, "ab c", "abc", 3L)),
+      "y" -> Seq(BpeMerge(1, "b c", "bc", 4L)))
+    val keys = Seq(("x", "abc"), ("y", "abc"), ("x", "zz"), ("y", "bcbc"),
+      ("w", "ab"))
+      .toDF("script", "token")
+    val got = BpeOps.unitMappingGrouped(keys, tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every (script, token) cell equals the local replay of THAT
+    // script's merges — the dispatch contract
+    for ((sc, tok) <- Seq(("x", "abc"), ("y", "abc"), ("x", "zz"),
+        ("y", "bcbc")))
+      assert(got((sc, tok)) ===
+        BpeOps.applyMerges(tok, tables(sc)).length.toLong, s"($sc, $tok)")
+    // the SAME token segments differently under different tables
+    assert(got(("x", "abc")) === 1L) // a b c → ab c → abc
+    assert(got(("y", "abc")) === 2L) // a b c → a bc
+    // a script with NO table falls back to character units
+    assert(got(("w", "ab")) === 2L)
+  }
 }

@@ -29,9 +29,14 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // per-codepoint rule's bounded-vocab proof vs the clause-run
     // counterfactual), +q202 script-routed quality gate (full oracle —
     // the q198 routing primitive's consumer; flips counted)
-    assert(SparkEntry.queries.size === 202)
+    // r16: +q203 per-script BPE training (full oracle — the q144 chain
+    // with a script stratum; the routing family's ACTION), +q204
+    // per-script tokenizer release + routed fertility proof (full
+    // oracle — GenManifest round-trip + the q202 flip-count pattern at
+    // the tokenizer layer)
+    assert(SparkEntry.queries.size === 204)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 185)
+    assert(SparkEntry.oracleSql.size === 187)
   }
 
   test("entry flagship runs on sf0.001 with rows") {
