@@ -941,6 +941,27 @@ object StreamOps {
     }
   }
 
+  /** [[mmPackServe]] with the resume state PERSISTED beside the sink's
+    * commits — the [[packServeResumable]] (32n) treatment for the
+    * multimodal seam (r15 VERDICT #5: the mm seam had only in-driver
+    * idempotency; a killed mmPackServe could not resume from disk).
+    * Same (offset, lastBatchId, lastBase) triple, same write-temp +
+    * atomic-rename file, same three death-window guarantees — the mm
+    * fold shares [[packFold]]'s offset state machine, so the proof
+    * carries verbatim over the interleaved text+locator rows. */
+  def mmPackServeResumable(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], stateFile: java.io.File)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val loaded = loadPackState(stateFile)
+    val state = new PackServeState(loaded.map(_._1).getOrElse(0L),
+      loaded.map(_._2))
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mmPackFold(batch, merges, state, batchId)(sink)
+      persistPackState(stateFile, state.offset.get(), state.last)
+    }
+  }
+
   private[graft] def mmPackFold(batch: DataFrame,
       merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
       batchId: Long, gate: Option[DataFrame] = None)
@@ -1025,40 +1046,119 @@ object StreamOps {
       baseOffset: Long = 0L)
       (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.operators.PipelineOps
     val state = new PackServeState(baseOffset)
     val rankState = new PackServeState(0L)
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      packFold(batch, merges, state, batchId) { packed =>
-        val cached = packed.cache()
-        try {
-          val rankBase = {
-            val (lastId, lastBase) = rankState.last
-            if (batchId == lastId) lastBase
-            else {
-              val b = rankState.offset.get()
-              rankState.last = (batchId, b)
-              b
-            }
-          }
-          val thin = cached.select(col("doc_id"), col("chunk_id"),
-            col("shard"))
-          val keyed = (0 until PipelineOps.Epochs)
-            .map(e => PipelineOps.shuffleKeyed(thin, e))
-            .reduce(_ unionAll _)
-          val ranked = PipelineOps.rankEpochsFolded(keyed,
-              Seq("doc_id", "chunk_id"), "arr_rank")
-            .select(col("epoch"),
-              (col("arr_rank") + nGenPrefix + rankBase).as("seq_rank"),
-              col("doc_id"), col("chunk_id"), col("shard"))
-            .orderBy(col("epoch"), col("seq_rank"))
-          val n = cached.count()
-          sink(ranked)
-          rankState.offset.updateAndGet(cur => math.max(cur, rankBase + n))
-          ()
-        } finally cached.unpersist()
-      }
+      epochTailFold(batch, merges, state, rankState, nGenPrefix, batchId)(sink)
     }
+  }
+
+  /** One [[epochTailServe]] micro-batch — the packFold plus the epoch
+    * tail ranking, BOTH states keyed by batchId through the
+    * [[PackServeState]] idempotency rule. Factored out so the resumable
+    * wrapper and StreamingSpec's kill-and-resume proof drive the exact
+    * seam the stream wires. */
+  private[graft] def epochTailFold(batch: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
+      rankState: PackServeState, nGenPrefix: Long, batchId: Long)
+      (sink: DataFrame => Unit): Unit = {
+    import graft.operators.PipelineOps
+    packFold(batch, merges, state, batchId) { packed =>
+      val cached = packed.cache()
+      try {
+        val rankBase = {
+          val (lastId, lastBase) = rankState.last
+          if (batchId == lastId) lastBase
+          else {
+            val b = rankState.offset.get()
+            rankState.last = (batchId, b)
+            b
+          }
+        }
+        val thin = cached.select(col("doc_id"), col("chunk_id"),
+          col("shard"))
+        val keyed = (0 until PipelineOps.Epochs)
+          .map(e => PipelineOps.shuffleKeyed(thin, e))
+          .reduce(_ unionAll _)
+        val ranked = PipelineOps.rankEpochsFolded(keyed,
+            Seq("doc_id", "chunk_id"), "arr_rank")
+          .select(col("epoch"),
+            (col("arr_rank") + nGenPrefix + rankBase).as("seq_rank"),
+            col("doc_id"), col("chunk_id"), col("shard"))
+          .orderBy(col("epoch"), col("seq_rank"))
+        val n = cached.count()
+        sink(ranked)
+        rankState.offset.updateAndGet(cur => math.max(cur, rankBase + n))
+        ()
+      } finally cached.unpersist()
+    }
+  }
+
+  /** [[epochTailServe]] with BOTH states persisted beside the sink's
+    * commits — the [[packServeResumable]] (32n) treatment for the epoch
+    * tail, which carries TWO offsets (the pack's unit offset and the
+    * epoch tail's rank base). They land together in ONE atomic
+    * write-temp + rename (a death can never tear them apart), keyed by
+    * the one batchId both fold stages share, so each 32n death window
+    * replays byte-identically:
+    *
+    *  - died after sink + state write, before the stream checkpoint →
+    *    re-delivery under the original batchId replays at the original
+    *    unit offset AND the original rank base;
+    *  - died between sink and state write → the persisted state
+    *    predates the batch, which re-packs and re-ranks fresh at the
+    *    SAME bases it originally used (neither offset advances until
+    *    the state write);
+    *  - died after everything → the next batch enters at both
+    *    persisted offsets, gapless in units and in ranks. */
+  def epochTailServeResumable(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], nGenPrefix: Long,
+      stateFile: java.io.File)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val loaded = loadEpochTailState(stateFile)
+    val state = new PackServeState(loaded.map(_._1).getOrElse(0L),
+      loaded.map(_._2))
+    val rankState = new PackServeState(loaded.map(_._3).getOrElse(0L),
+      loaded.map(l => (l._2._1, l._4)))
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      epochTailFold(batch, merges, state, rankState, nGenPrefix, batchId)(sink)
+      persistEpochTailState(stateFile, state.offset.get(), state.last,
+        rankState.offset.get(), rankState.last._2)
+    }
+  }
+
+  /** Read a persisted epoch-tail state:
+    * (offset, (lastBatchId, lastBase), rankOffset, rankLastBase) —
+    * the two [[PackServeState]]s share one batchId (both stages fold
+    * the same micro-batch). None when the file does not exist. */
+  private[graft] def loadEpochTailState(f: java.io.File)
+      : Option[(Long, (Long, Long), Long, Long)] =
+    if (!f.isFile) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      def field(k: String): Long =
+        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt) match {
+          case Some(m) => m.group(1).toLong
+          case None => throw new IllegalStateException(
+            s"epoch tail state ${f.getPath}: missing field '$k' in: $txt")
+        }
+      Some((field("offset"), (field("last_id"), field("last_base")),
+        field("rank_offset"), field("rank_last_base")))
+    }
+
+  /** Persist both epoch-tail states in ONE atomic rename (the
+    * [[persistPackState]] rule — a crash never tears the pair). */
+  private[graft] def persistEpochTailState(f: java.io.File, offset: Long,
+      last: (Long, Long), rankOffset: Long, rankLastBase: Long): Unit = {
+    val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (s"""{"offset":$offset,"last_id":${last._1},"last_base":${last._2},""" +
+        s""""rank_offset":$rankOffset,"rank_last_base":$rankLastBase}""")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private[graft] def packFold(batch: DataFrame,

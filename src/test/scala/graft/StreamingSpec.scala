@@ -1268,6 +1268,134 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(live._1 === ref(0).map(_._4).sum)
   }
 
+  test("mmPackServeResumable: kill-and-resume from the persisted state ≡ the uninterrupted mm stream") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.BpeOps
+    val merges = BpeOps.train(spark, SF)._1
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(18).toSeq
+    val batches = Seq(docs.take(6), docs.slice(6, 12), docs.drop(12))
+    val tmpDir = java.nio.file.Files.createTempDirectory("mmpackstate").toFile
+    graft.TempArtifacts.register(tmpDir)
+    def stateFile(n: String) = new java.io.File(tmpDir, n)
+    type MmRow = (Long, Long, String, String, Long, Long, Long)
+    // drive one micro-batch the way mmPackServeResumable's foreachBatch
+    // does — mmPackFold, then the atomic state write
+    def drive(state: StreamOps.PackServeState, f: java.io.File,
+        b: Seq[(Long, String)], id: Long): List[MmRow] = {
+      var got: List[MmRow] = null
+      StreamOps.mmPackFold(b.toDF("doc_id", "text"), merges, state, id) { p =>
+        got = p.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getString(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toList
+      }
+      StreamOps.persistPackState(f, state.offset.get(), state.last)
+      got
+    }
+    val fRef = stateFile("ref.json")
+    val stRef = new StreamOps.PackServeState(0L)
+    val ref = batches.zipWithIndex.map { case (b, i) =>
+      drive(stRef, fRef, b, i.toLong) }
+    // the mm stream really interleaves: locator rows ride beside text
+    assert(ref(0).exists(_._3 != "text"), "test premise: non-text rows")
+    // the killed run: batches 0–1, then process death
+    val fKill = stateFile("kill.json")
+    assert(StreamOps.loadPackState(fKill).isEmpty, "fresh stream premise")
+    val st1 = new StreamOps.PackServeState(0L)
+    assert(drive(st1, fKill, batches(0), 0L) === ref(0))
+    assert(drive(st1, fKill, batches(1), 1L) === ref(1))
+    // resume in a "new process" from the FILE
+    val loaded = StreamOps.loadPackState(fKill).get
+    val st2 = new StreamOps.PackServeState(loaded._1, Some(loaded._2))
+    // re-delivered last batch → byte-identical at the original base
+    assert(drive(st2, fKill, batches(1), 1L) === ref(1))
+    assert(st2.offset.get() === loaded._1, "re-delivery must not advance")
+    // fresh batch continues the uninterrupted stream; states converge
+    assert(drive(st2, fKill, batches(2), 2L) === ref(2))
+    assert(StreamOps.loadPackState(fKill) === StreamOps.loadPackState(fRef))
+    // the real foreachBatch wiring persists too
+    val fLive = stateFile("live.json")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.mmPackServeResumable(
+      ms.toDF().toDF("doc_id", "text"), merges, fLive)(_.count()).start()
+    try { ms.addData(batches(0)); q.processAllAvailable() } finally q.stop()
+    val live = StreamOps.loadPackState(fLive).get
+    assert(live._2._1 === 0L)
+    assert(live._1 === ref(0).map(_._5).sum)
+  }
+
+  test("epochTailServeResumable: kill-and-resume replays BOTH states (unit offset AND rank base) byte-identically") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.BpeOps
+    val merges = BpeOps.train(spark, SF)._1
+    val nGen = 1000L
+    val docs = Tables.documents(spark, SF).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(18).toSeq
+    val batches = Seq(docs.take(6), docs.slice(6, 12), docs.drop(12))
+    val tmpDir = java.nio.file.Files.createTempDirectory("eptailstate").toFile
+    graft.TempArtifacts.register(tmpDir)
+    def stateFile(n: String) = new java.io.File(tmpDir, n)
+    type TailRow = (Long, Long, Long, Long, Long)
+    // drive one micro-batch the way epochTailServeResumable's
+    // foreachBatch does — epochTailFold, then ONE atomic two-state write
+    def drive(state: StreamOps.PackServeState,
+        rankState: StreamOps.PackServeState, f: java.io.File,
+        b: Seq[(Long, String)], id: Long): List[TailRow] = {
+      var got: List[TailRow] = null
+      StreamOps.epochTailFold(b.toDF("doc_id", "text"), merges, state,
+          rankState, nGen, id) { p =>
+        got = p.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toList
+      }
+      StreamOps.persistEpochTailState(f, state.offset.get(), state.last,
+        rankState.offset.get(), rankState.last._2)
+      got
+    }
+    val fRef = stateFile("ref.json")
+    val stRef = new StreamOps.PackServeState(0L)
+    val rkRef = new StreamOps.PackServeState(0L)
+    val ref = batches.zipWithIndex.map { case (b, i) =>
+      drive(stRef, rkRef, fRef, b, i.toLong) }
+    // tail ranks start past the gen-N prefix and advance across batches
+    assert(ref(0).forall(_._2 > nGen))
+    assert(ref(1).map(_._2).min > ref(0).map(_._2).min)
+    // the killed run: batches 0–1, then process death
+    val fKill = stateFile("kill.json")
+    assert(StreamOps.loadEpochTailState(fKill).isEmpty, "fresh premise")
+    val st1 = new StreamOps.PackServeState(0L)
+    val rk1 = new StreamOps.PackServeState(0L)
+    assert(drive(st1, rk1, fKill, batches(0), 0L) === ref(0))
+    assert(drive(st1, rk1, fKill, batches(1), 1L) === ref(1))
+    // resume in a "new process": BOTH states rebuilt from the ONE file
+    // (epochTailServeResumable's constructor path)
+    val l = StreamOps.loadEpochTailState(fKill).get
+    val st2 = new StreamOps.PackServeState(l._1, Some(l._2))
+    val rk2 = new StreamOps.PackServeState(l._3, Some((l._2._1, l._4)))
+    // re-delivered last batch → byte-identical replay at the original
+    // unit offset AND the original rank base; neither offset advances
+    assert(drive(st2, rk2, fKill, batches(1), 1L) === ref(1))
+    assert(st2.offset.get() === l._1, "unit offset must not advance")
+    assert(rk2.offset.get() === l._3, "rank base must not advance")
+    // fresh batch continues both sequences gapless; states converge
+    assert(drive(st2, rk2, fKill, batches(2), 2L) === ref(2))
+    assert(StreamOps.loadEpochTailState(fKill) ===
+      StreamOps.loadEpochTailState(fRef))
+    // the real foreachBatch wiring persists the pair atomically
+    val fLive = stateFile("live.json")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.epochTailServeResumable(
+      ms.toDF().toDF("doc_id", "text"), merges, nGen, fLive)(_.count())
+      .start()
+    try { ms.addData(batches(0)); q.processAllAvailable() } finally q.stop()
+    val live = StreamOps.loadEpochTailState(fLive).get
+    assert(live._2._1 === 0L)
+    // rank offset advanced by the served sequence count (ranks are
+    // per-epoch, so the base advances by |batch sequences|, not ×Epochs)
+    assert(live._3 === ref(0).map(r => (r._3, r._4)).distinct.size.toLong)
+  }
+
   test("served batches land IN the pack artifact: partitioned append, compaction dedups re-delivery") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
