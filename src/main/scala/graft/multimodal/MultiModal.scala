@@ -210,6 +210,72 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
+  /** md5 hex of the DECODED payload bytes, through the REAL codec
+    * round-trips (r16 — the q47 fingerprint rule at PAYLOAD
+    * granularity, the exact-dedup key for
+    * [[graft.operators.PipelineOps.q205]]):
+    *
+    *  - `image`: PNG-encode → ImageIO-decode → the payload pixels
+    *    (first n bytes; the last row's tail is padding, excluded
+    *    exactly as [[pngDecodeFeatures]]);
+    *  - `audio`: WAV-encode → AudioSystem-decode → the byte stream
+    *    recovered from the PCM samples ([[wavEncode]]'s injection
+    *    inverted: b = (s >> 8) + 128).
+    *
+    * Both round-trips are lossless, so the fingerprint provably equals
+    * md5 over the source bytes (spec-pinned) — which is what makes the
+    * dedup readout FULL-oracle-checkable (DuckDB replays `md5(text)`)
+    * while the engine actually fingerprints what a media corpus has:
+    * the decoded payload. Partition-local codec reuse, one MessageDigest
+    * per partition — the mapPartitions batch shape of every codec
+    * stage here. */
+  def payloadFingerprints(s: SparkSession, docs: DataFrame,
+      modality: String): DataFrame = {
+    import s.implicits._
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val base = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val fps = modality match {
+      case "image" => base.mapPartitions { it =>
+        val codec = new PngCodec()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val img = codec.decode(codec.encode(grayImageOf(bytes, ImgWidth)))
+          val raster = img.getRaster
+          val out = new Array[Byte](bytes.length)
+          var i = 0
+          while (i < bytes.length) {
+            out(i) = raster.getSample(i % ImgWidth, i / ImgWidth, 0).toByte
+            i += 1
+          }
+          md.reset()
+          (id, hex(md.digest(out)))
+        }
+      }
+      case "audio" => base.mapPartitions { it =>
+        val codec = new WavCodec()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val ais = codec.open(codec.encode(bytes))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val out = new Array[Byte](pcm.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val sm = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+            out(i) = ((sm >> 8) + 128).toByte
+            i += 1
+          }
+          md.reset()
+          (id, hex(md.digest(out)))
+        }
+      }
+      case other => sys.error(s"no payload codec for modality '$other'")
+    }
+    fps.toDF("doc_id", "fp")
+  }
+
   // --- REAL audio codec pipeline (r8) --------------------------------------
   /** The audio half of the decode gap, closed the same way as q135:
     * `javax.sound.sampled` ships with the JDK (WAV/AU/AIFF container +

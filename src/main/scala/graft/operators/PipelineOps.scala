@@ -3370,6 +3370,180 @@ object PipelineOps {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // --- 205. EXACT multimodal payload dedup (r16 — r15 VERDICT #6) ------------
+  /** The dedup family at PAYLOAD granularity: the text side dedups at
+    * doc granularity (q47/q48 …), but a real media corpus dedups
+    * images/audio by payload fingerprint — a re-crawl re-ingests docs
+    * under NEW doc_ids with byte-identical payloads, and without a
+    * payload-level keeper each duplicate pixel grid trains once per
+    * locator. Fingerprint = md5 over the DECODED payload bytes through
+    * the REAL q135/q136 codec seams
+    * ([[graft.multimodal.MultiModal.payloadFingerprints]]: PNG → pixel
+    * bytes, WAV → recovered PCM byte stream — both round-trips lossless,
+    * so the fingerprint provably equals md5 over the source bytes,
+    * which is exactly what keeps the readout FULL oracle: DuckDB
+    * replays `md5(text)` while the engine hashes what it decoded).
+    * Keeper per (modality, fingerprint) = MIN doc_id (the q48 keeper
+    * rule). The re-ingest twin is the arrival-model convention: docs
+    * with doc_id % [[MmReingestMod]] == 0 re-arrive at doc_id +
+    * [[MmReingestOffset]] (offset ≡ 0 mod lcm([[MmImgMod]],
+    * [[MmAudMod]]) so modality coverage is preserved — the duplicate
+    * really carries the same payload set).
+    *
+    * Registered readout: the DUPLICATE groups — one row per (modality,
+    * fingerprint) with ≥ 2 payload instances: instance count, the
+    * keeper, and how many locators the keeper decision drops.
+    *
+    * Scale shape: one partition-local codec pass per modality (the
+    * mapPartitions batch shape — payloads never cross a shuffle;
+    * ~40-byte (doc, fp) rows do), one map-side-combined
+    * groupBy(modality, fp). At 100 TB the fingerprint relation is
+    * O(payload instances) thin rows and the group cardinality is the
+    * distinct-payload count — the exact-dedup shape q48 ships for text,
+    * no all-pairs anywhere. */
+  val MmReingestMod = 7L
+  val MmReingestOffset = 15000000L
+
+  /** The corpus plus its re-ingest twin — `(doc_id, text)`. */
+  private[graft] def corpusWithReingest(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(pmod(col("doc_id"), lit(MmReingestMod)) === 0)
+      .select((col("doc_id") + lit(MmReingestOffset)).as("doc_id"),
+        col("text")))
+  }
+
+  /** (doc_id, modality, fp) over the re-ingest union, through the real
+    * codec round-trips — memoized: the codec pass is the expensive
+    * stage and BOTH q205 and q206 consume it. */
+  private[graft] def mmPayloadFps(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("mm_payload_fps", dir) {
+      val u = corpusWithReingest(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val img = graft.multimodal.MultiModal.payloadFingerprints(s,
+          u.filter(pmod(col("doc_id"), lit(MmImgMod)) === 0), "image")
+        .select(col("doc_id"), lit("image").as("modality"), col("fp"))
+      val aud = graft.multimodal.MultiModal.payloadFingerprints(s,
+          u.filter(pmod(col("doc_id"), lit(MmAudMod)) === 0), "audio")
+        .select(col("doc_id"), lit("audio").as("modality"), col("fp"))
+      img.unionAll(aud)
+    }
+
+  def q205(s: SparkSession, dir: String): DataFrame =
+    mmPayloadFps(s, dir)
+      .groupBy(col("modality"), col("fp"))
+      .agg(count(lit(1)).as("n_instances"),
+        min(col("doc_id")).as("keeper_doc"),
+        (count(lit(1)) - lit(1L)).as("n_dropped"))
+      .filter(col("n_instances") > 1)
+      .select(col("modality"), col("fp").as("fingerprint"),
+        col("n_instances"), col("keeper_doc"), col("n_dropped"))
+      .orderBy(col("modality"), col("fingerprint"))
+
+  /** The re-ingest union + per-modality fingerprint CTEs — shared by
+    * [[q205Sql]] and [[q206Sql]]. */
+  private lazy val mmFpCtesSql: String =
+    s"""rin AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $MmReingestOffset AS doc_id, text FROM documents
+       |  WHERE doc_id % $MmReingestMod = 0),
+       |pfp AS (SELECT doc_id, 'image' AS modality, md5(text) AS fp
+       |    FROM rin WHERE doc_id % $MmImgMod = 0
+       |  UNION ALL
+       |  SELECT doc_id, 'audio' AS modality, md5(text) AS fp
+       |    FROM rin WHERE doc_id % $MmAudMod = 0)""".stripMargin
+
+  lazy val q205Sql: String =
+    s"""WITH $mmFpCtesSql
+       |SELECT modality, fp AS fingerprint, COUNT(*) AS n_instances,
+       |  MIN(doc_id) AS keeper_doc,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+       |FROM pfp
+       |GROUP BY modality, fp
+       |HAVING COUNT(*) > 1
+       |ORDER BY modality, fingerprint""".stripMargin
+
+  // --- 206. the deduped multimodal pack (the q205 keeper CONSUMED) -----------
+  /** The keeper decision landing where it matters — the pack: the q196
+    * modality rows over the re-ingest union with non-keeper locators
+    * DROPPED BEFORE offsets are assigned (the decontam-gate rule: a
+    * gate inside the fold, never a post-hoc filter that would leave
+    * offset gaps), so a duplicated image trains ONCE under the keeper's
+    * locator and the pack's unit mass is the DISTINCT-payload mass.
+    * Text rows dedup at doc granularity through the q48 family and are
+    * out of scope here by design — this op demonstrates the
+    * locator-granularity keeper policy on the modality stream; the full
+    * interleaved build composes by replacing q196's modality join input
+    * with this gated relation.
+    *
+    * FULL oracle: geometry is pure byte-length arithmetic and the
+    * fingerprint replays as md5(text), so membership (keeper rows
+    * only), unit costs, the mmKey interleave and the shard boundaries
+    * all replay exactly. PipelineSpec plants a duplicate payload across
+    * two docs and pins the collapse to ONE locator row (the keeper's),
+    * plus pack mass = distinct-payload mass. Scale shape: the q205
+    * fingerprint pass + one thin (modality, doc) semi-join gate + the
+    * q196 PrefixSum tail. */
+  def q206(s: SparkSession, dir: String): DataFrame = {
+    val fps = mmPayloadFps(s, dir)
+    val keep = fps.groupBy(col("modality"), col("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc"))
+    val keepers = fps.join(keep, Seq("modality", "fp"))
+      .filter(col("doc_id") === col("keeper_doc"))
+      .select(col("modality"), col("doc_id"))
+    val gated = modalityRowsOf(corpusWithReingest(s, dir))
+      .join(keepers, Seq("modality", "doc_id"))
+    graft.functions.PrefixSum
+      .withRunningSum(
+        gated.withColumn("bkey",
+          mmKey(col("modality"), col("doc_id"), col("seq_id"))),
+        "bkey", Seq("modality", "doc_id", "seq_id"),
+        "n_units", "cum_units", span = Some((0L, 1L << 60)))
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
+        col("n_units"), col("cum_units"),
+        expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+      .orderBy(col("doc_id"), col("modality"), col("seq_id"))
+  }
+
+  lazy val q206Sql: String = {
+    val w = graft.multimodal.MultiModal.ImgWidth
+    s"""WITH $mmFpCtesSql,
+       |keepers AS (SELECT modality, MIN(doc_id) AS doc_id
+       |  FROM pfp GROUP BY modality, fp),
+       |rbytes AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+       |  FROM rin),
+       |rimg AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS seq_id, 'image' AS modality,
+       |    'img://' || doc_id AS locator,
+       |    CAST(($w // $MmPatch) *
+       |      ((GREATEST((n_bytes + ${w - 1}) // $w, 1) + ${MmPatch - 1})
+       |        // $MmPatch) AS BIGINT) AS n_units
+       |  FROM rbytes WHERE doc_id % $MmImgMod = 0),
+       |raud AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS seq_id, 'audio' AS modality,
+       |    'wav://' || doc_id AS locator,
+       |    CAST((n_bytes + ${MmHop - 1}) // $MmHop AS BIGINT) AS n_units
+       |  FROM rbytes WHERE doc_id % $MmAudMod = 0),
+       |rall AS (
+       |  SELECT r.* FROM (SELECT * FROM rimg UNION ALL SELECT * FROM raud) r
+       |  JOIN keepers k ON r.modality = k.modality AND r.doc_id = k.doc_id),
+       |rkey AS (
+       |  SELECT *, CAST(('0x' || substr(md5('mm:' || modality || ':' ||
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS bkey
+       |  FROM rall),
+       |rcum AS (
+       |  SELECT doc_id, seq_id, modality, locator, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, modality, doc_id, seq_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_units
+       |  FROM rkey)
+       |SELECT doc_id, seq_id, modality, locator, n_units, cum_units,
+       |  CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |FROM rcum
+       |ORDER BY doc_id, modality, seq_id""".stripMargin
+  }
+
   // --- 200. epoch continuity over a GROWING artifact (r15 — r13 #7) ----------
   /** The contract a CONTINUOUSLY-FED pretraining job consumes: the q165
     * artifact grows mid-epoch (serve appends —
@@ -3565,6 +3739,8 @@ object PipelineOps {
     Op("q197_multimodal_artifact", q197, Some(q197Sql)),
     Op("q199_multimodal_step_read", q199, Some(q199Sql)),
     Op("q200_epoch_continuity", q200, Some(q200Sql)),
+    Op("q205_mm_payload_dedup", q205, Some(q205Sql)),
+    Op("q206_mm_pack_deduped", q206, Some(q206Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
     Op("q192_shard_mix_report", q192, Some(q192Sql)),

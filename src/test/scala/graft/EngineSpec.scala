@@ -33,10 +33,13 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // with a script stratum; the routing family's ACTION), +q204
     // per-script tokenizer release + routed fertility proof (full
     // oracle — GenManifest round-trip + the q202 flip-count pattern at
-    // the tokenizer layer)
-    assert(SparkEntry.queries.size === 204)
+    // the tokenizer layer), +q205 exact multimodal payload dedup (full
+    // oracle — md5 over the REAL decoded payload bytes, keeper per
+    // (modality, fingerprint)), +q206 the deduped modality pack (full
+    // oracle — the keeper decision consumed before offsets)
+    assert(SparkEntry.queries.size === 206)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 187)
+    assert(SparkEntry.oracleSql.size === 189)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

@@ -1537,4 +1537,71 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val lastGenShard = prefix.map(_._5).max
     assert(tail.forall(_._5 >= lastGenShard))
   }
+
+  test("q205/q206 payload dedup: decode fingerprint = source-bytes md5; planted duplicate collapses to ONE locator row") {
+    import spark.implicits._
+    import graft.multimodal.MultiModal
+    // three docs, ids all ≡ 0 mod MmImgMod AND mod MmAudMod so every
+    // row carries both modalities; docs 15 and 45 share a payload
+    val docs = Seq(
+      (15L, "duplicate payload body shared across two docs"),
+      (45L, "duplicate payload body shared across two docs"),
+      (30L, "a distinct payload body"))
+      .toDF("doc_id", "text")
+    // the REAL decode fingerprints equal md5 over the source bytes —
+    // the lossless-round-trip pin that makes the oracle replay valid
+    def md5hex(t: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    for (m <- Seq("image", "audio")) {
+      val fps = MultiModal.payloadFingerprints(spark, docs, m).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.collect().foreach { r =>
+        assert(fps(r.getLong(0)) === md5hex(r.getString(1)),
+          s"$m decode fingerprint must equal the source-bytes md5")
+      }
+      assert(fps(15L) === fps(45L), "planted duplicate premise")
+      assert(fps(15L) !== fps(30L))
+    }
+    // the keeper decision consumed by the pack (the q206 body over the
+    // fixture): keeper = min doc_id; the duplicate payload packs ONCE,
+    // under the keeper's locator
+    val fps = MultiModal.payloadFingerprints(spark, docs, "image")
+      .select(col("doc_id"), org.apache.spark.sql.functions.lit("image")
+        .as("modality"), col("fp"))
+      .unionAll(MultiModal.payloadFingerprints(spark, docs, "audio")
+        .select(col("doc_id"), org.apache.spark.sql.functions.lit("audio")
+          .as("modality"), col("fp")))
+    val keep = fps.groupBy(col("modality"), col("fp"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id"))
+        .as("keeper_doc"))
+    val keepers = fps.join(keep, Seq("modality", "fp"))
+      .filter(col("doc_id") === col("keeper_doc"))
+      .select(col("modality"), col("doc_id"))
+    val gated = PipelineOps.modalityRowsOf(docs)
+      .join(keepers, Seq("modality", "doc_id")).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("locator"), r.getAs[Long]("n_units")))
+    // one locator row per (modality, distinct payload): 2 payloads × 2
+    // modalities; the duplicated payload's row is the KEEPER's locator
+    assert(gated.length === 4)
+    for (m <- Seq("image", "audio")) {
+      val rows = gated.filter(_._1 == m)
+      assert(rows.map(_._2).sorted.toSeq === Seq(15L, 30L),
+        s"$m: keeper 15 (not 45) + unique 30")
+      val pre = if (m == "image") "img://" else "wav://"
+      assert(rows.map(_._3).sorted.toSeq === Seq(s"${pre}15", s"${pre}30"))
+    }
+    // pack mass = DISTINCT-payload mass: the ungated rows carry the
+    // duplicate twice, the gated pack exactly once
+    val ungated = PipelineOps.modalityRowsOf(docs).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("n_units")))
+    for (m <- Seq("image", "audio")) {
+      val dupUnits = ungated.filter(_._1 == m).map(_._2).sum -
+        gated.filter(_._1 == m).map(_._4).sum
+      assert(dupUnits === gated.filter(t => t._1 == m && t._2 == 15L)
+        .map(_._4).sum, s"$m: exactly one duplicate instance dropped")
+    }
+  }
 }
