@@ -3089,13 +3089,26 @@ object PipelineOps {
   }
 
   /** FULL oracle: the q158 chain (membership + chunk units) + the two
-    * modality CTEs' geometry arithmetic + the same windowed prefix sum. */
-  lazy val q196Sql: String = {
-    val w = graft.multimodal.MultiModal.ImgWidth
+    * modality CTEs' geometry arithmetic + the same windowed prefix sum.
+    * The CTE list is factored ([[mmPackCtesSql]], ending in `mpack`) so
+    * [[q207Sql]] can splice the gen-N mm pack into the SAME scope as
+    * its arrival CTEs (the q158 pkseq/pkcum/pkfin precedent — DuckDB
+    * rejects nested CTE alias collisions, so composition happens at one
+    * level). */
+  lazy val q196Sql: String =
     s"""$q120CtesSql,
        |${BpeOps.chainCtesSql},
        |${BpeOps.chunkCtesSql},
-       |msel AS (
+       |$mmPackCtesSql
+       |SELECT doc_id, seq_id, modality, locator, n_units, cum_units, shard
+       |FROM mpack
+       |ORDER BY doc_id, modality, seq_id""".stripMargin
+
+  /** The mm-pack CTE list (msel … mpack) — assumes the q120 chain +
+    * BPE chain + chunk CTEs are already in scope. */
+  private lazy val mmPackCtesSql: String = {
+    val w = graft.multimodal.MultiModal.ImgWidth
+    s"""msel AS (
        |  SELECT t.doc_id FROM t JOIN fxp p USING (lang)
        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |    % 1000000 < p.rate_micros),
@@ -3131,11 +3144,11 @@ object PipelineOps {
        |    CAST(SUM(n_units) OVER (ORDER BY bkey, modality, doc_id, seq_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS cum_units
-       |  FROM mkey)
-       |SELECT doc_id, seq_id, modality, locator, n_units, cum_units,
-       |  CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
-       |FROM mcum
-       |ORDER BY doc_id, modality, seq_id""".stripMargin
+       |  FROM mkey),
+       |mpack AS (
+       |  SELECT doc_id, seq_id, modality, locator, n_units, cum_units,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard
+       |  FROM mcum)""".stripMargin
   }
 
   // --- 197. the PERSISTED multimodal-pack artifact (r14) ----------------------
@@ -3544,6 +3557,176 @@ object PipelineOps {
        |ORDER BY doc_id, modality, seq_id""".stripMargin
   }
 
+  // --- 207. epoch continuity for the MMPACK lineage (r16 — r15 VERDICT #7) ---
+  /** [[q200]]'s law over the q199 multimodal stream: a continuously-fed
+    * MULTIMODAL job's epochs stay consumable while the mmpack artifact
+    * grows mid-epoch. Generation-N rows keep their `mmep:`-draw ranks
+    * VERBATIM (the prefix is the standing memoized [[mmEpochOrdered]]
+    * relation — nothing here recomputes it, so the running job's
+    * consumed stream can never re-rank), and served arrivals append to
+    * each epoch's tail under the SAME draw law — rank = \|gen N\| + the
+    * q199-rule rank within the arrival set. The arrival pack is exactly
+    * what [[graft.streaming.StreamOps.mmPackFold]] would have served:
+    * the q200 arrival docs' text chunks AND their image/audio locator
+    * rows, mmKey-ordered, offsets continuing from gen N's end
+    * (StreamingSpec drives a REAL mmPackServe → [[mmAppendServed]] run
+    * and reconciles byte-identity). Epoch 1's prefix permutation is BY
+    * CONSTRUCTION the q199 standing ranking (same `mmep:` key string).
+    *
+    * FULL oracle: the q196 chain ∪ the mm arrival pack under one
+    * per-epoch ROW_NUMBER ordered (is_arrival, okey, modality, doc,
+    * seq). Scale shape: the mm-pack memo + one thin arrival build +
+    * ONE epoch-folded ranking scan over the ARRIVALS ONLY
+    * ([[rankEpochsFolded]]; prefix-before-tail falls out of the
+    * +\|gen N\| offset, a 1-row broadcast). */
+  def q207(s: SparkSession, dir: String): DataFrame = {
+    val gen = mmPack(s, dir)
+    val prefix = mmEpochOrdered(s, dir)
+      .withColumn("is_arrival", lit(0L))
+    val arr = graft.SharedRelations.getOrBuild("q207_mm_arrivals", dir)(
+        mmArrivalPack(s, dir, gen.agg(max(col("cum_units")).as("base_off"))))
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("shard"))
+    val nGen = gen.agg(count(lit(1)).as("__n_gen"))
+    val arrKeyed = (0 until Epochs).map(e => mmShuffleKeyed(arr, e))
+      .reduce(_ unionAll _)
+    val tail = rankEpochsFolded(arrKeyed,
+        Seq("modality", "doc_id", "seq_id"), "arr_rank")
+      .crossJoin(broadcast(nGen))
+      .select(col("epoch"), (col("arr_rank") + col("__n_gen")).as("seq_rank"),
+        col("doc_id"), col("seq_id"), col("modality"), col("shard"))
+      .withColumn("is_arrival", lit(1L))
+    prefix.unionAll(tail)
+      .orderBy(col("epoch"), col("seq_rank"))
+  }
+
+  /** The `mmep:` seeded-shuffle key for epoch `e` — the q199 rule (for
+    * e = [[StepEpoch]] the key STRING is identical, so epoch 1's
+    * permutation is q199's). */
+  private[graft] def mmShuffleKeyed(pack: DataFrame, e: Int): DataFrame =
+    pack
+      .withColumn("epoch", lit(e.toLong))
+      .withColumn("okey",
+        conv(substring(md5(concat(lit(s"mmep:$EpochSeed:$e:"),
+          col("modality"), lit(":"), col("doc_id"), lit(":"),
+          col("seq_id"))), 1, 15), 16, 10).cast("long"))
+
+  /** The per-epoch ordered MULTIMODAL stream — [[epochOrdered]] for the
+    * mmpack lineage, MEMOIZED per (family run, dir): the epoch order is
+    * a pure function of (seed, mm-pack snapshot), ranked once in ONE
+    * epoch-folded scan and READ thereafter. */
+  private[graft] def mmEpochOrdered(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("mm_epoch_ordered", dir) {
+      val pack = mmPack(s, dir)
+        .select(col("doc_id"), col("seq_id"), col("modality"), col("shard"))
+      val keyed = (0 until Epochs).map(e => mmShuffleKeyed(pack, e))
+        .reduce(_ unionAll _)
+      rankEpochsFolded(keyed, Seq("modality", "doc_id", "seq_id"),
+          "seq_rank")
+        .select(col("epoch"), col("seq_rank"), col("doc_id"), col("seq_id"),
+          col("modality"), col("shard"))
+    }
+
+  /** The mm arrival batch packed at `endOff` — the q200 arrival docs'
+    * text chunks AND modality locator rows under [[mmPackFold]]'s
+    * one-batch law (mmKey order, offsets continuing from the handoff).
+    * Exposed so StreamingSpec can reconcile it against a REAL
+    * mmPackServe run. */
+  private[graft] def mmArrivalPack(s: SparkSession, dir: String,
+      endOff: DataFrame): DataFrame = {
+    val arrd = q114DocsShared(s, dir).select(col("doc_id"))
+      .join(packedBuild(s, dir).select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .filter(col("doc_id") % DedupOps.IncrSplitMod === 0)
+    val txt = BpeOps.chunkMasses(s, dir).join(arrd, "doc_id")
+      .select(col("doc_id"), col("chunk_id").as("seq_id"),
+        lit("text").as("modality"),
+        concat(lit("txt://"), col("doc_id"), lit(":"), col("chunk_id"))
+          .as("locator"),
+        col("n_units"))
+    val mm = modalityRowsOf(graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).join(arrd, "doc_id"))
+    val rows = txt.unionAll(mm)
+      .withColumn("bkey", mmKey(col("modality"), col("doc_id"), col("seq_id")))
+    graft.functions.PrefixSum
+      .withRunningSum(rows, "bkey", Seq("modality", "doc_id", "seq_id"),
+        "n_units", "cum_arr", span = Some((0L, 1L << 60)))
+      .crossJoin(broadcast(endOff))
+      .withColumn("cum_units", col("cum_arr") + col("base_off"))
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("locator"),
+        col("n_units"), col("cum_units"),
+        expr(s"(cum_units - n_units) div ${ShardUnitBudget}L").as("shard"))
+  }
+
+  lazy val q207Sql: String =
+    s"""$q120CtesSql,
+       |${BpeOps.chainCtesSql},
+       |${BpeOps.chunkCtesSql},
+       |$mmPackCtesSql,
+       |mgen AS (SELECT doc_id, seq_id, modality, shard, cum_units,
+       |    CAST(0 AS BIGINT) AS is_arrival
+       |  FROM mpack),
+       |mboff AS (SELECT MAX(cum_units) AS base_off FROM mgen),
+       |marrd AS (
+       |  SELECT t.doc_id FROM t JOIN fxp p USING (lang)
+       |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % 1000000 >= p.rate_micros
+       |    AND t.doc_id % ${DedupOps.IncrSplitMod} = 0),
+       |matxt AS (
+       |  SELECT c.doc_id, c.chunk_id AS seq_id, 'text' AS modality,
+       |    c.n_units
+       |  FROM chunks c JOIN marrd a ON c.doc_id = a.doc_id),
+       |mabytes AS (
+       |  SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes
+       |  FROM documents d JOIN marrd USING (doc_id)),
+       |maimg AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS seq_id, 'image' AS modality,
+       |    CAST((${graft.multimodal.MultiModal.ImgWidth} // $MmPatch) *
+       |      ((GREATEST((n_bytes + ${graft.multimodal.MultiModal.ImgWidth - 1}) // ${graft.multimodal.MultiModal.ImgWidth}, 1) + ${MmPatch - 1})
+       |        // $MmPatch) AS BIGINT) AS n_units
+       |  FROM mabytes WHERE doc_id % $MmImgMod = 0),
+       |maaud AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS seq_id, 'audio' AS modality,
+       |    CAST((n_bytes + ${MmHop - 1}) // $MmHop AS BIGINT) AS n_units
+       |  FROM mabytes WHERE doc_id % $MmAudMod = 0),
+       |marr0 AS (
+       |  SELECT * FROM matxt UNION ALL SELECT * FROM maimg
+       |  UNION ALL SELECT * FROM maaud),
+       |makey AS (
+       |  SELECT *, CAST(('0x' || substr(md5('mm:' || modality || ':' ||
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS bkey
+       |  FROM marr0),
+       |macum AS (
+       |  SELECT doc_id, seq_id, modality, n_units,
+       |    CAST(SUM(n_units) OVER (ORDER BY bkey, modality, doc_id, seq_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      + (SELECT base_off FROM mboff) AS cum_units
+       |  FROM makey),
+       |marr AS (
+       |  SELECT doc_id, seq_id, modality,
+       |    CAST((cum_units - n_units) // $ShardUnitBudget AS BIGINT) AS shard,
+       |    CAST(1 AS BIGINT) AS is_arrival
+       |  FROM macum),
+       |munion AS (
+       |  SELECT doc_id, seq_id, modality, shard, is_arrival FROM mgen
+       |  UNION ALL
+       |  SELECT doc_id, seq_id, modality, shard, is_arrival FROM marr),
+       |mkeyed AS (
+       |  SELECT e.epoch, u.doc_id, u.seq_id, u.modality, u.shard,
+       |    u.is_arrival,
+       |    CAST(('0x' || substr(md5('mmep:$EpochSeed:' || CAST(e.epoch AS VARCHAR) || ':' ||
+       |      u.modality || ':' || CAST(u.doc_id AS VARCHAR) || ':' ||
+       |      CAST(u.seq_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM munion u CROSS JOIN
+       |    (SELECT CAST(unnest(range(0, $Epochs)) AS BIGINT) AS epoch) e)
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY is_arrival, okey, modality, doc_id, seq_id) AS BIGINT)
+       |    AS seq_rank,
+       |  doc_id, seq_id, modality, shard, is_arrival
+       |FROM mkeyed
+       |ORDER BY epoch, seq_rank""".stripMargin
+
   // --- 200. epoch continuity over a GROWING artifact (r15 — r13 #7) ----------
   /** The contract a CONTINUOUSLY-FED pretraining job consumes: the q165
     * artifact grows mid-epoch (serve appends —
@@ -3741,6 +3924,7 @@ object PipelineOps {
     Op("q200_epoch_continuity", q200, Some(q200Sql)),
     Op("q205_mm_payload_dedup", q205, Some(q205Sql)),
     Op("q206_mm_pack_deduped", q206, Some(q206Sql)),
+    Op("q207_mm_epoch_continuity", q207, Some(q207Sql)),
     Op("q183_soft_dedup_weights", q183, Some(q183Sql)),
     Op("q188_effective_mass_manifest", q188, Some(q188Sql)),
     Op("q192_shard_mix_report", q192, Some(q192Sql)),

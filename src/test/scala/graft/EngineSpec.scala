@@ -36,10 +36,13 @@ class EngineSpec extends AnyFunSuite with SharedSpark {
     // the tokenizer layer), +q205 exact multimodal payload dedup (full
     // oracle — md5 over the REAL decoded payload bytes, keeper per
     // (modality, fingerprint)), +q206 the deduped modality pack (full
-    // oracle — the keeper decision consumed before offsets)
-    assert(SparkEntry.queries.size === 206)
+    // oracle — the keeper decision consumed before offsets), +q207 mm
+    // epoch continuity (full oracle — the q200 law over the q199
+    // multimodal stream; gen-N mmep ranks verbatim, arrivals at the
+    // epoch tail)
+    assert(SparkEntry.queries.size === 207)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.size === 189)
+    assert(SparkEntry.oracleSql.size === 190)
   }
 
   test("entry flagship runs on sf0.001 with rows") {

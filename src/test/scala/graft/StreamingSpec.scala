@@ -1797,6 +1797,81 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally GenManifest.rmTree(base)
   }
 
+  test("mm epoch continuity (q207) at the REAL serve seam: a mid-epoch mm append lands the q207 tail in the artifact and never re-ranks the prefix") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    // PRIVATE mmpack artifact: generation 1 = the q196 build — the
+    // "generation N" a running multimodal job consumes
+    val base = java.nio.file.Files.createTempDirectory("graft_mmepcont").toFile
+    try {
+      val gen = PipelineOps.q196(spark, SF)
+      PipelineOps.packWrite(spark, base, gen, "mmpack",
+        PipelineOps.mmManifestOf)
+      val endOffset = gen.agg(max(col("cum_units"))).head().getLong(0)
+      // the arrival set is the registered op's own model — the docs
+      // whose text AND locators now arrive through the real mm stream
+      val arrIds = PipelineOps.q207(spark, SF)
+        .filter(col("is_arrival") === 1L).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(arrIds.nonEmpty, "premise: mm arrival model non-empty")
+      val arrDocs = Tables.documents(spark, SF).select("doc_id", "text")
+        .filter(col("doc_id").isin(arrIds.toSeq: _*))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      type MmRow = (Long, Long, String, String, Long, Long, Long)
+      def mmKeyOf(r: org.apache.spark.sql.Row): MmRow =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      val served = scala.collection.mutable.ArrayBuffer[MmRow]()
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamOps.mmPackServe(
+          ms.toDF().toDF("doc_id", "text"), merges, endOffset) { p =>
+        val cached = p.cache()
+        try {
+          PipelineOps.mmAppendServed(spark, base, cached)
+          served ++= cached.collect().map(mmKeyOf)
+        } finally cached.unpersist()
+      }.start()
+      try { ms.addData(arrDocs); q.processAllAvailable() } finally q.stop()
+      // (1) the REAL served rows are byte-identical to the registered
+      // op's mm arrival model (mmPackFold's one-batch law at the
+      // handoff): the q207 tail IS what the serve seam appended —
+      // text chunks AND modality locator rows
+      assert(served.exists(_._3 != "text"),
+        "premise: some arrival carries a modality row")
+      val modeled = PipelineOps.mmArrivalPack(spark, SF,
+          gen.agg(max(col("cum_units")).as("base_off")))
+        .collect().map(mmKeyOf)
+      assert(served.sorted.toSeq === modeled.sorted.toSeq)
+      // (2) the landed artifact's membership is exactly q207's (gen ∪
+      // arrivals) — the mm epoch stream ranks precisely what is on disk
+      val artKeys = PipelineOps.mmPackRead(spark, base)
+        .select("doc_id", "seq_id", "modality").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val contKeys = PipelineOps.q207(spark, SF)
+        .filter(col("epoch") === 0L)
+        .select("doc_id", "seq_id", "modality").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(artKeys === contKeys)
+      // (3) NO prefix re-ranking across the append: the continuity
+      // stream's gen-N half carries the standing mm epoch ranks
+      // verbatim — pinned THROUGH the append (the artifact grew, the
+      // snapshot permutation is unchanged)
+      val prefixRanks = PipelineOps.q207(spark, SF)
+        .filter(col("is_arrival") === 0L)
+        .select("epoch", "seq_rank", "doc_id", "seq_id", "modality")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).sorted.toSeq
+      val standing = PipelineOps.mmEpochOrdered(spark, SF)
+        .select("epoch", "seq_rank", "doc_id", "seq_id", "modality")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).sorted.toSeq
+      assert(prefixRanks === standing)
+    } finally GenManifest.rmTree(base)
+  }
+
   test("epochTailServe (32t): one batch ≡ q200's tail byte-exact; split batches stay dense per epoch under the draw law") {
     implicit val ctx = spark.sqlContext
     import graft.operators.{BpeOps, PipelineOps}
