@@ -55,14 +55,22 @@ object AmortizedSql {
       s"WITH ${BpeOps.chainCtesSql},\n${BpeOps.chunkCtesSql}\nSELECT * FROM chunks",
     // the packed sequence build (q158's registered readout / the q165
     // artifact's content)
-    "c_pack" -> PipelineOps.q158Sql)
+    "c_pack" -> PipelineOps.q158Sql,
+    // the multimodal pack (q196's registered readout / the q197
+    // artifact's content) — r16: the mm lineage gets the c_pack
+    // treatment, so q197/q199/q207's amortized readouts consume the
+    // standing table exactly as Spark reads the mm_pack memo /
+    // persisted mmpack artifact
+    "c_mmpack" -> PipelineOps.q196Sql)
 
   /** Whole-query rewrites (applied only when the oracle SQL is exactly
     * this text — the chain IS the query, so the amortized readout is the
     * standing table, matching Spark's memo-read marginal). */
   private lazy val fullRules: Seq[(String, String)] = Seq(
     BpeOps.q144Sql -> "SELECT * FROM c_bpe_merges ORDER BY round",
-    PipelineOps.q158Sql -> "SELECT * FROM c_pack ORDER BY doc_id, chunk_id")
+    PipelineOps.q158Sql -> "SELECT * FROM c_pack ORDER BY doc_id, chunk_id",
+    PipelineOps.q196Sql ->
+      "SELECT * FROM c_mmpack ORDER BY doc_id, modality, seq_id")
 
   /** Fragment rewrites, longest-prefix first. The q120+chain(+chunk)
     * prefixes rebind `t`/`fxp`/`chunks` as alias CTEs over the standing
@@ -71,6 +79,13 @@ object AmortizedSql {
     * retarget to `c_bpe_vocab` via the last rule). */
   private lazy val fragRules: Seq[(String, String)] = Seq(
     s"(${PipelineOps.q158Sql})" -> "c_pack",
+    s"(${PipelineOps.q196Sql})" -> "c_mmpack",
+    // q207's inline mm-pack derivation collapses to the standing table
+    // (its arrival CTEs stay live — Spark memoizes the arrival build
+    // too, but it is batch-sized; the standing-table read is the part
+    // that matters at scale)
+    s"${PipelineOps.mmPackCtesSql}," ->
+      "mpack AS (SELECT * FROM c_mmpack),",
     s"${PipelineOps.q120CtesSql},\n${BpeOps.chainCtesSql},\n${BpeOps.chunkCtesSql}," ->
       ("WITH t AS (SELECT * FROM c_t), fxp AS (SELECT * FROM c_fxp), " +
         "chunks AS (SELECT * FROM c_chunks),\n" +

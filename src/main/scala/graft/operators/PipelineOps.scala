@@ -3105,8 +3105,10 @@ object PipelineOps {
        |ORDER BY doc_id, modality, seq_id""".stripMargin
 
   /** The mm-pack CTE list (msel … mpack) — assumes the q120 chain +
-    * BPE chain + chunk CTEs are already in scope. */
-  private lazy val mmPackCtesSql: String = {
+    * BPE chain + chunk CTEs are already in scope. Exposed to
+    * [[AmortizedSql]] so the standing `c_mmpack` table can replace the
+    * inline pack derivation in the amortized pass. */
+  private[operators] lazy val mmPackCtesSql: String = {
     val w = graft.multimodal.MultiModal.ImgWidth
     s"""msel AS (
        |  SELECT t.doc_id FROM t JOIN fxp p USING (lang)
