@@ -1128,6 +1128,92 @@ object StreamOps {
     }
   }
 
+  /** The q207 MULTIMODAL epoch tail at the arrival seam (r16 — the 32t
+    * treatment for the mmpack lineage): arriving docs pack exactly like
+    * [[mmPackServe]] (text chunks + modality locator rows, one running
+    * unit offset), and each served row ALSO gets its per-epoch mm tail
+    * rank — `seq_rank = nGenPrefix + served-so-far + its q199-law rank
+    * within the batch` — so a running MULTIMODAL training job consumes
+    * arrivals straight into the open epoch (the q207 contract,
+    * streaming). Both states (unit offset, rank base) share the
+    * [[PackServeState]] batchId idempotency rule; vs the batch op the
+    * divergence is order-only across batches, and a single batch
+    * covering the same arrivals is byte-identical to q207's tail
+    * (StreamingSpec reconciles exactly that). */
+  def mmEpochTailServe(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], nGenPrefix: Long,
+      baseOffset: Long = 0L)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = new PackServeState(baseOffset)
+    val rankState = new PackServeState(0L)
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mmEpochTailFold(batch, merges, state, rankState, nGenPrefix,
+        batchId)(sink)
+    }
+  }
+
+  /** One [[mmEpochTailServe]] micro-batch — the mmPackFold plus the mm
+    * epoch tail ranking (the [[epochTailFold]] shape with the mm
+    * interleave key and the `mmep:` draw). */
+  private[graft] def mmEpochTailFold(batch: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], state: PackServeState,
+      rankState: PackServeState, nGenPrefix: Long, batchId: Long)
+      (sink: DataFrame => Unit): Unit = {
+    import graft.operators.PipelineOps
+    mmPackFold(batch, merges, state, batchId) { packed =>
+      val cached = packed.cache()
+      try {
+        val rankBase = {
+          val (lastId, lastBase) = rankState.last
+          if (batchId == lastId) lastBase
+          else {
+            val b = rankState.offset.get()
+            rankState.last = (batchId, b)
+            b
+          }
+        }
+        val thin = cached.select(col("doc_id"), col("seq_id"),
+          col("modality"), col("shard"))
+        val keyed = (0 until PipelineOps.Epochs)
+          .map(e => PipelineOps.mmShuffleKeyed(thin, e))
+          .reduce(_ unionAll _)
+        val ranked = PipelineOps.rankEpochsFolded(keyed,
+            Seq("modality", "doc_id", "seq_id"), "arr_rank")
+          .select(col("epoch"),
+            (col("arr_rank") + nGenPrefix + rankBase).as("seq_rank"),
+            col("doc_id"), col("seq_id"), col("modality"), col("shard"))
+          .orderBy(col("epoch"), col("seq_rank"))
+        val n = cached.count()
+        sink(ranked)
+        rankState.offset.updateAndGet(cur => math.max(cur, rankBase + n))
+        ()
+      } finally cached.unpersist()
+    }
+  }
+
+  /** [[mmEpochTailServe]] with BOTH states persisted — the
+    * [[epochTailServeResumable]] contract verbatim for the mm seam
+    * (one atomic two-state file, the three death windows replay
+    * byte-identically). */
+  def mmEpochTailServeResumable(newDocs: DataFrame,
+      merges: Seq[graft.operators.BpeOps.BpeMerge], nGenPrefix: Long,
+      stateFile: java.io.File)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val loaded = loadEpochTailState(stateFile)
+    val state = new PackServeState(loaded.map(_._1).getOrElse(0L),
+      loaded.map(_._2))
+    val rankState = new PackServeState(loaded.map(_._3).getOrElse(0L),
+      loaded.map(l => (l._2._1, l._4)))
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mmEpochTailFold(batch, merges, state, rankState, nGenPrefix,
+        batchId)(sink)
+      persistEpochTailState(stateFile, state.offset.get(), state.last,
+        rankState.offset.get(), rankState.last._2)
+    }
+  }
+
   /** Read a persisted epoch-tail state:
     * (offset, (lastBatchId, lastBase), rankOffset, rankLastBase) —
     * the two [[PackServeState]]s share one batchId (both stages fold

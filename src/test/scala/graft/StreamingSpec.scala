@@ -1929,4 +1929,75 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(two.map(t => (t._1, t._3, t._4)).sorted ===
       want.map(t => (t._1, t._3, t._4)).sorted)
   }
+
+  test("mmEpochTailServe (32u): one batch ≡ q207's tail byte-exact; resumable twin replays both states across a kill") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{BpeOps, PipelineOps}
+    val merges = BpeOps.train(spark, SF)._1
+    val gen = PipelineOps.q196(spark, SF)
+    val endOffset = gen.agg(max(col("cum_units"))).head().getLong(0)
+    val nGen = gen.count()
+    type TailRow = (Long, Long, Long, Long, String, Long)
+    def key(r: org.apache.spark.sql.Row): TailRow =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))
+    val want = PipelineOps.q207(spark, SF).filter(col("is_arrival") === 1L)
+      .select("epoch", "seq_rank", "doc_id", "seq_id", "modality", "shard")
+      .collect().map(key).toSeq.sorted
+    assert(want.nonEmpty)
+    assert(want.exists(_._5 != "text"),
+      "premise: the mm tail carries modality rows")
+    val arrIds = want.map(_._3).distinct
+    val arrDocs = Tables.documents(spark, SF).select("doc_id", "text")
+      .filter(col("doc_id").isin(arrIds: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // ONE batch covering all arrivals ≡ the registered q207 tail —
+    // ranks, shards, membership, modalities, everything
+    val got = scala.collection.mutable.ArrayBuffer[TailRow]()
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.mmEpochTailServe(
+        ms.toDF().toDF("doc_id", "text"), merges, nGen, endOffset) { out =>
+      got ++= out.collect().map(key); ()
+    }.start()
+    try { ms.addData(arrDocs); q.processAllAvailable() } finally q.stop()
+    assert(got.toSeq.sorted === want)
+    // the RESUMABLE twin: drive the fold + the atomic two-state write
+    // directly (the epochTailServeResumable proof shape for the mm
+    // seam) — kill after batch 0, resume from the FILE, re-deliver
+    // batch 1 byte-identically, neither offset advancing
+    val tmpDir = java.nio.file.Files.createTempDirectory("mmeptail").toFile
+    graft.TempArtifacts.register(tmpDir)
+    def stateFile(n: String) = new java.io.File(tmpDir, n)
+    def drive(state: StreamOps.PackServeState,
+        rankState: StreamOps.PackServeState, f: java.io.File,
+        b: Seq[(Long, String)], id: Long): List[TailRow] = {
+      var out: List[TailRow] = null
+      StreamOps.mmEpochTailFold(b.toDF("doc_id", "text"), merges, state,
+          rankState, nGen, id) { p => out = p.collect().map(key).toList }
+      StreamOps.persistEpochTailState(f, state.offset.get(), state.last,
+        rankState.offset.get(), rankState.last._2)
+      out
+    }
+    val (b1, b2) = arrDocs.splitAt(arrDocs.size / 2)
+    val fRef = stateFile("ref.json")
+    val stRef = new StreamOps.PackServeState(endOffset)
+    val rkRef = new StreamOps.PackServeState(0L)
+    val ref = Seq(b1, b2).zipWithIndex.map { case (b, i) =>
+      drive(stRef, rkRef, fRef, b, i.toLong) }
+    val fKill = stateFile("kill.json")
+    val st1 = new StreamOps.PackServeState(endOffset)
+    val rk1 = new StreamOps.PackServeState(0L)
+    assert(drive(st1, rk1, fKill, b1, 0L) === ref(0))
+    val l = StreamOps.loadEpochTailState(fKill).get
+    val st2 = new StreamOps.PackServeState(l._1, Some(l._2))
+    val rk2 = new StreamOps.PackServeState(l._3, Some((l._2._1, l._4)))
+    // re-delivered batch 0 → byte-identical at the original bases
+    assert(drive(st2, rk2, fKill, b1, 0L) === ref(0))
+    assert(st2.offset.get() === l._1 && rk2.offset.get() === l._3,
+      "re-delivery must advance neither offset")
+    // fresh batch continues both sequences; states converge
+    assert(drive(st2, rk2, fKill, b2, 1L) === ref(1))
+    assert(StreamOps.loadEpochTailState(fKill) ===
+      StreamOps.loadEpochTailState(fRef))
+  }
 }
