@@ -3617,16 +3617,22 @@ object PipelineOps {
     * a pure function of (seed, mm-pack snapshot), ranked once in ONE
     * epoch-folded scan and READ thereafter. */
   private[graft] def mmEpochOrdered(s: SparkSession, dir: String): DataFrame =
-    graft.SharedRelations.getOrBuild("mm_epoch_ordered", dir) {
-      val pack = mmPack(s, dir)
-        .select(col("doc_id"), col("seq_id"), col("modality"), col("shard"))
-      val keyed = (0 until Epochs).map(e => mmShuffleKeyed(pack, e))
-        .reduce(_ unionAll _)
-      rankEpochsFolded(keyed, Seq("modality", "doc_id", "seq_id"),
-          "seq_rank")
-        .select(col("epoch"), col("seq_rank"), col("doc_id"), col("seq_id"),
-          col("modality"), col("shard"))
-    }
+    graft.SharedRelations.getOrBuild("mm_epoch_ordered", dir)(
+      mmEpochOrderedPlan(s, dir))
+
+  /** The unmemoized mm epoch-ordering plan (ScalePlanSpec pins the
+    * window discipline here — the memo readout is a LogicalRDD leaf). */
+  private[graft] def mmEpochOrderedPlan(s: SparkSession,
+      dir: String): DataFrame = {
+    val pack = mmPack(s, dir)
+      .select(col("doc_id"), col("seq_id"), col("modality"), col("shard"))
+    val keyed = (0 until Epochs).map(e => mmShuffleKeyed(pack, e))
+      .reduce(_ unionAll _)
+    rankEpochsFolded(keyed, Seq("modality", "doc_id", "seq_id"),
+        "seq_rank")
+      .select(col("epoch"), col("seq_rank"), col("doc_id"), col("seq_id"),
+        col("modality"), col("shard"))
+  }
 
   /** The mm arrival batch packed at `endOff` — the q200 arrival docs'
     * text chunks AND modality locator rows under [[mmPackFold]]'s

@@ -384,4 +384,25 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getAs[Int]("idx")).toSet
     assert(partial === Set(3))
   }
+
+  test("r16 ops keep the window discipline: q204/q206/q207 + the mm epoch-order build") {
+    // q204's readout is per-doc aggregates + a ≤|scripts|-row groupBy —
+    // any unpartitioned window in its plan must sit over aggregated
+    // input (there should be none over raw rows)
+    assertWindowsAggregated(graft.operators.BpeOps.q204(spark, SF), "q204")
+    // q206's pack tail is the two-level binned PrefixSum — its
+    // unpartitioned windows ride the ≤4096 aggregated bin rows only
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.q206(spark, SF), "q206")
+    // q207 reads the memoized prefix (LogicalRDD leaf) and folds ONLY
+    // the batch-sized arrivals — the executing windows are PrefixSum's
+    // binned scans plus the ≤Epochs-row offset cumulative
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.q207(spark, SF), "q207")
+    // the standing mm epoch ordering's BUILD plan (what executes once
+    // per corpus snapshot) carries the same discipline
+    assertWindowsAggregated(
+      graft.operators.PipelineOps.mmEpochOrderedPlan(spark, SF),
+      "mmEpochOrdered build")
+  }
 }
