@@ -73,6 +73,18 @@ def main(sf_dir, out_dir):
         elif g_dt != w_dt:
             bad = {c: (g_dt[c], w_dt[c]) for c in g_cols if g_dt[c] != w_dt[c]}
             print(f"FAIL  {name}: dtype mismatch (spark, oracle): {bad}")
+            # the dtype branch fires BEFORE the row compare, so also show
+            # the first differing rows (r16 ADVICE): an int64-vs-float64
+            # mismatch is usually either a missing CAST in the oracle OR a
+            # one-sided NULL promoting pandas int64 to float64 — the row
+            # diff tells which
+            diffs = [(a, b) for a, b in zip_longest(g_rows, w_rows) if a != b]
+            if diffs:
+                print(f"      first differing rows (spark, oracle): {diffs[:2]}")
+            else:
+                print("      rows normalize equal — dtype-only divergence "
+                      "(missing CAST, or a one-sided NULL promoting int64 "
+                      "to float64)")
             n_fail += 1
         elif g_rows != w_rows:
             # zip_longest: plain zip truncates to the shorter side, hiding

@@ -64,6 +64,17 @@ object SharedRelations {
       }).df
     }
 
+  /** The memoized relation for (key, dir) if it is already built —
+    * never runs a build, never blocks on one (beyond the map-mutation
+    * monitor). Lets a caller whose build closure must take ANOTHER lock
+    * check the memo first and take that lock OUTSIDE this object's
+    * monitor (r16 ADVICE: q204's routed-mapping build called the
+    * BpeOps-synchronized q204Ensure from inside getOrBuild — the
+    * opposite acquisition order to a direct q204Ensure call). */
+  def peek(key: String, dir: String): Option[DataFrame] = synchronized {
+    memo.get((key, dir)).map(_.df)
+  }
+
   /** Drop every memoized relation and unpersist its blocks. Call only
     * at a point where no consumer will re-execute a plan that read a
     * memoized relation (the family boundary in Bench/Verify, suite

@@ -954,9 +954,15 @@ object BpeOps {
   private[graft] def trainPerScriptShared(s: SparkSession, dir: String): DataFrame =
     graft.SharedRelations.getOrBuild("bpe_merges_script", dir) {
       import s.implicits._
-      trainGroupedOn(scriptWordCounts(s, dir), Rounds)
+      // the returned merge table is driver data — the v0 cache only
+      // feeds the training loop, so release it as soon as training
+      // returns (r16 ADVICE: it lingered until the family-boundary
+      // clearCache, the exact pattern r16 fixed for q201's ct)
+      val v0 = scriptWordCounts(s, dir)
+      try trainGroupedOn(v0, Rounds)
         .map { case (sc, m) => (sc, m.round, m.pair, m.merged, m.n) }
         .toDF("script", "round", "pair", "merged", "n")
+      finally v0.unpersist(blocking = false)
     }
 
   /** The mixture counterfactual's merge table (trained on ALL
@@ -965,9 +971,12 @@ object BpeOps {
   private def trainUniShared(s: SparkSession, dir: String): Seq[BpeMerge] =
     graft.SharedRelations.getOrBuild("bpe_merges_uni", dir) {
       import s.implicits._
-      trainGroupedOn(uniWordCounts(s, dir), Rounds)
+      // same v0-release rule as trainPerScriptShared (r16 ADVICE)
+      val v0 = uniWordCounts(s, dir)
+      try trainGroupedOn(v0, Rounds)
         .map { case (_, m) => (m.round, m.pair, m.merged, m.n) }
         .toDF("round", "pair", "merged", "n")
+      finally v0.unpersist(blocking = false)
     }.collect()
       .map(r => BpeMerge(r.getAs[Int]("round"), r.getAs[String]("pair"),
         r.getAs[String]("merged"), r.getAs[Long]("n")))
@@ -1144,11 +1153,19 @@ object BpeOps {
     // distinct-token relation — standing relations, memoized (the
     // unitMapping/docUnits treatment): the readout's marginal cost is
     // the corpus token pass + the joins, not a re-replay per call
-    val routed = graft.SharedRelations.getOrBuild("bpe_map_routed", dir) {
-      val perScript = tokenizerLoadScripts(s, q204Ensure(s, dir))
-      unitMappingGrouped(
-        toks.select(col("script"), col("token")).distinct(), perScript)
-    }.withColumnRenamed("units", "units_r")
+    // lock-order discipline (r16 ADVICE): q204Ensure takes the BpeOps
+    // monitor and (via trainPerScriptShared) then SharedRelations' —
+    // so it must run BEFORE getOrBuild, never inside the build closure,
+    // or the two monitors are acquired in opposite orders depending on
+    // the entry point. peek keeps the memo-hit path free of the
+    // ensure/load work.
+    val routed = graft.SharedRelations.peek("bpe_map_routed", dir)
+      .getOrElse {
+        val perScript = tokenizerLoadScripts(s, q204Ensure(s, dir))
+        graft.SharedRelations.getOrBuild("bpe_map_routed", dir)(
+          unitMappingGrouped(
+            toks.select(col("script"), col("token")).distinct(), perScript))
+      }.withColumnRenamed("units", "units_r")
     val shared = graft.SharedRelations.getOrBuild("bpe_map_uni", dir)(
       unitMappingOf(
         toks.select(col("token")).distinct(), trainUniShared(s, dir)))

@@ -1153,8 +1153,15 @@ object DedupOps {
     * join applying the ≤|affected components| relabel map — the label
     * snapshot is never shuffled. The daily-batch companion of
     * [[q108Append]] (index) and GraphOps.pagerankDelta (ranks). */
+  /** Quotient-edge ceiling for [[ccDelta]]'s driver-side union-find:
+    * below it the quotient CC folds on the driver (one collect job —
+    * the GraphOps.DeltaBallCap treatment); above it the distributed
+    * min-label fixpoint runs unchanged. 2 M edges ≈ tens of MB of
+    * driver state, the pagerankDelta bound. */
+  val CcQuotientCap = 2000000L
+
   private[graft] def ccDelta(oldLabels: DataFrame, newEdges: DataFrame,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame, quotientCap: Long = CcQuotientCap): DataFrame = {
     val known = oldLabels.select(col("doc_id"), col("root"))
     val newDocs = docs.select(col("doc_id"))
       .join(known.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -1170,10 +1177,48 @@ object DedupOps {
       .join(epLabels.select(col("doc_id").as("id_b"), col("root").as("rb")), "id_b")
       .select(col("ra").as("id_a"), col("rb").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val qNodes = qe.select(col("id_a").as("doc_id"))
-      .unionAll(qe.select(col("id_b").as("doc_id"))).distinct()
-    val relabel = connectedComponents(qe, qNodes)
-      .select(col("doc_id").as("old_root"), col("root").as("new_root"))
+    // The quotient graph is ∝ affected components — batch-sized by the
+    // daily-batch contract — so the CC on it folds DRIVER-SIDE as a
+    // min-label union-find (r17; the q126 ball-fold rule): the
+    // distributed fixpoint paid ~2 jobs per round plus checkpoint
+    // churn to move component-count rows. limit(cap+1).collect() is
+    // ONE job and doubles as the size guard: an oversized delta falls
+    // back to the distributed fixpoint, bit-identical by GraphSpec.
+    val qRows = qe.limit((quotientCap + 1).min(Int.MaxValue.toLong).toInt)
+      .collect()
+    val relabel: DataFrame =
+      if (qRows.length > quotientCap) {
+        val qNodes = qe.select(col("id_a").as("doc_id"))
+          .unionAll(qe.select(col("id_b").as("doc_id"))).distinct()
+        connectedComponents(qe, qNodes)
+          .select(col("doc_id").as("old_root"), col("root").as("new_root"))
+      } else {
+        // union-find with component-min labels ≡ min-label propagation
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        qRows.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOf = scala.collection.mutable.Map.empty[Long, Long]
+        parent.keys.foreach { n =>
+          val r = find(n)
+          minOf(r) = minOf.get(r).fold(n)(math.min(_, n))
+        }
+        val pairs = parent.keys.toSeq.sorted
+          .map(n => (n, minOf(find(n))))
+        val s = oldLabels.sparkSession
+        import s.implicits._
+        pairs.toDF("old_root", "new_root")
+      }
     labels
       .join(broadcast(relabel), labels("root") === col("old_root"), "left")
       .select(col("doc_id"),

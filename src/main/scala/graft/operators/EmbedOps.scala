@@ -340,9 +340,12 @@ object EmbedOps {
     val b = v.select(col("doc_id").as("id_b"), col("vec").as("vb"),
       col("n2").as("nb2"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DECIMAL(38,0)) * y), " +
-          "CAST(0 AS DECIMAL(38,0)), (acc, t) -> CAST(acc + t AS DECIMAL(38,0)))"))
+      // native codegen'd exact dot (r17): the declarative
+      // aggregate(zip_with(…)) fold ran the interpreted HOF evaluator
+      // up to 3× per pair — it inlines into the join condition twice
+      // (dot > 0, the squared threshold) plus the cosine projection
+      .withColumn("dot",
+        graft.expressions.VectorExprs.vecDotDec(col("va"), col("vb")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 400 >= col("na2") * col("nb2") * 361)
       .select(col("id_a"), col("id_b"),
@@ -418,9 +421,10 @@ object EmbedOps {
         col("n2").as("na2")), Seq("id_a"))
       .join(v.select(col("doc_id").as("id_b"), col("vec").as("vb"),
         col("n2").as("nb2")), Seq("id_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DECIMAL(38,0)) * y), " +
-          "CAST(0 AS DECIMAL(38,0)), (acc, t) -> CAST(acc + t AS DECIMAL(38,0)))"))
+      // same native-dot move as q149 (r17) — this tail runs per
+      // CANDIDATE pair, the hottest row stream in the banded variant
+      .withColumn("dot",
+        graft.expressions.VectorExprs.vecDotDec(col("va"), col("vb")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 400 >= col("na2") * col("nb2") * 361)
       .select(col("id_a"), col("id_b"),

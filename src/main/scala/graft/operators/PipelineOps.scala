@@ -3501,10 +3501,15 @@ object PipelineOps {
     * q196 PrefixSum tail. */
   def q206(s: SparkSession, dir: String): DataFrame = {
     val fps = mmPayloadFps(s, dir)
-    val keep = fps.groupBy(col("modality"), col("fp"))
-      .agg(min(col("doc_id")).as("keeper_doc"))
-    val keepers = fps.join(keep, Seq("modality", "fp"))
-      .filter(col("doc_id") === col("keeper_doc"))
+    // keeper = MIN doc_id per (modality, fp) — the aggregate's output IS
+    // the keeper (modality, doc_id) set (a doc carries exactly one
+    // payload per modality, so no doc can win two groups of one
+    // modality). r17: the former join-back of fps against this
+    // aggregate + doc_id = keeper_doc filter re-derived exactly these
+    // rows through a second pass over the fingerprint relation — the
+    // oracle (q206Sql `keepers` CTE) always used the direct form.
+    val keepers = fps.groupBy(col("modality"), col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("modality"), col("doc_id"))
     val gated = modalityRowsOf(corpusWithReingest(s, dir))
       .join(keepers, Seq("modality", "doc_id"))

@@ -132,6 +132,55 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(got.map(_._1).distinct.size > 1, "needs multiple language groups")
   }
 
+  test("ScriptCountsOf matches the seven regexp_count scans") {
+    // r17: scriptOf's fused codepoint walk vs the regex classes it
+    // replaced — on a fixture exercising every class, digits/punct
+    // (Common — uncounted), a supplementary-plane Han codepoint
+    // (U+20000: one count, not one per surrogate), a combining mark
+    // (Inherited — uncounted), and nulls/empties
+    val fixture = Seq(
+      "abc XYZ 123 àé Жж Ωα 中文" +
+        " اب אב देव 𠀀 é ,.;",
+      "", "plain ascii only", "शुद्ध Latin",
+      null)
+    val df = fixture.toDF("utext")
+    val scripts = graft.expressions.ScriptCountsOf.Scripts
+    val viaNative = df.select(
+      graft.expressions.ScriptCountsOf.scriptCounts(col("utext")).as("sc"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    // null text: the native walk yields a null ARRAY, the regex form an
+    // array of nulls — equivalent at the consumer (element_at(null, i)
+    // = null = regexp_count(null)), so normalize the reference shape
+    val viaRegex = df.select(when(col("utext").isNull, lit(null))
+        .otherwise(array(scripts.map(n =>
+          regexp_count(col("utext"), lit(s"\\p{Is${n.capitalize}}"))
+            .cast("long")): _*)).as("sc"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    assert(viaNative.toSeq === viaRegex.toSeq)
+    // the mixed row really exercised multiple classes
+    assert(viaNative(0).count(_ > 0) === 7)
+  }
+
+  test("LongVecDotDecimal matches the declarative Decimal fold") {
+    // r17: q149/q153's native exact dot vs the aggregate(zip_with(…))
+    // form it replaced — incl. values whose products overflow int64
+    // (the BigInteger escalation path) and negative components
+    val rows = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),
+      (Seq(3037000499L, 3037000499L), Seq(3037000499L, 3037000499L)),
+      (Seq(Long.MaxValue / 2, 2L), Seq(2L, Long.MaxValue / 2)),
+      (Seq(0L, 0L), Seq(0L, 0L)))
+    val df = rows.toDF("a", "b")
+    val native = df.select(
+      graft.expressions.VectorExprs.vecDotDec(col("a"), col("b")).as("d"))
+      .collect().map(_.getDecimal(0))
+    val fold = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DECIMAL(38,0)) * y), " +
+        "CAST(0 AS DECIMAL(38,0)), (acc, t) -> CAST(acc + t AS DECIMAL(38,0)))")
+      .as("d")).collect().map(_.getDecimal(0))
+    assert(native.map(_.toBigInteger).toSeq === fold.map(_.toBigInteger).toSeq)
+  }
+
   test("text primitives are null-safe") {
     val df = Seq[Option[String]](None, Some(""), Some("one two three")).toDF("text")
     val toks = df.select(graft.text.Text.tokens(col("text")).as("t"))

@@ -368,6 +368,26 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       7L -> 7L, 8L -> 7L, 11L -> 11L))
   }
 
+  test("ccDelta driver union-find ≡ the distributed fixpoint fallback") {
+    // r17: below CcQuotientCap the quotient CC folds driver-side; force
+    // the distributed path with cap = 0 and pin bit-equality on the SF
+    // corpus split — the oversized-delta fallback is exercised, not
+    // just declared
+    val allPairs = DedupOps.q50(spark, SF).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val docs = Tables.documents(spark, SF).select(col("doc_id"))
+    val oldPairs = allPairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+    val newPairs = allPairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+    val snapshot = DedupOps.connectedComponents(oldPairs, docs)
+      .localCheckpoint()
+    val viaDriver = DedupOps.ccDelta(snapshot, newPairs, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFixpoint = DedupOps
+      .ccDelta(snapshot, newPairs, docs, quotientCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === viaFixpoint)
+  }
+
   test("keeperByRank picks the hub of a star, not the min id") {
     import spark.implicits._
     // star: 10 is the center, 11..14 the leaves; plus isolate 99.

@@ -65,6 +65,10 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     assertWindowsAggregated(
       graft.operators.PipelineOps.lengthBatchesPlan(spark, SF), "q179 build")
     assertWindowsAggregated(TextOps.q180(spark, SF), "q180")
+    // r17: the bucket relation memoizes (the epoch-order treatment), so
+    // pin the BUILD plan — the registered entries read a LogicalRDD
+    assertWindowsAggregated(
+      TextOps.pplBucketsPlan(spark, SF), "q180 build")
     assertWindowsAggregated(graft.operators.PipelineOps.q185(spark, SF), "q185")
     assertWindowsAggregated(graft.operators.PipelineOps.q191(spark, SF), "q191")
     assertWindowsAggregated(graft.operators.PipelineOps.q193(spark, SF), "q193")
