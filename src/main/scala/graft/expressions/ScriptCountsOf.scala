@@ -98,6 +98,13 @@ object ScriptCountsOf {
         // lead byte (0xF5–0xF7) can decode past U+10FFFF — the regex
         // path saw such bytes as U+FFFD (script Unknown, uncounted)
         if (cp > 0x10FFFF) cp = -1
+        // reject non-minimal (overlong) encodings and 3-byte-encoded
+        // surrogates (r17 ADVICE): the regex path decodes both to
+        // U+FFFD (uncounted); e.g. 0xC1 0xA1 must NOT count as Latin 'a'
+        if (cp >= 0 &&
+            ((len == 2 && cp < 0x80) || (len == 3 && cp < 0x800) ||
+              (len == 4 && cp < 0x10000) ||
+              (cp >= 0xD800 && cp <= 0xDFFF))) cp = -1
         if (cp >= 0) {
           step = len
           val sc = Character.UnicodeScript.of(cp)

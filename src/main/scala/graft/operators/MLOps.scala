@@ -67,7 +67,10 @@ object MLOps {
         array_to_vector(col("embedding")).as("features"))
       .withColumn("is_train", pmod(col("vec_id"), lit(5)) =!= 0)
     val train = data.filter(col("is_train")).cache()
-    val test = data.filter(!col("is_train"))
+    // each of the three concurrent models transforms + evaluates the
+    // held-out fold; uncached that was three rescans of the parquet +
+    // vector conversion (guide §5)
+    val test = data.filter(!col("is_train")).cache()
     val models = Seq[(String, org.apache.spark.ml.PipelineStage)](
       "logreg" -> new LogisticRegression().setLabelCol("y").setMaxIter(25)
         .setRegParam(0.01),
@@ -83,7 +86,7 @@ object MLOps {
       }.map { case (name, (n, acc, f1)) => (name, n, acc, f1) }
       import s.implicits._
       rows.toDF("model", "n_test", "accuracy", "f1").orderBy(col("model"))
-    } finally train.unpersist()
+    } finally { train.unpersist(); test.unpersist() }
   }
 
   // --- 73. hyperparameter grid search via k-fold CV ---------------------
@@ -115,7 +118,12 @@ object MLOps {
       .setNumFolds(3)
       .setSeed(42L)
       .setParallelism(8)
-    val model = cv.fit(data)
+    // CrossValidator caches each fold's train/validation SPLIT, but
+    // every split cache materializes from the PARENT — 6 rescans of the
+    // parquet + vector conversion without this (guide §5: cache what is
+    // reused); transient, released as soon as the folds are built
+    data.cache()
+    val model = try cv.fit(data) finally data.unpersist()
     val metrics = grid.zip(model.avgMetrics).toSeq.map { case (pm, m) =>
       (pm(lr.regParam), pm(lr.elasticNetParam), math.rint(m * 1e6) / 1e6) }
     val best = metrics.maxBy(r => (r._3, -r._1, -r._2))

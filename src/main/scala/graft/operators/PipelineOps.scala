@@ -19,7 +19,23 @@ import graft.text.Text.toksSql
   */
 object PipelineOps {
 
-  def q77(s: SparkSession, dir: String): DataFrame = {
+  def q77(s: SparkSession, dir: String): DataFrame =
+    gateDecisions(s, dir).orderBy(col("doc_id"))
+
+  /** The per-doc gate-decision relation behind q77 and the training
+    * builds' selection joins (q86/q112/q114), MEMOIZED per (family run,
+    * dir) — r18, the pplBuckets treatment: the decisions are a pure
+    * function of the corpus snapshot and THIN (five int columns per
+    * doc), while the un-memoized chain re-ran the q44 language pass,
+    * the q45 quality pass and the keeper join on every consumer. The
+    * oracles all replay the full gate chain (`q77Sql`/`q86Sql`/
+    * `q112Sql` carry the q44/q45/roots CTEs verbatim), so the driver's
+    * hash gate re-proves the memo ≡ the chain on every run. */
+  private[operators] def gateDecisions(s: SparkSession, dir: String): DataFrame =
+    graft.SharedRelations.getOrBuild("gate77", dir)(gateDecisionsPlan(s, dir))
+
+  /** The unmemoized gate-decision build plan. */
+  private[graft] def gateDecisionsPlan(s: SparkSession, dir: String): DataFrame = {
     val lang = TextOps.q44(s, dir).select(col("doc_id"), col("pred_lang"))
     val qual = TextOps.q45(s, dir)
       .select(col("doc_id").as("d2"), col("n_toks"), col("non_alnum_ratio"))
@@ -36,7 +52,6 @@ object PipelineOps {
         (col("pred_lang") === "en" &&
           col("n_toks") >= 10 && col("non_alnum_ratio") <= 0.5 &&
           col("is_keeper") === 1).cast("int").as("selected"))
-      .orderBy(col("doc_id"))
   }
 
   private lazy val q44Body: String =
@@ -234,7 +249,7 @@ object PipelineOps {
   }
 
   def q86(s: SparkSession, dir: String): DataFrame = {
-    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
+    val sel = gateDecisions(s, dir).filter(col("selected") === 1).select(col("doc_id"))
     trainBuild(graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .join(sel, "doc_id"))
@@ -487,7 +502,7 @@ object PipelineOps {
     * stream. Plan = q86's shapes + one extra doc_id equi-join of the
     * cleaned relation; the span pipeline is corpus-linear (q98). */
   def q112(s: SparkSession, dir: String): DataFrame = {
-    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
+    val sel = gateDecisions(s, dir).filter(col("selected") === 1).select(col("doc_id"))
     val cleaned = DedupOps.cleanedDocs(s, dir)
       .select(col("doc_id"), concat_ws(" ", col("cleaned")).as("text"))
     trainBuild(graft.Tables.documents(s, dir)
@@ -567,7 +582,7 @@ object PipelineOps {
     graft.SharedRelations.getOrBuild("q114docs", dir)(q114Docs(s, dir))
 
   private def q114Docs(s: SparkSession, dir: String): DataFrame = {
-    val sel = q77(s, dir).filter(col("selected") === 1).select(col("doc_id"))
+    val sel = gateDecisions(s, dir).filter(col("selected") === 1).select(col("doc_id"))
     val cleaned = DedupOps.cleanedDocs(s, dir)
       .select(col("doc_id"), concat_ws(" ", col("cleaned")).as("ctext"))
     graft.Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))

@@ -88,8 +88,19 @@ object SimOps {
 
   /** Sign-bucket for one plane table; `table` offsets the plane formula so
     * multiple independent tables can be OR-combined ([[annLshMulti]] /
-    * q78). */
+    * q78). Native codegen'd expression
+    * ([[graft.expressions.LshBucketOf]]) — the declarative per-plane
+    * fold ([[bucketOfDeclarative]]) ran the interpreted HOF evaluator
+    * 8× per corpus vector per table (r17 VERDICT #2: the one remaining
+    * interpreted fold in a hot ANN path); ExpressionsSpec pins the two
+    * forms equal and the q54/q78/q170 oracles replay the declarative
+    * form, so the driver's hash gate re-proves it per run. */
   def bucketOf(emb: Column, table: Int = 0): Column =
+    graft.expressions.VectorExprs.lshBucket(emb, table * NumPlanes, NumPlanes)
+
+  /** The declarative form [[bucketOf]] compiles away — kept as the
+    * equivalence pin's reference implementation (ExpressionsSpec). */
+  private[graft] def bucketOfDeclarative(emb: Column, table: Int = 0): Column =
     (0 until NumPlanes).map { p =>
       val d = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
         (x, j) => x.cast("double") * planeComponent(table * NumPlanes + p, j)),
@@ -352,8 +363,23 @@ object SimOps {
         c.getField("cell_id").as("cell_id")))
 
   /** Nearest-cell assignment with zero corpus shuffle (spec-checked in
-    * SimilaritySpec): crossJoin of a 1-row broadcast + a map-side argmax. */
+    * SimilaritySpec): crossJoin of a 1-row broadcast + a map-side argmax.
+    * Native codegen'd argmin ([[graft.expressions.CellArgMin]]) — the
+    * `array_min(transform(cells, …))` chain is CodegenFallback and ran
+    * the interpreted evaluator once per corpus row (r18, the r17
+    * VERDICT #5 sweep); ExpressionsSpec pins native ≡ declarative and
+    * the q61/q75/q105/q160/q187 oracles replay the declarative argmax,
+    * so the driver's hash gate re-proves it per run. */
   def assignToCells(vecs: DataFrame, cellsRow: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cellsRow))
+      .withColumn("cell_id", graft.expressions.AnnExprs.cellArgMin(
+        col("embedding"), col("nrm"), col("cells")))
+      .drop("cells")
+
+  /** The declarative argmin [[assignToCells]] compiles away — kept as
+    * the equivalence pin's reference implementation (ExpressionsSpec). */
+  private[graft] def assignToCellsDeclarative(vecs: DataFrame,
+      cellsRow: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cellsRow))
       .withColumn("cell_id", array_min(scoredCells).getField("cell_id"))
       .drop("cells")
@@ -685,6 +711,20 @@ object SimOps {
     * argmin), ties to the lower code. Appends `codes` (array<int>),
     * drops nothing else. */
   def pqEncode(vecs: DataFrame, cbRow: DataFrame): DataFrame =
+    // native codegen'd encode (graft.expressions.PqCodesOf): the
+    // per-subspace filter/transform/array_min HOF chain was
+    // CodegenFallback — 8 interpreted walks + per-codeword struct
+    // allocations per corpus row (r18, the r17 VERDICT #5 sweep).
+    // ExpressionsSpec pins native ≡ declarative; the q88/q105/q160
+    // oracles replay the declarative rounded argmin per run.
+    vecs.crossJoin(broadcast(cbRow))
+      .withColumn("codes",
+        graft.expressions.AnnExprs.pqCodes(col("embedding"), col("cb"), PqM))
+      .drop("cb")
+
+  /** The declarative encode [[pqEncode]] compiles away — kept as the
+    * equivalence pin's reference implementation (ExpressionsSpec). */
+  private[graft] def pqEncodeDeclarative(vecs: DataFrame, cbRow: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cbRow))
       .withColumn("codes", array((0 until PqM).map { m =>
         array_min(transform(

@@ -181,6 +181,140 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(native.map(_.toBigInteger).toSeq === fold.map(_.toBigInteger).toSeq)
   }
 
+  test("LshBucketOf matches the declarative per-plane sign fold") {
+    // r18: the native LSH bucket vs the aggregate(zip_with(…)) fold it
+    // replaced — real embeddings for every q78 table offset, plus edge
+    // rows: empty array (all-zero sums ⇒ all bits set), negative/NaN
+    // components, and a NULL embedding (fall-through bucket 0)
+    val real = Tables.embeddings(spark, SF).limit(50).select(col("embedding"))
+    (0 until 4).foreach { t =>
+      val both = real.select(
+        operators.SimOps.bucketOf(col("embedding"), t).as("nat"),
+        operators.SimOps.bucketOfDeclarative(col("embedding"), t).as("dec"))
+        .collect()
+      both.foreach(r => assert(r.getInt(0) === r.getInt(1), s"table $t"))
+    }
+    val edge = Seq(
+      Some(Seq(-1.5f, 2.25f, -3.0f, 0.0f)),
+      Some(Seq.empty[Float]),
+      Some(Seq(Float.NaN, 1.0f)),
+      None).toDF("embedding")
+    val got = edge.select(
+      operators.SimOps.bucketOf(col("embedding")).as("nat"),
+      operators.SimOps.bucketOfDeclarative(col("embedding")).as("dec"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // empty: sequence(0,-1) = [0,-1] null-pads zip_with ⇒ NULL fold ⇒ 0
+    assert(got(1).getInt(0) === 0)
+    // NaN sums: Spark's NaN-greatest comparison makes NaN >= 0 TRUE
+    assert(got(2).getInt(0) === 255)
+    assert(got(3).getInt(0) === 0)   // null embedding: when() fall-through
+  }
+
+  test("PqCodesOf matches the declarative per-subspace argmin encode") {
+    // r18: the native PQ encode vs the filter/transform/array_min HOF
+    // chain it replaced — real corpus codebook over real embeddings
+    val e = Tables.embeddings(spark, SF)
+    val cb = operators.SimOps.pqCodebook(e)
+    val nat = operators.SimOps.pqEncode(e.limit(60), cb)
+      .select(col("vec_id"), col("codes"))
+    val dec = operators.SimOps.pqEncodeDeclarative(e.limit(60), cb)
+      .select(col("vec_id"), col("codes").as("dcodes"))
+    val j = nat.join(dec, "vec_id").collect()
+    assert(j.length === 60)
+    j.foreach(r => assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+      s"vec ${r.get(0)}"))
+    // tie rule: duplicate codewords must pick the LOWER dense code id
+    import spark.implicits._
+    val cents = Seq(
+      (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),
+      (3L, (1 to 8).map(i => -0.25f * i))).toDF("cell_id", "centroid")
+    val cbT = operators.SimOps.pqCodebookFrom(cents)
+    val v = Seq((9L, (1 to 8).map(_ => 0.4f))).toDF("vec_id", "embedding")
+    val natT = operators.SimOps.pqEncode(v, cbT).select(col("codes")).head()
+    val decT = operators.SimOps.pqEncodeDeclarative(v, cbT)
+      .select(col("codes")).head()
+    assert(natT.getSeq[Int](0) === decT.getSeq[Int](0))
+    assert(natT.getSeq[Int](0).forall(_ === 0)) // ties to the lower cidx
+  }
+
+  test("CellArgMin matches the declarative rounded-cosine argmax assignment") {
+    // r18: the native cell assignment vs the array_min(transform(…))
+    // chain it replaced — real per-label centroids over real embeddings
+    val e = Tables.embeddings(spark, SF)
+    val cellsRow = operators.SimOps.cellsAsRow(operators.SimOps.centroidCells(e))
+    val nat = operators.SimOps.assignToCells(
+      operators.SimOps.withNorm(e.limit(80)), cellsRow)
+      .select(col("vec_id"), col("cell_id"))
+    val dec = operators.SimOps.assignToCellsDeclarative(
+      operators.SimOps.withNorm(e.limit(80)), cellsRow)
+      .select(col("vec_id"), col("cell_id").as("dcell"))
+    val j = nat.join(dec, "vec_id").collect()
+    assert(j.length === 80)
+    j.foreach(r => assert(r.get(1) === r.get(2), s"vec ${r.get(0)}"))
+    // tie rule (duplicate centroids) and the empty-cells null
+    import spark.implicits._
+    val dup = Seq((2L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.5f))).toDF("cell_id", "centroid")
+    val vecs = operators.SimOps.withNorm(
+      Seq((10L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding"))
+    val row = operators.SimOps.cellsAsRow(dup)
+    val gotT = operators.SimOps.assignToCells(vecs, row)
+      .select(col("cell_id")).head().getLong(0)
+    val decT = operators.SimOps.assignToCellsDeclarative(vecs, row)
+      .select(col("cell_id")).head().getLong(0)
+    assert(gotT === decT)
+    assert(gotT === 1L) // tie between cells 1 and 2 → lower id
+    val empty = operators.SimOps.cellsAsRow(
+      dup.filter(col("cell_id") > 100))
+    val gotE = operators.SimOps.assignToCells(vecs, empty)
+      .select(col("cell_id")).head()
+    val decE = operators.SimOps.assignToCellsDeclarative(vecs, empty)
+      .select(col("cell_id")).head()
+    assert(gotE.isNullAt(0) === decE.isNullAt(0))
+    assert(gotE.isNullAt(0))
+  }
+
+  test("LongVecDotDecimal degrades to null past 38 digits on the codegen path") {
+    // r17 ADVICE (medium): doGenCode must reset isNull after the call —
+    // two Long.MaxValue² products sum to ~1.7e38 (39 digits) ⇒ null
+    // under the CheckOverflow convention, and predicates over the dot
+    // must see the null instead of NPEing on a null Decimal
+    val df = Seq((Seq(Long.MaxValue, Long.MaxValue),
+      Seq(Long.MaxValue, Long.MaxValue))).toDF("a", "b")
+    val d = graft.expressions.VectorExprs.vecDotDec(col("a"), col("b"))
+    val out = df.select(d.as("d")).collect()
+    assert(out(0).isNullAt(0))
+    // null-propagating predicate: no row survives, no NPE
+    assert(df.filter(d > 0).count() === 0L)
+    assert(df.select((d * d).as("sq")).collect()(0).isNullAt(0))
+  }
+
+  test("ScriptCountsOf rejects overlong/surrogate UTF-8 like the regex path") {
+    // r17 ADVICE (low): 0xC1 0xA1 is an overlong encoding of 'a' — the
+    // regex path sees U+FFFD (uncounted); the walk must not count Latin.
+    // Same for a 3-byte surrogate encoding (0xED 0xA0 0x80 → U+D800).
+    import org.apache.spark.unsafe.types.UTF8String
+    def counts(bytes: Array[Byte]): Seq[Long] = {
+      val arr = graft.expressions.ScriptCountsOf.count(UTF8String.fromBytes(bytes))
+      (0 until arr.numElements()).map(arr.getLong)
+    }
+    assert(counts(Array(0xC1.toByte, 0xA1.toByte)).forall(_ == 0L))
+    assert(counts(Array(0xED.toByte, 0xA0.toByte, 0x80.toByte)).forall(_ == 0L))
+    // overlong 3-byte 'a' (0xE0 0x81 0xA1) and overlong 4-byte (0xF0 0x80 0x81 0xA1)
+    assert(counts(Array(0xE0.toByte, 0x81.toByte, 0xA1.toByte)).forall(_ == 0L))
+    assert(counts(Array(0xF0.toByte, 0x80.toByte, 0x81.toByte, 0xA1.toByte)).forall(_ == 0L))
+    // surrounding valid text still counts exactly
+    val mixed = "a".getBytes("UTF-8") ++ Array(0xC1.toByte, 0xA1.toByte) ++
+      "b".getBytes("UTF-8")
+    val c = counts(mixed)
+    assert(c(6) === 2L && c.take(6).forall(_ == 0L)) // latin slot only
+    // boundary legals are still counted once: U+0080-adjacent 2-byte
+    // (é = 0xC3 0xA9) and the minimal 4-byte Han U+20000
+    assert(counts("é".getBytes("UTF-8"))(6) === 1L)
+    assert(counts("𠀀".getBytes("UTF-8"))(4) === 1L) // han slot
+  }
+
   test("text primitives are null-safe") {
     val df = Seq[Option[String]](None, Some(""), Some("one two three")).toDF("text")
     val toks = df.select(graft.text.Text.tokens(col("text")).as("t"))

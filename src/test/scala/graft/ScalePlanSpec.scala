@@ -200,6 +200,9 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
     // span-family merges must never fall back to a global window: a
     // corpus can't sort on one task. Every Window partitions by doc_id.
     Seq("q98" -> operators.DedupOps.q98(spark, SF),
+        // r18: the k=8 span set memoizes (the pplBuckets treatment), so
+        // pin the BUILD plan — the registered entries read a LogicalRDD
+        "q98 build" -> operators.DedupOps.dupSpans8Plan(spark, SF),
         "q107" -> operators.DedupOps.q107(spark, SF),
         "q109" -> operators.DedupOps.q109(spark, SF),
         "q113" -> operators.DedupOps.q113(spark, SF),
