@@ -175,7 +175,9 @@ class ScalePlanSpec extends AnyFunSuite with SharedSpark {
         case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
         case x => Seq(x)
       }
-    val df = operators.DedupOps.q49(spark, SF)
+    // r18: the q49 pair set memoizes (the pairs50 convention), so pin
+    // the BUILD plan — the registered entry reads a LogicalRDD
+    val df = operators.DedupOps.q49Plan(spark, SF)
     val all = flatten(df.queryExecution.executedPlan)
     assert(!all.exists(_.isInstanceOf[WindowExec]),
       "q49 must not compute the shingle df with a window")
